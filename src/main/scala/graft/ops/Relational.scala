@@ -1,0 +1,239 @@
+package graft.ops
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the TPC-H-ish star (SURVEY.md §2.2-§2.4,
+  * §2.7): projections/filters (P1-P6), equi/semi/anti joins (J1-J4), one- and
+  * two-level hash aggregations with conditional aggs, bool-or, exact distinct
+  * (A1-A8), top-k, set ops.
+  *
+  * Money doubles go through [[Tables.cents]] (exact BIGINT hundredths) so
+  * every sum is order-independent and bit-identical to the DuckDB oracle.
+  * At 100 TB these plans are shuffle-minimal: dims broadcast, facts aggregate
+  * partially map-side before the single shuffle on the group keys.
+  */
+object Relational {
+  import Tables.cents
+
+  private val T0315 = "1998-03-15"
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- A1/A5/E11: single-level hash agg with exact money sums (TPC-H Q1 shape)
+    q("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)/1000000.0 AS sum_charge,
+        |  SUM(l_quantity)/COUNT(*) AS avg_qty,
+        |  (CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0)/COUNT(*) AS avg_price,
+        |  (CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)/100.0)/COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = cents(col("l_extendedprice"))
+      val disc = cents(col("l_discount"))
+      val tax = cents(col("l_tax"))
+      li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(p) / 100.0).as("sum_base_price"),
+          (sum(p * (lit(100L) - disc)) / 10000.0).as("sum_disc_price"),
+          (sum(p * (lit(100L) - disc) * (lit(100L) + tax)) / 1000000.0).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          ((sum(p) / 100.0) / count(lit(1))).as("avg_price"),
+          ((sum(disc) / 100.0) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- J1/J2 + top-k with deterministic tie-break (TPC-H Q3 shape)
+    q("q3_topk_order_revenue",
+      s"""SELECT l_orderkey,
+         |  CAST(o_orderdate AS DATE) AS o_date,
+         |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '$T0315 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '$T0315 00:00:00'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(s"$T0315 00:00:00").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit(s"$T0315 00:00:00").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- J1-J3: five-way star join, broadcast dims (TPC-H Q5 shape)
+    q("q5_nation_revenue",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |GROUP BY n_name""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996)
+      val li = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+    },
+
+    // ---- J4: left-anti join (orphan check pattern; NOT EXISTS)
+    q("j_anti_customers_without_orders",
+      """SELECT c_nationkey, COUNT(*) AS n_customers_no_orders
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND year(o.o_orderdate) = 2001)
+        |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 2001)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers_no_orders"))
+    },
+
+    // ---- left-semi join (EXISTS)
+    q("j_semi_customers_with_urgent",
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+
+    // ---- A2/A6/A7: two-level aggregation (daily/customer -> nation) with
+    // exact count-distinct and bool-or-via-max, mirroring the billing mart shape
+    q("a2_two_level_agg",
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |         COUNT(*) AS n_orders,
+        |         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE))
+        |SELECT c_nationkey,
+        |  CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+        |  CAST(SUM(cents) AS BIGINT)/100.0 AS total_price,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(MAX(CASE WHEN cents > 100000000 THEN 1 ELSE 0 END) AS BOOLEAN) AS any_big_day
+        |FROM daily JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val daily = o
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("cents_"))
+      daily.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          sum(col("n_orders")).as("total_orders"),
+          (sum(col("cents_")) / 100.0).as("total_price"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          max(when(col("cents_") > 100000000L, 1).otherwise(0)).cast("boolean").as("any_big_day"))
+    },
+
+    // ---- A7: exact multi-column count-distinct
+    q("a7_count_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS distinct_orders,
+        |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |  COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("distinct_orders"),
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_suppliers"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ---- §2.7: order-by + limit top-k with tie-break
+    q("topk_customers_by_balance",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 15""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(15)
+    },
+
+    // ---- §2.7 set ops: EXCEPT (distinct semantics in both engines)
+    q("setop_except_custkeys",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+    },
+
+    // ---- §2.7 set ops: INTERSECT
+    q("setop_intersect_custkeys",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+    },
+
+    // ---- §2.7 set ops: UNION ALL + re-aggregate
+    q("setop_union_all_agg",
+      """SELECT src, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_key FROM (
+        |  SELECT 'cust' AS src, c_custkey AS k FROM customer
+        |  UNION ALL
+        |  SELECT 'supp' AS src, s_suppkey AS k FROM supplier
+        |) u GROUP BY src""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(lit("cust").as("src"), col("c_custkey").as("k"))
+      val su = Tables.supplier(s, d).select(lit("supp").as("src"), col("s_suppkey").as("k"))
+      c.union(su).groupBy(col("src"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_key"))
+    },
+
+    // ---- P1/P5: projection + rename + predicate (pushed to parquet scan)
+    q("p1_projection_filter",
+      """SELECT p_partkey AS part_id, upper(p_brand) AS brand_uc, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 30 AND p_brand LIKE 'Brand#1%'""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_size").between(10, 30) && col("p_brand").startsWith("Brand#1"))
+        .select(
+          col("p_partkey").as("part_id"),
+          upper(col("p_brand")).as("brand_uc"),
+          col("p_type"), col("p_size"), col("p_retailprice"))
+    }
+  )
+}

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver corpus (TESTDATA.md): one parquet per table under
+  * /root/testdata/sf{0.001,0.01,0.1}. Reading through this single entry point
+  * keeps scans uniform so Catalyst's column pruning / predicate pushdown apply
+  * everywhere (verify with .explain: PushedFilters + ReadSchema).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Money columns in the corpus are doubles carrying exactly 2 decimals.
+    * `cents(c)` maps them to exact BIGINT hundredths: long sums are exact and
+    * associative, so aggregates are bit-identical regardless of partitioning /
+    * shuffle order (unlike double sums) AND bit-identical to the DuckDB oracle
+    * — while staying cheaper than DecimalType in whole-stage codegen.
+    * SQL equivalent: CAST(round(c * 100) AS BIGINT).
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+}
