@@ -13,11 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
-    ops.Relational.all ++ ops.TimeSeries.all
+    ops.Relational.all ++ ops.TimeSeries.all ++ meter.MeterPipeline.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's billing mart end-to-end (generate → LAG
+    * staging → two-level agg + dim joins + tariff). Driver smoke-checks
+    * rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("meter_billing_daily")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
