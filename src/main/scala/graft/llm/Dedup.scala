@@ -1,0 +1,167 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` (builder prompt; SURVEY.md §7.1.8):
+  * exact (hash-group), MinHash+LSH (shingle→signature→band→bucket-join),
+  * SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (100 TB): the LSH variants never enumerate all pairs — the
+  * only join is on (band, band_key) buckets, so cost is proportional to
+  * true-candidate volume; the exact-Jaccard query (quadratic in
+  * docs-per-shingle) exists as the small-scale ground truth the LSH output
+  * is judged against. All hashing is md5-derived integer arithmetic
+  * ([[TextHash]]) — bit-identical in the DuckDB oracle.
+  */
+object Dedup {
+  import TextHash._
+
+  private val bandsCount = NumHashes / BandRows // 8
+
+  /** Spark: wide MinHash signature frame (doc_id, s0..s31). */
+  private def sigsOf(sh: org.apache.spark.sql.DataFrame) = {
+    val h = h64(col("sh"))
+    sh.groupBy(col("doc_id"))
+      .agg(minhashCol(0, h).as("s0"),
+        (1 until NumHashes).map(j => minhashCol(j, h).as(s"s$j")): _*)
+  }
+
+  private def sigsSql: String = {
+    val aggs = (0 until NumHashes).map(j => s"${minhashSql(j, "h")} AS s$j").mkString(", ")
+    s"""sh AS (${shinglesSql()}),
+       |hs AS (SELECT doc_id, ${h64Sql("sh")} AS h FROM sh),
+       |sigs AS (SELECT doc_id, $aggs FROM hs GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bandKey(b: Int): String = {
+    val parts = (0 until BandRows).map(r => s"s${b * BandRows + r}")
+    parts.tail.foldLeft(parts.head)((acc, s) => s"($acc * 31 + $s)")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- exact dedup: md5-hash groups, keeper = min doc_id
+    q("dedup_exact",
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_doc_id,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        min(col("doc_id")).over(w).as("keeper_doc_id"),
+        count(lit(1)).over(w).as("group_size"),
+        (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_duplicate"))
+    },
+
+    // ---- exact n-gram Jaccard (ground truth; quadratic — small scale only)
+    q("dedup_ngram_jaccard",
+      s"""WITH sh AS (${shinglesSql()}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_common
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id),
+         |jac AS (
+         |  SELECT d1, d2, n_common * 1.0 / (s1.n + s2.n - n_common) AS jaccard
+         |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+         |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
+      val sh = shingles(Tables.documents(s, d))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("x")
+        .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"),
+          (col("n_common") * 1.0 / (col("s1.n") + col("s2.n") - col("n_common"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    },
+
+    // ---- MinHash + LSH: 32 signatures, 8 bands × 4 rows; candidates come
+    // ONLY from band-bucket equality joins (the 100 TB path), then are
+    // scored by signature agreement
+    q("dedup_minhash_lsh", {
+      val bandSelects = (0 until bandsCount)
+        .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS key FROM sigs")
+        .mkString("\n  UNION ALL ")
+      val matches = (0 until NumHashes)
+        .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $sigsSql,
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         |    AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT d1, d2, ($matches) / 32.0 AS est_jaccard
+         |  FROM cand JOIN sigs a ON cand.d1 = a.doc_id JOIN sigs b ON cand.d2 = b.doc_id)
+         |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+    }) { (s, d) =>
+      val sigs = sigsOf(shingles(Tables.documents(s, d)))
+      val bandCols = (0 until bandsCount).map { b =>
+        val key = (1 until BandRows).foldLeft(col(s"s${b * BandRows}")) {
+          (acc, r) => acc * 31 + col(s"s${b * BandRows + r}")
+        }
+        struct(lit(b).as("band"), key.as("key"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val matches = (0 until NumHashes)
+        .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sigs.as("a"), col("d1") === col("a.doc_id"))
+        .join(sigs.as("b"), col("d2") === col("b.doc_id"))
+        .select(col("d1"), col("d2"), (matches / 32.0).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+    },
+
+    // ---- SimHash: 32-bit signature from shingle-hash bit votes, with
+    // 16-bit prefix/suffix block keys (the bucketing columns a banded
+    // hamming join would use at scale)
+    q("dedup_simhash", {
+      val votes = (0 until 32)
+        .map(t => s"SUM(CASE WHEN (h // ${1L << t}) % 2 = 1 THEN 1 ELSE -1 END) AS b$t")
+        .mkString(", ")
+      val assemble = (0 until 32)
+        .map(t => s"(CASE WHEN b$t > 0 THEN ${1L << t} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS (${shinglesSql()}),
+         |hs AS (SELECT doc_id, ${h64Sql("sh")} AS h FROM sh),
+         |votes AS (SELECT doc_id, COUNT(*) AS n_shingles, $votes FROM hs GROUP BY doc_id),
+         |sig AS (SELECT doc_id, n_shingles, $assemble AS simhash FROM votes)
+         |SELECT doc_id, n_shingles, simhash,
+         |  simhash // 65536 AS block_hi, simhash % 65536 AS block_lo
+         |FROM sig""".stripMargin
+    }) { (s, d) =>
+      val h = h64(col("sh"))
+      val voteCols = (0 until 32).map(t =>
+        sum(when(expr(s"(h div ${1L << t}) % 2") === 1, 1).otherwise(-1)).as(s"b$t"))
+      val simhash = (0 until 32)
+        .map(t => when(col(s"b$t") > 0, lit(1L << t)).otherwise(0L))
+        .reduce(_ + _)
+      shingles(Tables.documents(s, d))
+        .select(col("doc_id"), h.as("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), voteCols: _*)
+        .select(col("doc_id"), col("n_shingles"), simhash.as("simhash"))
+        .select(col("doc_id"), col("n_shingles"), col("simhash"),
+          expr("simhash div 65536").as("block_hi"), (col("simhash") % 65536).as("block_lo"))
+    }
+  )
+}

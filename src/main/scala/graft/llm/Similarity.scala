@@ -1,0 +1,146 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Numeric design: floats are quantized to 2^20 fixed-point BIGINTs, so dot
+  * products are *exact integers* (|dot| ≤ 64·2^40 ≪ 2^53) — results are
+  * independent of summation order (shuffle-/partition-safe at cluster
+  * scale) and bit-identical to the DuckDB oracle. The ~1e-6 quantization
+  * error is far below any meaningful similarity threshold.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (cost
+  * |Q|·|N|); the LSH variant buckets by 8 random-hyperplane sign bits and
+  * joins only within buckets — the 100 TB path, where the only shuffle is
+  * on the bucket key.
+  */
+object Similarity {
+
+  private val Q = 1048576L // 2^20 fixed-point scale
+
+  /** Quantized vector + its self-dot (squared norm), reused by every query. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q) AS BIGINT))").as("qv"))
+      .withColumn("norm2", expr("aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"))
+
+  private val quantizedSql: String =
+    s"""qe AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qn AS (
+       |  SELECT vec_id, label, qv,
+       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
+       |  FROM qe)""".stripMargin
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- near-duplicate pairs by cosine threshold (embedding dedup)
+    q("dedup_embedding_cosine",
+      s"""WITH $quantizedSql,
+         |pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+         |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id)
+         |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin) { (s, d) =>
+      val qe = quantized(s, d)
+      qe.as("a").join(qe.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          (dot("a.qv", "b.qv").cast("double")
+            / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.4)
+    },
+
+    // ---- brute-force cosine top-k (every 50th vector as a query)
+    q("sim_bruteforce_topk",
+      s"""WITH $quantizedSql,
+         |scored AS (
+         |  SELECT qv1.vec_id AS query_id, qv2.vec_id AS vec_id, qv2.label AS label,
+         |    CAST(list_sum(list_transform(list_zip(qv1.qv, qv2.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(qv1.norm2 AS DOUBLE)) * sqrt(CAST(qv2.norm2 AS DOUBLE))) AS cosine
+         |  FROM qn qv1 JOIN qn qv2 ON qv1.vec_id % 50 = 0 AND qv2.vec_id <> qv1.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, label, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, label, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin) { (s, d) =>
+      val qe = quantized(s, d)
+      val queries = qe.filter(col("vec_id") % 50 === 0)
+      val scored = queries.as("a")
+        .join(qe.as("b"), col("b.vec_id") =!= col("a.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+          col("b.label").as("label"),
+          (dot("a.qv", "b.qv").cast("double")
+            / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+            .as("cosine"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+    },
+
+    // ---- LSH-bucketed ANN: 8 random-hyperplane sign bits -> bucket;
+    // candidates only within the query's bucket (the scale path)
+    q("sim_lsh_topk", {
+      val planes = Similarity.planes
+      val bitsSql = planes.zipWithIndex.map { case (w, p) =>
+        val lit = w.mkString("[", ", ", "]")
+        s"(CASE WHEN CAST(list_sum(list_transform(list_zip(qv, $lit), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $quantizedSql,
+         |bucketed AS (SELECT vec_id, label, qv, norm2, $bitsSql AS bucket FROM qn),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS label, a.bucket AS bucket,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+         |    AND a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, label, bucket, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, label, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+    }) { (s, d) =>
+      val qe = quantized(s, d)
+      val bits = planes.zipWithIndex.map { case (w, p) =>
+        val wLit = w.mkString("array(", "L, ", "L)")
+        when(expr(s"aggregate(zip_with(qv, $wLit, (x, y) -> x * y), 0L, (acc, v) -> acc + v)") > 0,
+          1 << p).otherwise(0)
+      }.reduce(_ + _)
+      val bucketed = qe.withColumn("bucket", bits)
+      val scored = bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") % 50 === 0 &&
+            col("b.vec_id") =!= col("a.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+          col("b.label").as("label"), col("a.bucket").as("bucket"),
+          (dot("a.qv", "b.qv").cast("double")
+            / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+            .as("cosine"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+    }
+  )
+
+  /** 8 deterministic hyperplanes (dim 64, integer weights in [-500, 500)),
+    * derived from the same Knuth-hash uniform as [[graft.meter.MeterGen.u]]
+    * — literal-embedded into both the Spark plan and the oracle SQL. */
+  lazy val planes: Seq[IndexedSeq[Long]] = {
+    def u(x: Long): Double = (x % 2147483648L) * 2654435761L % 2147483648L / 2147483648.0
+    (0 until 8).map(p => (0 until 64).map(i => Math.round((u(p * 101L + i * 7L + 13L) - 0.5) * 1000)))
+  }
+}

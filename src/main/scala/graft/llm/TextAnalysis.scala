@@ -1,0 +1,126 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (builder prompt / BASELINE.json north star): quality scoring,
+  * language-ID heuristic, token counting, document fingerprinting.
+  * All run as narrow per-row transforms + one hash aggregation — no
+  * shuffles besides the final groupBy, so they scale linearly with corpus
+  * size.
+  */
+object TextAnalysis {
+  import TextHash._
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  private def words(c: Column): Column = split(c, " ", -1)
+
+  private def countIn(c: Column, xs: Seq[String]): Column =
+    size(filter(words(c), w => xs.map(x => w === x).reduce(_ || _)))
+
+  private def countInSql(e: String, xs: Seq[String]): String = {
+    val list = xs.map(x => s"'$x'").mkString(", ")
+    s"len(list_filter(string_split($e, ' '), w -> w IN ($list)))"
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- quality scoring: length / stopword / word-shape heuristics
+    q("text_quality_score",
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_words,
+         |  len(replace(text, ' ', '')) AS n_chars_nospace,
+         |  len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS mean_word_len,
+         |  ${countInSql("text", stopwords)} * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
+         |  0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+         |    + 0.4 * (1.0 - ${countInSql("text", stopwords)} * 1.0 / len(string_split(text, ' ')))
+         |    + 0.2 * least(len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0)
+         |    AS quality_score
+         |FROM documents""".stripMargin) { (s, d) =>
+      val nw = size(words(col("text")))
+      val nc = length(regexp_replace(col("text"), " ", ""))
+      val mwl = nc * 1.0 / nw
+      val stopRatio = countIn(col("text"), stopwords) * 1.0 / nw
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nw.as("n_words"),
+        nc.as("n_chars_nospace"),
+        mwl.as("mean_word_len"),
+        stopRatio.as("stopword_ratio"),
+        (lit(0.4) * least(nw / 100.0, lit(1.0))
+          + lit(0.4) * (lit(1.0) - stopRatio)
+          + lit(0.2) * least(mwl / 8.0, lit(1.0))).as("quality_score"))
+    },
+
+    // ---- language-ID heuristic: per-language marker-word hit counts,
+    // deterministic argmax (priority order on ties)
+    q("text_lang_id", {
+      val en = countInSql("text", Seq("the", "a", "of", "and"))
+      val de = countInSql("text", Seq("der", "die", "und", "ist"))
+      val fr = countInSql("text", Seq("le", "la", "et", "est"))
+      val es = countInSql("text", Seq("el", "los", "y", "es"))
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+         |       WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+         |       WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+         |       WHEN $es > 0 THEN 'es'
+         |       ELSE 'unknown' END AS predicted_lang,
+         |  $en AS en_hits, $de AS de_hits, $fr AS fr_hits, $es AS es_hits
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+      val en = countIn(col("text"), Seq("the", "a", "of", "and"))
+      val de = countIn(col("text"), Seq("der", "die", "und", "ist"))
+      val fr = countIn(col("text"), Seq("le", "la", "et", "est"))
+      val es = countIn(col("text"), Seq("el", "los", "y", "es"))
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(en >= de && en >= fr && en >= es && en > 0, "en")
+          .when(de >= fr && de >= es && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("unknown").as("predicted_lang"),
+        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"))
+    },
+
+    // ---- token counting: whitespace words, letter-run "BPE-ish" regex
+    // tokens, chars/4 estimator — aggregated per (lang, source)
+    q("text_token_counts",
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS total_letter_tokens,
+        |  CAST(SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_est_bpe_tokens
+        |FROM documents GROUP BY lang, source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(words(col("text")))).as("total_words"),
+          sum(regexp_count(col("text"), lit("[a-z]+"))).as("total_letter_tokens"),
+          sum(ceil(length(col("text")) / 4.0).cast("long")).as("total_est_bpe_tokens"))
+    },
+
+    // ---- document fingerprinting: whole-text 60-bit md5 fingerprint +
+    // min-shingle sketch (the 1-hash special case of MinHash)
+    q("text_fingerprint", {
+      s"""WITH sh AS (${shinglesSql()}),
+         |mins AS (
+         |  SELECT doc_id, min(${h64Sql("sh")}) AS min_shingle_hash,
+         |         COUNT(*) AS n_shingles
+         |  FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id, ${h64Sql("d.text")} AS fingerprint,
+         |       m.min_shingle_hash, m.n_shingles
+         |FROM documents d JOIN mins m ON d.doc_id = m.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mins = shingles(docs)
+        .groupBy(col("doc_id"))
+        .agg(min(h64(col("sh"))).as("min_shingle_hash"), count(lit(1)).as("n_shingles"))
+      docs.select(col("doc_id"), h64(col("text")).as("fingerprint"))
+        .join(mins, Seq("doc_id"))
+    }
+  )
+}
