@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
     ops.Relational.all ++ ops.TimeSeries.all ++ meter.MeterPipeline.all ++
-      llm.TextAnalysis.all ++ llm.Dedup.all ++ llm.Similarity.all
+      llm.TextAnalysis.all ++ llm.Dedup.all ++ llm.Similarity.all ++ llm.Multimodal.all
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

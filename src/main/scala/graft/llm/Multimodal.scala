@@ -1,0 +1,103 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.GraftQuery.{q, qNoOracle}
+import graft.ops.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder prompt): image/audio/video payloads
+  * as opaque `binary` columns with a typed metadata struct, plus a
+  * batch-shaped decode/feature-extract stage.
+  *
+  * The decode itself is STUBBED (this container has no image/audio codecs):
+  * `fakeDecode` below produces deterministic pseudo-features from the raw
+  * bytes. Everything around it — schema, partition-preserving
+  * `mapPartitions` batching, feature column shape — is the real Spark
+  * plumbing a codec-backed UDF would drop into. At 100 TB the decode stage
+  * is embarrassingly parallel (no shuffle); only the final per-modality
+  * aggregate exchanges data.
+  */
+object Multimodal {
+
+  /** Build a multimodal corpus from `documents`: payload = UTF-8 bytes of
+    * the text standing in for a media blob, modality assigned
+    * deterministically, metadata derived arithmetically (so stats stay
+    * oracle-checkable). */
+  def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("content"),
+      struct(
+        concat(lit("application/x-fake-"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int"))).as("mime"),
+        length(col("text")).as("size_bytes"),
+        (col("doc_id") % 640 + 16).cast("int").as("width"),
+        (col("doc_id") % 480 + 16).cast("int").as("height"),
+        (col("doc_id") % 30000 + 1000).cast("int").as("duration_ms")).as("meta"))
+
+  case class MMRecord(doc_id: Long, modality: String, content: Array[Byte])
+  case class MMFeatures(doc_id: Long, modality: String, n_bytes: Int, checksum: Long,
+      features: Array[Float])
+
+  /** STUB decode: a real implementation would decode image/audio frames
+    * here (per-partition, batched, no shuffle). The fake emits a
+    * deterministic 8-dim feature vector from byte statistics so the
+    * pipeline shape is testable end-to-end. */
+  def fakeDecode(rows: Iterator[MMRecord]): Iterator[MMFeatures] =
+    rows.map { r =>
+      val bytes = r.content
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+      val feats = (0 until 8).map { j =>
+        val h = (sum + j * 2654435761L) % 2147483648L
+        (h.toDouble / 2147483648.0).toFloat
+      }.toArray
+      MMFeatures(r.doc_id, r.modality, bytes.length, sum, feats)
+    }
+
+  /** The decode stage as a partition-preserving transform. */
+  def decodeFeatures(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("doc_id"), col("modality"), col("content"))
+      .as[MMRecord]
+      .mapPartitions(fakeDecode _)
+      .toDF()
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- metadata stats are pure arithmetic -> oracle-checkable
+    q("mm_metadata_stats",
+      """SELECT
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(len(text)) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(doc_id % 640 + 16) AS BIGINT) AS total_width,
+        |  CAST(MAX(doc_id % 30000 + 1000) AS BIGINT) AS max_duration_ms
+        |FROM documents
+        |GROUP BY CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END""".stripMargin) {
+      (s, d) =>
+        corpus(s, d).groupBy(col("modality")).agg(
+          count(lit(1)).as("n_items"),
+          sum(col("meta.size_bytes")).as("total_bytes"),
+          sum(col("meta.width")).as("total_width"),
+          max(col("meta.duration_ms")).cast("long").as("max_duration_ms"))
+    },
+
+    // ---- decode stage: deterministic fake features; rows-only check
+    // (byte-level mapPartitions is not SQL-expressible)
+    qNoOracle("mm_decode_features") { (s, d) =>
+      decodeFeatures(corpus(s, d))
+        .groupBy(col("modality"))
+        .agg(
+          count(lit(1)).as("n_decoded"),
+          sum(col("n_bytes")).as("total_bytes"),
+          avg(element_at(col("features"), 1)).as("mean_f0"))
+    }
+  )
+}

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming re-expression of the reference's ingest path
+  * (SURVEY.md §2.8, §3.1): Kafka/JSON wire → parse + validate → idempotent
+  * partitioned bronze sink with exactly-once semantics.
+  *
+  * Reference behaviors mapped:
+  *  - S4 JSON decode + required-field validation with drop counting
+  *    (consumer/meter_consumer.py:198-224) → `from_json` + filter + observe
+  *  - S5 idempotent batched sink, `INSERT … ON CONFLICT DO NOTHING`
+  *    (consumer/meter_consumer.py:82-149) → `foreachBatch` with in-batch
+  *    `dropDuplicates` + partition-pruned anti-join against existing keys
+  *  - ST1/ST2 size/time triggers → `Trigger.ProcessingTime`
+  *  - ST4 at-least-once + dedup ⇒ exactly-once → checkpoint + idempotence
+  *  - S11 1-day hypertable chunks → `partitionBy(reading_date)`
+  *  - ST8 per-meter cumulative state → [[streamingDeltas]]
+  *    (`flatMapGroupsWithState`), the stream-side version of the batch LAG
+  *
+  * Scale notes: the anti-join reads only the bronze partitions whose
+  * `reading_date` appears in the incoming micro-batch (partition pruning —
+  * never the whole table), and duplicate keys within a batch collapse
+  * map-side before the exchange.
+  */
+object Ingest {
+
+  /** The 5-field JSON wire schema (producer/meter_simulator.py:244-250). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("meter_id", IntegerType),
+    StructField("reading_timestamp", StringType),
+    StructField("reading_consumption_milliwatts", LongType),
+    StructField("reading_production_milliwatts", LongType),
+    StructField("status", StringType)))
+
+  /** Parse the `value` JSON column and apply the consumer's validation:
+    * required meter_id + reading_timestamp; malformed JSON ⇒ null struct ⇒
+    * dropped. Drop counts are exposed through `observe("ingest", …)`
+    * (the accumulator analogue of consumer failed-message counters). */
+  def parseAndValidate(raw: DataFrame): DataFrame = {
+    val parsed = raw
+      .select(from_json(col("value").cast("string"), wireSchema).as("r"))
+      .select(col("r.*"))
+      .withColumn("reading_timestamp", to_timestamp(col("reading_timestamp")))
+    val observed =
+      if (parsed.isStreaming) parsed
+      else parsed.observe("ingest",
+        count(lit(1)).as("n_total"),
+        count(when(col("meter_id").isNull || col("reading_timestamp").isNull, 1))
+          .as("n_invalid"))
+    observed.filter(col("meter_id").isNotNull && col("reading_timestamp").isNotNull)
+  }
+
+  /** Idempotent append of one (micro-)batch into the date-partitioned
+    * bronze table: in-batch dedup on the composite key, then a left-anti
+    * join against only the already-present keys of the *touched* dates.
+    * Replaying the same batch (checkpoint recovery, at-least-once upstream)
+    * therefore writes zero rows — the Parquet analogue of
+    * `ON CONFLICT (reading_timestamp, meter_id) DO NOTHING`. */
+  def idempotentAppend(batch: DataFrame, bronzeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val deduped = batch
+      .withColumn("arrived_at", current_timestamp())
+      .withColumn("reading_date", to_date(col("reading_timestamp")))
+      .dropDuplicates("reading_timestamp", "meter_id")
+    val dates = deduped.select(col("reading_date")).distinct().collect().map(_.getDate(0))
+    val existing =
+      try {
+        val t = spark.read.parquet(bronzeDir)
+          .filter(col("reading_date").isin(dates.toIndexedSeq: _*))
+          .select(col("reading_timestamp"), col("meter_id"))
+        if (t.isEmpty) None else Some(t)
+      } catch { case _: Exception => None } // first batch: no bronze yet
+    val fresh = existing match {
+      case Some(ex) => deduped.join(ex, Seq("reading_timestamp", "meter_id"), "left_anti")
+      case None => deduped
+    }
+    fresh.write.mode("append").partitionBy("reading_date").parquet(bronzeDir)
+  }
+
+  /** The full streaming ingest: JSON source → validate → idempotent bronze.
+    * Exactly-once = checkpointing (offset tracking replaces manual Kafka
+    * commits, consumer/meter_consumer.py:288) + [[idempotentAppend]]. */
+  def startIngest(
+      jsonLines: DataFrame,
+      bronzeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds") /* ST2 */): StreamingQuery =
+    parseAndValidate(jsonLines).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((df: DataFrame, _: Long) => idempotentAppend(df, bronzeDir))
+      .start()
+
+  // ---- ST8: stream-side cumulative→delta with per-meter state ----
+
+  case class WireReading(
+      meter_id: Int,
+      reading_timestamp: java.sql.Timestamp,
+      reading_consumption_milliwatts: Long,
+      reading_production_milliwatts: Option[Long],
+      status: String)
+
+  case class MeterState(lastCons: Long, lastProd: Option[Long])
+
+  case class DeltaReading(
+      meter_id: Int,
+      reading_timestamp: java.sql.Timestamp,
+      consumption_delta_mwh: Long,
+      production_delta_mwh: Option[Long],
+      status: String)
+
+  /** Per-meter stateful delta computation on the stream — what the batch
+    * LAG staging does, but incremental (SURVEY.md §7.4.2). First reading's
+    * delta = cumulative value, matching stg_meter_readings.sql:46-54. */
+  def streamingDeltas(readings: Dataset[WireReading]): Dataset[DeltaReading] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.meter_id)
+      .flatMapGroupsWithState[MeterState, DeltaReading](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[WireReading], state: GroupState[MeterState]) =>
+          // within a micro-batch rows may arrive unordered: sort by event time
+          val sorted = rows.toSeq.sortBy(_.reading_timestamp.getTime)
+          var st = state.getOption.getOrElse(MeterState(-1L, None))
+          val out = sorted.map { r =>
+            val consDelta =
+              if (st.lastCons < 0) r.reading_consumption_milliwatts
+              else r.reading_consumption_milliwatts - st.lastCons
+            val prodDelta = r.reading_production_milliwatts.map { p =>
+              st.lastProd.fold(p)(lp => p - lp)
+            }
+            st = MeterState(r.reading_consumption_milliwatts,
+              r.reading_production_milliwatts.orElse(st.lastProd))
+            DeltaReading(r.meter_id, r.reading_timestamp, consDelta, prodDelta, r.status)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}
