@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.GraftQuery
 import graft.GraftQuery.q
+import graft.functions.FixedPointDot
 import graft.ops.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,7 +30,7 @@ object Similarity {
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
       expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q) AS BIGINT))").as("qv"))
-      .withColumn("norm2", expr("aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      .withColumn("norm2", FixedPointDot(col("qv"), col("qv")))
 
   private val quantizedSql: String =
     s"""qe AS (
@@ -41,8 +42,11 @@ object Similarity {
        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
        |  FROM qe)""".stripMargin
 
+  /** Codegen'd tight-loop dot ([[graft.functions.FixedPointDot]]) — the
+    * HOF `aggregate(zip_with(…))` form it replaces evaluates interpreted
+    * per element and dominated the similarity-join runtime. */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    graft.functions.FixedPointDot(col(a), col(b))
 
   val all: Seq[GraftQuery] = Seq(
     // ---- near-duplicate pairs by cosine threshold (embedding dedup)
@@ -115,8 +119,7 @@ object Similarity {
     }) { (s, d) =>
       val qe = quantized(s, d)
       val bits = planes.zipWithIndex.map { case (w, p) =>
-        val wLit = w.mkString("array(", "L, ", "L)")
-        when(expr(s"aggregate(zip_with(qv, $wLit, (x, y) -> x * y), 0L, (acc, v) -> acc + v)") > 0,
+        when(graft.functions.FixedPointDot(col("qv"), typedLit(w.toArray)) > 0,
           1 << p).otherwise(0)
       }.reduce(_ + _)
       val bucketed = qe.withColumn("bucket", bits)

@@ -115,12 +115,14 @@ object TextAnalysis {
          |       m.min_shingle_hash, m.n_shingles
          |FROM documents d JOIN mins m ON d.doc_id = m.doc_id""".stripMargin
     }) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val mins = shingles(docs)
-        .groupBy(col("doc_id"))
-        .agg(min(h64(col("sh"))).as("min_shingle_hash"), count(lit(1)).as("n_shingles"))
-      docs.select(col("doc_id"), h64(col("text")).as("fingerprint"))
-        .join(mins, Seq("doc_id"))
+      // fully map-side: whole-text hash + min/size over the per-doc
+      // shingle-hash array — no explode, no groupBy, no join
+      Tables.documents(s, d)
+        .select(col("doc_id"), h64(col("text")).as("fingerprint"),
+          shingleHashArray(col("text")).as("hsa"))
+        .select(col("doc_id"), col("fingerprint"),
+          array_min(col("hsa")).as("min_shingle_hash"),
+          size(col("hsa")).cast("long").as("n_shingles"))
     }
   )
 }
