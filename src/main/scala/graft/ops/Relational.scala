@@ -90,7 +90,11 @@ object Relational {
         |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
         |GROUP BY n_name""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996)
+      // year(x)=1996 as a half-open range so the predicate pushes down to
+      // the parquet scan (year() itself is not pushdown-able)
+      val o = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
       val li = Tables.lineitem(s, d)
       val su = Tables.supplier(s, d)
       val n = Tables.nation(s, d)
@@ -114,7 +118,8 @@ object Relational {
         |                    AND year(o.o_orderdate) = 2001)
         |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 2001)
+      val o = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp") && col("o_orderdate") < lit("2002-01-01 00:00:00").cast("timestamp"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers_no_orders"))
@@ -196,8 +201,8 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
-      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
-        .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+      o.filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") && col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp")).select(col("o_custkey"))
+        .except(o.filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")).select(col("o_custkey")))
     },
 
     // ---- §2.7 set ops: INTERSECT
@@ -206,8 +211,8 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
-      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
-        .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+      o.filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") && col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp")).select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")).select(col("o_custkey")))
     },
 
     // ---- §2.7 set ops: UNION ALL + re-aggregate

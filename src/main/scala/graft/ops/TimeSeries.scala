@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.GraftQuery
-import graft.GraftQuery.q
+import graft.GraftQuery.{q, qNoOracle}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -185,6 +185,47 @@ object TimeSeries {
           concat(lit("USR-"), lpad(col("user_id").cast("string"), 6, "0")).as("user_idn"),
           (col("user_id") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_events"))
+    },
+
+    // ---- §2.4 extension: ROLLUP grouping sets (absent in the reference,
+    // exposed as a built-in capability of the engine)
+    q("a_rollup_day_type",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+        |FROM events
+        |GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE), event_type)""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .rollup(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("total_value"))
+    },
+
+    // ---- A7 at-scale variant: HLL++ approximate distinct (sketch values
+    // are engine-specific -> rows-only check; the exact twin is
+    // a7_count_distinct and the opt-in plan rewrite is
+    // graft.plans.ApproxCountDistinctRule)
+    qNoOracle("a7_approx_count_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+    },
+
+    // ---- S1/E14 encode side: to_json(struct(...)) wire format, then
+    // decode back and aggregate — the producer->consumer JSON round trip
+    // (producer/meter_simulator.py:285, consumer/meter_consumer.py:210)
+    q("e14_json_roundtrip",
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_users
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val wire = Tables.events(s, d)
+        .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("value"))
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL("event_id BIGINT, user_id BIGINT, event_type STRING")
+      wire.select(from_json(col("value"), schema).as("r"))
+        .select(col("r.*"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
     },
 
     // ---- E7: CASE tiering (02_populate_dimensions.sql:52-56 pattern)
