@@ -228,6 +228,19 @@ object TimeSeries {
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
     },
 
+    // ---- S7/§3.3: view registration + ad-hoc SQL entry point — the
+    // psql-over-marts access path, via spark.sql over a temp view
+    q("s7_sql_over_view",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+          |FROM events_v GROUP BY event_type""".stripMargin)
+    },
+
     // ---- E7: CASE tiering (02_populate_dimensions.sql:52-56 pattern)
     q("e7_case_tiering",
       """SELECT event_type,

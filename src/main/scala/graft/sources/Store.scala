@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical table layout (SURVEY.md §1.3-§1.4, §4 O1/O2, §2.1 S8/S11/S12):
+  * the Spark analogue of TimescaleDB's 1-day hypertable chunks with
+  * columnar compression segmented by meter and ordered by time
+  * (`01_create_schema.sql:98-101,126-136`).
+  *
+  *  - day chunks        → `partitionBy(reading_date)` directories: Catalyst
+  *    prunes partitions for time predicates (no custom rule needed — O1)
+  *  - segmentby/orderby → `repartition(reading_date)` +
+  *    `sortWithinPartitions(meter_id, reading_timestamp)`: each file is
+  *    clustered by meter then time, so parquet min/max row-group stats
+  *    skip on meter_id, and the downstream LAG window reads pre-sorted
+  *    runs (O2)
+  *  - mart full refresh → `mode(overwrite)` = dbt `CREATE TABLE AS`
+  *    (S8, `dbt_project.yml:29-33`); btree indexes have no analogue —
+  *    partitioning + clustering + pushdown replace them (O3-O5)
+  *
+  * At 100 TB: one shuffle on the partition column per write (unavoidable
+  * to get one writer task per date chunk), everything else narrow.
+  */
+object Store {
+
+  /** Bronze raw_meter_readings: date-chunked, meter/time-clustered. */
+  def writeBronze(readings: DataFrame, dir: String): Unit =
+    readings
+      .withColumn("reading_date", to_date(col("reading_timestamp")))
+      .repartition(col("reading_date"))
+      .sortWithinPartitions(col("meter_id"), col("reading_timestamp"))
+      .write.mode("overwrite").partitionBy("reading_date").parquet(dir)
+
+  def readBronze(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** One day's chunk — the predicate prunes to a single partition
+    * directory (verify: explain shows PartitionFilters, one partition). */
+  def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
+    readBronze(spark, dir).filter(col("reading_date") === lit(day).cast("date"))
+
+  /** Mart materialization: full refresh, chunked by its date/hour grain. */
+  def writeMart(mart: DataFrame, dir: String, partitionCol: String): Unit =
+    mart
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.meter.MeterGen
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Physical-layout behavior: day chunking on disk, partition pruning in
+  * the plan, per-file meter/time clustering (O1/O2 parity). */
+class StoreSpec extends SparkSpec {
+
+  test("bronze: day-partitioned layout, pruned single-day scan, clustered files") {
+    val dir = Files.createTempDirectory("bronze").toString + "/t"
+    val readings = MeterGen.readings(spark, 10, 192) // 2 days
+    Store.writeBronze(readings, dir)
+
+    // one directory per day chunk (S11)
+    val parts = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.contains("reading_date=")).sorted
+    assert(parts.map(_.split("reading_date=").last).toSeq ==
+      Seq("2026-01-01", "2026-01-02"))
+
+    // a day predicate prunes to one partition (O1)
+    val day = Store.readDay(spark, dir, "2026-01-02")
+    assert(day.count() == 10 * 96)
+    val plan = day.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(day.queryExecution.executedPlan.collectLeaves().exists { l =>
+      l.toString.contains("reading_date")
+    })
+
+    // within each file rows are clustered by (meter_id, ts) (O2): the
+    // sequence of meter_ids is non-decreasing in file order
+    val firstFile = Files.list(Paths.get(parts.head)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val meterSeq = spark.read.parquet(firstFile)
+      .select(col("meter_id")).collect().map(_.getInt(0)).toSeq
+    assert(meterSeq == meterSeq.sorted, "file not clustered by meter_id")
+
+    // full round trip preserves the data
+    assert(Store.readBronze(spark, dir).count() == readings.count())
+  }
+
+  test("mart store: full-refresh overwrite semantics (S8)") {
+    val dir = Files.createTempDirectory("mart").toString + "/m"
+    val stg = graft.meter.Staging.stgMeterReadings(MeterGen.readings(spark, 5, 96))
+    val mart = graft.meter.Marts.factCustomerBillingDaily(
+      stg, MeterGen.metersDim(spark, 5), MeterGen.customers(spark, 5),
+      MeterGen.tariffRates(spark))
+    Store.writeMart(mart, dir, "billing_date")
+    val n1 = spark.read.parquet(dir).count()
+    Store.writeMart(mart, dir, "billing_date") // re-run = same table
+    assert(spark.read.parquet(dir).count() == n1)
+  }
+}
