@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
-    ops.Relational.all ++ ops.TimeSeries.all ++ meter.MeterPipeline.all ++
+    ops.Relational.all ++ ops.TimeSeries.all ++ ops.TimeSeriesExt.all ++
+      meter.MeterPipeline.all ++
       llm.TextAnalysis.all ++ llm.Dedup.all ++ llm.Similarity.all ++ llm.Multimodal.all
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG

@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window/sequence extensions beyond the reference's W1/W2 (SURVEY.md §2.5
+  * "not present" list, exposed as engine capabilities): ranking functions,
+  * sliding frames, and an as-of join.
+  *
+  * The as-of join is implemented the scale-correct way: tag both sides,
+  * union, and take `last(…, ignoreNulls)` over a single
+  * (key, time)-ordered window — one sort, no join, no per-row probing.
+  * That formulation is what survives 100 TB (the naive correlated-subquery
+  * / nested-loop form is quadratic); the oracle SQL uses the identical
+  * window formulation in DuckDB.
+  */
+object TimeSeriesExt {
+  import Tables.cents
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- ranking family with deterministic tie-breaks
+    q("w3_ranking",
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+        |  rank()       OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS drnk,
+        |  ntile(4)     OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS quartile
+        |FROM events""".stripMargin) { (s, d) =>
+      val byVal = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      val byValOnly = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        row_number().over(byVal).as("rn"),
+        rank().over(byValOnly).as("rnk"),
+        dense_rank().over(byValOnly).as("drnk"),
+        ntile(4).over(byVal).as("quartile"))
+    },
+
+    // ---- sliding ROWS frame: 4-reading moving sum/avg (exact via cents)
+    q("w4_moving_window",
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)/100.0 AS moving_sum,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)/100.0
+        |    / COUNT(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      val msum = sum(cents(col("value"))).over(w) / 100.0
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        msum.as("moving_sum"),
+        (msum / count(lit(1)).over(w)).as("moving_avg"))
+    },
+
+    // ---- as-of join: for each purchase, the most recent prior-or-equal
+    // click of the same user (tag → union → ignore-nulls last over one
+    // time-ordered window; no join)
+    q("asof_purchase_last_click",
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |carried AS (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+        |  FROM tagged)
+        |SELECT event_id, user_id, asof_click_id
+        |FROM carried WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          last(col("click_id"), ignoreNulls = true).over(w).as("asof_click_id"))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("asof_click_id"))
+    },
+
+    // ---- P6: NULL-semantics predicate over the generated meter dim
+    // (malo_prod IS NOT NULL ⇔ solar, 02_populate_dimensions.sql:107)
+    q("p6_null_semantics", {
+      s"""WITH ${graft.meter.MeterSql.metersCte(1000)}
+         |SELECT grid_zone_id,
+         |  CAST(SUM(CASE WHEN malo_prod IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_solar,
+         |  CAST(SUM(CASE WHEN malo_prod IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_plain
+         |FROM meters GROUP BY grid_zone_id""".stripMargin
+    }) { (s, _) =>
+      graft.meter.MeterGen.metersDim(s, 1000)
+        .groupBy(col("grid_zone_id"))
+        .agg(
+          sum(when(col("malo_prod").isNotNull, 1).otherwise(0)).as("n_solar"),
+          sum(when(col("malo_prod").isNull, 1).otherwise(0)).as("n_plain"))
+    },
+
+    // ---- A8: the init-time verification counts
+    // (02_populate_dimensions.sql:97-125 DO block)
+    q("a8_dim_verification", {
+      s"""WITH ${graft.meter.MeterSql.zonesCte},
+         |${graft.meter.MeterSql.customersCte(1000)},
+         |${graft.meter.MeterSql.metersCte(1000)}
+         |SELECT
+         |  (SELECT COUNT(*) FROM zones) AS grid_zone_count,
+         |  (SELECT COUNT(*) FROM customers) AS customer_count,
+         |  (SELECT COUNT(*) FROM meters) AS meter_count,
+         |  (SELECT COUNT(*) FROM meters WHERE malo_prod IS NOT NULL) AS solar_meter_count,
+         |  (SELECT COUNT(*) FROM meters WHERE malo_prod IS NOT NULL) * 100.0
+         |    / (SELECT COUNT(*) FROM meters) AS solar_pct""".stripMargin
+    }) { (s, _) =>
+      import graft.meter.MeterGen
+      val zc = MeterGen.gridZones(s).agg(count(lit(1)).as("grid_zone_count"))
+      val cc = MeterGen.customers(s, 1000).agg(count(lit(1)).as("customer_count"))
+      val mc = MeterGen.metersDim(s, 1000).agg(
+        count(lit(1)).as("meter_count"),
+        sum(when(col("malo_prod").isNotNull, 1L).otherwise(0L)).as("solar_meter_count"))
+      zc.crossJoin(cc).crossJoin(mc)
+        .withColumn("solar_pct",
+          col("solar_meter_count") * 100.0 / col("meter_count"))
+    }
+  )
+}
