@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.meter.MeterGen
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming generator parity (ST11) and watermarked windowed aggregation
+  * (ST6/ST7 extensions beyond the reference's batch-only windows). */
+class StreamingGenSpec extends SparkSpec {
+
+  test("burst-mode stream emits the batch generator's increments row-for-row") {
+    val q = RateSimulator.burst(spark, meterCount = 8, nIntervals = 12)
+      .writeStream.format("memory").queryName("gen_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // wait until 12 intervals × 8 meters have been emitted
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("gen_out").filter(col("reading_timestamp") <=
+        lit("2026-01-01 02:45:00").cast("timestamp")).count() < 96 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+
+    val streamed = spark.table("gen_out")
+      .filter(col("reading_timestamp") < lit("2026-01-01 03:00:00").cast("timestamp"))
+    assert(streamed.count() == 96)
+
+    // batch generator over the same (meter, interval) grid: cumulative
+    // minus lag == the streamed increments
+    val batch = graft.meter.Staging.stgMeterReadings(MeterGen.readings(spark, 8, 12))
+      .select(col("meter_id"), col("reading_timestamp"),
+        col("consumption_delta_mwh").as("b_cons"), col("status").as("b_status"))
+    val joined = streamed.join(batch, Seq("meter_id", "reading_timestamp"))
+    assert(joined.count() == 96)
+    assert(joined.filter(col("consumption_inc_mwh") =!= col("b_cons")).count() == 0)
+    assert(joined.filter(col("status") =!= col("b_status")).count() == 0)
+  }
+
+  test("watermarked tumbling-window streaming aggregation (ST6/ST7 extension)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    case class R(meter_id: Int, ts: java.sql.Timestamp, mwh: Long)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val mem = MemoryStream[(Int, java.sql.Timestamp, Long)]
+    val agg = mem.toDF().toDF("meter_id", "ts", "mwh")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("meter_id"))
+      .agg(sum(col("mwh")).as("total_mwh"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1, t("2026-01-01 00:00:00"), 100L), (1, t("2026-01-01 00:15:00"), 150L))
+      q.processAllAvailable()
+      // advance event time past watermark: hour-0 window closes
+      mem.addData((1, t("2026-01-01 01:45:00"), 50L))
+      q.processAllAvailable()
+      mem.addData((1, t("2026-01-01 02:40:00"), 10L))
+      q.processAllAvailable()
+      val closed = spark.table("wm_out")
+        .select(col("window.start").cast("string").as("ws"), col("total_mwh"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(closed.contains(("2026-01-01 00:00:00", 250L, 2L)), s"got $closed")
+      // a late row behind the watermark is dropped, not re-opened
+      mem.addData((1, t("2026-01-01 00:30:00"), 999L))
+      q.processAllAvailable()
+      val after = spark.table("wm_out")
+        .filter(col("total_mwh") === 999L).count()
+      assert(after == 0)
+    } finally q.stop()
+  }
+}
