@@ -48,7 +48,7 @@ object Similarity {
   private def dot(a: String, b: String): Column =
     graft.functions.FixedPointDot(col(a), col(b))
 
-  val all: Seq[GraftQuery] = Seq(
+  lazy val all: Seq[GraftQuery] = Seq(
     // ---- near-duplicate pairs by cosine threshold (embedding dedup)
     q("dedup_embedding_cosine",
       s"""WITH $quantizedSql,
@@ -137,7 +137,7 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
         .filter(col("rank") <= 5)
     }
-  )
+  ) :+ ivfQuery
 
   /** 8 deterministic hyperplanes (dim 64, integer weights in [-500, 500)),
     * derived from the same Knuth-hash uniform as [[graft.meter.MeterGen.u]]
@@ -146,4 +146,61 @@ object Similarity {
     def u(x: Long): Double = (x % 2147483648L) * 2654435761L % 2147483648L / 2147483648.0
     (0 until 8).map(p => (0 until 64).map(i => Math.round((u(p * 101L + i * 7L + 13L) - 0.5) * 1000)))
   }
+
+  /** IVF-style coarse-quantized ANN: the 8 vectors with the smallest
+    * vec_ids act as cell centroids (a deterministic stand-in for k-means
+    * centroids); every vector is assigned to its nearest centroid by exact
+    * fixed-point distance, and each query searches only its own cell.
+    * At scale the cell id is the shuffle/partition key — same shape as a
+    * real IVF index (train centroids offline, assign map-side, probe 1
+    * cell). Registered separately so brute-force / LSH / IVF are
+    * comparable side by side. */
+  val ivfQuery: GraftQuery =
+    q("sim_ivf_topk",
+      s"""WITH $quantizedSql,
+         |cents AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM qn WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id, label, qv, norm2, c_id, row_number() OVER (
+         |    PARTITION BY vec_id
+         |    ORDER BY CAST(list_sum(list_transform(list_zip(qv, cqv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
+         |  FROM qn, cents),
+         |cells AS (SELECT vec_id, label, qv, norm2, c_id AS cell FROM assigned WHERE cr = 1),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS label, a.cell AS cell,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+         |  FROM cells a JOIN cells b ON a.cell = b.cell
+         |    AND a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, label, cell, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, label, cell, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin) {
+      (s, d) =>
+        val qe = quantized(s, d).cache() // feeds centroids + assignment + probe
+        val cents = qe.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("norm2").as("cnorm2"))
+        val assigned = qe.crossJoin(broadcast(cents))
+          .withColumn("ccos",
+            FixedPointDot(col("qv"), col("cqv")).cast("double")
+              / (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+          .withColumn("cr", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+          .filter(col("cr") === 1)
+          .select(col("vec_id"), col("label"), col("qv"), col("norm2"), col("c_id").as("cell"))
+        val scored = assigned.as("a")
+          .join(assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") % 50 === 0 &&
+              col("b.vec_id") =!= col("a.vec_id"))
+          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+            col("b.label").as("label"), col("a.cell").as("cell"),
+            (dot("a.qv", "b.qv").cast("double")
+              / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+              .as("cosine"))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rank") <= 5)
+    }
 }

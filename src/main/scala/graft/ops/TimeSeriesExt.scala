@@ -87,6 +87,24 @@ object TimeSeriesExt {
         .select(col("event_id"), col("user_id"), col("asof_click_id"))
     },
 
+    // ---- skew pattern: two-stage salted aggregation — stage 1 fans each
+    // hot group key across 16 salt buckets (bounded per-task state even if
+    // one key dominates), stage 2 merges partials. Same result as the
+    // direct groupBy (exact integer sums), which is what the oracle runs.
+    // At 100 TB this is the manual fallback where AQE skew handling can't
+    // apply (aggregations, as opposed to joins).
+    q("a_salted_skew_agg",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val stage1 = Tables.events(s, d)
+        .groupBy(col("event_type"), (col("event_id") % 16).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pcents"))
+      stage1
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), (sum(col("pcents")) / 100.0).as("total_value"))
+    },
+
     // ---- P6: NULL-semantics predicate over the generated meter dim
     // (malo_prod IS NOT NULL ⇔ solar, 02_populate_dimensions.sql:107)
     q("p6_null_semantics", {
