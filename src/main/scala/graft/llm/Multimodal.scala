@@ -70,6 +70,48 @@ object Multimodal {
       .toDF()
   }
 
+  case class MMResized(doc_id: Long, modality: String, content: Array[Byte],
+      out_width: Int, out_height: Int)
+
+  /** STUB resize: a codec-backed version would decode, scale to
+    * (w, h), and re-encode per partition. The fake keeps the byte budget
+    * proportional to the target area (deterministic subsampling of the
+    * payload) so size-vs-dimension invariants are testable. */
+  def resizeStub(corpus: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("doc_id"), col("modality"), col("content"))
+      .as[MMRecord]
+      .mapPartitions(_.map { r =>
+        val len = r.content.length
+        val budget = math.max(1, math.min(len, w * h / 64))
+        val out = Array.tabulate(budget)(i => r.content((i.toLong * len / budget).toInt))
+        MMResized(r.doc_id, r.modality, out, w, h)
+      })
+      .toDF()
+  }
+
+  case class MMFrame(doc_id: Long, frame_index: Int, frame: Array[Byte])
+
+  /** STUB frame sampling: emits every `everyNth` "frame" (fixed-size byte
+    * window of the payload) — the 1→N row shape a real video sampler has
+    * (flatMap per partition, no shuffle). */
+  def frameSampleStub(corpus: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("doc_id"), col("modality"), col("content"))
+      .as[MMRecord]
+      .mapPartitions(_.flatMap { r =>
+        val nFrames = math.max(1, r.content.length / frameBytes)
+        (0 until nFrames by everyNth).map { f =>
+          val from = f * frameBytes
+          val until = math.min(r.content.length, from + frameBytes)
+          MMFrame(r.doc_id, f, java.util.Arrays.copyOfRange(r.content, from, until))
+        }
+      })
+      .toDF()
+  }
+
   val all: Seq[GraftQuery] = Seq(
     // ---- metadata stats are pure arithmetic -> oracle-checkable
     q("mm_metadata_stats",

@@ -87,6 +87,68 @@ object TimeSeriesExt {
         .select(col("event_id"), col("user_id"), col("asof_click_id"))
     },
 
+    // ---- sessionization: 30-min-gap sessions per user via the portable
+    // lag + cumulative-sum formulation (new session when the gap from the
+    // previous event exceeds the threshold; session id = running count of
+    // session starts). Same single (user, time)-ordered window the LAG
+    // staging uses — one sort, no state, batch-equivalent of streaming
+    // session windows.
+    q("sessionize_events",
+      """WITH gaps AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR CAST(epoch_ms(ts) AS BIGINT)
+        |                 - CAST(epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+        |                 > 1800000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM events),
+        |sess AS (
+        |  SELECT event_id, user_id,
+        |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM gaps)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  CAST(MIN(event_id) AS BIGINT) AS first_event_id
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val prevNs = lag(col("ts_ns"), 1).over(byTime)
+      // 30 min in ns; ts_ns comparison ≡ the oracle's epoch_ms comparison
+      // (no same-millisecond adjacent events per user in this corpus)
+      val isStart = when(prevNs.isNull || col("ts_ns") - prevNs > 1800000L * 1000000L, 1)
+        .otherwise(0)
+      Tables.events(s, d)
+        .withColumn("is_start", isStart)
+        .withColumn("session_seq",
+          sum(col("is_start")).over(
+            byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
+    },
+
+    // ---- CUBE grouping sets (with ROLLUP's sibling, §2.4 extension)
+    q("a_cube_type_bucket",
+      """SELECT event_type, user_id % 4 AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY CUBE (event_type, user_id % 4)""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .cube(col("event_type"), (col("user_id") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- exact percentiles over integer cents (interpolated median/p90;
+    // identical interpolation arithmetic in Spark percentile and DuckDB
+    // quantile_cont)
+    q("a_median_p90",
+      """SELECT event_type,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)/100.0 AS median_value,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.9)/100.0 AS p90_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          (expr("percentile(CAST(round(value*100) AS BIGINT), 0.5)") / 100.0).as("median_value"),
+          (expr("percentile(CAST(round(value*100) AS BIGINT), 0.9)") / 100.0).as("p90_value"))
+    },
+
     // ---- skew pattern: two-stage salted aggregation — stage 1 fans each
     // hot group key across 16 salt buckets (bounded per-task state even if
     // one key dominates), stage 2 merges partials. Same result as the

@@ -59,6 +59,20 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("l.cosine") =!= col("b.cosine")).count() == 0)
   }
 
+  test("multimodal resize + frame-sample stubs: shape and determinism") {
+    val corpus = Multimodal.corpus(spark, sf0001).limit(50)
+    val resized = Multimodal.resizeStub(corpus, 64, 64)
+    assert(resized.count() == 50)
+    assert(resized.filter(col("out_width") =!= 64 || col("out_height") =!= 64).count() == 0)
+    // byte budget bounded by target area
+    assert(resized.filter(length(col("content")) > 64 * 64 / 64 + 1).count() == 0)
+
+    val frames = Multimodal.frameSampleStub(corpus, frameBytes = 32, everyNth = 2)
+    assert(frames.count() >= 50) // 1→N fan-out
+    assert(frames.filter(col("frame_index") % 2 =!= 0).count() == 0)
+    assert(frames.filter(length(col("frame")) > 32).count() == 0)
+  }
+
   test("multimodal decode: deterministic features, partition-shaped") {
     val corpus = Multimodal.corpus(spark, sf0001)
     val feats = Multimodal.decodeFeatures(corpus)

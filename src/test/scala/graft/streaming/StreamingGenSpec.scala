@@ -36,6 +36,28 @@ class StreamingGenSpec extends SparkSpec {
     assert(joined.filter(col("status") =!= col("b_status")).count() == 0)
   }
 
+  test("dropDuplicatesWithinWatermark absorbs redelivered readings on the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val mem = MemoryStream[(Int, java.sql.Timestamp, Long)]
+    val deduped = mem.toDF().toDF("meter_id", "ts", "mwh")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("meter_id", "ts")
+    val q = deduped.writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1, t("2026-01-01 00:00:00"), 100L))
+      q.processAllAvailable()
+      mem.addData((1, t("2026-01-01 00:00:00"), 100L)) // redelivery, next batch
+      mem.addData((2, t("2026-01-01 00:05:00"), 50L))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window streaming aggregation (ST6/ST7 extension)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
