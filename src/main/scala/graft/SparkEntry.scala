@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[GraftQuery] =
     ops.Relational.all ++ ops.TimeSeries.all ++ ops.TimeSeriesExt.all ++
       meter.MeterPipeline.all ++
-      llm.TextAnalysis.all ++ llm.Dedup.all ++ llm.Similarity.all ++ llm.Multimodal.all
+      llm.TextAnalysis.all ++ llm.Dedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
+      streaming.IngestBench.all
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

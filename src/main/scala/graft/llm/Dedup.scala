@@ -82,7 +82,7 @@ object Dedup {
       val tau = 0.8
       // per-doc sorted shingle-hash sets: narrow compute, cached because
       // they feed freq, prefix, and both sides of verification
-      val ds = Tables.documents(s, d)
+      val ds = Tables.documentsParallel(s, d)
         .select(col("doc_id"),
           sort_array(shingleHashArray(col("text"))).as("hs"))
         .withColumn("n", size(col("hs")))
@@ -142,7 +142,7 @@ object Dedup {
       // sigs feeds four plan branches (bands self-join + both sides of the
       // scoring join): cache the (small) signature frame so the map-side
       // sketch computation runs once
-      val sigs = sigsOf(Tables.documents(s, d)).cache()
+      val sigs = sigsOf(Tables.documentsParallel(s, d)).cache()
       val bandCols = (0 until bandsCount).map { b =>
         val key = (1 until BandRows).foldLeft(col(s"s${b * BandRows}")) {
           (acc, r) => acc * 31 + col(s"s${b * BandRows + r}")
@@ -187,7 +187,7 @@ object Dedup {
          |FROM sig""".stripMargin
     }) { (s, d) =>
       // fully map-side: hash array -> size + SimHash in one projection
-      Tables.documents(s, d)
+      Tables.documentsParallel(s, d)
         .select(col("doc_id"), shingleHashArray(col("text")).as("hsa"))
         .select(col("doc_id"), size(col("hsa")).cast("long").as("n_shingles"),
           graft.functions.SimHashBits(col("hsa")).as("simhash"))

@@ -117,7 +117,7 @@ object TextAnalysis {
     }) { (s, d) =>
       // fully map-side: whole-text hash + min/size over the per-doc
       // shingle-hash array — no explode, no groupBy, no join
-      Tables.documents(s, d)
+      Tables.documentsParallel(s, d)
         .select(col("doc_id"), h64(col("text")).as("fingerprint"),
           shingleHashArray(col("text")).as("hsa"))
         .select(col("doc_id"), col("fingerprint"),

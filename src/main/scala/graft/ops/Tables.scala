@@ -36,6 +36,15 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+
+  /** `documents` spread across all cores: the corpus ships as one small
+    * parquet file ⇒ one input partition, which would run the CPU-heavy
+    * narrow sketch transforms (md5 shingling, MinHash/SimHash) on a single
+    * thread. A 5K-row round-robin shuffle is free next to 1.4M md5 calls;
+    * on a real many-file 100 TB corpus this repartition is unnecessary and
+    * the plain reader should be used. */
+  def documentsParallel(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** Money columns in the corpus are doubles carrying exactly 2 decimals.
