@@ -45,5 +45,6 @@ object ApproxCountDistinctRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxCountDistinctRule)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The custom TopKPerKey operator: equals the window row_number
+  * formulation, and its physical plan is partial→exchange→final with the
+  * bounded-heap pruning before the shuffle. */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def registered[T](f: => T): T = {
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    try f
+    finally spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+  }
+
+  test("top-3 events per user equals the window formulation") {
+    registered {
+      val ev = Tables.events(spark, sf0001)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val custom = TopKPerKey(
+        ev, Seq("user_id"), Seq(("value", true), ("event_id", false)), 3)
+      val viaWindow = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))))
+        .filter(col("rn") <= 3).drop("rn")
+
+      assert(custom.count() == viaWindow.count())
+      assert(custom.except(viaWindow).count() == 0)
+      assert(viaWindow.except(custom).count() == 0)
+    }
+  }
+
+  test("physical plan: partial heap -> exchange -> final heap") {
+    registered {
+      val ev = Tables.events(spark, sf0001)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val custom = TopKPerKey(
+        ev, Seq("user_id"), Seq(("value", true), ("event_id", false)), 3)
+      val plan = custom.queryExecution.executedPlan match {
+        // AQE wraps the plan and hides it from collect(); unwrap
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      val execs = plan.collect { case t: TopKPerKeyExec => t }
+      assert(execs.map(_.partial).sorted == Seq(false, true), s"plan:\n$plan")
+      val planStr = plan.toString
+      assert(planStr.contains("Exchange") || planStr.contains("ShuffleExchange"),
+        s"expected a key exchange between phases:\n$planStr")
+    }
+  }
+
+  test("k larger than any group returns everything") {
+    registered {
+      val ev = Tables.events(spark, sf0001).select(col("event_id"), col("user_id"))
+      val all = TopKPerKey(ev, Seq("user_id"), Seq(("event_id", false)), 1000000)
+      assert(all.count() == ev.count())
+    }
+  }
+}
