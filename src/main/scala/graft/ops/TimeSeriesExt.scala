@@ -87,6 +87,26 @@ object TimeSeriesExt {
         .select(col("event_id"), col("user_id"), col("asof_click_id"))
     },
 
+    // ---- custom-operator path: per-key top-k through graft.plans.TopKPerKey
+    // (LogicalPlan + Strategy + bounded-heap physical operator). The oracle
+    // states the semantics as the standard window formulation — identical
+    // results, radically different physical plan (map-side k-row pruning
+    // before the exchange instead of a full shuffle + sort).
+    q("w5_topk_per_key_native",
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin) { (s, d) =>
+      if (!s.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+      graft.plans.TopKPerKey(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+        keys = Seq("user_id"),
+        orderBy = Seq(("value", true), ("event_id", false)),
+        k = 3)
+    },
+
     // ---- sessionization: 30-min-gap sessions per user via the portable
     // lag + cumulative-sum formulation (new session when the gap from the
     // previous event exceeds the threshold; session id = running count of
