@@ -96,6 +96,35 @@ object Ingest {
       .foreachBatch((df: DataFrame, _: Long) => idempotentAppend(df, bronzeDir))
       .start()
 
+  // ---- Kafka wiring (S1/S2) — configuration only; this container has no
+  // broker, so tests drive the same pipeline through memory/file sources.
+
+  /** Kafka source configured like the reference consumer
+    * (consumer/meter_consumer.py:185-196): earliest offsets (offset
+    * tracking is replaced by checkpointing), bounded per-trigger reads as
+    * the backpressure control (ST9, the BufferError-retry analogue). */
+  def kafkaSource(
+      spark: SparkSession, servers: String, topic: String,
+      maxOffsetsPerTrigger: Long = 100000): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+
+  /** Kafka sink configured like the reference producer
+    * (producer/meter_simulator.py:255-313): key = meter_id for per-meter
+    * partition ordering (ST5), snappy batching is broker/client config.
+    * Input must carry `key`/`value` columns ([[RateSimulator.toWire]]). */
+  def kafkaSink(
+      wire: DataFrame, servers: String, topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    wire.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
   // ---- ST8: stream-side cumulative→delta with per-meter state ----
 
   case class WireReading(
