@@ -187,6 +187,61 @@ object TimeSeriesExt {
         .agg(sum(col("pn")).as("n"), (sum(col("pcents")) / 100.0).as("total_value"))
     },
 
+    // ---- correlated scalar subquery (SQL entry point; decorrelated by
+    // Catalyst into an aggregate + join)
+    q("subquery_scalar_latest_order",
+      """SELECT c_custkey, c_name,
+        |  (SELECT CAST(max(o_orderdate) AS DATE) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS latest_order_date
+        |FROM customer c""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT CAST(max(o_orderdate) AS DATE) FROM orders_v o
+          |   WHERE o.o_custkey = c.c_custkey) AS latest_order_date
+          |FROM customer_v c""".stripMargin)
+    },
+
+    // ---- string-function breadth (E5 family beyond concat/lpad)
+    q("e5b_string_sampler",
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 12)) AS head_uc,
+        |  reverse(substr(text, 1, 8)) AS head_rev,
+        |  replace(substr(text, 1, 20), ' ', '_') AS head_snake,
+        |  trim(substr(text, 1, 10)) AS head_trim,
+        |  len(text) - len(replace(text, 'a', '')) AS n_a,
+        |  strpos(text, 'data') AS first_data_pos
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head_uc"),
+        reverse(substring(col("text"), 1, 8)).as("head_rev"),
+        regexp_replace(substring(col("text"), 1, 20), " ", "_").as("head_snake"),
+        trim(substring(col("text"), 1, 10)).as("head_trim"),
+        (length(col("text")) - length(regexp_replace(col("text"), "a", ""))).as("n_a"),
+        instr(col("text"), "data").as("first_data_pos"))
+    },
+
+    // ---- date-part extraction breadth (E1 family; parts with identical
+    // cross-engine semantics — dayofweek numbering differs by engine and
+    // is deliberately excluded)
+    q("e1b_date_parts",
+      """SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  quarter(o_orderdate) AS q, day(o_orderdate) AS dom,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy(
+        to_date(date_trunc("day", col("o_orderdate"))).as("d"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- P6: NULL-semantics predicate over the generated meter dim
     // (malo_prod IS NOT NULL ⇔ solar, 02_populate_dimensions.sql:107)
     q("p6_null_semantics", {
