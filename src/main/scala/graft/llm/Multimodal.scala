@@ -131,6 +131,31 @@ object Multimodal {
           max(col("meta.duration_ms")).cast("long").as("max_duration_ms"))
     },
 
+    // ---- the multimodal record: text + embedding + metadata fused into
+    // one struct column (SURVEY.md §7.1.8 "struct-of-{text, vector,
+    // metadata}"), joined on doc_id = vec_id and aggregated per label
+    q("mm_fused_record_stats",
+      """SELECT e.label,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sum_q_dim0
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY e.label""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val fused = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("label"),
+          struct(
+            col("text"),
+            col("embedding"),
+            struct(col("lang"), col("source"), col("n_chars")).as("meta")).as("record"))
+      fused.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        sum(col("record.meta.n_chars")).as("total_chars"),
+        sum(expr("CAST(round(CAST(record.embedding[0] AS DOUBLE) * 1048576) AS BIGINT)"))
+          .as("sum_q_dim0"))
+    },
+
     // ---- decode stage: deterministic fake features; rows-only check
     // (byte-level mapPartitions is not SQL-expressible)
     qNoOracle("mm_decode_features") { (s, d) =>

@@ -103,6 +103,31 @@ object TextAnalysis {
           sum(ceil(length(col("text")) / 4.0).cast("long")).as("total_est_bpe_tokens"))
     },
 
+    // ---- corpus-relative novelty: how much of a document's shingle set
+    // is unique / rare across the corpus (df = shingle document
+    // frequency) — the cheap signal dedup pipelines use to spot boilerplate
+    // vs fresh content; integer counts keep it exact
+    q("text_df_novelty",
+      s"""WITH sh AS (${shinglesSql()}),
+         |dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+         |SELECT s.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(SUM(CASE WHEN df <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*) AS unique_ratio
+         |FROM sh s JOIN dfreq USING (sh)
+         |GROUP BY s.doc_id""".stripMargin) { (s, d) =>
+      val sh = shingles(Tables.documentsParallel(s, d))
+      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "sh")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1).otherwise(0)).as("n_unique"),
+          sum(when(col("df") <= 5, 1).otherwise(0)).as("n_rare"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"), col("n_rare"),
+          (col("n_unique") * 1.0 / col("n_shingles")).as("unique_ratio"))
+    },
+
     // ---- document fingerprinting: whole-text 60-bit md5 fingerprint +
     // min-shingle sketch (the 1-hash special case of MinHash)
     q("text_fingerprint", {
