@@ -58,6 +58,49 @@ class StreamingGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hourly grid-load mart matches the batch mart on closed windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val nMeters = 6L
+    val nIntervals = 96L // one day
+
+    // stream the batch deltas through the streaming mart
+    val batchStg = graft.meter.Staging.stgMeterReadings(
+      MeterGen.readings(spark, nMeters, nIntervals))
+      .select(col("reading_timestamp"), col("meter_id"),
+        col("consumption_delta_mwh"), col("production_delta_mwh"))
+    case class D(reading_timestamp: java.sql.Timestamp, meter_id: Int,
+      consumption_delta_mwh: Long, production_delta_mwh: Option[Long])
+    val rows = batchStg.as[(java.sql.Timestamp, Int, Long, Option[Long])].collect()
+      .sortBy(_._1.getTime)
+
+    val mem = MemoryStream[(java.sql.Timestamp, Int, Long, Option[Long])]
+    val deltas = mem.toDF().toDF(
+      "reading_timestamp", "meter_id", "consumption_delta_mwh", "production_delta_mwh")
+    val mart = StreamingMarts.hourlyGridLoad(
+      deltas, MeterGen.metersDim(spark, nMeters), MeterGen.gridZones(spark))
+    val q = mart.writeStream.format("memory").queryName("sgrid_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+
+      val streamed = spark.table("sgrid_out")
+      assert(streamed.count() > 0, "no windows closed")
+      // closed windows carry the exact batch sums (compare kwh per hour+zone)
+      val batchMart = graft.meter.Marts.factGridLoadHourly(
+        graft.meter.Staging.stgMeterReadings(MeterGen.readings(spark, nMeters, nIntervals)),
+        MeterGen.metersDim(spark, nMeters), MeterGen.gridZones(spark))
+        .select(col("load_hour"), col("grid_zone_id"),
+          col("total_consumption_kwh").as("b_kwh"))
+      val joined = streamed.join(batchMart, Seq("load_hour", "grid_zone_id"))
+      assert(joined.count() == streamed.count())
+      assert(joined.filter(col("total_consumption_kwh") =!= col("b_kwh")).count() == 0)
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window streaming aggregation (ST6/ST7 extension)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
