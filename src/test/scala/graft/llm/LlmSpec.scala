@@ -15,7 +15,6 @@ class LlmSpec extends SparkSpec {
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon"), (4L, "unique text here"))
       .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("tmp_docs")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
     val out = docs.select(
       col("doc_id"),

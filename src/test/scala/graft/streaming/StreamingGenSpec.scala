@@ -105,8 +105,6 @@ class StreamingGenSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-
-    case class R(meter_id: Int, ts: java.sql.Timestamp, mwh: Long)
     def t(s: String) = java.sql.Timestamp.valueOf(s)
 
     val mem = MemoryStream[(Int, java.sql.Timestamp, Long)]
