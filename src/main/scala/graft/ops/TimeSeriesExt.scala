@@ -258,6 +258,39 @@ object TimeSeriesExt {
           sum(when(col("malo_prod").isNull, 1).otherwise(0)).as("n_plain"))
     },
 
+    // ---- dbt-test parity as data: the declared quality suite over the
+    // generated dims, every check a distributed aggregate (graft.quality)
+    q("quality_suite_dims", {
+      s"""WITH ${graft.meter.MeterSql.zonesCte},
+         |${graft.meter.MeterSql.metersCte(1000)}
+         |SELECT 'not_null' AS check_name, 'meter_id' AS col_name,
+         |  CAST((SELECT COUNT(*) FROM meters WHERE meter_id IS NULL) AS BIGINT) AS violations,
+         |  (SELECT COUNT(*) FROM meters) AS total
+         |UNION ALL
+         |SELECT 'unique', 'meter_id',
+         |  CAST((SELECT COUNT(*) - COUNT(DISTINCT meter_id) FROM meters) AS BIGINT),
+         |  (SELECT COUNT(*) FROM meters)
+         |UNION ALL
+         |SELECT 'non_negative', 'malo_cons',
+         |  CAST((SELECT COUNT(*) FROM meters WHERE malo_cons < 0) AS BIGINT),
+         |  (SELECT COUNT(*) FROM meters)
+         |UNION ALL
+         |SELECT 'referential_integrity', 'grid_zone_id->grid_zone_id',
+         |  CAST((SELECT COUNT(*) FROM meters m
+         |        WHERE NOT EXISTS (SELECT 1 FROM zones z
+         |                          WHERE z.grid_zone_id = m.grid_zone_id)) AS BIGINT),
+         |  (SELECT COUNT(*) FROM meters)""".stripMargin
+    }) { (s, _) =>
+      val meters = graft.meter.MeterGen.metersDim(s, 1000)
+      val zones = graft.meter.MeterGen.gridZones(s)
+      graft.quality.Checks.suite(Seq(
+        graft.quality.Checks.notNull(meters, "meter_id"),
+        graft.quality.Checks.unique(meters, Seq("meter_id")),
+        graft.quality.Checks.nonNegative(meters, "malo_cons"),
+        graft.quality.Checks.referentialIntegrity(
+          meters, "grid_zone_id", zones, "grid_zone_id")))
+    },
+
     // ---- A8: the init-time verification counts
     // (02_populate_dimensions.sql:97-125 DO block)
     q("a8_dim_verification", {
