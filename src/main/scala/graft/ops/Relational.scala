@@ -125,6 +125,59 @@ object Relational {
         .agg(count(lit(1)).as("n_customers_no_orders"))
     },
 
+    // ---- outer joins (absent in the reference — SURVEY §2.3 "not
+    // present" — exposed as engine capabilities): left outer with NULL
+    // accounting, and a full outer reconciling two daily series
+    q("j_left_outer_order_counts",
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders_2001,
+        |  COUNT(o_orderkey) = 0 AS had_no_orders
+        |FROM customer c
+        |LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '2002-01-01 00:00:00'
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("2002-01-01 00:00:00").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders_2001"),
+          (count(col("o_orderkey")) === 0).as("had_no_orders"))
+    },
+
+    q("j_full_outer_daily_series",
+      """WITH od AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |ld AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ships
+        |  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1)
+        |SELECT coalesce(od.d, ld.d) AS day,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_ships, 0) AS n_ships,
+        |  od.d IS NULL AS ship_only, ld.d IS NULL AS order_only
+        |FROM od FULL OUTER JOIN ld ON od.d = ld.d""".stripMargin) { (s, d) =>
+      val od = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy(to_date(col("o_orderdate")).as("od_d"))
+        .agg(count(lit(1)).as("n_orders_"))
+      val ld = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy(to_date(col("l_shipdate")).as("ld_d"))
+        .agg(count(lit(1)).as("n_ships_"))
+      od.join(ld, col("od_d") === col("ld_d"), "full_outer")
+        .select(
+          coalesce(col("od_d"), col("ld_d")).as("day"),
+          coalesce(col("n_orders_"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships_"), lit(0L)).as("n_ships"),
+          col("od_d").isNull.as("ship_only"),
+          col("ld_d").isNull.as("order_only"))
+    },
+
     // ---- left-semi join (EXISTS)
     q("j_semi_customers_with_urgent",
       """SELECT c_mktsegment, COUNT(*) AS n_customers
