@@ -281,6 +281,23 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_key"))
     },
 
+    // ---- explicit cross join (dim × dim grid; absent in the reference)
+    q("j_cross_region_nation",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin) { (s, d) =>
+      Tables.region(s, d).select(col("r_name"))
+        .crossJoin(Tables.nation(s, d).select(col("n_name")))
+    },
+
+    // ---- UNION (distinct) — the dedup twin of setop_union_all_agg
+    q("setop_union_distinct",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    },
+
     // ---- P1/P5: projection + rename + predicate (pushed to parquet scan)
     q("p1_projection_filter",
       """SELECT p_partkey AS part_id, upper(p_brand) AS brand_uc, p_type, p_size, p_retailprice
