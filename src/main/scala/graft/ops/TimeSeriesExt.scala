@@ -60,6 +60,52 @@ object TimeSeriesExt {
         (msum / count(lit(1)).over(w)).as("moving_avg"))
     },
 
+    // ---- RANGE frame: events in the trailing hour per user (value-range
+    // sliding window — peers included by RANGE semantics in both engines;
+    // Spark ranges over the ns BIGINT, DuckDB over the interval)
+    q("w6_range_trailing_hour",
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)/100.0 AS value_last_hour
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+        .rangeBetween(-3600L * 1000000000L, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        (sum(cents(col("value"))).over(w) / 100.0).as("value_last_hour"))
+    },
+
+    // ---- first/nth value window functions
+    q("w7_first_nth_value",
+      """SELECT event_id, user_id,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event,
+        |  nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        first(col("event_id")).over(w).as("first_event"),
+        nth_value(col("event_id"), 2).over(w).as("second_event"))
+    },
+
+    // ---- grouping() indicator with ROLLUP (distinguishes subtotal rows
+    // from genuine NULL group keys)
+    q("a_rollup_grouping_id",
+      """SELECT event_type, GROUPING(event_type) AS is_total, COUNT(*) AS n
+        |FROM events GROUP BY ROLLUP (event_type)""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .rollup(col("event_type"))
+        .agg(grouping(col("event_type")).cast("long").as("is_total"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("is_total"), col("n"))
+    },
+
     // ---- as-of join: for each purchase, the most recent prior-or-equal
     // click of the same user (tag → union → ignore-nulls last over one
     // time-ordered window; no join)

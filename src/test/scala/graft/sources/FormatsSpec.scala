@@ -23,6 +23,16 @@ class FormatsSpec extends SparkSpec {
     assert(back.except(src).count() == 0 && src.except(back).count() == 0)
   }
 
+  test("orc round trip") {
+    val dir = Files.createTempDirectory("orc").toString + "/t"
+    val src = Tables.part(spark, sf0001)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == src.count())
+    assert(back.except(src).count() == 0 && src.except(back).count() == 0)
+  }
+
   test("json lines round trip with explicit schema") {
     val dir = Files.createTempDirectory("json").toString + "/t"
     val src = Tables.events(spark, sf0001)
