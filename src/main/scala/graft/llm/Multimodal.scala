@@ -156,8 +156,27 @@ object Multimodal {
           .as("sum_q_dim0"))
     },
 
-    // ---- decode stage: deterministic fake features; rows-only check
-    // (byte-level mapPartitions is not SQL-expressible)
+    // ---- decode stage, decomposable half: n_decoded/total_bytes survive
+    // the mapPartitions stage unchanged (pure documents arithmetic), so the
+    // decode path itself gets an oracle check (octet_length(encode(…)) is
+    // the UTF-8 byte length the binary payload has)
+    q("mm_decode_stats",
+      """SELECT
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  COUNT(*) AS n_decoded,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents
+        |GROUP BY CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END""".stripMargin) {
+      (s, d) =>
+        decodeFeatures(corpus(s, d))
+          .groupBy(col("modality"))
+          .agg(
+            count(lit(1)).as("n_decoded"),
+            sum(col("n_bytes")).as("total_bytes"))
+    },
+
+    // ---- decode stage, fake-feature half: rows-only check (the feature
+    // values come from the stubbed byte-level decode, not SQL-expressible)
     qNoOracle("mm_decode_features") { (s, d) =>
       decodeFeatures(corpus(s, d))
         .groupBy(col("modality"))

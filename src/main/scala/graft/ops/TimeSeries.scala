@@ -235,9 +235,12 @@ object TimeSeries {
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("events_v")
+      // Spark SQL parses the bare literal 100.0 as DECIMAL(4,1) (the
+      // DataFrame twin and the DuckDB oracle divide by a DOUBLE), so the
+      // divisor must be cast explicitly for a DOUBLE result type
       s.sql(
         """SELECT event_type, COUNT(*) AS n,
-          |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+          |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/CAST(100.0 AS DOUBLE) AS total_value
           |FROM events_v GROUP BY event_type""".stripMargin)
     },
 

@@ -304,37 +304,58 @@ object TimeSeriesExt {
           sum(when(col("malo_prod").isNull, 1).otherwise(0)).as("n_plain"))
     },
 
-    // ---- dbt-test parity as data: the declared quality suite over the
-    // generated dims, every check a distributed aggregate (graft.quality)
+    // ---- dbt-test parity as data: the declared quality suite — all six
+    // check types of the reference's dbt surface (sources.yml +
+    // 01_create_schema.sql CHECKs). The three conditional-count checks on
+    // meters fuse into ONE aggregate pass (Checks.singlePass: one scan per
+    // table however many checks run); unique/referential keep their own
+    // shapes; accepted_values runs over a readings sample (status ∈ V/E/R,
+    // sources.yml:26-28).
     q("quality_suite_dims", {
       s"""WITH ${graft.meter.MeterSql.zonesCte},
-         |${graft.meter.MeterSql.metersCte(1000)}
+         |${graft.meter.MeterSql.metersCte(1000)},
+         |${graft.meter.MeterSql.readingsCtes(100, 96)}
          |SELECT 'not_null' AS check_name, 'meter_id' AS col_name,
          |  CAST((SELECT COUNT(*) FROM meters WHERE meter_id IS NULL) AS BIGINT) AS violations,
          |  (SELECT COUNT(*) FROM meters) AS total
          |UNION ALL
-         |SELECT 'unique', 'meter_id',
-         |  CAST((SELECT COUNT(*) - COUNT(DISTINCT meter_id) FROM meters) AS BIGINT),
-         |  (SELECT COUNT(*) FROM meters)
-         |UNION ALL
          |SELECT 'non_negative', 'malo_cons',
          |  CAST((SELECT COUNT(*) FROM meters WHERE malo_cons < 0) AS BIGINT),
+         |  (SELECT COUNT(*) FROM meters)
+         |UNION ALL
+         |SELECT 'at_least_one_present', 'malo_cons|malo_prod',
+         |  CAST((SELECT COUNT(*) FROM meters
+         |        WHERE malo_cons IS NULL AND malo_prod IS NULL) AS BIGINT),
+         |  (SELECT COUNT(*) FROM meters)
+         |UNION ALL
+         |SELECT 'unique', 'meter_id',
+         |  CAST((SELECT COUNT(*) - COUNT(DISTINCT meter_id) FROM meters) AS BIGINT),
          |  (SELECT COUNT(*) FROM meters)
          |UNION ALL
          |SELECT 'referential_integrity', 'grid_zone_id->grid_zone_id',
          |  CAST((SELECT COUNT(*) FROM meters m
          |        WHERE NOT EXISTS (SELECT 1 FROM zones z
          |                          WHERE z.grid_zone_id = m.grid_zone_id)) AS BIGINT),
-         |  (SELECT COUNT(*) FROM meters)""".stripMargin
+         |  (SELECT COUNT(*) FROM meters)
+         |UNION ALL
+         |SELECT 'accepted_values', 'status',
+         |  CAST((SELECT COUNT(*) FROM readings
+         |        WHERE status NOT IN ('V', 'E', 'R')) AS BIGINT),
+         |  (SELECT COUNT(*) FROM readings)""".stripMargin
     }) { (s, _) =>
+      import graft.quality.Checks
       val meters = graft.meter.MeterGen.metersDim(s, 1000)
       val zones = graft.meter.MeterGen.gridZones(s)
-      graft.quality.Checks.suite(Seq(
-        graft.quality.Checks.notNull(meters, "meter_id"),
-        graft.quality.Checks.unique(meters, Seq("meter_id")),
-        graft.quality.Checks.nonNegative(meters, "malo_cons"),
-        graft.quality.Checks.referentialIntegrity(
-          meters, "grid_zone_id", zones, "grid_zone_id")))
+      val readings = graft.meter.MeterGen.readings(s, 100, 96)
+      Checks.suite(Seq(
+        Checks.singlePass(meters, Seq(
+          Checks.notNullCheck("meter_id"),
+          Checks.nonNegativeCheck("malo_cons"),
+          Checks.atLeastOnePresentCheck(Seq("malo_cons", "malo_prod")))),
+        Checks.unique(meters, Seq("meter_id")),
+        Checks.referentialIntegrity(meters, "grid_zone_id", zones, "grid_zone_id"),
+        Checks.singlePass(readings, Seq(
+          Checks.acceptedValuesCheck("status", Seq("V", "E", "R"))))))
     },
 
     // ---- A8: the init-time verification counts

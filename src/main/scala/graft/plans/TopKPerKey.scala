@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Per-key top-k as a first-class operator: logical node → planner strategy
   * → physical operator (SURVEY.md §7.3 tier (c): custom
@@ -20,10 +21,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * row through the shuffle. This operator plans like a partial aggregation:
   * a map-side phase keeps a bounded k-row heap per key (so at most
   * |keys-per-partition|·k rows enter the exchange), then a final phase
-  * merges heaps after Spark inserts the key-clustered exchange demanded by
+  * merges after Spark inserts the key-clustered exchange demanded by
   * `requiredChildDistribution`. At 100 TB that is the difference between
   * shuffling the corpus and shuffling k rows per key — the ANN top-k
   * queries are exactly this shape.
+  *
+  * Memory safety (both phases bounded):
+  *  - The partial phase caps its per-partition key map at
+  *    `graft.topk.partialMaxKeys` (default 131072 ≈ a few tens of MB of
+  *    heap state). Rows whose key is beyond the cap pass through unpruned —
+  *    correctness is unaffected (pruning is only an optimization; the final
+  *    phase re-applies the exact semantics), so near-unique-key inputs
+  *    degrade gracefully to a plain shuffle instead of OOMing the map side
+  *    (the same guard Spark's partial hash aggregation has).
+  *  - The final phase holds NO map at all: it declares
+  *    `requiredChildOrdering` on (keys, order), so Spark plans its own
+  *    spill-safe external SortExec under it, and the merge reduces to a
+  *    streaming take-k per consecutive key group — O(k) state total.
   *
   * Results are identical to the window formulation when the ordering is
   * total per group (callers add a unique tie-break column, as the harness
@@ -42,6 +56,11 @@ case class TopKPerKey(
 }
 
 object TopKPerKey {
+  /** Session conf key: max distinct keys the partial phase tracks per
+    * partition before overflowing to pass-through. */
+  val PartialMaxKeysConf = "graft.topk.partialMaxKeys"
+  val PartialMaxKeysDefault = 131072
+
   /** DataFrame-level API: columns by name, `(name, descending?)` ordering
     * (resolved against the analyzed child — Spark 4 Columns carry lazy
     * ColumnNode expressions that custom nodes can't resolve themselves).
@@ -64,10 +83,16 @@ object TopKPerKey {
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      // partial (map-side prune) -> exchange (inserted by EnsureRequirements
-      // for the final's required distribution) -> final merge
-      val partial = TopKPerKeyExec(keys, order, k, planLater(child), partial = true)
-      TopKPerKeyExec(keys, order, k, partial, partial = false) :: Nil
+      val maxKeys = SQLConf.get
+        .getConfString(TopKPerKey.PartialMaxKeysConf,
+          TopKPerKey.PartialMaxKeysDefault.toString).toInt
+      // partial (map-side bounded prune) -> exchange + sort (inserted by
+      // EnsureRequirements for the final's required distribution/ordering)
+      // -> final streaming take-k per key group
+      val partial = TopKPerKeyExec(keys, order, k, planLater(child),
+        partial = true, maxPartialKeys = maxKeys)
+      TopKPerKeyExec(keys, order, k, partial,
+        partial = false, maxPartialKeys = maxKeys) :: Nil
     case _ => Nil
   }
 }
@@ -77,42 +102,78 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    partial: Boolean) extends UnaryExecNode {
+    partial: Boolean,
+    maxPartialKeys: Int = TopKPerKey.PartialMaxKeysDefault) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial || keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
+
+  // final phase streams over key-grouped, order-sorted input; the sort
+  // Spark inserts here is its external (spilling) SortExec
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else keys.map(SortOrder(_, Ascending)) ++ order
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val orderExprs = order
     val childOutput = child.output
     val limit = k
-    child.execute().mapPartitions { rows =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val rowOrdering = GenerateOrdering.generate(orderExprs, childOutput)
-      // max-heap under the requested ordering: head = worst kept row
-      val heaps = new java.util.HashMap[InternalRow,
-        scala.collection.mutable.PriorityQueue[InternalRow]]()
-      rows.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrdering)
-          heaps.put(key.copy(), heap)
+    if (partial) {
+      val keyCap = maxPartialKeys
+      child.execute().mapPartitions { rows =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val rowOrdering = GenerateOrdering.generate(orderExprs, childOutput)
+        // max-heap under the requested ordering: head = worst kept row
+        val heaps = new java.util.HashMap[InternalRow,
+          scala.collection.mutable.PriorityQueue[InternalRow]]()
+        val passThrough = rows.flatMap { row =>
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null && heaps.size() < keyCap) {
+            heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrdering)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap == null) {
+            // key map at capacity: emit unpruned (final phase is exact)
+            Iterator.single(row)
+          } else {
+            if (heap.size < limit) heap.enqueue(row.copy())
+            else if (rowOrdering.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
+            Iterator.empty
+          }
         }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (rowOrdering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        import scala.jdk.CollectionConverters._
+        // ++ is by-name: heap flush runs only after pass-through drains
+        passThrough ++ heaps.values().iterator().asScala.flatMap(_.dequeueAll.reverseIterator)
+      }
+    } else {
+      child.execute().mapPartitions { rows =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        var prevKey: UnsafeRow = null
+        var taken = 0
+        rows.filter { row =>
+          val key = keyProj(row)
+          if (prevKey == null || key != prevKey) {
+            prevKey = key.copy()
+            taken = 0
+          }
+          taken += 1
+          taken <= limit
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.dequeueAll.reverseIterator)
     }
   }
 

@@ -55,6 +55,28 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("near-unique keys under a tiny partial-key cap stay exact (overflow pass-through)") {
+    registered {
+      spark.conf.set(TopKPerKey.PartialMaxKeysConf, "4")
+      try {
+        // ~one key per row: the partial map overflows immediately and most
+        // rows pass through unpruned; results must not change
+        val ev = Tables.events(spark, sf0001)
+          .select(col("event_id"), col("user_id"), col("value"),
+            (col("event_id") % 4096).as("k"))
+        val custom = TopKPerKey(
+          ev, Seq("k"), Seq(("value", true), ("event_id", false)), 2)
+        val viaWindow = ev
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("value").desc, col("event_id"))))
+          .filter(col("rn") <= 2).drop("rn")
+        assert(custom.count() == viaWindow.count())
+        assert(custom.except(viaWindow).count() == 0)
+        assert(viaWindow.except(custom).count() == 0)
+      } finally spark.conf.unset(TopKPerKey.PartialMaxKeysConf)
+    }
+  }
+
   test("k larger than any group returns everything") {
     registered {
       val ev = Tables.events(spark, sf0001).select(col("event_id"), col("user_id"))

@@ -27,6 +27,32 @@ class ChecksSpec extends SparkSpec {
     assert(results.filter(col("violations") =!= 0L).count() == 0)
   }
 
+  test("singlePass fuses same-table checks into one scan with identical results") {
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+    val checks = Seq(
+      Checks.notNullCheck("doc_id"),
+      Checks.nonNegativeCheck("n_chars"),
+      Checks.acceptedValuesCheck("lang", Seq("en", "de", "zh", "fr", "es")),
+      Checks.atLeastOnePresentCheck(Seq("text", "source")))
+    val fused = Checks.singlePass(docs, checks)
+
+    // one physical scan of the parquet table, however many checks run
+    val scans = fused.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected 1 scan:\n${fused.queryExecution.sparkPlan}")
+
+    // identical (check_name, col_name, violations, total) rows as the
+    // one-check-at-a-time formulation
+    val separate = Checks.suite(Seq(
+      Checks.notNull(docs, "doc_id"),
+      Checks.nonNegative(docs, "n_chars"),
+      Checks.acceptedValues(docs, "lang", Seq("en", "de", "zh", "fr", "es")),
+      Checks.atLeastOnePresent(docs, Seq("text", "source"))))
+    assert(fused.collect().toSet == separate.collect().toSet)
+    assert(fused.count() == 4)
+  }
+
   test("planted defects are counted exactly") {
     val bad = Seq(
       (Some(1), Some("V"), Some(10L)),
