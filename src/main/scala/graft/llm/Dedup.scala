@@ -89,22 +89,37 @@ object Dedup {
         .cache()
       val hs = ds.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
       val freq = hs.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      // r = the token's position in the doc's full rarest-first order —
+      // kept past the prefix cut because the positional filter needs it
       val prefix = hs
         .join(freq, "h")
         .withColumn("r", org.apache.spark.sql.functions.row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("doc_id")).orderBy(col("f"), col("h"))))
         .filter(col("r") <= col("n") - ceil(col("n") * tau) + 1)
-        .select(col("doc_id"), col("h"), col("n"))
+        .select(col("doc_id"), col("h"), col("n"), col("r"))
       // candidates: prefix-token equality under the global rarest-first
       // hash order + Jaccard length filter (τ|A| ≤ |B| ≤ |A|/τ) — both
-      // lossless for jaccard ≥ τ
+      // lossless for jaccard ≥ τ. PPJoin positional filter (Xiao et al.
+      // §3.2): a token shared at positions (px, py) of the sorted sets
+      // bounds the overlap by min(px−1, py−1) + 1 + min(a−px, b−py);
+      // a pair survives only if its best bound reaches the τ-required
+      // overlap ⌈τ/(1+τ)·(a+b)⌉ — lossless, and it kills the candidates
+      // plain prefix equality keeps (hot boilerplate tokens matching at
+      // incompatible positions). The groupBy replaces the distinct() the
+      // non-positional version paid anyway — same shuffle, more pruning.
+      val ub = least(col("px.r") - 1, col("py.r") - 1) + 1 +
+        least(col("px.n") - col("px.r"), col("py.n") - col("py.r"))
       val cand = prefix.as("px")
         .join(prefix.as("py"),
           col("px.h") === col("py.h") && col("px.doc_id") < col("py.doc_id") &&
             col("py.n") * 1.0 >= col("px.n") * tau && col("py.n") * 1.0 <= col("px.n") / tau)
-        .select(col("px.doc_id").as("d1"), col("py.doc_id").as("d2"))
-        .distinct()
+        .select(col("px.doc_id").as("d1"), col("py.doc_id").as("d2"),
+          ub.as("ub"), col("px.n").as("a"), col("py.n").as("b"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(max(col("ub")).as("best_ub"), first(col("a")).as("a"), first(col("b")).as("b"))
+        .filter(col("best_ub") >= (col("a") + col("b")) * lit(tau) / lit(1 + tau))
+        .select(col("d1"), col("d2"))
       // verification: per-pair codegen'd sorted-merge intersection
       cand
         .join(ds.as("s1"), col("d1") === col("s1.doc_id"))

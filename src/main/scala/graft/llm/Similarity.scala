@@ -25,6 +25,11 @@ object Similarity {
 
   private val Q = 1048576L // 2^20 fixed-point scale
 
+  // banded threshold-dedup geometry (declared before any val that builds
+  // SQL from them — object init order matters)
+  private val DedupBands = 8
+  private val DedupBits = 3
+
   /** Quantized vector + its self-dot (squared norm), reused by every query. */
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -137,15 +142,91 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
         .filter(col("rank") <= 5)
     }
-  ) :+ ivfQuery
+  ) :+ ivfQuery :+ dedupLshQuery
 
-  /** 8 deterministic hyperplanes (dim 64, integer weights in [-500, 500)),
+  /** Bucketed embedding threshold-dedup — the scale twin of
+    * `dedup_embedding_cosine` (which stays as the quadratic ground truth,
+    * the same role exact Jaccard plays for MinHash-LSH). Candidates come
+    * ONLY from band-bucket equality joins over [[DedupBands]] bands of
+    * [[DedupBits]] hyperplane sign bits (OR-amplified across bands), then
+    * every candidate is verified by the exact fixed-point cosine — so
+    * reported pairs are always true pairs (precision 1.0) and recall is
+    * what the bands bought.
+    *
+    * Regime note, measured on this corpus: the planted pairs sit at
+    * cosine 0.40-0.51 (angle ≈ 60-66°, per-hyperplane agreement only
+    * ≈ 0.63), the hardest regime for sign-LSH — 8×3 bands give ≈ 0.78
+    * recall with ≈ 0.54 candidate fraction. Production embedding dedup
+    * targets τ ≥ 0.9 (agreement 0.86), where the identical plan prunes
+    * sharply (per-band hit 0.63, 8-band recall ≈ 1, near-zero false
+    * candidates). The deliverable is the plan shape: the only joins are
+    * bucket-equality on (band, key) + the verify lookups — no all-pairs
+    * theta-join anywhere, so cost tracks candidate volume, not n². */
+  val dedupLshQuery: GraftQuery =
+    q("dedup_embedding_lsh", {
+      val bandSelects = (0 until DedupBands).map { t =>
+        val keySql = (0 until DedupBits).map { r =>
+          val lit = dedupPlanes(t * DedupBits + r).mkString("[", ", ", "]")
+          s"(CASE WHEN CAST(list_sum(list_transform(list_zip(qv, $lit), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1 << r} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS band, $keySql AS key FROM qn"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $quantizedSql,
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         |    AND x.vec_id < y.vec_id),
+         |pairs AS (
+         |  SELECT v1, v2,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+         |  FROM cand JOIN qn a ON v1 = a.vec_id JOIN qn b ON v2 = b.vec_id)
+         |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin
+    }) { (s, d) =>
+      // qe feeds the band explode + both verify sides: cache the small frame
+      val qe = quantized(s, d).cache()
+      val bandCols = (0 until DedupBands).map { t =>
+        val key = (0 until DedupBits).map { r =>
+          when(graft.functions.FixedPointDot(col("qv"),
+            typedLit(dedupPlanes(t * DedupBits + r).toArray)) > 0, 1 << r).otherwise(0)
+        }.reduce(_ + _)
+        struct(lit(t).as("band"), key.as("key"))
+      }
+      val bands = qe
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+        .distinct()
+      cand
+        .join(qe.as("a"), col("v1") === col("a.vec_id"))
+        .join(qe.as("b"), col("v2") === col("b.vec_id"))
+        .select(col("v1"), col("v2"),
+          (dot("a.qv", "b.qv").cast("double")
+            / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.4)
+    }
+
+  /** Deterministic hyperplanes (dim 64, integer weights in [-500, 500)),
     * derived from the same Knuth-hash uniform as [[graft.meter.MeterGen.u]]
     * — literal-embedded into both the Spark plan and the oracle SQL. */
-  lazy val planes: Seq[IndexedSeq[Long]] = {
+  private def mkPlanes(n: Int): Seq[IndexedSeq[Long]] = {
     def u(x: Long): Double = (x % 2147483648L) * 2654435761L % 2147483648L / 2147483648.0
-    (0 until 8).map(p => (0 until 64).map(i => Math.round((u(p * 101L + i * 7L + 13L) - 0.5) * 1000)))
+    (0 until n).map(p => (0 until 64).map(i => Math.round((u(p * 101L + i * 7L + 13L) - 0.5) * 1000)))
   }
+
+  /** The 8 planes the ANN bucketing uses. */
+  lazy val planes: Seq[IndexedSeq[Long]] = mkPlanes(8)
+
+  /** 24 planes for the banded threshold-dedup (8 bands × 3 bits; the first
+    * 8 coincide with [[planes]] — same index formula). */
+  lazy val dedupPlanes: Seq[IndexedSeq[Long]] = mkPlanes(24)
 
   /** IVF-style coarse-quantized ANN: the 8 vectors with the smallest
     * vec_ids act as cell centroids (a deterministic stand-in for k-means

@@ -51,4 +51,66 @@ object StreamingMarts {
         col("total_consumption_kwh"), col("total_net_consumption_kwh"),
         (col("total_net_consumption_kwh") / 1000.0).as("total_net_consumption_mwh"),
         col("active_meter_count"), col("total_reading_count"))
+
+  /** Streaming twin of the daily customer billing mart
+    * (`fact_customer_billing_daily.sql` / [[graft.meter.Marts.factCustomerBillingDaily]]):
+    * watermarked 1-day tumbling windows over the delta stream, broadcast
+    * stream-static joins against the meter/customer dims, tariff applied
+    * through a stream-static join against dim_tariff_rates (same lineage as
+    * the batch mart — not a hard-coded 0.28), append-mode emission of each
+    * closed billing day.
+    *
+    * Streaming deviations (same reasons as [[hourlyGridLoad]]):
+    * `meter_count` is approx_count_distinct (constant-size HLL state per
+    * window instead of an exact distinct set); late readings behind the
+    * watermark are dropped.
+    *
+    * @param deltas streaming per-reading deltas with reading_timestamp,
+    *               meter_id, consumption_delta_mwh, production_delta_mwh,
+    *               status
+    * @param meters static dim (meter_id, customer_id)
+    * @param customers static dim (customer_id, customer_name)
+    * @param tariff static 1-row dim (base_rate_per_kwh) */
+  def dailyBilling(
+      deltas: DataFrame, meters: DataFrame, customers: DataFrame,
+      tariff: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val rate = col("base_rate_per_kwh").cast("double")
+    deltas
+      .withWatermark("reading_timestamp", watermark)
+      .join(broadcast(meters.select(col("meter_id"), col("customer_id"))), Seq("meter_id"))
+      .join(broadcast(customers.select(col("customer_id"), col("customer_name"))),
+        Seq("customer_id"))
+      .groupBy(
+        window(col("reading_timestamp"), "1 day").as("billing_window"),
+        col("customer_id"), col("customer_name"))
+      .agg(
+        (sum(col("consumption_delta_mwh")) / 1000000.0).as("total_consumption_kwh"),
+        (sum(col("production_delta_mwh")) / 1000000.0).as("total_production_kwh"),
+        (sum(col("consumption_delta_mwh") - coalesce(col("production_delta_mwh"), lit(0L)))
+          / 1000000.0).as("total_net_consumption_kwh"),
+        approx_count_distinct(col("meter_id")).as("meter_count"),
+        count(lit(1)).as("total_reading_count"),
+        sum(when(col("status") === "V", 1L).otherwise(0L)).as("valid_reading_count"),
+        sum(when(col("status") === "E", 1L).otherwise(0L)).as("estimated_reading_count"),
+        sum(when(col("status") === "R", 1L).otherwise(0L)).as("error_reading_count"),
+        max(col("production_delta_mwh").isNotNull.cast("int")).cast("boolean").as("has_solar"))
+      // stream-static equi-join on a constant key (a supported inner join;
+      // plain crossJoin is not allowed on streams) brings in the 1-row tariff
+      .withColumn("one", lit(1))
+      .join(broadcast(tariff.select(col("base_rate_per_kwh"), lit(1).as("one"))), Seq("one"))
+      .select(
+        to_date(col("billing_window.start")).as("billing_date"),
+        col("customer_id"), col("customer_name"),
+        col("total_consumption_kwh"), col("total_production_kwh"),
+        col("total_net_consumption_kwh"),
+        (col("total_consumption_kwh") * rate).as("consumption_charge"),
+        (col("total_production_kwh") * rate).as("production_credit"),
+        (col("total_net_consumption_kwh") * rate).as("net_charge"),
+        col("meter_count"), col("total_reading_count"), col("valid_reading_count"),
+        col("estimated_reading_count"), col("error_reading_count"), col("has_solar"),
+        when(col("total_reading_count") > 0,
+          col("valid_reading_count").cast("double")
+            / col("total_reading_count").cast("double") * 100)
+          .otherwise(0.0).as("data_quality_pct"))
+  }
 }

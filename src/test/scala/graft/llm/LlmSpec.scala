@@ -35,6 +35,20 @@ class LlmSpec extends SparkSpec {
       s"LSH missed ${missed.size} of ${truth.size} true pairs")
   }
 
+  test("embedding LSH dedup: precision 1.0 vs ground truth, recall from the bands") {
+    val lsh = graft.SparkEntry.queries("dedup_embedding_lsh")(spark, sf0001)
+      .select(col("v1"), col("v2")).as[(Long, Long)].collect().toSet
+    val truth = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, sf0001)
+      .select(col("v1"), col("v2")).as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "testdata should contain cosine>=0.4 pairs")
+    // every candidate is exact-verified in-query: no false positives ever
+    assert((lsh -- truth).isEmpty, s"false positives: ${(lsh -- truth).take(5)}")
+    // corpus pairs sit at cosine 0.40-0.51 — the hardest sign-LSH regime
+    // (per-plane agreement ~0.63); 8 bands x 3 bits measure ~0.78 recall
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall $recall (${lsh.size}/${truth.size})")
+  }
+
   test("simhash of near-identical docs differ in few bits") {
     val sims = graft.SparkEntry.queries("dedup_simhash")(spark, sf0001)
       .select(col("doc_id"), col("simhash")).as[(Long, Long)].collect().toMap

@@ -101,6 +101,56 @@ class StreamingGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily billing mart matches the batch mart on closed windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val nMeters = 6L
+    val nIntervals = 192L // two days: day 1 closes, day 2 stays open
+
+    val batchStg = graft.meter.Staging.stgMeterReadings(
+      MeterGen.readings(spark, nMeters, nIntervals))
+      .select(col("reading_timestamp"), col("meter_id"),
+        col("consumption_delta_mwh"), col("production_delta_mwh"), col("status"))
+    val rows = batchStg
+      .as[(java.sql.Timestamp, Int, Long, Option[Long], String)].collect()
+      .sortBy(_._1.getTime)
+
+    val mem = MemoryStream[(java.sql.Timestamp, Int, Long, Option[Long], String)]
+    val deltas = mem.toDF().toDF(
+      "reading_timestamp", "meter_id", "consumption_delta_mwh",
+      "production_delta_mwh", "status")
+    val mart = StreamingMarts.dailyBilling(
+      deltas, MeterGen.metersDim(spark, nMeters), MeterGen.customers(spark, nMeters),
+      MeterGen.tariffRates(spark))
+    val q = mart.writeStream.format("memory").queryName("sbill_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+
+      val streamed = spark.table("sbill_out")
+      assert(streamed.count() == nMeters, "expected one closed day per customer")
+      val batchMart = graft.meter.Marts.factCustomerBillingDaily(
+        graft.meter.Staging.stgMeterReadings(MeterGen.readings(spark, nMeters, nIntervals)),
+        MeterGen.metersDim(spark, nMeters), MeterGen.customers(spark, nMeters),
+        MeterGen.tariffRates(spark))
+        .select(col("billing_date"), col("customer_id"),
+          col("total_consumption_kwh").as("b_kwh"), col("net_charge").as("b_charge"),
+          col("valid_reading_count").as("b_valid"), col("meter_count").as("b_meters"),
+          col("has_solar").as("b_solar"))
+      val joined = streamed.join(batchMart, Seq("billing_date", "customer_id"))
+      assert(joined.count() == streamed.count())
+      assert(joined.filter(col("total_consumption_kwh") =!= col("b_kwh")).count() == 0)
+      assert(joined.filter(col("net_charge") =!= col("b_charge")).count() == 0)
+      assert(joined.filter(col("valid_reading_count") =!= col("b_valid")).count() == 0)
+      // HLL distinct is exact at these cardinalities
+      assert(joined.filter(col("meter_count") =!= col("b_meters")).count() == 0)
+      assert(joined.filter(col("has_solar") =!= col("b_solar")).count() == 0)
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window streaming aggregation (ST6/ST7 extension)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
