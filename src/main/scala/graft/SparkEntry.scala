@@ -14,8 +14,9 @@ object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
     ops.Relational.all ++ ops.TimeSeries.all ++ ops.TimeSeriesExt.all ++
-      meter.MeterPipeline.all ++
+      ops.SqlSurface.all ++ meter.MeterPipeline.all ++
       llm.TextAnalysis.all ++ llm.Dedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
+      llm.TrainingPipeline.all ++
       streaming.IngestBench.all
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG

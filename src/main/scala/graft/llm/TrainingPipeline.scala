@@ -1,0 +1,152 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.meter.MeterGen
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data assembly operators over `documents` (builder prompt):
+  * context-window sequence packing, deterministic train/test splits,
+  * stratified sampling, and PII redaction — the steps between a deduped
+  * corpus and actual training batches.
+  *
+  * Determinism doctrine (same as the meter generators): anywhere the
+  * reference pipeline would use `random()`, these use the Knuth-hash
+  * uniform [[graft.meter.MeterGen.u]] so every engine computes identical
+  * rows and the DuckDB oracle checks the whole operator, not a statistic.
+  */
+object TrainingPipeline {
+
+  /** Tokens per context window for [[packSequences]]. */
+  private val PackBudget = 2048L
+  private val ChunkSize = 100L
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- sequence packing: assign docs (in doc_id order) to fixed
+    // token-budget bins by prefix sum — the distributed formulation is a
+    // two-level scan: per-chunk token totals (one small aggregate), chunk
+    // offsets via a window over the tiny chunk frame, then a
+    // partition-local cumulative sum per chunk. No global single-partition
+    // window anywhere: the only per-row window is partitioned by chunk, so
+    // state per task is bounded by ChunkSize docs — the shape that
+    // survives 100 TB (a global ORDER BY window would serialize the
+    // corpus through one task). The oracle states the same semantics as
+    // the plain global window DuckDB can afford at test scale.
+    q("pack_sequences",
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+         |cum AS (
+         |  SELECT doc_id, n,
+         |    SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM toks)
+         |SELECT (c - n) // $PackBudget AS bin_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+         |FROM cum GROUP BY 1""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n"),
+          expr(s"doc_id div $ChunkSize").as("chunk"))
+      // level 1: token total per chunk; cumulative offset over the chunk
+      // frame (cardinality n/ChunkSize — trivially small)
+      val chunkTotals = toks.groupBy(col("chunk"))
+        .agg(sum(col("n")).as("chunk_tokens"))
+        .withColumn("chunk_end", sum(col("chunk_tokens")).over(
+          Window.orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("chunk"), (col("chunk_end") - col("chunk_tokens")).as("offset"))
+      // level 2: partition-local cumulative sum + broadcast chunk offsets
+      val wChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .join(broadcast(chunkTotals), Seq("chunk"))
+        .withColumn("c", sum(col("n")).over(wChunk) + col("offset"))
+        .withColumn("bin_id", expr(s"(c - n) div $PackBudget"))
+        .groupBy(col("bin_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc_id"),
+          max(col("doc_id")).as("last_doc_id"))
+    },
+
+    // ---- deterministic train/validation/test split: hash-uniform on
+    // doc_id (90/5/5), reproducible on any engine / any partitioning
+    q("split_train_test",
+      s"""WITH labeled AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n,
+         |    CASE WHEN ${MeterGen.uSql("doc_id * 13 + 5")} < 0.90 THEN 'train'
+         |         WHEN ${MeterGen.uSql("doc_id * 13 + 5")} < 0.95 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS total_words,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+         |FROM labeled GROUP BY split""".stripMargin) { (s, d) =>
+      val u = MeterGen.u(col("doc_id") * 13 + 5)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n"),
+          when(u < 0.90, "train").when(u < 0.95, "valid").otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_words"),
+          min(col("doc_id")).as("min_doc_id"))
+    },
+
+    // ---- stratified sampling: per-language keep-fractions (downsample
+    // the dominant classes, keep the rare ones) — the class-balancing step
+    // of corpus assembly, as a row-level operator returning the kept rows
+    q("sample_stratified",
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${MeterGen.uSql("doc_id * 7 + 3")} <
+         |  CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END""".stripMargin) {
+      (s, d) =>
+        val keep = MeterGen.u(col("doc_id") * 7 + 3) <
+          when(col("lang") === "en", 0.25).when(col("lang") === "de", 0.5).otherwise(1.0)
+        Tables.documents(s, d).filter(keep).select(col("doc_id"), col("lang"))
+    },
+
+    // ---- PII redaction: regex scrub of emails/phones before training.
+    // The corpus has no real PII, so each doc gets a deterministic planted
+    // contact line; the operator counts and strips it. Patterns are kept
+    // to the Java-regex ∩ RE2 common subset so Spark and DuckDB agree.
+    q("pii_redact", {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact: user' || doc_id || '@example.com or +1-555-0199' AS t
+         |  FROM documents),
+         |scrubbed AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(t, '$emailRe')) AS n_emails,
+         |    len(regexp_extract_all(t, '$phoneRe')) AS n_phones,
+         |    regexp_replace(regexp_replace(t, '$emailRe', '[EMAIL]', 'g'),
+         |                   '$phoneRe', '[PHONE]', 'g') AS clean
+         |  FROM planted)
+         |SELECT doc_id, n_emails, n_phones,
+         |  len(clean) AS clean_len, right(clean, 34) AS clean_tail
+         |FROM scrubbed""".stripMargin
+    }) { (s, d) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com or +1-555-0199")).as("t"))
+      planted.select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+          .as("clean"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("clean")).cast("long").as("clean_len"),
+          substring(col("clean"), -34, 34).as("clean_tail"))
+    }
+  )
+}

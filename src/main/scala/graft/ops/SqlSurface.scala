@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SQL-surface breadth beyond the reference (engine capabilities a user
+  * migrating real workloads expects): PIVOT, lead/percent_rank/cume_dist,
+  * ordered string aggregation, and native session windows
+  * (`session_window`, the merging-window physical operator — the batch
+  * twin of streaming session windows, vs. the lag+cumsum formulation
+  * `sessionize_events` uses).
+  */
+object SqlSurface {
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- PIVOT: order counts per year by status (explicit value list so
+    // the output schema is static — the only pivot shape that scales,
+    // since inferring pivot values needs an extra pass over 100 TB)
+    q("pivot_orders_status",
+      """SELECT year(o_orderdate) AS y,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("y"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_filled"),
+          coalesce(col("P"), lit(0L)).as("n_partial"))
+    },
+
+    // ---- lead / percent_rank / cume_dist (w3's rank family completed);
+    // unique orderings keep tie semantics engine-independent
+    q("w8_lead_pct_rank",
+      """SELECT event_id, user_id,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
+        |  percent_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS cume
+        |FROM events""".stripMargin) { (s, d) =>
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val byValue = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        lead(col("event_id"), 1).over(byTime).as("next_event_id"),
+        percent_rank().over(byValue).as("pct_rank"),
+        cume_dist().over(byValue).as("cume"))
+    },
+
+    // ---- ordered string aggregation (listagg/string_agg): sorted so the
+    // result is deterministic under any partitioning — the only correct
+    // form on a cluster
+    q("agg_string_concat",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_name"))), "|").as("names"))
+    },
+
+    // ---- native session windows: Spark's merging session_window operator
+    // (the batch twin of streaming session windows). Semantics equal the
+    // lag+cumsum formulation when no two adjacent events sit exactly at
+    // the gap boundary (true for this corpus — random sub-second
+    // timestamps); the oracle states the portable formulation.
+    q("sessionize_window_native",
+      """WITH gaps AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR CAST(epoch_ms(ts) AS BIGINT)
+        |                 - CAST(epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+        |                 > 1800000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM events),
+        |sess AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM gaps)
+        |SELECT user_id, CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+        |  COUNT(*) AS n_events, CAST(MIN(event_id) AS BIGINT) AS first_event_id
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ns")).as("min_ns"),
+          min(col("event_id")).as("first_event_id"))
+        .select(col("user_id"),
+          expr("min_ns div 1000000").as("session_start_ms"),
+          col("n_events"), col("first_event_id"))
+    }
+  )
+}

@@ -151,6 +151,38 @@ class StreamingGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: 30-min-gap sessions close past the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val mem = MemoryStream[(Int, java.sql.Timestamp)]
+    val sess = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1, t("2026-01-01 00:00:00")), (1, t("2026-01-01 00:10:00")),
+        (2, t("2026-01-01 00:05:00")), (1, t("2026-01-01 01:00:00")))
+      q.processAllAvailable()
+      // advance the watermark past every session's close
+      mem.addData((9, t("2026-01-01 03:00:00")))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out")
+        .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      // 00:00 + 00:10 merge (gap 10 min < 30); 01:00 starts a new session
+      assert(closed == Set(
+        (1, "2026-01-01 00:00:00", 2L),
+        (1, "2026-01-01 01:00:00", 1L),
+        (2, "2026-01-01 00:05:00", 1L)), s"got $closed")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window streaming aggregation (ST6/ST7 extension)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
