@@ -64,6 +64,36 @@ object SqlSurface {
           array_join(array_sort(collect_list(col("c_name"))), "|").as("names"))
     },
 
+    // ---- interval/range join, bucketed: count events (any user) in the
+    // 5 minutes before each event. A naive formulation is a non-equi
+    // theta-join (nested-loop — dead at scale); the scale-correct plan
+    // buckets time into range-width buckets, replicates each probe row
+    // into its two candidate buckets, equi-joins on the bucket key, and
+    // refines with the exact range predicate — candidate volume is
+    // O(rows × bucket occupancy), and the only shuffle is on the bucket
+    // key. Same trick as Flink interval joins / range-bucketed joins.
+    q("range_join_bucketed",
+      """SELECT e.event_id,
+        |  CAST(COUNT(f.ts) AS BIGINT) AS n_prev_5min
+        |FROM events e LEFT JOIN events f
+        |  ON f.ts >= e.ts - INTERVAL 5 MINUTE AND f.ts < e.ts
+        |GROUP BY e.event_id""".stripMargin) { (s, d) =>
+      val BucketNs = 300L * 1000000000L // 5 minutes
+      val probe = Tables.events(s, d)
+        .select(col("event_id"), col("ts_ns"),
+          explode(array(expr(s"ts_ns div $BucketNs"), expr(s"ts_ns div $BucketNs - 1")))
+            .as("bucket"))
+      val build = Tables.events(s, d)
+        .select(col("ts_ns").as("f_ns"), expr(s"ts_ns div $BucketNs").as("bucket"))
+      probe
+        .join(build,
+          probe("bucket") === build("bucket") &&
+            col("f_ns") >= col("ts_ns") - BucketNs && col("f_ns") < col("ts_ns"),
+          "left")
+        .groupBy(col("event_id"))
+        .agg(count(col("f_ns")).as("n_prev_5min"))
+    },
+
     // ---- native session windows: Spark's merging session_window operator
     // (the batch twin of streaming session windows). Semantics equal the
     // lag+cumsum formulation when no two adjacent events sit exactly at

@@ -27,4 +27,44 @@ class ScaleSpec extends SparkSpec {
     assert(agg.getAs[Double]("min_kwh") > 0)
     assert(agg.getAs[Double]("max_q") <= 100.0)
   }
+
+  test("two-level prefix-sum packing bins 2M synthetic docs without a global window") {
+    // synthetic (doc_id, n-token) corpus straight from range — exercises
+    // the chunk-partitioned cumulative-sum shape at design scale
+    val n = 2000000L
+    val budget = 2048L
+    val chunk = 1000L
+    val toks = spark.range(1, n + 1).select(
+      col("id").as("doc_id"),
+      (col("id") % 97 + 3).as("n"),
+      expr(s"id div $chunk").as("chunk"))
+    val chunkTotals = toks.groupBy(col("chunk"))
+      .agg(sum(col("n")).as("chunk_tokens"))
+      .withColumn("chunk_end", sum(col("chunk_tokens")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("chunk"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("chunk"), (col("chunk_end") - col("chunk_tokens")).as("offset"))
+    val wChunk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val binned = toks.join(broadcast(chunkTotals), Seq("chunk"))
+      .withColumn("c", sum(col("n")).over(wChunk) + col("offset"))
+      .withColumn("bin_id", expr(s"(c - n) div $budget"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+    val stats = binned.agg(
+      count(lit(1)).as("bins"),
+      sum(col("n_docs")).as("docs"),
+      sum(col("total_tokens")).as("toks"),
+      max(col("total_tokens")).as("max_bin")).head()
+    assert(stats.getAs[Long]("docs") == n)
+    // every token lands in exactly one bin; bins overfill by < one doc
+    val expectedTokens = spark.range(1, n + 1)
+      .agg(sum(col("id") % 97 + 3)).head().getLong(0)
+    assert(stats.getAs[Long]("toks") == expectedTokens)
+    val bins = stats.getAs[Long]("bins")
+    assert(bins >= expectedTokens / budget && bins <= expectedTokens / budget + 1,
+      s"bins=$bins for $expectedTokens tokens")
+    assert(stats.getAs[Long]("max_bin") < budget + 100) // max doc = 100 tokens
+  }
 }
