@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Join-strategy intent, asserted on the physical plan (SURVEY.md §4):
+  * dimension joins are EXPLICITLY broadcast (they must not depend on size
+  * estimates that flip at 100 TB), facts never are. Auto-broadcast is
+  * disabled for these tests so only the explicit `broadcast()` hints in
+  * the query code can produce broadcast joins — the assertions pin the
+  * code's intent, not the optimizer's size luck at test scale.
+  */
+class JoinStrategySpec extends SparkSpec {
+
+  private def withNoAutoBroadcast[T](f: => T): T = {
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
+  test("billing mart: pre-aggregated fact broadcast-joins every dim, nothing shuffles to join") {
+    withNoAutoBroadcast {
+      val plan = graft.SparkEntry.queries("meter_billing_daily")(spark, sf0001)
+        .queryExecution.sparkPlan
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bhj.size >= 2, s"meters+customers should broadcast:\n$plan")
+      assert(bnlj.size >= 1, s"1-row tariff should broadcast:\n$plan")
+      val shuffledJoins = plan.collect { case j: SortMergeJoinExec => j } ++
+        plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(shuffledJoins.isEmpty,
+        s"no join in the mart should shuffle the fact:\n$plan")
+    }
+  }
+
+  test("q5: the fact-fact join shuffles (never broadcasts a fact); dims broadcast") {
+    withNoAutoBroadcast {
+      val plan = graft.SparkEntry.queries("q5_nation_revenue")(spark, sf0001)
+        .queryExecution.sparkPlan
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      val shuffledJoins = plan.collect { case j: SortMergeJoinExec => j } ++
+        plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(shuffledJoins.nonEmpty,
+        s"lineitem-orders must stay a shuffle join at scale:\n$plan")
+      assert(bhj.nonEmpty, s"dims should broadcast:\n$plan")
+    }
+  }
+}

@@ -183,6 +183,39 @@ class StreamingGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: readings matched to alerts within the hour before") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val readingsMem = MemoryStream[(Int, java.sql.Timestamp, Long)]
+    val alertsMem = MemoryStream[(Int, java.sql.Timestamp, String)]
+    val readings = readingsMem.toDF().toDF("meter_id", "r_ts", "mwh")
+      .withWatermark("r_ts", "1 hour")
+    val alerts = alertsMem.toDF().toDF("a_meter_id", "a_ts", "alert")
+      .withWatermark("a_ts", "2 hours")
+    // event-time-bounded inner join: state on both sides is droppable once
+    // the watermark passes the range bound (the only stream-stream join
+    // shape with bounded state)
+    val joined = readings.join(alerts,
+      expr("meter_id = a_meter_id AND r_ts BETWEEN a_ts - INTERVAL 1 HOUR AND a_ts"))
+      .select(col("meter_id"), col("mwh"), col("alert"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      readingsMem.addData((1, t("2026-01-01 00:30:00"), 100L),
+        (1, t("2026-01-01 03:00:00"), 50L), (3, t("2026-01-01 00:45:00"), 70L))
+      alertsMem.addData((1, t("2026-01-01 01:00:00"), "spike"),
+        (2, t("2026-01-01 01:00:00"), "orphan"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      // only meter 1's 00:30 reading falls in [00:00, 01:00] of its alert
+      assert(rows == Set((1, 100L, "spike")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window streaming aggregation (ST6/ST7 extension)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
