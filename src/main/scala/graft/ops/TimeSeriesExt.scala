@@ -215,6 +215,20 @@ object TimeSeriesExt {
           (expr("percentile(CAST(round(value*100) AS BIGINT), 0.9)") / 100.0).as("p90_value"))
     },
 
+    // ---- at-scale percentile variant: approx_percentile (t-digest-style
+    // mergeable sketch, single pass, constant memory) next to the exact
+    // a_median_p90 twin — sketch values are engine-specific -> rows-only,
+    // same pattern as a7_approx_count_distinct
+    GraftQuery.qNoOracle("a_median_p90_approx") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          (expr("approx_percentile(CAST(round(value*100) AS BIGINT), 0.5, 10000)") / 100.0)
+            .as("approx_median"),
+          (expr("percentile(CAST(round(value*100) AS BIGINT), 0.5)") / 100.0)
+            .as("exact_median"))
+    },
+
     // ---- skew pattern: two-stage salted aggregation — stage 1 fans each
     // hot group key across 16 salt buckets (bounded per-task state even if
     // one key dominates), stage 2 merges partials. Same result as the
