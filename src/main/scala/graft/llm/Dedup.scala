@@ -44,6 +44,58 @@ object Dedup {
     parts.tail.foldLeft(parts.head)((acc, s) => s"($acc * 31 + $s)")
   }
 
+  /** The MinHash-LSH near-dup pair frame (d1 < d2, est_jaccard ≥ 0.5) —
+    * shared by `dedup_minhash_lsh` and the cluster/keeper assignment. */
+  private[llm] def minhashPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sigs = sigsOf(docs).cache()
+    val bandCols = (0 until bandsCount).map { b =>
+      val key = (1 until BandRows).foldLeft(col(s"s${b * BandRows}")) {
+        (acc, r) => acc * 31 + col(s"s${b * BandRows + r}")
+      }
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("a"), col("d1") === col("a.doc_id"))
+      .join(sigs.as("b"), col("d2") === col("b.doc_id"))
+      .select(col("d1"), col("d2"), (matches / 32.0).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  /** DuckDB CTE chain ending in `pairs(d1, d2)` — the oracle text twin of
+    * [[minhashPairs]]. */
+  private[llm] def minhashPairsSqlCtes: String = {
+    val bandSelects = (0 until bandsCount)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS key FROM sigs")
+      .mkString("\n  UNION ALL ")
+    val matches = (0 until NumHashes)
+      .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$sigsSql,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+       |    AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT d1, d2, ($matches) / 32.0 AS est_jaccard
+       |  FROM cand JOIN sigs a ON cand.d1 = a.doc_id JOIN sigs b ON cand.d2 = b.doc_id),
+       |pairs AS (SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5)""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     // ---- exact dedup: md5-hash groups, keeper = min doc_id
     q("dedup_exact",
@@ -134,53 +186,69 @@ object Dedup {
 
     // ---- MinHash + LSH: 32 signatures, 8 bands × 4 rows; candidates come
     // ONLY from band-bucket equality joins (the 100 TB path), then are
-    // scored by signature agreement
-    q("dedup_minhash_lsh", {
-      val bandSelects = (0 until bandsCount)
-        .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS key FROM sigs")
-        .mkString("\n  UNION ALL ")
-      val matches = (0 until NumHashes)
-        .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH $sigsSql,
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-         |    AND x.doc_id < y.doc_id),
-         |est AS (
-         |  SELECT d1, d2, ($matches) / 32.0 AS est_jaccard
-         |  FROM cand JOIN sigs a ON cand.d1 = a.doc_id JOIN sigs b ON cand.d2 = b.doc_id)
-         |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
-    }) { (s, d) =>
-      // sigs feeds four plan branches (bands self-join + both sides of the
-      // scoring join): cache the (small) signature frame so the map-side
-      // sketch computation runs once
-      val sigs = sigsOf(Tables.documentsParallel(s, d)).cache()
-      val bandCols = (0 until bandsCount).map { b =>
-        val key = (1 until BandRows).foldLeft(col(s"s${b * BandRows}")) {
-          (acc, r) => acc * 31 + col(s"s${b * BandRows + r}")
-        }
-        struct(lit(b).as("band"), key.as("key"))
+    // scored by signature agreement. The signature frame is cached — it
+    // feeds the bands self-join and both sides of the scoring join.
+    q("dedup_minhash_lsh",
+      s"""WITH $minhashPairsSqlCtes
+         |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin) { (s, d) =>
+      minhashPairs(Tables.documentsParallel(s, d))
+    },
+
+    // ---- duplicate-cluster resolution: near-dup PAIRS are not enough to
+    // drop rows — the pipeline needs one keeper per connected component of
+    // the pair graph. Spark side: iterative min-label propagation (each
+    // node takes the min label among itself and its neighbors until
+    // fixpoint) — converges in O(graph diameter) rounds; near-dup clusters
+    // are tiny cliques, so 2-3 rounds in practice, with a driver-side
+    // convergence count per round (the standard Pregel/GraphX control
+    // shape; at extreme scale swap in large-star/small-star to cut
+    // diameters). Oracle: recursive CTE propagating labels to a fixpoint —
+    // identical result, declarative recursion.
+    q("dedup_clusters",
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         |labeled AS (
+         |  SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_keeper
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_keeper,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_keeper) AS BIGINT) AS cluster_size,
+         |  doc_id <> cluster_keeper AS is_duplicate
+         |FROM labeled""".stripMargin) { (s, d) =>
+      val pairs = minhashPairs(Tables.documentsParallel(s, d))
+        .select(col("d1"), col("d2"))
+      val edges = pairs
+        .union(pairs.select(col("d2"), col("d1")))
+        .toDF("src", "dst")
+        .cache()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .cache()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val viaNeighbors = edges.join(labels, col("dst") === col("node"))
+          .select(col("src").as("node"), col("label"))
+        val next = labels.unionByName(viaNeighbors)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .cache()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+        rounds += 1
       }
-      val bands = sigs
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      val matches = (0 until NumHashes)
-        .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand
-        .join(sigs.as("a"), col("d1") === col("a.doc_id"))
-        .join(sigs.as("b"), col("d2") === col("b.doc_id"))
-        .select(col("d1"), col("d2"), (matches / 32.0).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_keeper"))
+      labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_keeper"))
+        .select(col("doc_id"), col("cluster_keeper"),
+          count(lit(1)).over(w).as("cluster_size"),
+          (col("doc_id") =!= col("cluster_keeper")).as("is_duplicate"))
     },
 
     // ---- SimHash: 32-bit signature from shingle-hash bit votes, with

@@ -49,6 +49,23 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall (${lsh.size}/${truth.size})")
   }
 
+  test("cluster resolution: every near-dup pair shares a keeper; keeper is the min") {
+    val pairs = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, sf0001)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect()
+    val keeperOf = graft.SparkEntry.queries("dedup_clusters")(spark, sf0001)
+      .select(col("doc_id"), col("cluster_keeper")).as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty)
+    // connected docs resolve to the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(keeperOf(a) == keeperOf(b), s"pair ($a,$b) split across clusters")
+    }
+    // the keeper is a member of its own cluster and the minimum of it
+    val byKeeper = keeperOf.toSeq.groupBy(_._2)
+    byKeeper.foreach { case (k, members) =>
+      assert(members.map(_._1).min == k, s"keeper $k is not the min of its cluster")
+    }
+  }
+
   test("simhash of near-identical docs differ in few bits") {
     val sims = graft.SparkEntry.queries("dedup_simhash")(spark, sf0001)
       .select(col("doc_id"), col("simhash")).as[(Long, Long)].collect().toMap
