@@ -222,13 +222,17 @@ object Dedup {
          |FROM labeled""".stripMargin) { (s, d) =>
       val pairs = minhashPairs(Tables.documentsParallel(s, d))
         .select(col("d1"), col("d2"))
+      // localCheckpoint (not cache): each round's logical plan would
+      // otherwise still carry the whole MinHash lineage + every earlier
+      // round — re-analyzed and re-optimized per round on the driver.
+      // Truncating the lineage keeps round N's plan a constant 3 nodes.
       val edges = pairs
         .union(pairs.select(col("d2"), col("d1")))
         .toDF("src", "dst")
-        .cache()
+        .localCheckpoint()
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
-        .cache()
+        .localCheckpoint()
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 20) {
@@ -236,7 +240,7 @@ object Dedup {
           .select(col("src").as("node"), col("label"))
         val next = labels.unionByName(viaNeighbors)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .cache()
+          .localCheckpoint()
         changed = next.as("n")
           .join(labels.as("o"), col("n.node") === col("o.node"))
           .filter(col("n.label") =!= col("o.label")).count()
