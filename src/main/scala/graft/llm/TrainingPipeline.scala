@@ -111,6 +111,43 @@ object TrainingPipeline {
         Tables.documents(s, d).filter(keep).select(col("doc_id"), col("lang"))
     },
 
+    // ---- capstone: the full corpus-assembly chain as ONE composed
+    // operator — exact-dup keeper (md5 window), length quality gate,
+    // language allowlist, deterministic split, per-(split, lang) stats.
+    // Each stage is individually verified elsewhere; this query checks the
+    // composition end-to-end (filters commute into the scan, the window is
+    // the only wide stage before the final aggregate).
+    q("corpus_assembly",
+      s"""WITH kept AS (
+         |  SELECT doc_id, lang, text,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM documents),
+         |filtered AS (
+         |  SELECT doc_id, lang, n_words,
+         |    CASE WHEN ${MeterGen.uSql("doc_id * 13 + 5")} < 0.90 THEN 'train'
+         |         WHEN ${MeterGen.uSql("doc_id * 13 + 5")} < 0.95 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM kept
+         |  WHERE doc_id = keeper AND n_words >= 50
+         |    AND lang IN ('en', 'de', 'fr', 'es'))
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS total_words
+         |FROM filtered GROUP BY split, lang""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(md5(col("text")))
+      val u = MeterGen.u(col("doc_id") * 13 + 5)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_words"),
+          min(col("doc_id")).over(w).as("keeper"))
+        .filter(col("doc_id") === col("keeper") && col("n_words") >= 50 &&
+          col("lang").isin("en", "de", "fr", "es"))
+        .withColumn("split",
+          when(u < 0.90, "train").when(u < 0.95, "valid").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+    },
+
     // ---- PII redaction: regex scrub of emails/phones before training.
     // The corpus has no real PII, so each doc gets a deterministic planted
     // contact line; the operator counts and strips it. Patterns are kept
