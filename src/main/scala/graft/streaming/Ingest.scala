@@ -66,11 +66,16 @@ object Ingest {
       .withColumn("arrived_at", current_timestamp())
       .withColumn("reading_date", to_date(col("reading_timestamp")))
       .dropDuplicates("reading_timestamp", "meter_id")
-    val dates = deduped.select(col("reading_date")).distinct().collect().map(_.getDate(0))
+    // restrict the existing-keys read to the dates this batch touches via a
+    // broadcast semi-join on the partition column — dynamic partition
+    // pruning skips the untouched date chunks at runtime, and unlike a
+    // collect()+isin literal list this stays fully distributed however
+    // many dates a replayed historical backfill spans
+    val touched = deduped.select(col("reading_date")).distinct()
     val existing =
       try {
         val t = spark.read.parquet(bronzeDir)
-          .filter(col("reading_date").isin(dates.toIndexedSeq: _*))
+          .join(broadcast(touched), Seq("reading_date"), "left_semi")
           .select(col("reading_timestamp"), col("meter_id"))
         if (t.isEmpty) None else Some(t)
       } catch { case _: Exception => None } // first batch: no bronze yet
