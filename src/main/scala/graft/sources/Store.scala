@@ -45,4 +45,27 @@ object Store {
     mart
       .repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+
+  /** Incremental mart refresh (the dbt `materialized='incremental'`
+    * pattern the reference doesn't have — it full-refreshes both marts on
+    * every `dbt run`, README.md:119): recompute ONLY the partitions
+    * present in `updatedSlice` and overwrite exactly those directories,
+    * leaving every other chunk untouched. `partitionOverwriteMode=dynamic`
+    * makes `mode(overwrite)` replace just the partitions the write
+    * produces — at 100 TB a daily refresh rewrites one day, not the mart.
+    * The conf is set per-write and restored (it is session-wide). */
+  def refreshMartPartitions(
+      updatedSlice: DataFrame, dir: String, partitionCol: String): Unit = {
+    val spark = updatedSlice.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try updatedSlice
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

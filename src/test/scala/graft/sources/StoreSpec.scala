@@ -52,4 +52,32 @@ class StoreSpec extends SparkSpec {
     Store.writeMart(mart, dir, "billing_date") // re-run = same table
     assert(spark.read.parquet(dir).count() == n1)
   }
+
+  test("incremental refresh rewrites only the updated day's partition") {
+    val dir = Files.createTempDirectory("mart_inc").toString + "/m"
+    def mart(nIntervals: Long) = graft.meter.Marts.factCustomerBillingDaily(
+      graft.meter.Staging.stgMeterReadings(MeterGen.readings(spark, 5, nIntervals)),
+      MeterGen.metersDim(spark, 5), MeterGen.customers(spark, 5),
+      MeterGen.tariffRates(spark))
+    Store.writeMart(mart(96 * 3), dir, "billing_date") // 3 days
+    val filesBefore = Files.walk(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    def mtime(p: String) = Files.getLastModifiedTime(Paths.get(p)).toMillis
+    val day1Before = filesBefore.filter(_.contains("billing_date=2026-01-01")).map(mtime)
+    Thread.sleep(1100) // ensure distinguishable mtimes
+
+    // "late data" arrives for day 2 only: refresh that one slice
+    val updated = mart(96 * 3).filter(col("billing_date") === lit("2026-01-02").cast("date"))
+    Store.refreshMartPartitions(updated, dir, "billing_date")
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 15, "3 days x 5 customers survive the refresh")
+    assert(after.select(countDistinct(col("billing_date"))).head().getLong(0) == 3)
+    // untouched partitions keep their original files
+    val day1After = Files.walk(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+      .filter(_.contains("billing_date=2026-01-01")).map(mtime)
+    assert(day1After.toSeq == day1Before.toSeq,
+      "day-1 chunk must not be rewritten by a day-2 refresh")
+  }
 }
