@@ -372,6 +372,61 @@ object TimeSeriesExt {
           Checks.acceptedValuesCheck("status", Seq("V", "E", "R"))))))
     },
 
+    // ---- time-series gap fill / resample: thin the reading stream (~10%
+    // deterministic drops), regenerate the full 15-min grid, and
+    // forward-fill the cumulative counter with last_value(IGNORE NULLS) —
+    // the meter-data repair step the reference has no answer for (its LAG
+    // staging silently produces multi-interval deltas across gaps). The
+    // grid comes from the same generator range (no join to build it), and
+    // the only wide stages are the grid-left-join and the per-meter fill
+    // window the LAG staging already pays.
+    q("ts_gapfill", {
+      s"""WITH ${graft.meter.MeterSql.readingsCtes(50, 96)},
+         |thinned AS (
+         |  SELECT * FROM readings
+         |  WHERE ${graft.meter.MeterGen.uSql(
+        "(meter_id * 131 + CAST(epoch_ms(reading_timestamp) / 900000 AS BIGINT))")} < 0.9),
+         |grid AS (
+         |  SELECT CAST(meter_id AS INTEGER) AS meter_id,
+         |    TIMESTAMP '${graft.meter.MeterGen.Epoch}'
+         |      + CAST(i * 15 AS INTEGER) * INTERVAL 1 MINUTE AS reading_timestamp
+         |  FROM gen),
+         |joined AS (
+         |  SELECT g.meter_id, g.reading_timestamp,
+         |    t.reading_consumption_milliwatts AS raw_cons,
+         |    t.reading_consumption_milliwatts IS NULL AS is_gap
+         |  FROM grid g LEFT JOIN thinned t
+         |    ON g.meter_id = t.meter_id AND g.reading_timestamp = t.reading_timestamp)
+         |SELECT meter_id, reading_timestamp, is_gap,
+         |  last_value(raw_cons IGNORE NULLS) OVER (
+         |    PARTITION BY meter_id ORDER BY reading_timestamp
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cons_filled
+         |FROM joined""".stripMargin
+    }) { (s, _) =>
+      import graft.meter.MeterGen
+      val readings = MeterGen.readings(s, 50, 96)
+      // deterministic drop key: (meter, interval index) — same arithmetic
+      // as the oracle's epoch-ms division
+      val slot = (unix_millis(col("reading_timestamp")) / 900000L).cast("long")
+      val thinned = readings
+        .filter(MeterGen.u(col("meter_id") * 131 + slot) < 0.9)
+        .select(col("meter_id"), col("reading_timestamp"),
+          col("reading_consumption_milliwatts").as("raw_cons"))
+      val grid = s.range(0, 50L * 96)
+        .select(
+          expr("id div 96 + 1").cast("int").as("meter_id"),
+          expr(s"timestamp '${MeterGen.Epoch}' " +
+            "+ make_interval(0, 0, 0, 0, 0, cast((id % 96) * 15 as int), 0)")
+            .as("reading_timestamp"))
+      val w = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .join(thinned, Seq("meter_id", "reading_timestamp"), "left")
+        .select(col("meter_id"), col("reading_timestamp"),
+          col("raw_cons").isNull.as("is_gap"),
+          last(col("raw_cons"), ignoreNulls = true).over(w).as("cons_filled"))
+    },
+
     // ---- A8: the init-time verification counts
     // (02_populate_dimensions.sql:97-125 DO block)
     q("a8_dim_verification", {
