@@ -94,6 +94,47 @@ object TimeSeriesExt {
         nth_value(col("event_id"), 2).over(w).as("second_event"))
     },
 
+    // ---- windowed anomaly score: z-score of each reading against its own
+    // trailing 16 readings. Variance is computed from exact integer-cents
+    // sums (Σx, Σx²) with the identical expression shape in both engines,
+    // so even the floating-point tail is bit-equal. The monitoring query a
+    // meter-ops team runs continuously; per-meter window = the same
+    // (key, time) sort every other window op shares.
+    q("w9_zscore_anomaly",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |win AS (
+        |  SELECT event_id, user_id, cents,
+        |    CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+        |    CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2,
+        |    COUNT(*) OVER w AS n
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN n > 1 AND (s2 - s1 * 1.0 * s1 / n) / n > 0
+        |       THEN (cents - s1 * 1.0 / n) / sqrt((s2 - s1 * 1.0 * s1 / n) / n)
+        |       ELSE 0.0 END AS zscore,
+        |  CASE WHEN n > 1 AND (s2 - s1 * 1.0 * s1 / n) / n > 0
+        |       THEN abs((cents - s1 * 1.0 / n) / sqrt((s2 - s1 * 1.0 * s1 / n) / n)) > 2.5
+        |       ELSE FALSE END AS is_anomaly
+        |FROM win""".stripMargin) { (s, d) =>
+      import Tables.cents
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(-15, Window.currentRow)
+      val c = cents(col("value"))
+      val s1 = sum(c).over(w)
+      val s2 = sum(c * c).over(w)
+      val n = count(lit(1)).over(w)
+      val variance = (s2 - s1 * 1.0 * s1 / n) / n
+      val z = (c - s1 * 1.0 / n) / sqrt(variance)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        when(n > 1 && variance > 0, z).otherwise(0.0).as("zscore"),
+        when(n > 1 && variance > 0, abs(z) > 2.5).otherwise(false).as("is_anomaly"))
+    },
+
     // ---- grouping() indicator with ROLLUP (distinguishes subtotal rows
     // from genuine NULL group keys)
     q("a_rollup_grouping_id",
