@@ -175,6 +175,25 @@ object Multimodal {
             sum(col("n_bytes")).as("total_bytes"))
     },
 
+    // ---- frame-sampling stage through the real mapPartitions path: the
+    // kept-frame count per doc is pure arithmetic on the payload length
+    // (every 2nd 64-byte window, at least one frame), so the 1→N row
+    // explosion shape gets an oracle check even though the frame BYTES
+    // stay stub-generated
+    q("mm_frame_counts",
+      """SELECT
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(SUM((greatest(octet_length(encode(text)) // 64, 1) + 1) // 2) AS BIGINT) AS n_frames,
+        |  COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      frameSampleStub(corpus(s, d), frameBytes = 64, everyNth = 2)
+        .join(corpus(s, d).select(col("doc_id"), col("modality")), Seq("doc_id"))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    },
+
     // ---- decode stage, fake-feature half: rows-only check (the feature
     // values come from the stubbed byte-level decode, not SQL-expressible)
     qNoOracle("mm_decode_features") { (s, d) =>
