@@ -64,6 +64,32 @@ object SqlSurface {
           array_join(array_sort(collect_list(col("c_name"))), "|").as("names"))
     },
 
+    // ---- ratio-to-report (share of total): the naive form is
+    // `sum(x) OVER ()` — an unpartitioned window that funnels the whole
+    // dataset through ONE task. The scale-correct plan aggregates per key,
+    // then broadcast-joins the 1-row global total back; both stages are
+    // ordinary partial-aggregated shuffles. The oracle states the naive
+    // window form — same values.
+    q("w10_share_of_total",
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS user_cents
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  user_cents/100.0 AS user_value,
+        |  user_cents * 1.0 / CAST(SUM(user_cents) OVER () AS BIGINT) AS share
+        |FROM per_user""".stripMargin) { (s, d) =>
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(Tables.cents(col("value"))).as("user_cents"))
+      val total = perUser.agg(sum(col("user_cents")).as("total_cents"))
+      perUser
+        .join(broadcast(total))
+        .select(col("user_id"),
+          (col("user_cents") / 100.0).as("user_value"),
+          (col("user_cents") * 1.0 / col("total_cents")).as("share"))
+    },
+
     // ---- interval/range join, bucketed: count events (any user) in the
     // 5 minutes before each event. A naive formulation is a non-equi
     // theta-join (nested-loop — dead at scale); the scale-correct plan
