@@ -255,6 +255,54 @@ object Dedup {
           (col("doc_id") =!= col("cluster_keeper")).as("is_duplicate"))
     },
 
+    // ---- SimHash banded hamming join: candidates from 4×8-bit block
+    // equality (pigeonhole: hamming ≤ 3 over 4 blocks ⇒ at least one block
+    // is identical, so the band join is LOSSLESS for the ≤3 threshold —
+    // unlike the probabilistic minhash/hyperplane bands), verified by
+    // bit_count(xor). The only joins are block-bucket equalities.
+    q("dedup_simhash_pairs", {
+      s"""WITH sh AS (${shinglesSql()}),
+         |hs AS (SELECT doc_id, ${h64Sql("sh")} AS h FROM sh),
+         |votes AS (SELECT doc_id, ${(0 until 32).map(t =>
+        s"SUM(CASE WHEN ((h >> $t) & 1) = 1 THEN 1 ELSE -1 END) AS b$t").mkString(", ")}
+         |  FROM hs GROUP BY doc_id),
+         |sig AS (SELECT doc_id, ${(0 until 32).map(t =>
+        s"(CASE WHEN b$t > 0 THEN ${1L << t} ELSE 0 END)").mkString(" + ")} AS simhash
+         |  FROM votes),
+         |blocks AS (
+         |  ${(0 until 4).map(b =>
+        s"SELECT doc_id, simhash, $b AS blk, (simhash // ${1L << (8 * b)}) % 256 AS key FROM sig")
+        .mkString("\n  UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS s1, y.simhash AS s2
+         |  FROM blocks x JOIN blocks y ON x.blk = y.blk AND x.key = y.key
+         |    AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin
+    }) { (s, d) =>
+      val sig = Tables.documentsParallel(s, d)
+        .select(col("doc_id"),
+          graft.functions.SimHashBits(shingleHashArray(col("text"))).as("simhash"))
+        .cache()
+      val blockCols = (0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          (expr(s"simhash div ${1L << (8 * b)}") % 256).as("key"))
+      }
+      val blocks = sig
+        .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+      blocks.as("x")
+        .join(blocks.as("y"),
+          col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+        .distinct()
+        .select(col("d1"), col("d2"),
+          expr("bit_count(s1 ^ s2)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+    },
+
     // ---- SimHash: 32-bit signature from shingle-hash bit votes, with
     // 16-bit prefix/suffix block keys (the bucketing columns a banded
     // hamming join would use at scale)

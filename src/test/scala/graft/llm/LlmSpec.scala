@@ -78,6 +78,20 @@ class LlmSpec extends SparkSpec {
     assert(hammings.forall(_ <= 8), s"near-dup hamming distances: ${hammings.toSeq}")
   }
 
+  test("simhash banded hamming join is lossless at hamming <= 3 (pigeonhole)") {
+    val sigs = graft.SparkEntry.queries("dedup_simhash")(spark, sf0001)
+      .select(col("doc_id"), col("simhash")).as[(Long, Long)].collect()
+    val expected = (for {
+      (a, sa) <- sigs.iterator
+      (b, sb) <- sigs.iterator
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val banded = graft.SparkEntry.queries("dedup_simhash_pairs")(spark, sf0001)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+    assert(banded == expected,
+      s"missed=${(expected -- banded).take(3)} extra=${(banded -- expected).take(3)}")
+  }
+
   test("brute-force and LSH ANN agree on the in-bucket neighbors") {
     val bf = graft.SparkEntry.queries("sim_bruteforce_topk")(spark, sf0001)
       .select("query_id", "vec_id", "cosine")
