@@ -46,6 +46,34 @@ object Store {
       .repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
 
+  /** Chunk compaction — the small-file repair for a streaming-ingested
+    * bronze table (micro-batch appends leave one file per batch per day;
+    * thousands of tiny files kill scan planning and HDFS/S3 metadata at
+    * 100 TB). Rewrites ONE day chunk to `targetFiles` meter/time-clustered
+    * files via dynamic partition overwrite; every other chunk's files are
+    * untouched. Run from a maintenance job on closed (past-watermark)
+    * days. */
+  def compactChunk(spark: SparkSession, dir: String, day: String,
+      targetFiles: Int = 1): Unit = {
+    // localCheckpoint materializes the chunk before the write: Spark
+    // (correctly) refuses to overwrite a path still present in the plan.
+    // reading_date leads the sort so the writer's required partition-column
+    // ordering is already satisfied — FileFormatWriter skips its own
+    // (non-stable) sort and the meter/time clustering survives the write.
+    val chunk = readDay(spark, dir, day)
+      .localCheckpoint()
+      .repartition(targetFiles)
+      .sortWithinPartitions(col("reading_date"), col("meter_id"), col("reading_timestamp"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try chunk.write.mode("overwrite").partitionBy("reading_date").parquet(dir)
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Incremental mart refresh (the dbt `materialized='incremental'`
     * pattern the reference doesn't have — it full-refreshes both marts on
     * every `dbt run`, README.md:119): recompute ONLY the partitions

@@ -53,6 +53,32 @@ class StoreSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == n1)
   }
 
+  test("chunk compaction collapses a day's small files, preserving data and neighbors") {
+    val dir = Files.createTempDirectory("bronze_c").toString + "/t"
+    val readings = MeterGen.readings(spark, 10, 192) // 2 days
+    // simulate micro-batch appends: many small files in each day chunk
+    readings
+      .withColumn("reading_date", to_date(col("reading_timestamp")))
+      .repartition(8)
+      .write.partitionBy("reading_date").parquet(dir)
+    def files(day: String) = Files.list(Paths.get(s"$dir/reading_date=$day"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+    assert(files("2026-01-01").length == 8, "expected small-file layout")
+    val day2Before = files("2026-01-02")
+    val before = spark.read.parquet(dir).orderBy("meter_id", "reading_timestamp").collect()
+
+    Store.compactChunk(spark, dir, "2026-01-01", targetFiles = 1)
+
+    assert(files("2026-01-01").length == 1, "day 1 should compact to one file")
+    assert(files("2026-01-02").toSeq == day2Before.toSeq, "day 2 files must be untouched")
+    val after = spark.read.parquet(dir).orderBy("meter_id", "reading_timestamp").collect()
+    assert(after.toSeq == before.toSeq, "compaction must not change the data")
+    // compacted file is meter/time-clustered like a fresh bronze write
+    val meterSeq = spark.read.parquet(files("2026-01-01").head)
+      .select(col("meter_id")).collect().map(_.getInt(0)).toSeq
+    assert(meterSeq == meterSeq.sorted)
+  }
+
   test("incremental refresh rewrites only the updated day's partition") {
     val dir = Files.createTempDirectory("mart_inc").toString + "/m"
     def mart(nIntervals: Long) = graft.meter.Marts.factCustomerBillingDaily(
