@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Per-key top-k as a first-class operator: logical node → planner strategy
@@ -123,20 +124,35 @@ case class TopKPerKeyExec(
   override def outputOrdering: Seq[SortOrder] =
     if (partial) Nil else keys.map(SortOrder(_, Ascending)) ++ order
 
+  override lazy val metrics: Map[String, SQLMetric] =
+    if (partial) Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+      "prunedRows" -> SQLMetrics.createMetric(sparkContext, "rows pruned before exchange"),
+      "overflowRows" -> SQLMetrics.createMetric(sparkContext,
+        "rows passed through unpruned (key map at capacity)"))
+    else Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val orderExprs = order
     val childOutput = child.output
     val limit = k
+    val outRows = longMetric("numOutputRows")
     if (partial) {
       val keyCap = maxPartialKeys
+      val pruned = longMetric("prunedRows")
+      val overflow = longMetric("overflowRows")
       child.execute().mapPartitions { rows =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val rowOrdering = GenerateOrdering.generate(orderExprs, childOutput)
         // max-heap under the requested ordering: head = worst kept row
         val heaps = new java.util.HashMap[InternalRow,
           scala.collection.mutable.PriorityQueue[InternalRow]]()
+        var seen = 0L
+        var emitted = 0L
         val passThrough = rows.flatMap { row =>
+          seen += 1
           val key = keyProj(row)
           var heap = heaps.get(key)
           if (heap == null && heaps.size() < keyCap) {
@@ -145,6 +161,9 @@ case class TopKPerKeyExec(
           }
           if (heap == null) {
             // key map at capacity: emit unpruned (final phase is exact)
+            overflow += 1
+            outRows += 1
+            emitted += 1
             Iterator.single(row)
           } else {
             if (heap.size < limit) heap.enqueue(row.copy())
@@ -157,7 +176,12 @@ case class TopKPerKeyExec(
         }
         import scala.jdk.CollectionConverters._
         // ++ is by-name: heap flush runs only after pass-through drains
-        passThrough ++ heaps.values().iterator().asScala.flatMap(_.dequeueAll.reverseIterator)
+        passThrough ++ heaps.values().iterator().asScala.flatMap { h =>
+          h.dequeueAll.reverseIterator
+        }.map { r => outRows += 1; emitted += 1; r } ++ {
+          // all iterators drained: everything not emitted was pruned
+          pruned.add(seen - emitted); Iterator.empty
+        }
       }
     } else {
       child.execute().mapPartitions { rows =>
@@ -171,7 +195,9 @@ case class TopKPerKeyExec(
             taken = 0
           }
           taken += 1
-          taken <= limit
+          val keep = taken <= limit
+          if (keep) outRows += 1
+          keep
         }
       }
     }

@@ -52,6 +52,27 @@ class TopKPerKeySpec extends SparkSpec {
       val planStr = plan.toString
       assert(planStr.contains("Exchange") || planStr.contains("ShuffleExchange"),
         s"expected a key exchange between phases:\n$planStr")
+
+      // execute and read back the operator's SQL metrics (AQE off so the
+      // partial node isn't hidden inside a shuffle query stage)
+      val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = TopKPerKey(
+          Tables.events(spark, sf0001)
+            .select(col("event_id"), col("user_id"), col("value")),
+          Seq("user_id"), Seq(("value", true), ("event_id", false)), 3)
+        val n = df.collect().length
+        val afterPlan = df.queryExecution.executedPlan
+        val Seq(fin) = afterPlan.collect { case t: TopKPerKeyExec if !t.partial => t }
+        val Seq(part) = afterPlan.collect { case t: TopKPerKeyExec if t.partial => t }
+        assert(fin.metrics("numOutputRows").value == n)
+        assert(part.metrics("numOutputRows").value >= n,
+          "partial must ship at least the final result rows")
+        assert(part.metrics("prunedRows").value > 0,
+          "expected map-side pruning on this input")
+        assert(part.metrics("overflowRows").value == 0)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
   }
 
