@@ -111,6 +111,42 @@ object TrainingPipeline {
         Tables.documents(s, d).filter(keep).select(col("doc_id"), col("lang"))
     },
 
+    // ---- domain mixing: resample sources toward target mix weights.
+    // Unlike [[sample_stratified]]'s fixed fractions, the keep-fraction is
+    // DERIVED FROM THE DATA: frac(source) = min(1, target_share · N_total
+    // / N_source). Two-pass shape: one tiny counts aggregate (broadcast
+    // back), then a map-side deterministic filter — the corpus never
+    // shuffles. Weights: equal thirds across the three sources.
+    q("mix_domains",
+      s"""WITH counts AS (
+         |  SELECT source, COUNT(*) AS n_source,
+         |    SUM(COUNT(*)) OVER () AS n_total
+         |  FROM documents GROUP BY source),
+         |fracs AS (
+         |  SELECT source,
+         |    least(1.0, (1.0 / 3.0) * n_total / n_source) AS keep_frac
+         |  FROM counts),
+         |kept AS (
+         |  SELECT d.doc_id, d.source
+         |  FROM documents d JOIN fracs f ON d.source = f.source
+         |  WHERE ${MeterGen.uSql("d.doc_id * 17 + 11")} < f.keep_frac)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+         |FROM kept GROUP BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      val total = counts.agg(sum(col("n_source")).as("n_total"))
+      val fracs = counts.join(broadcast(total))
+        .select(col("source"),
+          least(lit(1.0), lit(1.0 / 3.0) * col("n_total") / col("n_source"))
+            .as("keep_frac"))
+      docs
+        .join(broadcast(fracs), Seq("source"))
+        .filter(MeterGen.u(col("doc_id") * 17 + 11) < col("keep_frac"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc_id"))
+    },
+
     // ---- capstone: the full corpus-assembly chain as ONE composed
     // operator — exact-dup keeper (md5 window), length quality gate,
     // language allowlist, deterministic split, per-(split, lang) stats.

@@ -98,6 +98,31 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("property: equals the window formulation for generator-drawn k and key widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = (0 until 4).flatMap(i =>
+      Gen.zip(Gen.choose(1, 7), Gen.choose(2, 512))
+        .apply(Gen.Parameters.default, Seed(7L + i)))
+    assert(params.nonEmpty)
+    registered {
+      params.foreach { case (k, keyMod) =>
+        val ev = Tables.events(spark, sf0001)
+          .select(col("event_id"), col("user_id"), col("value"),
+            (col("event_id") % keyMod).as("kk"))
+        val custom = TopKPerKey(
+          ev, Seq("kk"), Seq(("value", true), ("event_id", false)), k)
+        val viaWindow = ev
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("kk")).orderBy(col("value").desc, col("event_id"))))
+          .filter(col("rn") <= k).drop("rn")
+        assert(custom.count() == viaWindow.count(), s"k=$k keyMod=$keyMod")
+        assert(custom.except(viaWindow).count() == 0, s"k=$k keyMod=$keyMod")
+        assert(viaWindow.except(custom).count() == 0, s"k=$k keyMod=$keyMod")
+      }
+    }
+  }
+
   test("k larger than any group returns everything") {
     registered {
       val ev = Tables.events(spark, sf0001).select(col("event_id"), col("user_id"))
