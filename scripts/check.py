@@ -69,6 +69,15 @@ def main():
         bad = []
         for c in exp.columns:
             e, g = exp[c], got[c]
+            # The driver's hash is dtype-sensitive: an oracle column that
+            # lands as float64 while Spark emits int64 hash-mismatches even
+            # when values are equal (r1 s7 decimal literal, r2 pack_sequences
+            # HUGEINT bin_id). Flag int-vs-float dtype splits explicitly.
+            if (e.dtype.kind in "iu") != (g.dtype.kind in "iu"):
+                bad.append(
+                    f"{c} (DTYPE exp={e.dtype} got={g.dtype} — integer/float "
+                    f"split; CAST the oracle output column)")
+                continue
             if e.dtype.kind == "f" or g.dtype.kind == "f":
                 ev = e.astype(float).values
                 gv = g.astype(float).values

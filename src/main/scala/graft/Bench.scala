@@ -27,11 +27,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: JIT/codegen/classloading + page-cache priming on the
-    // two cheapest queries so the first timed query isn't charged for it
-    Seq("topk_customers_by_balance", "a3_hourly_agg").foreach { w =>
-      try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // full untimed warm-up pass: execute EVERY query once so JIT, codegen
+    // compilation, classloading, and page-cache priming are paid before any
+    // timing starts — round-2's artifact charged 8 s of first-run JIT to
+    // whichever queries happened to execute a code path first
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
     }
 
     // best-of-2 per query: this VM shows heavy run-to-run timing noise

@@ -48,7 +48,13 @@ object Dedup {
     * shared by `dedup_minhash_lsh` and the cluster/keeper assignment. */
   private[llm] def minhashPairs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val sigs = sigsOf(docs).cache()
+    // localCheckpoint, not cache: the frame feeds the bands explode plus
+    // both scoring-join sides, and several registered queries share this
+    // helper — CacheManager entries would leak across queries in one JVM
+    // ("already cached" warnings, storage growth over a 90-query bench).
+    // Checkpoint blocks are dropped by the ContextCleaner once the query's
+    // frames are garbage-collected; nothing survives in the catalog.
+    val sigs = sigsOf(docs).localCheckpoint()
     val bandCols = (0 until bandsCount).map { b =>
       val key = (1 until BandRows).foldLeft(col(s"s${b * BandRows}")) {
         (acc, r) => acc * 31 + col(s"s${b * BandRows + r}")
@@ -132,13 +138,14 @@ object Dedup {
          |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
          |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
       val tau = 0.8
-      // per-doc sorted shingle-hash sets: narrow compute, cached because
-      // they feed freq, prefix, and both sides of verification
+      // per-doc sorted shingle-hash sets: narrow compute, materialized once
+      // (localCheckpoint — GC-scoped, no CacheManager entry) because they
+      // feed freq, prefix, and both sides of verification
       val ds = Tables.documentsParallel(s, d)
         .select(col("doc_id"),
           sort_array(shingleHashArray(col("text"))).as("hs"))
         .withColumn("n", size(col("hs")))
-        .cache()
+        .localCheckpoint()
       val hs = ds.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
       val freq = hs.groupBy(col("h")).agg(count(lit(1)).as("f"))
       // r = the token's position in the doc's full rarest-first order —
@@ -283,7 +290,7 @@ object Dedup {
       val sig = Tables.documentsParallel(s, d)
         .select(col("doc_id"),
           graft.functions.SimHashBits(shingleHashArray(col("text"))).as("simhash"))
-        .cache()
+        .localCheckpoint()
       val blockCols = (0 until 4).map { b =>
         struct(lit(b).as("blk"),
           (expr(s"simhash div ${1L << (8 * b)}") % 256).as("key"))

@@ -1,134 +1,184 @@
 package graft.llm
 
 import graft.GraftQuery
-import graft.GraftQuery.{q, qNoOracle}
+import graft.GraftQuery.q
 import graft.ops.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (builder prompt): image/audio/video payloads
-  * as opaque `binary` columns with a typed metadata struct, plus a
-  * batch-shaped decode/feature-extract stage.
+/** Multimodal-column operators (builder prompt): image/audio/video payloads
+  * as opaque `binary` columns with a typed metadata struct, plus
+  * codec-backed decode / resize / frame-sample stages.
   *
-  * The decode itself is STUBBED (this container has no image/audio codecs):
-  * `fakeDecode` below produces deterministic pseudo-features from the raw
-  * bytes. Everything around it — schema, partition-preserving
-  * `mapPartitions` batching, feature column shape — is the real Spark
-  * plumbing a codec-backed UDF would drop into. At 100 TB the decode stage
-  * is embarrassingly parallel (no shuffle); only the final per-modality
-  * aggregate exchanges data.
+  * The payloads are REAL encoded media ([[MediaCodec]]: P6 PPM images,
+  * RIFF/WAVE PCM16 audio, a framed PPM video container) and the decode
+  * stage parses the actual bytes — header tokenization, chunk walking,
+  * frame offsets — never `doc_id`. Because generation is deterministic
+  * arithmetic, every decoded statistic has a closed form the DuckDB oracle
+  * states independently, so the encoder AND the parser are both verified
+  * end-to-end (a byte off in either diverges from the oracle).
+  *
+  * Scale shape: generation/decode/resize/frame-sample are all
+  * partition-preserving `mapPartitions` stages — embarrassingly parallel,
+  * no shuffle; only the final per-modality aggregates exchange data. At
+  * 100 TB the payload column stays columnar-compressed parquet binary and
+  * the decode stage streams batches per partition.
   */
 object Multimodal {
+  import MediaCodec._
 
-  /** Build a multimodal corpus from `documents`: payload = UTF-8 bytes of
-    * the text standing in for a media blob, modality assigned
-    * deterministically, metadata derived arithmetically (so stats stay
-    * oracle-checkable). */
-  def corpus(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-      col("text").cast("binary").as("content"),
-      struct(
-        concat(lit("application/x-fake-"),
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int"))).as("mime"),
-        length(col("text")).as("size_bytes"),
-        (col("doc_id") % 640 + 16).cast("int").as("width"),
-        (col("doc_id") % 480 + 16).cast("int").as("height"),
-        (col("doc_id") % 30000 + 1000).cast("int").as("duration_ms")).as("meta"))
+  // ---- oracle-side closed forms (shared CTE text) ----
+  /** Per-doc media parameters, exactly [[MediaCodec]]'s formulas. */
+  private val paramsCte =
+    """m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    doc_id % 13 + 2 AS w, doc_id % 7 + 2 AS h,
+      |    doc_id % 200 + 50 AS ns, doc_id % 4 + 1 AS nf
+      |  FROM documents)""".stripMargin
 
-  case class MMRecord(doc_id: Long, modality: String, content: Array[Byte])
-  case class MMFeatures(doc_id: Long, modality: String, n_bytes: Int, checksum: Long,
-      features: Array[Float])
+  /** Byte size of one `P6\n<w> <h>\n255\n` PPM: 9 header constants + the
+    * ASCII widths of w and h + 3·w·h pixel bytes. */
+  private val ppmSizeSql =
+    "9 + len(CAST(w AS VARCHAR)) + len(CAST(h AS VARCHAR)) + 3*w*h"
 
-  /** STUB decode: a real implementation would decode image/audio frames
-    * here (per-partition, batched, no shuffle). The fake emits a
-    * deterministic 8-dim feature vector from byte statistics so the
-    * pipeline shape is testable end-to-end. */
-  def fakeDecode(rows: Iterator[MMRecord]): Iterator[MMFeatures] =
-    rows.map { r =>
-      val bytes = r.content
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
-      val feats = (0 until 8).map { j =>
-        val h = (sum + j * 2654435761L) % 2147483648L
-        (h.toDouble / 2147483648.0).toFloat
-      }.toArray
-      MMFeatures(r.doc_id, r.modality, bytes.length, sum, feats)
-    }
+  /** Encoded payload size per modality (PPM / 44-byte RIFF header + PCM16 /
+    * 8-byte GRV0 header + nf frames). */
+  private val sizeSql =
+    s"""CASE modality
+       |    WHEN 'image' THEN $ppmSizeSql
+       |    WHEN 'audio' THEN 44 + 2*ns
+       |    ELSE 8 + nf * ($ppmSizeSql) END""".stripMargin
 
-  /** The decode stage as a partition-preserving transform. */
-  def decodeFeatures(corpus: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    corpus.select(col("doc_id"), col("modality"), col("content"))
-      .as[MMRecord]
-      .mapPartitions(fakeDecode _)
+  // ---- the corpus: one real media payload per document ----
+
+  case class MMItem(doc_id: Long, modality: String, content: Array[Byte])
+
+  /** Build the multimodal corpus from `documents`: payload = real encoded
+    * bytes ([[MediaCodec.mediaFor]]), modality assigned round-robin,
+    * metadata struct typed alongside. `meta.size_bytes` is measured from
+    * the REAL bytes (`octet_length`), so the metadata oracle checks the
+    * encoders' exact wire layout. */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MMItem(id, modalityOf(id), mediaFor(id))))
       .toDF()
+      .withColumn("meta", struct(
+        element_at(
+          array(lit("image/x-portable-pixmap"), lit("audio/wav"), lit("video/x-graft-frames")),
+          (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+        octet_length(col("content")).cast("long").as("size_bytes"),
+        when(col("doc_id") % 3 === 1, lit(0L))
+          .otherwise(col("doc_id") % 13 + 2).cast("int").as("width"),
+        when(col("doc_id") % 3 === 1, lit(0L))
+          .otherwise(col("doc_id") % 7 + 2).cast("int").as("height"),
+        when(col("doc_id") % 3 === 1, expr(s"(doc_id % 200 + 50) * 1000 div $SampleRateHz"))
+          .when(col("doc_id") % 3 === 2, expr(s"(doc_id % 4 + 1) * 1000 div $VideoFps"))
+          .otherwise(lit(0L)).cast("int").as("duration_ms")))
   }
 
-  case class MMResized(doc_id: Long, modality: String, content: Array[Byte],
-      out_width: Int, out_height: Int)
+  // ---- decode stage: parse the real bytes, per partition ----
 
-  /** STUB resize: a codec-backed version would decode, scale to
-    * (w, h), and re-encode per partition. The fake keeps the byte budget
-    * proportional to the target area (deterministic subsampling of the
-    * payload) so size-vs-dimension invariants are testable. */
-  def resizeStub(corpus: DataFrame, w: Int, h: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  case class MMDecoded(doc_id: Long, modality: String, n_bytes: Long, width: Int,
+      height: Int, channels: Int, n_frames: Int, n_values: Long, value_sum: Long)
+
+  /** Codec-backed decode: PPM header parse / RIFF chunk walk / GRV0 frame
+    * walk on the payload bytes only. Partition-preserving, batch-shaped,
+    * shuffle-free — the stage a GPU/codec-backed decoder drops into. */
+  def decodeMedia(items: DataFrame): DataFrame = {
+    val spark = items.sparkSession
     import spark.implicits._
-    corpus.select(col("doc_id"), col("modality"), col("content"))
-      .as[MMRecord]
+    items.select(col("doc_id"), col("modality"), col("content")).as[MMItem]
       .mapPartitions(_.map { r =>
-        val len = r.content.length
-        val budget = math.max(1, math.min(len, w * h / 64))
-        val out = Array.tabulate(budget)(i => r.content((i.toLong * len / budget).toInt))
-        MMResized(r.doc_id, r.modality, out, w, h)
+        r.modality match {
+          case "image" =>
+            val (img, _) = decodePpm(r.content, 0)
+            MMDecoded(r.doc_id, r.modality, r.content.length, img.width, img.height,
+              img.channels, 1, img.values.length.toLong, img.valueSum)
+          case "audio" =>
+            val a = decodeWav(r.content)
+            MMDecoded(r.doc_id, r.modality, r.content.length, 0, 0,
+              a.channels, 0, a.samples.length.toLong, a.valueSum)
+          case _ =>
+            val frames = decodeVideo(r.content)
+            val head = frames.head
+            MMDecoded(r.doc_id, r.modality, r.content.length, head.width, head.height,
+              head.channels, frames.length,
+              frames.iterator.map(_.values.length.toLong).sum,
+              frames.iterator.map(_.valueSum).sum)
+        }
       })
       .toDF()
   }
 
+  // ---- resize stage: decode → nearest-neighbor scale → re-encode ----
+
+  case class MMResized(doc_id: Long, modality: String, content: Array[Byte],
+      out_width: Int, out_height: Int)
+
+  /** Real image resize: parse the PPM, nearest-neighbor scale to (ow, oh),
+    * re-encode as PPM. Output payloads are themselves decodable. */
+  def resizeImages(items: DataFrame, ow: Int, oh: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.filter(col("modality") === "image")
+      .select(col("doc_id"), col("modality"), col("content")).as[MMItem]
+      .mapPartitions(_.map { r =>
+        val (img, _) = decodePpm(r.content, 0)
+        val out = resize(img, ow, oh)
+        MMResized(r.doc_id, "image",
+          encodePpm(ow, oh, i => out.values(i.toInt) & 0xff), ow, oh)
+      })
+      .toDF()
+  }
+
+  // ---- frame sampling: walk the container, keep every Nth frame ----
+
   case class MMFrame(doc_id: Long, frame_index: Int, frame: Array[Byte])
 
-  /** STUB frame sampling: emits every `everyNth` "frame" (fixed-size byte
-    * window of the payload) — the 1→N row shape a real video sampler has
-    * (flatMap per partition, no shuffle). */
-  def frameSampleStub(corpus: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Real video frame sampling: parse the GRV0 container, emit every
+    * `everyNth` frame re-encoded as a standalone decodable PPM — the 1→N
+    * flatMap row shape of a real sampler, shuffle-free. */
+  def frameSample(items: DataFrame, everyNth: Int): DataFrame = {
+    val spark = items.sparkSession
     import spark.implicits._
-    corpus.select(col("doc_id"), col("modality"), col("content"))
-      .as[MMRecord]
+    items.filter(col("modality") === "video")
+      .select(col("doc_id"), col("modality"), col("content")).as[MMItem]
       .mapPartitions(_.flatMap { r =>
-        val nFrames = math.max(1, r.content.length / frameBytes)
-        (0 until nFrames by everyNth).map { f =>
-          val from = f * frameBytes
-          val until = math.min(r.content.length, from + frameBytes)
-          MMFrame(r.doc_id, f, java.util.Arrays.copyOfRange(r.content, from, until))
+        val frames = decodeVideo(r.content)
+        (0 until frames.length by everyNth).map { f =>
+          val img = frames(f)
+          MMFrame(r.doc_id, f,
+            encodePpm(img.width, img.height, i => img.values(i.toInt) & 0xff))
         }
       })
       .toDF()
   }
 
   val all: Seq[GraftQuery] = Seq(
-    // ---- metadata stats are pure arithmetic -> oracle-checkable
+    // ---- metadata stats over the typed struct: size_bytes is measured
+    // from the real payloads, the oracle states the wire-layout closed
+    // form — a one-byte encoder drift fails this query
     q("mm_metadata_stats",
-      """SELECT
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  COUNT(*) AS n_items,
-        |  CAST(SUM(len(text)) AS BIGINT) AS total_bytes,
-        |  CAST(SUM(doc_id % 640 + 16) AS BIGINT) AS total_width,
-        |  CAST(MAX(doc_id % 30000 + 1000) AS BIGINT) AS max_duration_ms
-        |FROM documents
-        |GROUP BY CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END""".stripMargin) {
-      (s, d) =>
-        corpus(s, d).groupBy(col("modality")).agg(
-          count(lit(1)).as("n_items"),
-          sum(col("meta.size_bytes")).as("total_bytes"),
-          sum(col("meta.width")).as("total_width"),
-          max(col("meta.duration_ms")).cast("long").as("max_duration_ms"))
+      s"""WITH $paramsCte,
+         |sized AS (
+         |  SELECT modality,
+         |    $sizeSql AS size_bytes,
+         |    CASE WHEN modality = 'audio' THEN 0 ELSE w END AS width,
+         |    CASE modality WHEN 'audio' THEN ns * 1000 // $SampleRateHz
+         |      WHEN 'video' THEN nf * 1000 // $VideoFps ELSE 0 END AS duration_ms
+         |  FROM m)
+         |SELECT modality, COUNT(*) AS n_items,
+         |  CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(SUM(width) AS BIGINT) AS total_width,
+         |  CAST(MAX(duration_ms) AS BIGINT) AS max_duration_ms
+         |FROM sized GROUP BY modality""".stripMargin) { (s, d) =>
+      corpus(s, d).groupBy(col("modality")).agg(
+        count(lit(1)).as("n_items"),
+        sum(col("meta.size_bytes")).as("total_bytes"),
+        sum(col("meta.width")).cast("long").as("total_width"),
+        max(col("meta.duration_ms")).cast("long").as("max_duration_ms"))
     },
 
     // ---- the multimodal record: text + embedding + metadata fused into
@@ -156,53 +206,107 @@ object Multimodal {
           .as("sum_q_dim0"))
     },
 
-    // ---- decode stage, decomposable half: n_decoded/total_bytes survive
-    // the mapPartitions stage unchanged (pure documents arithmetic), so the
-    // decode path itself gets an oracle check (octet_length(encode(…)) is
-    // the UTF-8 byte length the binary payload has)
+    // ---- decode, byte/value halves: the parser walks real headers and
+    // sums real pixel/sample values; the oracle recomputes both from the
+    // generation arithmetic — full encoder∘decoder verification
     q("mm_decode_stats",
-      """SELECT
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  COUNT(*) AS n_decoded,
-        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents
-        |GROUP BY CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END""".stripMargin) {
-      (s, d) =>
-        decodeFeatures(corpus(s, d))
-          .groupBy(col("modality"))
-          .agg(
-            count(lit(1)).as("n_decoded"),
-            sum(col("n_bytes")).as("total_bytes"))
-    },
-
-    // ---- frame-sampling stage through the real mapPartitions path: the
-    // kept-frame count per doc is pure arithmetic on the payload length
-    // (every 2nd 64-byte window, at least one frame), so the 1→N row
-    // explosion shape gets an oracle check even though the frame BYTES
-    // stay stub-generated
-    q("mm_frame_counts",
-      """SELECT
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  CAST(SUM((greatest(octet_length(encode(text)) // 64, 1) + 1) // 2) AS BIGINT) AS n_frames,
-        |  COUNT(*) AS n_docs
-        |FROM documents
-        |GROUP BY 1""".stripMargin) { (s, d) =>
-      frameSampleStub(corpus(s, d), frameBytes = 64, everyNth = 2)
-        .join(corpus(s, d).select(col("doc_id"), col("modality")), Seq("doc_id"))
-        .groupBy(col("modality"))
-        .agg(count(lit(1)).as("n_frames"),
-          countDistinct(col("doc_id")).as("n_docs"))
-    },
-
-    // ---- decode stage, fake-feature half: rows-only check (the feature
-    // values come from the stubbed byte-level decode, not SQL-expressible)
-    qNoOracle("mm_decode_features") { (s, d) =>
-      decodeFeatures(corpus(s, d))
+      s"""WITH $paramsCte,
+         |vals AS (
+         |  SELECT modality,
+         |    $sizeSql AS size_bytes,
+         |    CASE modality WHEN 'image' THEN 3*w*h WHEN 'audio' THEN ns
+         |      ELSE nf*3*w*h END AS n_values,
+         |    CASE modality
+         |      WHEN 'image' THEN list_sum(list_transform(range(0, 3*w*h),
+         |        i -> (doc_id*31 + i) % 256))
+         |      WHEN 'audio' THEN list_sum(list_transform(range(0, ns),
+         |        i -> (doc_id*7 + i*13) % 4096 - 2048))
+         |      ELSE list_sum(list_transform(range(0, nf), f ->
+         |        list_sum(list_transform(range(0, 3*w*h),
+         |          i -> (doc_id*31 + f*97 + i) % 256)))) END AS value_sum
+         |  FROM m)
+         |SELECT modality, COUNT(*) AS n_decoded,
+         |  CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(SUM(n_values) AS BIGINT) AS total_values,
+         |  CAST(SUM(value_sum) AS BIGINT) AS total_value_sum
+         |FROM vals GROUP BY modality""".stripMargin) { (s, d) =>
+      decodeMedia(corpus(s, d))
         .groupBy(col("modality"))
         .agg(
           count(lit(1)).as("n_decoded"),
           sum(col("n_bytes")).as("total_bytes"),
-          avg(element_at(col("features"), 1)).as("mean_f0"))
+          sum(col("n_values")).as("total_values"),
+          sum(col("value_sum")).as("total_value_sum"))
+    },
+
+    // ---- decode, dimension half: widths/heights/channels/frame counts as
+    // PARSED from the payload headers (PPM ASCII dims, RIFF fmt chunk,
+    // GRV0 frame count) vs the oracle's closed form
+    q("mm_decode_dims",
+      s"""WITH $paramsCte,
+         |dims AS (
+         |  SELECT modality,
+         |    CASE WHEN modality = 'audio' THEN 0 ELSE w END AS width,
+         |    CASE WHEN modality = 'audio' THEN 0 ELSE h END AS height,
+         |    CASE WHEN modality = 'audio' THEN 1 ELSE 3 END AS channels,
+         |    CASE modality WHEN 'image' THEN 1 WHEN 'audio' THEN 0 ELSE nf END AS n_frames
+         |  FROM m)
+         |SELECT modality,
+         |  CAST(SUM(width) AS BIGINT) AS sum_width,
+         |  CAST(SUM(height) AS BIGINT) AS sum_height,
+         |  CAST(MAX(channels) AS BIGINT) AS channels,
+         |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
+         |FROM dims GROUP BY modality""".stripMargin) { (s, d) =>
+      decodeMedia(corpus(s, d))
+        .groupBy(col("modality"))
+        .agg(
+          sum(col("width")).as("sum_width"),
+          sum(col("height")).as("sum_height"),
+          max(col("channels")).cast("long").as("channels"),
+          sum(col("n_frames")).cast("long").as("total_frames"))
+    },
+
+    // ---- frame sampling through the real container walk: every 2nd frame
+    // kept and re-encoded as a standalone PPM; counts AND re-encoded byte
+    // sizes have closed forms
+    q("mm_frame_counts",
+      s"""WITH $paramsCte,
+         |v AS (SELECT doc_id, w, h, nf, (nf + 1) // 2 AS kept
+         |  FROM m WHERE modality = 'video')
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(kept) AS BIGINT) AS n_frames,
+         |  CAST(SUM(kept * ($ppmSizeSql)) AS BIGINT) AS total_frame_bytes
+         |FROM v""".stripMargin) { (s, d) =>
+      frameSample(corpus(s, d), everyNth = 2)
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame"))).cast("long").as("total_frame_bytes"))
+    },
+
+    // ---- the full chain: generate → decode → nearest-neighbor resize to
+    // 8×6 → re-encode → decode AGAIN → aggregate. The oracle states the
+    // nearest-neighbor source-index arithmetic directly; any error in
+    // either codec direction or the scaler diverges
+    q("mm_resize_stats",
+      s"""WITH $paramsCte,
+         |img AS (SELECT doc_id, w, h FROM m WHERE modality = 'image'),
+         |rs AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0, 6), y ->
+         |      list_sum(list_transform(range(0, 8), x ->
+         |        list_sum(list_transform(range(0, 3), c ->
+         |          (doc_id*31 + (((y*h)//6*w + (x*w)//8)*3 + c)) % 256)))))) AS value_sum
+         |  FROM img)
+         |SELECT COUNT(*) AS n_images,
+         |  CAST(COUNT(*) * (9 + 1 + 1 + 3*8*6) AS BIGINT) AS total_bytes,
+         |  CAST(SUM(value_sum) AS BIGINT) AS total_value_sum
+         |FROM rs""".stripMargin) { (s, d) =>
+      decodeMedia(resizeImages(corpus(s, d), ow = 8, oh = 6))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("value_sum")).as("total_value_sum"))
     }
   )
 }

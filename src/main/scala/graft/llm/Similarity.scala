@@ -53,6 +53,68 @@ object Similarity {
   private def dot(a: String, b: String): Column =
     graft.functions.FixedPointDot(col(a), col(b))
 
+  /** K-means centroids trained with [[CentroidIters]] Lloyd iterations, in
+    * DataFrames: seed = the k smallest vec_ids, assign = broadcast
+    * centroids + map-side nearest-by-cosine, update = exact element-wise
+    * floor-mean of the fixed-point vectors (posexplode → per-(cell, dim)
+    * SUM → floor division → re-assemble). Floor division — not Spark's
+    * truncating `div` — because DuckDB's `//` floors and the sums can be
+    * negative; `(s − pmod(s, n)) div n` is exact floor on BIGINTs, keeping
+    * the trained centroids bit-identical to the oracle. Cells that lose
+    * every member drop out on both engines identically. The corpus only
+    * ever crosses a BROADCAST of k rows — the 100 TB k-means shape. */
+  private def lloydCentroids(qe: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = qe.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("norm2").as("cnorm2"))
+    for (_ <- 0 until iters) {
+      val assigned = qe.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          FixedPointDot(col("qv"), col("cqv")).cast("double")
+            / (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("cr", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+        .filter(col("cr") === 1)
+        .select(col("c_id"), col("qv"))
+      cents = assigned
+        .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("mv", expr("(s - pmod(s, n)) div n"))
+        .groupBy(col("c_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("cqv"))
+        .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
+    }
+    cents
+  }
+
+  private val CentroidK = 8
+  private val CentroidIters = 2
+
+  /** Oracle CTE chain `c0 … c$iters` mirroring [[lloydCentroids]] over the
+    * `qn` frame; the trained centroids are `c$iters(c_id, cqv, cnorm2)`. */
+  private def lloydCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"c0 AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM qn WHERE vec_id < $CentroidK)")
+    for (it <- 1 to iters) {
+      sb.append(s""",
+         |a$it AS (
+         |  SELECT vec_id, qv, c_id, row_number() OVER (
+         |    PARTITION BY vec_id
+         |    ORDER BY CAST(list_sum(list_transform(list_zip(qv, cqv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
+         |  FROM qn, c${it - 1}),
+         |m$it AS (
+         |  SELECT c_id, t.i AS pos, CAST(SUM(qv[t.i + 1]) AS BIGINT) AS s, COUNT(*) AS n
+         |  FROM a$it, range(0, 64) AS t(i) WHERE cr = 1 GROUP BY c_id, t.i),
+         |c$it AS (
+         |  SELECT c_id, cqv, CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnorm2
+         |  FROM (SELECT c_id, list(s // n ORDER BY pos) AS cqv FROM m$it GROUP BY c_id))""".stripMargin)
+    }
+    sb.toString
+  }
+
   lazy val all: Seq[GraftQuery] = Seq(
     // ---- near-duplicate pairs by cosine threshold (embedding dedup)
     q("dedup_embedding_cosine",
@@ -145,17 +207,19 @@ object Similarity {
   ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery
 
   /** IVF multi-probe threshold-dedup — the cluster-shaped alternative to
-    * [[dedupLshQuery]]: every vector is assigned to its 3 nearest centroid
-    * cells, candidates are pairs sharing ANY cell, then exact verification.
-    * For clustered corpora (this one: 10 label clusters) multi-probe IVF
-    * buys far better recall than sign-LSH in the low-cosine regime —
-    * measured ≈0.95 here vs ≈0.78 for the 8×3 bands — at candidate volume
-    * proportional to cell occupancy. Same plan skeleton as [[ivfQuery]]:
-    * broadcast centroids, map-side assignment, cell-bucket join only. */
+    * [[dedupLshQuery]]: every vector is assigned to its 3 nearest
+    * Lloyd-trained centroid cells ([[lloydCentroids]]), candidates are
+    * pairs sharing ANY cell, then exact verification. For clustered
+    * corpora (this one: 10 label clusters) multi-probe IVF buys strong
+    * recall in the low-cosine regime — measured ≈0.95 — at candidate
+    * volume proportional to cell occupancy. Same plan skeleton as
+    * [[ivfQuery]]: broadcast centroids, map-side assignment, cell-bucket
+    * join only. */
   val dedupIvfQuery: GraftQuery =
     q("dedup_embedding_ivf",
       s"""WITH $quantizedSql,
-         |cents AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM qn WHERE vec_id < 8),
+         |${lloydCtes(CentroidIters)},
+         |cents AS (SELECT c_id, cqv, cnorm2 FROM c$CentroidIters),
          |assigned AS (
          |  SELECT vec_id, c_id, row_number() OVER (
          |    PARTITION BY vec_id
@@ -172,9 +236,9 @@ object Similarity {
          |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
          |  FROM cand JOIN qn a ON v1 = a.vec_id JOIN qn b ON v2 = b.vec_id)
          |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin) { (s, d) =>
-      val qe = quantized(s, d).cache()
-      val cents = qe.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("norm2").as("cnorm2"))
+      // localCheckpoint (GC-scoped), not cache: see Dedup.minhashPairs
+      val qe = quantized(s, d).localCheckpoint()
+      val cents = lloydCentroids(qe, CentroidK, CentroidIters)
       val cells = qe.crossJoin(broadcast(cents))
         .withColumn("ccos",
           FixedPointDot(col("qv"), col("cqv")).cast("double")
@@ -207,15 +271,22 @@ object Similarity {
     * reported pairs are always true pairs (precision 1.0) and recall is
     * what the bands bought.
     *
+    * MULTI-PROBE (Lv et al., "Multi-Probe LSH", VLDB 2007): each vector
+    * also probes the [[DedupBits]] one-bit-flip neighbors of its band key,
+    * joined against the exact-key side. A pair becomes a candidate when
+    * its band keys differ by ≤ 1 bit in ANY band, lifting per-band hit
+    * probability from p³ to p³ + 3p²(1−p) at probe volume ×4.
+    *
     * Regime note, measured on this corpus: the planted pairs sit at
     * cosine 0.40-0.51 (angle ≈ 60-66°, per-hyperplane agreement only
-    * ≈ 0.63), the hardest regime for sign-LSH — 8×3 bands give ≈ 0.78
-    * recall with ≈ 0.54 candidate fraction. Production embedding dedup
-    * targets τ ≥ 0.9 (agreement 0.86), where the identical plan prunes
-    * sharply (per-band hit 0.63, 8-band recall ≈ 1, near-zero false
-    * candidates). The deliverable is the plan shape: the only joins are
-    * bucket-equality on (band, key) + the verify lookups — no all-pairs
-    * theta-join anywhere, so cost tracks candidate volume, not n². */
+    * ≈ 0.63), the hardest regime for sign-LSH — exact-key 8×3 bands gave
+    * ≈ 0.78 recall; with one-bit multi-probe the per-band hit is ≈ 0.69
+    * and the 8-band miss probability ≈ (0.31)⁸ ≈ 1e-4 — measured recall
+    * ≥ 0.95 (LlmSpec asserts ≥ 0.9). Production embedding dedup targets
+    * τ ≥ 0.9 (agreement 0.86) where pruning is far sharper. The
+    * deliverable is the plan shape: the only joins are bucket-equality on
+    * (band, key) + the verify lookups — no all-pairs theta-join anywhere,
+    * so cost tracks candidate volume, not n². */
   val dedupLshQuery: GraftQuery =
     q("dedup_embedding_lsh", {
       val bandSelects = (0 until DedupBands).map { t =>
@@ -228,9 +299,12 @@ object Similarity {
       s"""WITH $quantizedSql,
          |bands AS (
          |  $bandSelects),
+         |probes AS (
+         |  SELECT vec_id, band, xor(key, f.flip) AS key
+         |  FROM bands, (SELECT unnest([0, 1, 2, 4]) AS flip) f),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         |  FROM probes x JOIN bands y ON x.band = y.band AND x.key = y.key
          |    AND x.vec_id < y.vec_id),
          |pairs AS (
          |  SELECT v1, v2,
@@ -239,8 +313,9 @@ object Similarity {
          |  FROM cand JOIN qn a ON v1 = a.vec_id JOIN qn b ON v2 = b.vec_id)
          |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin
     }) { (s, d) =>
-      // qe feeds the band explode + both verify sides: cache the small frame
-      val qe = quantized(s, d).cache()
+      // qe feeds the band explode + both verify sides: materialize the small
+      // frame once (localCheckpoint — GC-scoped, no CacheManager entry)
+      val qe = quantized(s, d).localCheckpoint()
       val bandCols = (0 until DedupBands).map { t =>
         val key = (0 until DedupBits).map { r =>
           when(graft.functions.FixedPointDot(col("qv"),
@@ -251,7 +326,16 @@ object Similarity {
       val bands = qe
         .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = bands.as("x")
+      // multi-probe: the exact key plus its 3 one-bit flips; hamming ≤ 1
+      // between two keys ⟺ the exact key of one is in the probe set of
+      // the other, so probing one side of the (v1 < v2)-ordered join
+      // covers every ≤1-bit pair
+      val probes = bands
+        .select(col("vec_id"), col("band"), col("key"),
+          explode(array(lit(0), lit(1), lit(2), lit(4))).as("flip"))
+        .select(col("vec_id"), col("band"),
+          col("key").bitwiseXOR(col("flip")).as("key"))
+      val cand = probes.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.vec_id") < col("y.vec_id"))
@@ -282,18 +366,19 @@ object Similarity {
     * 8 coincide with [[planes]] — same index formula). */
   lazy val dedupPlanes: Seq[IndexedSeq[Long]] = mkPlanes(24)
 
-  /** IVF-style coarse-quantized ANN: the 8 vectors with the smallest
-    * vec_ids act as cell centroids (a deterministic stand-in for k-means
-    * centroids); every vector is assigned to its nearest centroid by exact
-    * fixed-point distance, and each query searches only its own cell.
+  /** IVF coarse-quantized ANN with TRAINED centroids: [[lloydCentroids]]
+    * runs [[CentroidIters]] Lloyd iterations (seeded on the k smallest
+    * vec_ids), then every vector is assigned to its nearest centroid by
+    * exact fixed-point cosine and each query searches only its own cell.
     * At scale the cell id is the shuffle/partition key — same shape as a
-    * real IVF index (train centroids offline, assign map-side, probe 1
-    * cell). Registered separately so brute-force / LSH / IVF are
+    * real IVF index (train centroids offline on a sample, assign map-side,
+    * probe 1 cell). Registered separately so brute-force / LSH / IVF are
     * comparable side by side. */
   val ivfQuery: GraftQuery =
     q("sim_ivf_topk",
       s"""WITH $quantizedSql,
-         |cents AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM qn WHERE vec_id < 8),
+         |${lloydCtes(CentroidIters)},
+         |cents AS (SELECT c_id, cqv, cnorm2 FROM c$CentroidIters),
          |assigned AS (
          |  SELECT vec_id, label, qv, norm2, c_id, row_number() OVER (
          |    PARTITION BY vec_id
@@ -313,9 +398,8 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, vec_id, label, cell, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin) {
       (s, d) =>
-        val qe = quantized(s, d).cache() // feeds centroids + assignment + probe
-        val cents = qe.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("norm2").as("cnorm2"))
+        val qe = quantized(s, d).localCheckpoint() // feeds centroids + assignment + probe
+        val cents = lloydCentroids(qe, CentroidK, CentroidIters)
         val assigned = qe.crossJoin(broadcast(cents))
           .withColumn("ccos",
             FixedPointDot(col("qv"), col("cqv")).cast("double")

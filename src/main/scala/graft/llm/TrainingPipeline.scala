@@ -41,7 +41,7 @@ object TrainingPipeline {
          |  SELECT doc_id, n,
          |    SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
          |  FROM toks)
-         |SELECT (c - n) // $PackBudget AS bin_id,
+         |SELECT CAST((c - n) // $PackBudget AS BIGINT) AS bin_id,
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(n) AS BIGINT) AS total_tokens,
          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,

@@ -44,9 +44,11 @@ class LlmSpec extends SparkSpec {
     // every candidate is exact-verified in-query: no false positives ever
     assert((lsh -- truth).isEmpty, s"false positives: ${(lsh -- truth).take(5)}")
     // corpus pairs sit at cosine 0.40-0.51 — the hardest sign-LSH regime
-    // (per-plane agreement ~0.63); 8 bands x 3 bits measure ~0.78 recall
+    // (per-plane agreement ~0.63). Exact-key 8x3 bands measured ~0.78;
+    // one-bit multi-probe lifts the per-band hit to p^3+3p^2(1-p) ~ 0.69,
+    // so the 8-band miss probability is ~1e-4
     val recall = lsh.size.toDouble / truth.size
-    assert(recall >= 0.7, s"recall $recall (${lsh.size}/${truth.size})")
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${truth.size})")
   }
 
   test("IVF multi-probe dedup: precision 1.0, higher recall than the sign bands") {
@@ -114,27 +116,82 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("l.cosine") =!= col("b.cosine")).count() == 0)
   }
 
-  test("multimodal resize + frame-sample stubs: shape and determinism") {
-    val corpus = Multimodal.corpus(spark, sf0001).limit(50)
-    val resized = Multimodal.resizeStub(corpus, 64, 64)
-    assert(resized.count() == 50)
-    assert(resized.filter(col("out_width") =!= 64 || col("out_height") =!= 64).count() == 0)
-    // byte budget bounded by target area
-    assert(resized.filter(length(col("content")) > 64 * 64 / 64 + 1).count() == 0)
-
-    val frames = Multimodal.frameSampleStub(corpus, frameBytes = 32, everyNth = 2)
-    assert(frames.count() >= 50) // 1→N fan-out
-    assert(frames.filter(col("frame_index") % 2 =!= 0).count() == 0)
-    assert(frames.filter(length(col("frame")) > 32).count() == 0)
+  test("media codecs round-trip: decode(encode(x)) recovers the generation formulas") {
+    import MediaCodec._
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 100L, 101L, 102L, 499L)) {
+      modalityOf(id) match {
+        case "image" =>
+          val (img, next) = decodePpm(imageFor(id), 0)
+          assert(img.width == imgW(id) && img.height == imgH(id) && img.channels == 3)
+          assert(next == imageFor(id).length)
+          (0 until img.values.length).foreach { i =>
+            assert((img.values(i) & 0xff) == pixelAt(id, 0, i.toLong), s"pixel $i of doc $id")
+          }
+        case "audio" =>
+          val a = decodeWav(audioFor(id))
+          assert(a.sampleRate == SampleRateHz && a.channels == 1)
+          assert(a.samples.length == nSamples(id))
+          (0 until a.samples.length).foreach { i =>
+            assert(a.samples(i) == sampleAt(id, i.toLong), s"sample $i of doc $id")
+          }
+        case _ =>
+          val frames = decodeVideo(videoFor(id))
+          assert(frames.length == nFrames(id))
+          frames.zipWithIndex.foreach { case (img, f) =>
+            assert(img.width == imgW(id) && img.height == imgH(id))
+            assert((img.values(0) & 0xff) == pixelAt(id, f, 0L))
+          }
+      }
+    }
   }
 
-  test("multimodal decode: deterministic features, partition-shaped") {
+  test("multimodal resize: real decode -> nearest-neighbor -> re-encode, pixel-exact") {
+    import MediaCodec._
     val corpus = Multimodal.corpus(spark, sf0001)
-    val feats = Multimodal.decodeFeatures(corpus)
-    assert(feats.count() == corpus.count())
-    assert(feats.select(size(col("features"))).distinct().head().getInt(0) == 8)
-    // decode twice → identical (stub is deterministic)
-    val again = Multimodal.decodeFeatures(corpus)
-    assert(feats.select("doc_id", "checksum").except(again.select("doc_id", "checksum")).count() == 0)
+    val resized = Multimodal.resizeImages(corpus, 8, 6)
+      .select("doc_id", "content").as[(Long, Array[Byte])].collect()
+    assert(resized.nonEmpty)
+    resized.take(20).foreach { case (id, bytes) =>
+      val (out, _) = decodePpm(bytes, 0) // output payload is itself decodable
+      assert(out.width == 8 && out.height == 6)
+      val w = imgW(id); val h = imgH(id)
+      for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3) {
+        val srcIdx = ((y * h / 6) * w + (x * w / 8)) * 3 + c
+        assert((out.values((y * 8 + x) * 3 + c) & 0xff) == pixelAt(id, 0, srcIdx.toLong),
+          s"doc $id pixel ($x,$y,$c)")
+      }
+    }
+  }
+
+  test("multimodal frame sample: container walk keeps every 2nd frame as valid PPM") {
+    import MediaCodec._
+    val corpus = Multimodal.corpus(spark, sf0001)
+    val frames = Multimodal.frameSample(corpus, everyNth = 2)
+      .select("doc_id", "frame_index", "frame").as[(Long, Int, Array[Byte])].collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._2 % 2 == 0))
+    frames.take(30).foreach { case (id, f, bytes) =>
+      val (img, _) = decodePpm(bytes, 0)
+      assert(img.width == imgW(id) && img.height == imgH(id))
+      assert((img.values(0) & 0xff) == pixelAt(id, f, 0L))
+    }
+    // per-doc kept count = ceil(nFrames / 2)
+    val perDoc = frames.groupBy(_._1).map { case (id, fs) => id -> fs.length }
+    perDoc.foreach { case (id, n) => assert(n == (nFrames(id) + 1) / 2, s"doc $id") }
+  }
+
+  test("multimodal decode: parses real bytes per modality, deterministic") {
+    val corpus = Multimodal.corpus(spark, sf0001)
+    val dec = Multimodal.decodeMedia(corpus)
+    assert(dec.count() == corpus.count())
+    // decoded dims/channels agree with the typed metadata column (image/video)
+    val joined = dec.as("d").join(corpus.as("c"), Seq("doc_id"))
+      .filter(col("d.modality") =!= "audio")
+    assert(joined.filter(col("d.width") =!= col("c.meta.width") ||
+      col("d.height") =!= col("c.meta.height")).count() == 0)
+    // audio parses the RIFF fmt chunk: mono, 8 kHz payloads have ns samples
+    val audio = dec.filter(col("modality") === "audio")
+    assert(audio.filter(col("channels") =!= 1).count() == 0)
+    assert(audio.filter(col("n_values") =!= (col("doc_id") % 200 + 50)).count() == 0)
   }
 }
