@@ -49,6 +49,16 @@ object MeterPipeline {
         MeterGen.tariffRates(s))
     },
 
+    // the typed Dataset/Aggregator twin shares the untyped mart's oracle:
+    // one SQL text, two independent Spark formulations, both bit-exact
+    q("meter_billing_daily_typed", MeterSql.billingSql(NMeters, NIntervals)) { (s, _) =>
+      TypedMarts.factCustomerBillingDailyTyped(
+        Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals)),
+        MeterGen.metersDim(s, NMeters),
+        MeterGen.customers(s, NMeters),
+        MeterGen.tariffRates(s))
+    },
+
     q("meter_grid_hourly", MeterSql.gridSql(NMeters, NIntervals)) { (s, _) =>
       Marts.factGridLoadHourly(
         Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals)),

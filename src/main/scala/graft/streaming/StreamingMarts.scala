@@ -52,6 +52,46 @@ object StreamingMarts {
         (col("total_net_consumption_kwh") / 1000.0).as("total_net_consumption_mwh"),
         col("active_meter_count"), col("total_reading_count"))
 
+  /** Stream-stream pricing (SURVEY.md §2.8 ST7 extension, the only
+    * stream-stream join shape with bounded state): a live reading stream
+    * joined to a live per-zone tariff-update stream under event-time
+    * bounds — each reading matches the update whose validity window
+    * `[update_ts, update_ts + validity)` covers it in its grid zone.
+    *
+    * Composition: stream-STATIC broadcast join (reading → zone via the
+    * meter dim, map-side) feeding a stream-STREAM interval join on
+    * (zone, time-range). Both sides are watermarked, so join state is
+    * dropped once the watermark passes the range bound — per-key state is
+    * O(validity window), never unbounded. Updates arriving later than
+    * `updateWm` (and readings later than `readingWm`) are dropped, which
+    * is the explicit late-data contract (the reference has none,
+    * README.md:134).
+    *
+    * @param deltas streaming per-reading deltas with reading_timestamp,
+    *               meter_id, consumption_delta_mwh
+    * @param meters static dim (meter_id, grid_zone_id)
+    * @param tariffUpdates stream of (grid_zone_id, update_ts, rate_per_kwh) */
+  def pricedDeltas(
+      deltas: DataFrame, meters: DataFrame, tariffUpdates: DataFrame,
+      validity: String = "1 hour", readingWm: String = "1 hour",
+      updateWm: String = "2 hours"): DataFrame =
+    deltas
+      .withWatermark("reading_timestamp", readingWm)
+      .join(broadcast(meters.select(col("meter_id"), col("grid_zone_id"))), Seq("meter_id"))
+      .join(
+        tariffUpdates
+          .withWatermark("update_ts", updateWm)
+          .select(col("grid_zone_id").as("u_zone"), col("update_ts"),
+            col("rate_per_kwh")),
+        expr(s"""grid_zone_id = u_zone
+                 AND reading_timestamp >= update_ts
+                 AND reading_timestamp < update_ts + INTERVAL $validity"""))
+      .select(
+        col("reading_timestamp"), col("meter_id"), col("grid_zone_id"),
+        col("update_ts").as("tariff_effective_ts"), col("rate_per_kwh"),
+        (col("consumption_delta_mwh") / 1000000.0 * col("rate_per_kwh"))
+          .as("consumption_charge"))
+
   /** Streaming twin of the daily customer billing mart
     * (`fact_customer_billing_daily.sql` / [[graft.meter.Marts.factCustomerBillingDaily]]):
     * watermarked 1-day tumbling windows over the delta stream, broadcast

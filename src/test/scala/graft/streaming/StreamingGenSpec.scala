@@ -267,6 +267,67 @@ class StreamingGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pricedDeltas: stream-stream tariff join equals the batch join; late rows dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val nMeters = 6L
+    val meters = MeterGen.metersDim(spark, nMeters)
+    val readingsMem = MemoryStream[(java.sql.Timestamp, Int, Long)]
+    val updatesMem = MemoryStream[(Int, java.sql.Timestamp, Double)]
+    val deltas = readingsMem.toDF()
+      .toDF("reading_timestamp", "meter_id", "consumption_delta_mwh")
+    val updates = updatesMem.toDF()
+      .toDF("grid_zone_id", "update_ts", "rate_per_kwh")
+    val priced = StreamingMarts.pricedDeltas(deltas, meters, updates)
+    val q = priced.writeStream.format("memory").queryName("priced_out")
+      .outputMode("append").start()
+    try {
+      val zones = meters.select("meter_id", "grid_zone_id").as[(Int, Int)].collect().toMap
+      // tariff updates for every zone at 00:00 and 01:00; readings across 3 hours
+      val updateRows = zones.values.toSeq.distinct.flatMap(z =>
+        Seq((z, t("2026-01-01 00:00:00"), 0.25), (z, t("2026-01-01 01:00:00"), 0.30)))
+      val readingRows = (1 to nMeters.toInt).flatMap(m => Seq(
+        (t("2026-01-01 00:20:00"), m, 4000000L),
+        (t("2026-01-01 01:40:00"), m, 2000000L),
+        (t("2026-01-01 02:30:00"), m, 1000000L))) // no update covers hour 2
+      updatesMem.addData(updateRows)
+      readingsMem.addData(readingRows)
+      q.processAllAvailable()
+
+      val got = spark.table("priced_out")
+        .select("meter_id", "tariff_effective_ts", "rate_per_kwh", "consumption_charge")
+      // the SAME join expressed in batch is the oracle
+      val batch = readingRows.toDF("reading_timestamp", "meter_id", "consumption_delta_mwh")
+        .join(broadcast(meters.select(col("meter_id"), col("grid_zone_id"))), Seq("meter_id"))
+        .join(updateRows.toDF("grid_zone_id", "update_ts", "rate_per_kwh")
+          .withColumnRenamed("grid_zone_id", "u_zone"),
+          expr("""grid_zone_id = u_zone
+                  AND reading_timestamp >= update_ts
+                  AND reading_timestamp < update_ts + INTERVAL 1 HOUR"""))
+        .select(col("meter_id"), col("update_ts").as("tariff_effective_ts"),
+          col("rate_per_kwh"),
+          (col("consumption_delta_mwh") / 1000000.0 * col("rate_per_kwh"))
+            .as("consumption_charge"))
+      assert(got.count() == nMeters * 2, "hour-2 readings must not match any update")
+      assert(got.except(batch).count() == 0 && batch.except(got).count() == 0,
+        "stream-stream join diverged from the batch join")
+
+      // advance both watermarks far past hour 0, then replay an hour-0
+      // reading: its join state is evicted, the late row joins nothing
+      updatesMem.addData((zones(1), t("2026-01-01 09:00:00"), 0.40))
+      readingsMem.addData((t("2026-01-01 09:30:00"), 1, 1000000L))
+      q.processAllAvailable()
+      val afterAdvance = spark.table("priced_out").count()
+      readingsMem.addData((t("2026-01-01 00:25:00"), 1, 9000000L)) // 9.5h late
+      q.processAllAvailable()
+      assert(spark.table("priced_out").count() == afterAdvance,
+        "late reading behind the watermark must be dropped")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window streaming aggregation (ST6/ST7 extension)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
