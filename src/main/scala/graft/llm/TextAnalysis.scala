@@ -148,6 +148,38 @@ object TextAnalysis {
         .select(col("doc_id"), col("fingerprint"),
           array_min(col("hsa")).as("min_shingle_hash"),
           size(col("hsa")).cast("long").as("n_shingles"))
+    },
+
+    // ---- intra-document repetition: duplicate-word mass and the
+    // most-repeated word's share — the quality signal that catches
+    // keyword-stuffed / boilerplate-looped documents dedup can't (they
+    // are unique ACROSS the corpus, degenerate WITHIN). Fully map-side:
+    // per-row array ops, no explode, no join; only the trivial final
+    // projection. top_word_share ties are broken identically on both
+    // engines by taking the max (count, word) pair lexicographically.
+    q("text_repetition",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+        |  1.0 - len(list_distinct(string_split(text, ' '))) * 1.0
+        |    / len(string_split(text, ' ')) AS dup_word_ratio,
+        |  (SELECT MAX(cnt) FROM (
+        |     SELECT COUNT(*) AS cnt FROM unnest(string_split(text, ' ')) AS u(w)
+        |     GROUP BY w)) * 1.0 / len(string_split(text, ' ')) AS top_word_share
+        |FROM documents""".stripMargin) { (s, d) =>
+      val ws = words(col("text"))
+      val nw = size(ws)
+      val nd = size(array_distinct(ws))
+      // max per-word count without exploding: for each distinct word,
+      // count its occurrences inside the array (codegen'd HOFs)
+      val topCnt = array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w))))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nw.as("n_words"),
+        nd.as("n_distinct_words"),
+        (lit(1.0) - nd * 1.0 / nw).as("dup_word_ratio"),
+        (topCnt * 1.0 / nw).as("top_word_share"))
     }
   )
 }

@@ -220,6 +220,37 @@ object TrainingPipeline {
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           length(col("clean")).cast("long").as("clean_len"),
           substring(col("clean"), -34, 34).as("clean_tail"))
+    },
+
+    // ---- benchmark decontamination: flag training docs sharing any
+    // character shingle with the held-out eval set (doc_id % 97 = 0 stands
+    // in for the benchmark). The n-gram-overlap contamination check every
+    // serious pretraining pipeline runs before training. Scale shape: the
+    // benchmark side is tiny relative to the corpus (evals are KBs, the
+    // corpus is TBs), so its shingle set BROADCASTS — the train side never
+    // shuffles for the join, only for its own per-doc aggregate. Inner
+    // join ⇒ output rows are exactly the contaminated docs.
+    q("decontaminate",
+      s"""WITH shs AS (${TextHash.shinglesSql()}),
+         |sh AS (SELECT doc_id, ${TextHash.h64Sql("sh")} AS sh FROM shs),
+         |bench AS (SELECT doc_id AS bench_doc_id, sh FROM sh WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id,
+         |  COUNT(DISTINCT t.sh) AS n_shared_shingles,
+         |  COUNT(DISTINCT b.bench_doc_id) AS n_bench_docs
+         |FROM train t JOIN bench b ON t.sh = b.sh
+         |GROUP BY t.doc_id""".stripMargin) { (s, d) =>
+      val shingled = Tables.documentsParallel(s, d)
+        .select(col("doc_id"),
+          explode(TextHash.shingleHashArray(col("text"))).as("sh"))
+      val bench = shingled.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_doc_id"), col("sh"))
+      shingled.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(col("sh")).as("n_shared_shingles"),
+          countDistinct(col("bench_doc_id")).as("n_bench_docs"))
     }
   )
 }

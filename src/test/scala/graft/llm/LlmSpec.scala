@@ -116,6 +116,38 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("l.cosine") =!= col("b.cosine")).count() == 0)
   }
 
+  test("decontaminate: only train docs flagged, every flag backed by a real shared shingle") {
+    val out = graft.SparkEntry.queries("decontaminate")(spark, sf0001)
+      .select(col("doc_id"), col("n_shared_shingles"), col("n_bench_docs"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty, "corpus should contain contaminated train docs")
+    // benchmark docs themselves never appear; counts are positive
+    assert(out.forall { case (id, n, b) => id % 97 != 0 && n >= 1 && b >= 1 })
+    // cross-check one flagged doc by direct shingle intersection
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val shingleSet = (t: String) =>
+      (1 to math.max(t.length - 13, 1)).map(i => t.substring(i - 1, math.min(i + 13, t.length))).toSet
+    val benchShingles = docs.filter(_._1 % 97 == 0).values.flatMap(shingleSet(_)).toSet
+    val (sampleId, sampleN, _) = out.head
+    val shared = shingleSet(docs(sampleId)).count(benchShingles.contains)
+    assert(shared == sampleN, s"doc $sampleId: direct overlap $shared != reported $sampleN")
+  }
+
+  test("text_repetition: ratios bounded and consistent per doc") {
+    val out = graft.SparkEntry.queries("text_repetition")(spark, sf0001)
+      .select(col("n_words"), col("n_distinct_words"), col("dup_word_ratio"), col("top_word_share"))
+      .as[(Int, Int, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (nw, nd, dup, top) =>
+      assert(nd <= nw && nd > 0)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top >= 1.0 / nw && top <= 1.0)
+      // a doc with all-distinct words has zero dup mass and 1/n top share
+      if (nd == nw) assert(dup == 0.0 && math.abs(top - 1.0 / nw) < 1e-12)
+    }
+  }
+
   test("media codecs round-trip: decode(encode(x)) recovers the generation formulas") {
     import MediaCodec._
     for (id <- Seq(0L, 1L, 2L, 3L, 7L, 100L, 101L, 102L, 499L)) {
