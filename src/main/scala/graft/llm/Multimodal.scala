@@ -112,6 +112,68 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- quarantine: the decode stage's dead-letter channel ----
+
+  case class MMDecodeResult(doc_id: Long, modality: String, ok: Boolean,
+      err: String, n_bytes: Long, width: Int, height: Int, channels: Int,
+      n_frames: Int, n_values: Long, value_sum: Long)
+
+  /** Fault-tolerant decode: parse failures become quarantine rows (ok =
+    * false + the parse error) instead of failing the job — the dead-letter
+    * channel a 100 TB ingest needs, since at that scale corrupt payloads
+    * are a certainty, not an edge case. Same partition-preserving shape as
+    * [[decodeMedia]]; one pass, two logical outputs (filter on `ok`). */
+  def decodeMediaSafe(items: DataFrame): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col("doc_id"), col("modality"), col("content")).as[MMItem]
+      .mapPartitions(_.map { r =>
+        try {
+          r.modality match {
+            case "image" =>
+              val (img, _) = decodePpm(r.content, 0)
+              MMDecodeResult(r.doc_id, r.modality, true, "", r.content.length,
+                img.width, img.height, img.channels, 1,
+                img.values.length.toLong, img.valueSum)
+            case "audio" =>
+              val a = decodeWav(r.content)
+              MMDecodeResult(r.doc_id, r.modality, true, "", r.content.length,
+                0, 0, a.channels, 0, a.samples.length.toLong, a.valueSum)
+            case _ =>
+              val frames = decodeVideo(r.content)
+              val head = frames.head
+              MMDecodeResult(r.doc_id, r.modality, true, "", r.content.length,
+                head.width, head.height, head.channels, frames.length,
+                frames.iterator.map(_.values.length.toLong).sum,
+                frames.iterator.map(_.valueSum).sum)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            MMDecodeResult(r.doc_id, r.modality, false,
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
+              r.content.length, 0, 0, 0, 0, 0L, 0L)
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministically corrupt the payloads of every 101st document
+    * (destroy the format magic byte) — the planted-fault harness for the
+    * quarantine path. */
+  def corruptEvery101st(items: DataFrame): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col("doc_id"), col("modality"), col("content")).as[MMItem]
+      .mapPartitions(_.map { r =>
+        if (r.doc_id % 101 == 0) {
+          val broken = r.content.clone()
+          broken(0) = 'X'.toByte
+          r.copy(content = broken)
+        } else r
+      })
+      .toDF()
+  }
+
   // ---- resize stage: decode → nearest-neighbor scale → re-encode ----
 
   case class MMResized(doc_id: Long, modality: String, content: Array[Byte],
@@ -282,6 +344,36 @@ object Multimodal {
           countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_frames"),
           sum(octet_length(col("frame"))).cast("long").as("total_frame_bytes"))
+    },
+
+    // ---- the dead-letter channel under planted faults: every 101st
+    // payload has its magic byte destroyed; the safe decoder must route
+    // EXACTLY those rows to quarantine and still produce the correct
+    // value sums over the healthy rest (the oracle states both halves)
+    q("mm_decode_quarantine",
+      s"""WITH $paramsCte,
+         |vals AS (
+         |  SELECT modality, doc_id % 101 = 0 AS corrupt,
+         |    CASE modality
+         |      WHEN 'image' THEN list_sum(list_transform(range(0, 3*w*h),
+         |        i -> (doc_id*31 + i) % 256))
+         |      WHEN 'audio' THEN list_sum(list_transform(range(0, ns),
+         |        i -> (doc_id*7 + i*13) % 4096 - 2048))
+         |      ELSE list_sum(list_transform(range(0, nf), f ->
+         |        list_sum(list_transform(range(0, 3*w*h),
+         |          i -> (doc_id*31 + f*97 + i) % 256)))) END AS value_sum
+         |  FROM m)
+         |SELECT modality,
+         |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+         |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+         |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE value_sum END) AS BIGINT) AS ok_value_sum
+         |FROM vals GROUP BY modality""".stripMargin) { (s, d) =>
+      decodeMediaSafe(corruptEvery101st(corpus(s, d)))
+        .groupBy(col("modality"))
+        .agg(
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"),
+          sum(when(col("ok"), col("value_sum")).otherwise(0L)).as("ok_value_sum"))
     },
 
     // ---- the full chain: generate → decode → nearest-neighbor resize to

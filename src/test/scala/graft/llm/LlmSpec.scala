@@ -212,6 +212,24 @@ class LlmSpec extends SparkSpec {
     perDoc.foreach { case (id, n) => assert(n == (nFrames(id) + 1) / 2, s"doc $id") }
   }
 
+  test("quarantine: exactly the corrupted payloads route to the dead-letter side") {
+    val corpus = Multimodal.corpus(spark, sf0001)
+    val dec = Multimodal.decodeMediaSafe(Multimodal.corruptEvery101st(corpus))
+    val bad = dec.filter(!col("ok"))
+      .select(col("doc_id"), col("err")).as[(Long, String)].collect()
+    assert(bad.nonEmpty)
+    assert(bad.forall(_._1 % 101 == 0), "only planted corruptions may quarantine")
+    assert(bad.forall(_._2.nonEmpty), "quarantine rows must carry the parse error")
+    val okIds = dec.filter(col("ok")).select(col("doc_id")).as[Long].collect()
+    assert(okIds.forall(_ % 101 != 0))
+    assert(bad.length + okIds.length == corpus.count())
+    // healthy rows decode identically to the no-fault path
+    val clean = Multimodal.decodeMedia(corpus).filter(col("doc_id") % 101 =!= 0)
+      .select("doc_id", "value_sum")
+    val okVals = dec.filter(col("ok")).select("doc_id", "value_sum")
+    assert(clean.except(okVals).count() == 0 && okVals.except(clean).count() == 0)
+  }
+
   test("multimodal decode: parses real bytes per modality, deterministic") {
     val corpus = Multimodal.corpus(spark, sf0001)
     val dec = Multimodal.decodeMedia(corpus)
