@@ -85,12 +85,15 @@ object RateSimulator {
 
   /** The JSON wire frame of a streamed reading (keyed like the Kafka
     * message: producer/meter_simulator.py:283-285): key = meter_id,
-    * value = 5-field JSON. */
+    * value = 5-field JSON. Field names match [[Ingest.wireSchema]] so the
+    * consumer decodes every field (the increments ride in the counter
+    * fields of the wire). */
   def toWire(readings: DataFrame): DataFrame =
     readings.select(
       col("meter_id").cast("string").as("key"),
       to_json(struct(
         col("meter_id"), col("reading_timestamp"),
-        col("consumption_inc_mwh"), col("production_inc_mwh"),
+        col("consumption_inc_mwh").as("reading_consumption_milliwatts"),
+        col("production_inc_mwh").as("reading_production_milliwatts"),
         col("status"))).as("value"))
 }

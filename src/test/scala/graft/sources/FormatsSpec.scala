@@ -33,6 +33,40 @@ class FormatsSpec extends SparkSpec {
     assert(back.except(src).count() == 0 && src.except(back).count() == 0)
   }
 
+  test("avro file round trip (AvroFileFormat by class name — no shortName registration offline)") {
+    val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val dir = Files.createTempDirectory("avro").toString + "/t"
+    val src = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    src.write.format(fmt).save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.count() == src.count())
+    assert(back.except(src).count() == 0 && src.except(back).count() == 0)
+  }
+
+  test("avro wire: binary twin decodes identically to the JSON wire") {
+    import graft.streaming.Ingest
+    val readings = graft.meter.MeterGen.readings(spark, 20, 96)
+    val viaJson = Ingest.parseAndValidate(
+      readings.select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(
+          col("meter_id"), col("reading_timestamp"),
+          col("reading_consumption_milliwatts"),
+          col("reading_production_milliwatts"), col("status"))).as("value")))
+    val viaAvro = Ingest.parseAndValidateAvro(Ingest.toAvroWire(readings).select("value"))
+    assert(viaAvro.count() == readings.count())
+    assert(viaAvro.except(viaJson).count() == 0 && viaJson.except(viaAvro).count() == 0)
+  }
+
+  test("avro wire: malformed records drop through the validation filter") {
+    import graft.streaming.Ingest
+    import spark.implicits._
+    val good = Ingest.toAvroWire(graft.meter.MeterGen.readings(spark, 2, 4)).select("value")
+    val bad = Seq(Array[Byte](0x7f, 0x00, 0x13, 0x42)).toDF("value")
+    val out = Ingest.parseAndValidateAvro(good.union(bad))
+    assert(out.count() == 8, "the 8 good records survive, the corrupt one drops")
+  }
+
   test("json lines round trip with explicit schema") {
     val dir = Files.createTempDirectory("json").toString + "/t"
     val src = Tables.events(spark, sf0001)
