@@ -67,14 +67,17 @@ object Similarity {
     var cents = qe.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("norm2").as("cnorm2"))
     for (_ <- 0 until iters) {
+      // nearest-centroid assignment as a hash-aggregate ARGMAX — not a
+      // row_number window: max(struct(ccos, −c_id, …)) runs with map-side
+      // partials and no per-key sort (ties break to the smallest c_id,
+      // matching the oracle's ORDER BY ccos DESC, c_id)
       val assigned = qe.crossJoin(broadcast(cents))
         .withColumn("ccos",
           FixedPointDot(col("qv"), col("cqv")).cast("double")
             / (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
-        .withColumn("cr", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-        .filter(col("cr") === 1)
-        .select(col("c_id"), col("qv"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_c"), col("qv"))).as("m"))
+        .select((-col("m.neg_c")).as("c_id"), col("m.qv").as("qv"))
       cents = assigned
         .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("c_id"), col("pos"))
@@ -400,14 +403,16 @@ object Similarity {
       (s, d) =>
         val qe = quantized(s, d).localCheckpoint() // feeds centroids + assignment + probe
         val cents = lloydCentroids(qe, CentroidK, CentroidIters)
+        // same hash-aggregate argmax as the Lloyd assignment (no window)
         val assigned = qe.crossJoin(broadcast(cents))
           .withColumn("ccos",
             FixedPointDot(col("qv"), col("cqv")).cast("double")
               / (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
-          .withColumn("cr", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-          .filter(col("cr") === 1)
-          .select(col("vec_id"), col("label"), col("qv"), col("norm2"), col("c_id").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_c"),
+            col("label"), col("qv"), col("norm2"))).as("m"))
+          .select(col("vec_id"), col("m.label").as("label"), col("m.qv").as("qv"),
+            col("m.norm2").as("norm2"), (-col("m.neg_c")).as("cell"))
         val scored = assigned.as("a")
           .join(assigned.as("b"),
             col("a.cell") === col("b.cell") && col("a.vec_id") % 50 === 0 &&
