@@ -67,4 +67,25 @@ class ScaleSpec extends SparkSpec {
       s"bins=$bins for $expectedTokens tokens")
     assert(stats.getAs[Long]("max_bin") < budget + 100) // max doc = 100 tokens
   }
+
+  test("500K real media payloads generate and decode shuffle-free") {
+    import graft.llm.{MediaCodec, Multimodal}
+    import spark.implicits._
+    val n = 500000L
+    val items = spark.range(0, n).as[Long]
+      .mapPartitions(_.map(id =>
+        Multimodal.MMItem(id, MediaCodec.modalityOf(id), MediaCodec.mediaFor(id))))
+      .toDF()
+    val perModality = Multimodal.decodeMedia(items)
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"), sum(col("n_values")).as("values"),
+        min(col("width")).as("min_w"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(perModality.keySet == Set("image", "audio", "video"))
+    assert(perModality.values.map(_.getAs[Long]("n")).sum == n)
+    // every payload parsed: images/videos carry real dims, audio real samples
+    assert(perModality("image").getAs[Int]("min_w") >= 2)
+    assert(perModality("video").getAs[Int]("min_w") >= 2)
+    assert(perModality("audio").getAs[Long]("values") > 0)
+  }
 }
