@@ -147,6 +147,24 @@ object TimeSeriesExt {
         .select(col("event_type"), col("is_total"), col("n"))
     },
 
+    // ---- explicit non-hierarchical GROUPING SETS (neither rollup nor
+    // cube expresses {(event_type), (bucket)} — two independent summary
+    // grains in ONE scan + one expand; the alternative is two aggregates
+    // and a union, i.e. two scans at 100 TB)
+    q("a_grouping_sets",
+      """SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n,
+        |  GROUPING(event_type) AS g_type
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10))""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupingSets(Seq(Seq(col("event_type")), Seq(col("bucket"))),
+          col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("event_type")).cast("long").as("g_type"))
+        .select(col("event_type"), col("bucket"), col("n"), col("g_type"))
+    },
+
     // ---- as-of join: for each purchase, the most recent prior-or-equal
     // click of the same user (tag → union → ignore-nulls last over one
     // time-ordered window; no join)
