@@ -106,4 +106,33 @@ class StoreSpec extends SparkSpec {
     assert(day1After.toSeq == day1Before.toSeq,
       "day-1 chunk must not be rewritten by a day-2 refresh")
   }
+
+  test("bucketed tables co-locate the join: zero exchanges in the plan") {
+    import graft.ops.Tables
+    // bucketBy on the join key at write time = the co-located-join scale
+    // strategy: both sides land pre-partitioned on disk, so the join
+    // plans with NO shuffle exchange at any size ratio
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_name"))
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_cust")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders")
+        .join(spark.table("b_cust"), col("o_custkey") === col("c_custkey"))
+      assert(j.count() == Tables.orders(spark, sf0001).count())
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
 }
