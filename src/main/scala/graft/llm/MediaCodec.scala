@@ -79,6 +79,9 @@ object MediaCodec {
     require(maxv == 255, s"unsupported maxval $maxv")
     p += 1 // exactly one whitespace byte separates maxval from pixel data
     val n = w * h * 3
+    // copyOfRange zero-pads past the array end — reject truncation instead
+    require(p + n <= bytes.length,
+      s"truncated PPM: need $n pixel bytes at offset $p, have ${bytes.length - p}")
     val img = Image(w, h, 3, java.util.Arrays.copyOfRange(bytes, p, p + n))
     (img, p + n)
   }
