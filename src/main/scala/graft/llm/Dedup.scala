@@ -262,6 +262,79 @@ object Dedup {
           (col("doc_id") =!= col("cluster_keeper")).as("is_duplicate"))
     },
 
+    // ---- duplicate-cluster resolution, large-star/small-star variant:
+    // the O(log n)-round connected-components contraction (Kiveris et al.,
+    // "Connected Components in MapReduce and Beyond", SoCC 2014) that
+    // replaces min-label propagation's O(diameter) rounds at extreme
+    // scale. large-star hangs every neighbor larger than u off u's
+    // component min; small-star re-hangs the smaller neighbors; the
+    // alternation contracts any graph to min-rooted stars in logarithmic
+    // rounds. Each operation is one groupBy + one join — no windows, no
+    // driver-side graph. Oracle: the same recursive-CTE fixpoint as
+    // `dedup_clusters` (identical output, different algorithm).
+    q("dedup_clusters_star",
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         |labeled AS (
+         |  SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_keeper
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_keeper,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_keeper) AS BIGINT) AS cluster_size,
+         |  doc_id <> cluster_keeper AS is_duplicate
+         |FROM labeled""".stripMargin) { (s, d) =>
+      val pairs = minhashPairs(Tables.documentsParallel(s, d))
+        .select(col("d1"), col("d2"))
+      // symmetric neighbor lists with u's component-min candidate
+      def withMin(e: org.apache.spark.sql.DataFrame) = {
+        val sym = e.filter(col("u") =!= col("v"))
+          .union(e.filter(col("u") =!= col("v")).select(col("v"), col("u")))
+          .distinct()
+        sym.join(
+          sym.groupBy(col("u")).agg(min(col("v")).as("mv")), "u")
+          .withColumn("m", least(col("mv"), col("u")))
+      }
+      // large-star: (v, m) for every neighbor v > u
+      def largeStar(e: org.apache.spark.sql.DataFrame) =
+        withMin(e).filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct()
+      // small-star: m over the ≤-neighborhood; (v, m) for those v plus u
+      def smallStar(e: org.apache.spark.sql.DataFrame) = {
+        val sym = e.filter(col("u") =!= col("v"))
+          .union(e.filter(col("u") =!= col("v")).select(col("v"), col("u")))
+          .distinct()
+        val small = sym.filter(col("v") < col("u"))
+        val m = small.groupBy(col("u")).agg(min(col("v")).as("m"))
+        small.join(m, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m")))
+          .distinct()
+      }
+      var edges = pairs.select(col("d1").as("u"), col("d2").as("v")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 30) {
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        changed = next.except(edges).count() + edges.except(next).count()
+        edges = next
+        rounds += 1
+      }
+      // converged: edges are (node → component-min) stars; roots self-label
+      val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_keeper"))
+        .union(edges.select(col("v"), col("v")).distinct())
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_keeper"))
+      labels.select(col("doc_id"), col("cluster_keeper"),
+        count(lit(1)).over(w).as("cluster_size"),
+        (col("doc_id") =!= col("cluster_keeper")).as("is_duplicate"))
+    },
+
     // ---- SimHash banded hamming join: candidates from 4×8-bit block
     // equality (pigeonhole: hamming ≤ 3 over 4 blocks ⇒ at least one block
     // is identical, so the band join is LOSSLESS for the ≤3 threshold —

@@ -79,6 +79,14 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star clusters == min-label-propagation clusters") {
+    val star = graft.SparkEntry.queries("dedup_clusters_star")(spark, sf0001)
+    val prop = graft.SparkEntry.queries("dedup_clusters")(spark, sf0001)
+    assert(star.count() == prop.count() && star.count() > 0)
+    assert(star.except(prop).count() == 0 && prop.except(star).count() == 0,
+      "the two connected-components algorithms must agree exactly")
+  }
+
   test("simhash of near-identical docs differ in few bits") {
     val sims = graft.SparkEntry.queries("dedup_simhash")(spark, sf0001)
       .select(col("doc_id"), col("simhash")).as[(Long, Long)].collect().toMap
