@@ -44,7 +44,7 @@ object Ingest {
     validateParsed(raw
       .select(from_json(col("value").cast("string"), wireSchema).as("r"))
       .select(col("r.*"))
-      .withColumn("reading_timestamp", to_timestamp(col("reading_timestamp"))))
+      .withColumn("reading_timestamp", try_to_timestamp(col("reading_timestamp"))))
 
   /** Avro record schema of the wire — the binary twin of [[wireSchema]].
     * At real wire volume binary beats JSON (~2-3× smaller payloads, no
@@ -131,7 +131,7 @@ object Ingest {
         }
       }
       .toDF()
-      .withColumn("reading_timestamp", to_timestamp(col("reading_timestamp")))
+      .withColumn("reading_timestamp", try_to_timestamp(col("reading_timestamp")))
     validateParsed(parsed, "ingest_avro")
   }
 
@@ -193,6 +193,64 @@ object Ingest {
       .trigger(trigger)
       .foreachBatch((df: DataFrame, _: Long) => idempotentAppend(df, bronzeDir))
       .start()
+
+  /** Streaming ingest with a DEAD-LETTER channel: one parse per
+    * micro-batch, valid rows idempotently into bronze, rejected payloads
+    * into a quarantine table with the raw wire bytes and a reason —
+    * batch-id-partitioned with dynamic overwrite, so a replayed batch
+    * rewrites its own partition instead of duplicating (replay-idempotent
+    * like the bronze side). The reference only counts failures
+    * (consumer/meter_consumer.py failed-message counters); at 100 TB the
+    * payloads must be kept for reprocessing, not just counted. */
+  def startIngestWithQuarantine(
+      jsonLines: DataFrame,
+      bronzeDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    jsonLines.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchWithQuarantine(batch, batchId, bronzeDir, quarantineDir)
+      }
+      .start()
+
+  /** One micro-batch of the quarantine ingest (exposed for direct
+    * replay testing): parse once, split on validity, bronze-append the
+    * valid side idempotently, dead-letter the rest into the batch's own
+    * partition (dynamic overwrite ⇒ replaying the same batchId rewrites
+    * rather than duplicates). */
+  def ingestBatchWithQuarantine(
+      batch: DataFrame, batchId: Long,
+      bronzeDir: String, quarantineDir: String): Unit = {
+    val parsed = batch.select(
+      col("value").cast("string").as("raw"),
+      from_json(col("value").cast("string"), wireSchema).as("r"))
+      .withColumn("ts", try_to_timestamp(col("r.reading_timestamp")))
+    val ok = col("r.meter_id").isNotNull && col("ts").isNotNull
+    idempotentAppend(
+      parsed.filter(ok)
+        .select(col("r.meter_id"), col("ts").as("reading_timestamp"),
+          col("r.reading_consumption_milliwatts"),
+          col("r.reading_production_milliwatts"), col("r.status")),
+      bronzeDir)
+    // from_json PERMISSIVE yields an all-null struct for garbage input
+    val allNull = col("r.meter_id").isNull &&
+      col("r.reading_timestamp").isNull && col("r.status").isNull &&
+      col("r.reading_consumption_milliwatts").isNull
+    parsed.filter(!ok)
+      .select(col("raw"),
+        when(allNull, "malformed_json")
+          .when(col("r.meter_id").isNull, "missing_meter_id")
+          .otherwise("bad_timestamp").as("reason"),
+        lit(batchId).as("batch_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(quarantineDir)
+  }
 
   // ---- Kafka wiring (S1/S2) — configuration only; this container has no
   // broker, so tests drive the same pipeline through memory/file sources.

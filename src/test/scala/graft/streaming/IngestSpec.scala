@@ -74,6 +74,54 @@ class IngestSpec extends SparkSpec {
     assert(rows.filter(col("meter_id") === 2).count() == 1)
   }
 
+  test("quarantine ingest: valid to bronze, rejects dead-lettered with reasons") {
+    val dir = Files.createTempDirectory("quar").toString
+    val bronze = s"$dir/bronze"
+    val quarantine = s"$dir/quarantine"
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[String]
+    mem.addData(
+      json(1, "2026-01-01T00:00:00+00:00", 100, None, "V"),
+      json(2, "2026-01-01T00:00:00+00:00", 200, Some(50), "V"),
+      """{"reading_timestamp": "2026-01-01T00:00:00+00:00"}""", // no meter_id
+      """{"meter_id": 7, "reading_timestamp": "not-a-time"}""", // bad ts
+      """###garbage###""")
+    val q = Ingest.startIngestWithQuarantine(
+      mem.toDF(), bronze, quarantine, s"$dir/ckpt", Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    assert(spark.read.parquet(bronze).count() == 2)
+    val bad = spark.read.parquet(quarantine)
+    assert(bad.count() == 3)
+    val reasons = bad.select("reason").as[String].collect().sorted.toSeq
+    // '###garbage###' parses to a null struct -> malformed; the no-meter-id
+    // row keeps a struct with a null field
+    assert(reasons == Seq("bad_timestamp", "malformed_json", "missing_meter_id"),
+      reasons.toString)
+    // raw payloads preserved for reprocessing
+    assert(bad.filter(col("raw").contains("garbage")).count() == 1)
+
+    // true replay: the SAME batchId delivered again (checkpoint recovery)
+    // rewrites its own quarantine partition — no duplicates on either side
+    val replay = Seq(
+      json(2, "2026-01-01T00:00:00+00:00", 200, Some(50), "V"),
+      """{"reading_timestamp": "2026-01-01T00:00:00+00:00"}""",
+      json(1, "2026-01-01T00:00:00+00:00", 100, None, "V"),
+      json(1, "2026-01-01T00:00:00+00:00", 100, None, "V"),
+      """{"meter_id": 7, "reading_timestamp": "not-a-time"}""",
+      """###garbage###""").toDF("value")
+    Ingest.ingestBatchWithQuarantine(replay, 0L, bronze, quarantine)
+    assert(spark.read.parquet(bronze).count() == 2, "bronze replay absorbed")
+    assert(spark.read.parquet(quarantine).count() == 3, "quarantine replay rewrote batch 0")
+    // a NEW batch's rejects append under their own batch_id partition
+    Ingest.ingestBatchWithQuarantine(
+      Seq("""###more garbage###""").toDF("value"), 1L, bronze, quarantine)
+    assert(spark.read.parquet(quarantine).count() == 4)
+    assert(spark.read.parquet(quarantine)
+      .filter(col("batch_id") === 1).count() == 1)
+  }
+
   test("streamingDeltas matches batch LAG staging (ST8 ≡ W1/W2)") {
     import graft.meter.{MeterGen, Staging}
     val raw = MeterGen.readings(spark, 5, 24)
