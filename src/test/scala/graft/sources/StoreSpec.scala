@@ -107,6 +107,30 @@ class StoreSpec extends SparkSpec {
       "day-1 chunk must not be rewritten by a day-2 refresh")
   }
 
+  test("schema evolution: old chunks read alongside a widened new chunk") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evolve").toString + "/bronze"
+    // day-1 chunk written before the schema gained `quality_score`
+    Seq((1, "2026-01-01", 100L), (2, "2026-01-01", 200L))
+      .toDF("meter_id", "reading_date", "cons")
+      .write.partitionBy("reading_date").parquet(dir)
+    // day-2 chunk written by the upgraded pipeline (extra nullable column)
+    Seq((1, "2026-01-02", 150L, 0.97), (2, "2026-01-02", 260L, 0.88))
+      .toDF("meter_id", "reading_date", "cons", "quality_score")
+      .write.mode("append").partitionBy("reading_date").parquet(dir)
+
+    val all = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(all.count() == 4)
+    assert(all.columns.contains("quality_score"))
+    // old rows surface NULL for the new column; new rows keep their values
+    assert(all.filter(col("reading_date") === "2026-01-01")
+      .filter(col("quality_score").isNotNull).count() == 0)
+    assert(all.filter(col("reading_date") === "2026-01-02")
+      .filter(col("quality_score").isNull).count() == 0)
+    // aggregations spanning the boundary stay correct
+    assert(all.agg(sum(col("cons"))).head().getLong(0) == 710L)
+  }
+
   test("bucketed tables co-locate the join: zero exchanges in the plan") {
     import graft.ops.Tables
     // bucketBy on the join key at write time = the co-located-join scale
