@@ -222,6 +222,44 @@ object TrainingPipeline {
           substring(col("clean"), -34, 34).as("clean_tail"))
     },
 
+    // ---- sliding-window document chunking: split each doc into
+    // overlapping word windows (size 64, stride 48 — the context-window
+    // segmentation step for long documents, upstream of packing). One
+    // narrow projection + one explode; no shuffle at all before the
+    // harness sink. The chunk CONTENT is verified, not just counts: each
+    // chunk row carries the 60-bit hash of its joined text, which the
+    // oracle recomputes from its own slice arithmetic.
+    q("chunk_documents", {
+      val S = 64; val stride = 48
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |k AS (SELECT doc_id, ws,
+         |        unnest(generate_series(0, (len(ws) - 1) // $stride)) AS kk
+         |      FROM w),
+         |c AS (SELECT doc_id, kk AS chunk_id, kk * $stride AS start_word,
+         |        ws[kk * $stride + 1 : kk * $stride + $S] AS chunk
+         |      FROM k)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(start_word AS BIGINT) AS start_word,
+         |  CAST(len(chunk) AS BIGINT) AS n_chunk_words,
+         |  ${TextHash.h64Sql("array_to_string(chunk, ' ')")} AS chunk_hash
+         |FROM c""".stripMargin
+    }) { (s, d) =>
+      val S = 64; val stride = 48
+      val ws = split(col("text"), " ", -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(expr(s"transform(sequence(0, (size(ws) - 1) div $stride), k -> k)"))
+            .as("chunk_id"))
+        .withColumn("chunk", expr(s"slice(ws, chunk_id * $stride + 1, $S)"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          (col("chunk_id") * stride).cast("long").as("start_word"),
+          size(col("chunk")).cast("long").as("n_chunk_words"),
+          TextHash.h64(array_join(col("chunk"), " ")).as("chunk_hash"))
+    },
+
     // ---- benchmark decontamination: flag training docs sharing any
     // character shingle with the held-out eval set (doc_id % 97 = 0 stands
     // in for the benchmark). The n-gram-overlap contamination check every
