@@ -67,6 +67,47 @@ class FormatsSpec extends SparkSpec {
     assert(out.count() == 8, "the 8 good records survive, the corrupt one drops")
   }
 
+  test("binaryFile source feeds the media decode path from real files on disk") {
+    import graft.llm.{MediaCodec, Multimodal}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("media").toString
+    // write real PPM files the way a media corpus lands on object storage
+    val ids = Seq(0L, 3L, 6L, 9L, 12L)
+    ids.foreach { id =>
+      Files.write(java.nio.file.Paths.get(s"$dir/img_$id.ppm"), MediaCodec.imageFor(id))
+    }
+    val items = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.ppm").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.ppm", 1).cast("long").as("doc_id"),
+        lit("image").as("modality"),
+        col("content"))
+    val dec = Multimodal.decodeMedia(items)
+      .select("doc_id", "width", "height", "value_sum")
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(dec.keySet == ids.toSet)
+    ids.foreach { id =>
+      val (w, h, vs) = dec(id)
+      assert(w == MediaCodec.imgW(id) && h == MediaCodec.imgH(id))
+      val expected = (0 until w * h * 3).map(i => MediaCodec.pixelAt(id, 0, i.toLong).toLong).sum
+      assert(vs == expected, s"doc $id")
+    }
+  }
+
+  test("xml round trip (XmlFileFormat is registered in Spark 4)") {
+    val dir = Files.createTempDirectory("xml").toString + "/t"
+    val src = Tables.nation(spark, sf0001)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    src.write.option("rootTag", "nations").option("rowTag", "nation").xml(dir)
+    val back = spark.read
+      .option("rowTag", "nation")
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .xml(dir)
+    assert(back.count() == src.count())
+    assert(back.except(src).count() == 0 && src.except(back).count() == 0)
+  }
+
   test("json lines round trip with explicit schema") {
     val dir = Files.createTempDirectory("json").toString + "/t"
     val src = Tables.events(spark, sf0001)
