@@ -183,6 +183,33 @@ object MediaCodec {
     }
   }
 
+  // ===================== perceptual hashing =====================
+
+  /** 56-bit difference hash (dHash) of an image: nearest-neighbor resize
+    * to an 8×8 grayscale grid, one bit per adjacent-pixel brightness
+    * comparison (7 per row × 8 rows). 56 bits keeps every shift inside a
+    * non-negative BIGINT — the property the SQL oracle twin needs.
+    * Near-duplicate images differ in few bits; a single-pixel edit flips
+    * at most 2. */
+  def dHash56(img: Image): Long = {
+    val g = resize(img, 8, 8)
+    def gray(x: Int, y: Int): Int = {
+      val i = (y * 8 + x) * 3
+      ((g.values(i) & 0xff) + (g.values(i + 1) & 0xff) + (g.values(i + 2) & 0xff)) / 3
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   // ===================== per-document generation =====================
 
   def imageFor(id: Long): Array[Byte] =

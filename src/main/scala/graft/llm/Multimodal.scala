@@ -174,6 +174,53 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- perceptual-hash image dedup ----
+
+  case class ImgHash(doc_id: Long, dhash: Long)
+
+  /** Per-image 56-bit dHash over the REAL decoded pixels
+    * ([[MediaCodec.dHash56]]): decode → 8×8 grayscale → adjacent-pixel
+    * comparison bits. Partition-preserving; no shuffle. */
+  def imageDHashes(items: DataFrame): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.filter(col("modality") === "image")
+      .select(col("doc_id"), col("modality"), col("content")).as[MMItem]
+      .mapPartitions(_.map { r =>
+        val (img, _) = decodePpm(r.content, 0)
+        ImgHash(r.doc_id, dHash56(img))
+      })
+      .toDF()
+  }
+
+  /** Image near-duplicate pairs by banded hamming join over the dHash:
+    * 4×14-bit blocks — by pigeonhole, hamming ≤ 3 over 4 blocks implies
+    * at least one identical block, so the block-bucket join is LOSSLESS
+    * for the ≤3 threshold (same argument as the SimHash text variant).
+    * The only joins are block-key equality buckets; verification is a
+    * popcount on the pair. */
+  def imagePairsByDHash(items: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x14 blocks are only lossless up to hamming 3")
+    val hashed = imageDHashes(items)
+    val blockCols = (0 until 4).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("dhash"), 14 * b).bitwiseAND(16383).as("key"))
+    }
+    val blocks = hashed
+      .select(col("doc_id"), col("dhash"), explode(array(blockCols: _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.dhash").as("h1"), col("y.dhash").as("h2"))
+      .distinct()
+      .select(col("d1"), col("d2"),
+        expr("bit_count(h1 ^ h2)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- resize stage: decode → nearest-neighbor scale → re-encode ----
 
   case class MMResized(doc_id: Long, modality: String, content: Array[Byte],
@@ -374,6 +421,40 @@ object Multimodal {
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
           sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"),
           sum(when(col("ok"), col("value_sum")).otherwise(0L)).as("ok_value_sum"))
+    },
+
+    // ---- perceptual hash over real decoded pixels: the oracle restates
+    // the whole decode→8×8-resize→grayscale→comparison-bit chain as
+    // closed-form arithmetic — a drift anywhere in codec, scaler, or bit
+    // packing diverges. Block keys are the banded-hamming-join bucketing
+    // columns ([[imagePairsByDHash]])
+    q("mm_image_dhash", {
+      def gray(x: String) =
+        s"""((doc_id*31 + (((Y*h)//8)*w + (($x*w)//8))*3) % 256
+           | + (doc_id*31 + (((Y*h)//8)*w + (($x*w)//8))*3 + 1) % 256
+           | + (doc_id*31 + (((Y*h)//8)*w + (($x*w)//8))*3 + 2) % 256) // 3""".stripMargin
+      s"""WITH $paramsCte,
+         |img AS (SELECT doc_id, w, h FROM m WHERE modality = 'image'),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 8), Y ->
+         |      list_sum(list_transform(range(0, 7), X ->
+         |        CASE WHEN (${gray("(X+1)")}) > (${gray("X")})
+         |          THEN (CAST(1 AS BIGINT) << (Y*7 + X)) ELSE 0 END)))) AS BIGINT) AS dhash
+         |  FROM img)
+         |SELECT doc_id, dhash,
+         |  CAST((dhash >> 0) & 16383 AS BIGINT) AS b0,
+         |  CAST((dhash >> 14) & 16383 AS BIGINT) AS b1,
+         |  CAST((dhash >> 28) & 16383 AS BIGINT) AS b2,
+         |  CAST((dhash >> 42) & 16383 AS BIGINT) AS b3
+         |FROM hashed""".stripMargin
+    }) { (s, d) =>
+      imageDHashes(corpus(s, d)).select(
+        col("doc_id"), col("dhash"),
+        shiftright(col("dhash"), 0).bitwiseAND(16383).cast("long").as("b0"),
+        shiftright(col("dhash"), 14).bitwiseAND(16383).cast("long").as("b1"),
+        shiftright(col("dhash"), 28).bitwiseAND(16383).cast("long").as("b2"),
+        shiftright(col("dhash"), 42).bitwiseAND(16383).cast("long").as("b3"))
     },
 
     // ---- the full chain: generate → decode → nearest-neighbor resize to

@@ -238,6 +238,41 @@ class LlmSpec extends SparkSpec {
     assert(clean.except(okVals).count() == 0 && okVals.except(clean).count() == 0)
   }
 
+  test("image dHash dedup: planted near-dup found; banded join lossless at <=3") {
+    import MediaCodec._
+    // large base image so one pixel edit maps to one 8x8 grid cell
+    val base = encodePpm(16, 16, i => ((i * 37 + 11) % 256).toInt)
+    val (img, _) = decodePpm(base, 0)
+    val edited = img.values.clone()
+    val pi = ((2 * 16 + 2) * 3) // pixel (2,2), sampled only at grid (1,1)
+    edited(pi) = ((edited(pi) & 0xff) ^ 0x7f).toByte
+    val variant = encodePpm(16, 16, i => edited(i.toInt) & 0xff)
+    val other = encodePpm(16, 16, i => ((i * 91 + 5) % 256).toInt)
+    val items = Seq(
+      Multimodal.MMItem(1L, "image", base),
+      Multimodal.MMItem(2L, "image", variant),
+      Multimodal.MMItem(3L, "image", other)).toDF()
+    val pairs = Multimodal.imagePairsByDHash(items)
+      .select(col("d1"), col("d2"), col("hamming")).as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the planted pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 <= 2, "single-cell edit flips at most 2 comparison bits")
+
+    // losslessness on the real corpus: banded join == brute force at <=3
+    val corpus = Multimodal.corpus(spark, sf0001)
+    val hashes = Multimodal.imageDHashes(corpus)
+      .select(col("doc_id"), col("dhash")).as[(Long, Long)].collect()
+    val expected = (for {
+      (a, ha) <- hashes.iterator
+      (b, hb) <- hashes.iterator
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val banded = Multimodal.imagePairsByDHash(corpus)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+    assert(banded == expected,
+      s"missed=${(expected -- banded).take(3)} extra=${(banded -- expected).take(3)}")
+  }
+
   test("multimodal decode: parses real bytes per modality, deterministic") {
     val corpus = Multimodal.corpus(spark, sf0001)
     val dec = Multimodal.decodeMedia(corpus)
