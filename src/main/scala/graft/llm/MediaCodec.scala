@@ -210,6 +210,30 @@ object MediaCodec {
     h
   }
 
+  /** 28-bit audio fingerprint: 29 evenly-spaced 8-sample windows over the
+    * decoded PCM, one bit per adjacent-window energy comparison (energy =
+    * Σ|sample|, an exact integer — so the SQL oracle twin reproduces the
+    * hash bit-for-bit). The audio analogue of [[dHash56]]: robust to
+    * amplitude-preserving edits, cheap to band into bucket joins. */
+  def audioFingerprint28(a: Audio): Long = {
+    val ns = a.samples.length
+    def energy(b: Int): Long = {
+      val p = b * ns / 29
+      val end = math.min(p + 8, ns)
+      var s = 0L
+      var j = p
+      while (j < end) { s += math.abs(a.samples(j).toLong); j += 1 }
+      s
+    }
+    var h = 0L
+    var b = 0
+    while (b < 28) {
+      if (energy(b + 1) > energy(b)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
   // ===================== per-document generation =====================
 
   def imageFor(id: Long): Array[Byte] =

@@ -457,6 +457,45 @@ object Multimodal {
         shiftright(col("dhash"), 42).bitwiseAND(16383).cast("long").as("b3"))
     },
 
+    // ---- audio fingerprint over real decoded PCM: the energy-envelope
+    // hash ([[MediaCodec.audioFingerprint28]]) restated closed-form by the
+    // oracle — windows, |sample| energies, and comparison bits all exact
+    // integer arithmetic
+    q("mm_audio_fingerprint", {
+      def energy(b: String) =
+        s"""list_sum(list_transform(
+           |  range(($b)*ns//29, least(($b)*ns//29 + 8, ns)),
+           |  j -> abs((doc_id*7 + j*13) % 4096 - 2048)))""".stripMargin
+      s"""WITH $paramsCte,
+         |aud AS (SELECT doc_id, ns FROM m WHERE modality = 'audio'),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 28), b ->
+         |      CASE WHEN (${energy("b+1")}) > (${energy("b")})
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS afp
+         |  FROM aud)
+         |SELECT doc_id, afp,
+         |  CAST((afp >> 0) & 127 AS BIGINT) AS b0,
+         |  CAST((afp >> 7) & 127 AS BIGINT) AS b1,
+         |  CAST((afp >> 14) & 127 AS BIGINT) AS b2,
+         |  CAST((afp >> 21) & 127 AS BIGINT) AS b3
+         |FROM fp""".stripMargin
+    }) { (s, d) =>
+      val spark0 = s
+      import spark0.implicits._
+      corpus(s, d).filter(col("modality") === "audio")
+        .select(col("doc_id"), col("modality"), col("content")).as[MMItem]
+        .mapPartitions(_.map { r =>
+          ImgHash(r.doc_id, audioFingerprint28(decodeWav(r.content)))
+        })
+        .toDF("doc_id", "afp")
+        .select(col("doc_id"), col("afp"),
+          shiftright(col("afp"), 0).bitwiseAND(127).cast("long").as("b0"),
+          shiftright(col("afp"), 7).bitwiseAND(127).cast("long").as("b1"),
+          shiftright(col("afp"), 14).bitwiseAND(127).cast("long").as("b2"),
+          shiftright(col("afp"), 21).bitwiseAND(127).cast("long").as("b3"))
+    },
+
     // ---- the full chain: generate → decode → nearest-neighbor resize to
     // 8×6 → re-encode → decode AGAIN → aggregate. The oracle states the
     // nearest-neighbor source-index arithmetic directly; any error in
