@@ -42,6 +42,21 @@ object Multimodal {
   private val ppmSizeSql =
     "9 + len(CAST(w AS VARCHAR)) + len(CAST(h AS VARCHAR)) + 3*w*h"
 
+  /** Closed-form 56-bit dHash of one frame whose pixel byte `idx` is
+    * `(base + idx) % 256` (base = `doc_id*31` for images, plus `f*97` per
+    * video frame) — mirrors [[MediaCodec.dHash56]] over the `w`/`h`
+    * columns in scope. */
+  private def dhashSql(base: String): String = {
+    def gray(x: String) =
+      s"""(($base + (((Y*h)//8)*w + (($x*w)//8))*3) % 256
+         | + ($base + (((Y*h)//8)*w + (($x*w)//8))*3 + 1) % 256
+         | + ($base + (((Y*h)//8)*w + (($x*w)//8))*3 + 2) % 256) // 3""".stripMargin
+    s"""CAST(list_sum(list_transform(range(0, 8), Y ->
+       |  list_sum(list_transform(range(0, 7), X ->
+       |    CASE WHEN (${gray("(X+1)")}) > (${gray("X")})
+       |      THEN (CAST(1 AS BIGINT) << (Y*7 + X)) ELSE 0 END)))) AS BIGINT)""".stripMargin
+  }
+
   /** Encoded payload size per modality (PPM / 44-byte RIFF header + PCM16 /
     * 8-byte GRV0 header + nf frames). */
   private val sizeSql =
@@ -429,18 +444,10 @@ object Multimodal {
     // packing diverges. Block keys are the banded-hamming-join bucketing
     // columns ([[imagePairsByDHash]])
     q("mm_image_dhash", {
-      def gray(x: String) =
-        s"""((doc_id*31 + (((Y*h)//8)*w + (($x*w)//8))*3) % 256
-           | + (doc_id*31 + (((Y*h)//8)*w + (($x*w)//8))*3 + 1) % 256
-           | + (doc_id*31 + (((Y*h)//8)*w + (($x*w)//8))*3 + 2) % 256) // 3""".stripMargin
       s"""WITH $paramsCte,
          |img AS (SELECT doc_id, w, h FROM m WHERE modality = 'image'),
          |hashed AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0, 8), Y ->
-         |      list_sum(list_transform(range(0, 7), X ->
-         |        CASE WHEN (${gray("(X+1)")}) > (${gray("X")})
-         |          THEN (CAST(1 AS BIGINT) << (Y*7 + X)) ELSE 0 END)))) AS BIGINT) AS dhash
+         |  SELECT doc_id, ${dhashSql("doc_id*31")} AS dhash
          |  FROM img)
          |SELECT doc_id, dhash,
          |  CAST((dhash >> 0) & 16383 AS BIGINT) AS b0,
@@ -455,6 +462,38 @@ object Multimodal {
         shiftright(col("dhash"), 14).bitwiseAND(16383).cast("long").as("b1"),
         shiftright(col("dhash"), 28).bitwiseAND(16383).cast("long").as("b2"),
         shiftright(col("dhash"), 42).bitwiseAND(16383).cast("long").as("b3"))
+    },
+
+    // ---- video near-dup by shared frame hashes: every decoded frame gets
+    // a dHash; videos sharing any frame hash become candidate pairs with
+    // their shared-frame count — the frame-level containment signal video
+    // dedup pipelines use. Only joins on the frame-hash bucket (cost
+    // tracks true collisions, never all video pairs)
+    q("mm_video_framehash_overlap",
+      s"""WITH $paramsCte,
+         |vid AS (SELECT doc_id, w, h, nf FROM m WHERE modality = 'video'),
+         |vf AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM vid),
+         |hashed AS (
+         |  SELECT doc_id, f, ${dhashSql("(doc_id*31 + f*97)")} AS fh
+         |  FROM vf)
+         |SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_shared_frames
+         |FROM hashed x JOIN hashed y ON x.fh = y.fh AND x.doc_id < y.doc_id
+         |GROUP BY x.doc_id, y.doc_id""".stripMargin) { (s, d) =>
+      val spark0 = s
+      import spark0.implicits._
+      val frames = corpus(s, d).filter(col("modality") === "video")
+        .select(col("doc_id"), col("modality"), col("content")).as[MMItem]
+        .mapPartitions(_.flatMap { r =>
+          decodeVideo(r.content).zipWithIndex.map { case (img, f) =>
+            (r.doc_id, f, dHash56(img))
+          }
+        })
+        .toDF("doc_id", "f", "fh")
+      frames.as("x")
+        .join(frames.as("y"),
+          col("x.fh") === col("y.fh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared_frames"))
     },
 
     // ---- audio fingerprint over real decoded PCM: the energy-envelope
