@@ -54,7 +54,7 @@ object Dedup {
     // ("already cached" warnings, storage growth over a 90-query bench).
     // Checkpoint blocks are dropped by the ContextCleaner once the query's
     // frames are garbage-collected; nothing survives in the catalog.
-    val sigs = sigsOf(docs).localCheckpoint()
+    val sigs = sigsOf(docs).localCheckpoint(eager = false)
     val bandCols = (0 until bandsCount).map { b =>
       val key = (1 until BandRows).foldLeft(col(s"s${b * BandRows}")) {
         (acc, r) => acc * 31 + col(s"s${b * BandRows + r}")
@@ -145,7 +145,7 @@ object Dedup {
         .select(col("doc_id"),
           sort_array(shingleHashArray(col("text"))).as("hs"))
         .withColumn("n", size(col("hs")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val hs = ds.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
       val freq = hs.groupBy(col("h")).agg(count(lit(1)).as("f"))
       // r = the token's position in the doc's full rarest-first order —
@@ -236,10 +236,10 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(col("d2"), col("d1")))
         .toDF("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 20) {
@@ -247,7 +247,7 @@ object Dedup {
           .select(col("src").as("node"), col("label"))
         val next = labels.unionByName(viaNeighbors)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         changed = next.as("n")
           .join(labels.as("o"), col("n.node") === col("o.node"))
           .filter(col("n.label") =!= col("o.label")).count()
@@ -316,11 +316,11 @@ object Dedup {
           .union(m.select(col("u"), col("m")))
           .distinct()
       }
-      var edges = pairs.select(col("d1").as("u"), col("d2").as("v")).localCheckpoint()
+      var edges = pairs.select(col("d1").as("u"), col("d2").as("v")).localCheckpoint(eager = false)
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 30) {
-        val next = smallStar(largeStar(edges)).localCheckpoint()
+        val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
         changed = next.except(edges).count() + edges.except(next).count()
         edges = next
         rounds += 1
@@ -363,7 +363,7 @@ object Dedup {
       val sig = Tables.documentsParallel(s, d)
         .select(col("doc_id"),
           graft.functions.SimHashBits(shingleHashArray(col("text"))).as("simhash"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val blockCols = (0 until 4).map { b =>
         struct(lit(b).as("blk"),
           (expr(s"simhash div ${1L << (8 * b)}") % 256).as("key"))

@@ -64,11 +64,14 @@ object MediaCodec {
   /** Parse one P6 image starting at `off`; returns it plus the offset one
     * past its pixel data (so concatenated frames parse sequentially). */
   def decodePpm(bytes: Array[Byte], off: Int): (Image, Int) = {
-    require(bytes(off) == 'P' && bytes(off + 1) == '6', "not a P6 PPM")
+    require(off + 2 <= bytes.length && bytes(off) == 'P' && bytes(off + 1) == '6',
+      "not a P6 PPM")
     var p = off + 2
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
     def readInt(): Int = {
-      while (isWs(bytes(p))) p += 1
+      while (p < bytes.length && isWs(bytes(p))) p += 1
+      require(p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9',
+        "truncated PPM header")
       var v = 0
       while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
         v = v * 10 + (bytes(p) - '0'); p += 1
@@ -76,6 +79,7 @@ object MediaCodec {
       v
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
+    require(w > 0 && h > 0, s"degenerate PPM dimensions ${w}x$h")
     require(maxv == 255, s"unsupported maxval $maxv")
     p += 1 // exactly one whitespace byte separates maxval from pixel data
     val n = w * h * 3
@@ -159,6 +163,8 @@ object MediaCodec {
       } else {
         bb.position(bb.position() + len)
       }
+      // RIFF chunks are word-aligned: an odd payload carries one pad byte
+      if ((len & 1) == 1 && bb.remaining() > 0) bb.position(bb.position() + 1)
     }
     Audio(rate, ch, samples)
   }
@@ -175,8 +181,10 @@ object MediaCodec {
   }
 
   def decodeVideo(bytes: Array[Byte]): IndexedSeq[Image] = {
-    require(new String(bytes, 0, 4, US_ASCII) == VideoMagic, "not a GRV0 stream")
+    require(bytes.length >= 8 && new String(bytes, 0, 4, US_ASCII) == VideoMagic,
+      "not a GRV0 stream")
     val n = ByteBuffer.wrap(bytes, 4, 4).getInt
+    require(n >= 0, s"corrupt GRV0 frame count $n") // negative = garbled header
     var off = 8
     (0 until n).map { _ =>
       val (img, next) = decodePpm(bytes, off); off = next; img

@@ -98,6 +98,26 @@ object Multimodal {
   case class MMDecoded(doc_id: Long, modality: String, n_bytes: Long, width: Int,
       height: Int, channels: Int, n_frames: Int, n_values: Long, value_sum: Long)
 
+  /** Decode one record — the single source of truth both the failing and
+    * quarantining variants share. */
+  private def decodeOne(r: MMItem): MMDecoded = r.modality match {
+    case "image" =>
+      val (img, _) = decodePpm(r.content, 0)
+      MMDecoded(r.doc_id, r.modality, r.content.length, img.width, img.height,
+        img.channels, 1, img.values.length.toLong, img.valueSum)
+    case "audio" =>
+      val a = decodeWav(r.content)
+      MMDecoded(r.doc_id, r.modality, r.content.length, 0, 0,
+        a.channels, 0, a.samples.length.toLong, a.valueSum)
+    case _ =>
+      val frames = decodeVideo(r.content)
+      val head = frames.head
+      MMDecoded(r.doc_id, r.modality, r.content.length, head.width, head.height,
+        head.channels, frames.length,
+        frames.iterator.map(_.values.length.toLong).sum,
+        frames.iterator.map(_.valueSum).sum)
+  }
+
   /** Codec-backed decode: PPM header parse / RIFF chunk walk / GRV0 frame
     * walk on the payload bytes only. Partition-preserving, batch-shaped,
     * shuffle-free — the stage a GPU/codec-backed decoder drops into. */
@@ -105,25 +125,7 @@ object Multimodal {
     val spark = items.sparkSession
     import spark.implicits._
     items.select(col("doc_id"), col("modality"), col("content")).as[MMItem]
-      .mapPartitions(_.map { r =>
-        r.modality match {
-          case "image" =>
-            val (img, _) = decodePpm(r.content, 0)
-            MMDecoded(r.doc_id, r.modality, r.content.length, img.width, img.height,
-              img.channels, 1, img.values.length.toLong, img.valueSum)
-          case "audio" =>
-            val a = decodeWav(r.content)
-            MMDecoded(r.doc_id, r.modality, r.content.length, 0, 0,
-              a.channels, 0, a.samples.length.toLong, a.valueSum)
-          case _ =>
-            val frames = decodeVideo(r.content)
-            val head = frames.head
-            MMDecoded(r.doc_id, r.modality, r.content.length, head.width, head.height,
-              head.channels, frames.length,
-              frames.iterator.map(_.values.length.toLong).sum,
-              frames.iterator.map(_.valueSum).sum)
-        }
-      })
+      .mapPartitions(_.map(decodeOne))
       .toDF()
   }
 
@@ -144,24 +146,9 @@ object Multimodal {
     items.select(col("doc_id"), col("modality"), col("content")).as[MMItem]
       .mapPartitions(_.map { r =>
         try {
-          r.modality match {
-            case "image" =>
-              val (img, _) = decodePpm(r.content, 0)
-              MMDecodeResult(r.doc_id, r.modality, true, "", r.content.length,
-                img.width, img.height, img.channels, 1,
-                img.values.length.toLong, img.valueSum)
-            case "audio" =>
-              val a = decodeWav(r.content)
-              MMDecodeResult(r.doc_id, r.modality, true, "", r.content.length,
-                0, 0, a.channels, 0, a.samples.length.toLong, a.valueSum)
-            case _ =>
-              val frames = decodeVideo(r.content)
-              val head = frames.head
-              MMDecodeResult(r.doc_id, r.modality, true, "", r.content.length,
-                head.width, head.height, head.channels, frames.length,
-                frames.iterator.map(_.values.length.toLong).sum,
-                frames.iterator.map(_.valueSum).sum)
-          }
+          val d = decodeOne(r)
+          MMDecodeResult(d.doc_id, d.modality, true, "", d.n_bytes, d.width,
+            d.height, d.channels, d.n_frames, d.n_values, d.value_sum)
         } catch {
           case scala.util.control.NonFatal(e) =>
             MMDecodeResult(r.doc_id, r.modality, false,

@@ -240,7 +240,7 @@ object Similarity {
          |  FROM cand JOIN qn a ON v1 = a.vec_id JOIN qn b ON v2 = b.vec_id)
          |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin) { (s, d) =>
       // localCheckpoint (GC-scoped), not cache: see Dedup.minhashPairs
-      val qe = quantized(s, d).localCheckpoint()
+      val qe = quantized(s, d).localCheckpoint(eager = false)
       val cents = lloydCentroids(qe, CentroidK, CentroidIters)
       val cells = qe.crossJoin(broadcast(cents))
         .withColumn("ccos",
@@ -318,7 +318,7 @@ object Similarity {
     }) { (s, d) =>
       // qe feeds the band explode + both verify sides: materialize the small
       // frame once (localCheckpoint — GC-scoped, no CacheManager entry)
-      val qe = quantized(s, d).localCheckpoint()
+      val qe = quantized(s, d).localCheckpoint(eager = false)
       val bandCols = (0 until DedupBands).map { t =>
         val key = (0 until DedupBits).map { r =>
           when(graft.functions.FixedPointDot(col("qv"),
@@ -401,7 +401,7 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, vec_id, label, cell, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin) {
       (s, d) =>
-        val qe = quantized(s, d).localCheckpoint() // feeds centroids + assignment + probe
+        val qe = quantized(s, d).localCheckpoint(eager = false) // feeds centroids + assignment + probe
         val cents = lloydCentroids(qe, CentroidK, CentroidIters)
         // same hash-aggregate argmax as the Lloyd assignment (no window)
         val assigned = qe.crossJoin(broadcast(cents))

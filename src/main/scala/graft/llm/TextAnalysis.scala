@@ -170,10 +170,18 @@ object TextAnalysis {
       val ws = words(col("text"))
       val nw = size(ws)
       val nd = size(array_distinct(ws))
-      // max per-word count without exploding: for each distinct word,
-      // count its occurrences inside the array (codegen'd HOFs)
-      val topCnt = array_max(transform(array_distinct(ws),
-        w => size(filter(ws, x => x === w))))
+      // max per-word count map-side in O(n log n): sort the word array,
+      // then one aggregate pass tracking the longest equal-run (the
+      // distinct×filter formulation is O(n_distinct · n_words) — quadratic
+      // on exactly the long boilerplate docs this signal targets)
+      val topCnt = expr(
+        """aggregate(array_sort(split(text, ' ', -1)),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x <=> a.prev, a.run + 1, 1),
+          |    'best', GREATEST(a.best, IF(x <=> a.prev, a.run + 1, 1))),
+          |  a -> a.best)""".stripMargin)
       Tables.documents(s, d).select(
         col("doc_id"),
         nw.as("n_words"),

@@ -225,10 +225,14 @@ object Ingest {
   def ingestBatchWithQuarantine(
       batch: DataFrame, batchId: Long,
       bronzeDir: String, quarantineDir: String): Unit = {
+    // materialize once: two sinks consume this frame, and without it each
+    // write re-reads the micro-batch source and re-runs from_json (the
+    // classic foreachBatch multi-sink pitfall)
     val parsed = batch.select(
       col("value").cast("string").as("raw"),
       from_json(col("value").cast("string"), wireSchema).as("r"))
       .withColumn("ts", try_to_timestamp(col("r.reading_timestamp")))
+      .localCheckpoint()
     val ok = col("r.meter_id").isNotNull && col("ts").isNotNull
     idempotentAppend(
       parsed.filter(ok)
@@ -244,6 +248,7 @@ object Ingest {
       .select(col("raw"),
         when(allNull, "malformed_json")
           .when(col("r.meter_id").isNull, "missing_meter_id")
+          .when(col("r.reading_timestamp").isNull, "missing_timestamp")
           .otherwise("bad_timestamp").as("reason"),
         lit(batchId).as("batch_id"))
       .write.mode("overwrite")

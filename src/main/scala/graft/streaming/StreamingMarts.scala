@@ -55,17 +55,23 @@ object StreamingMarts {
   /** Stream-stream pricing (SURVEY.md §2.8 ST7 extension, the only
     * stream-stream join shape with bounded state): a live reading stream
     * joined to a live per-zone tariff-update stream under event-time
-    * bounds — each reading matches the update whose validity window
-    * `[update_ts, update_ts + validity)` covers it in its grid zone.
+    * bounds. A reading is CANDIDATE-matched to every update whose validity
+    * window `[update_ts, update_ts + validity)` covers it in its zone, and
+    * then priced exactly once against the LATEST such update (overlapping
+    * updates — issued faster than the validity window — must not bill
+    * twice): an event-time-keyed streaming argmax aggregation downstream
+    * of the join (chained stateful operators; Spark propagates the
+    * watermark through the join into the aggregation state). Readings with
+    * no covering update are unpriceable and do not emit.
     *
     * Composition: stream-STATIC broadcast join (reading → zone via the
-    * meter dim, map-side) feeding a stream-STREAM interval join on
-    * (zone, time-range). Both sides are watermarked, so join state is
-    * dropped once the watermark passes the range bound — per-key state is
-    * O(validity window), never unbounded. Updates arriving later than
-    * `updateWm` (and readings later than `readingWm`) are dropped, which
-    * is the explicit late-data contract (the reference has none,
-    * README.md:134).
+    * meter dim, map-side) → stream-STREAM interval join on (zone,
+    * time-range) → watermarked per-reading argmax. All state is
+    * watermark-bounded: join state by the range bound, aggregation state
+    * by the reading watermark. Rows behind the watermarks are dropped —
+    * the explicit late-data contract (the reference has none,
+    * README.md:134). Emission is append-mode: a priced reading finalizes
+    * when the watermark passes its event time.
     *
     * @param deltas streaming per-reading deltas with reading_timestamp,
     *               meter_id, consumption_delta_mwh
@@ -86,10 +92,14 @@ object StreamingMarts {
         expr(s"""grid_zone_id = u_zone
                  AND reading_timestamp >= update_ts
                  AND reading_timestamp < update_ts + INTERVAL $validity"""))
+      .groupBy(col("reading_timestamp"), col("meter_id"), col("grid_zone_id"),
+        col("consumption_delta_mwh"))
+      .agg(max(struct(col("update_ts"), col("rate_per_kwh"))).as("m"))
       .select(
         col("reading_timestamp"), col("meter_id"), col("grid_zone_id"),
-        col("update_ts").as("tariff_effective_ts"), col("rate_per_kwh"),
-        (col("consumption_delta_mwh") / 1000000.0 * col("rate_per_kwh"))
+        col("m.update_ts").as("tariff_effective_ts"),
+        col("m.rate_per_kwh").as("rate_per_kwh"),
+        (col("consumption_delta_mwh") / 1000000.0 * col("m.rate_per_kwh"))
           .as("consumption_charge"))
 
   /** Streaming twin of the daily customer billing mart

@@ -86,6 +86,7 @@ class IngestSpec extends SparkSpec {
       json(2, "2026-01-01T00:00:00+00:00", 200, Some(50), "V"),
       """{"reading_timestamp": "2026-01-01T00:00:00+00:00"}""", // no meter_id
       """{"meter_id": 7, "reading_timestamp": "not-a-time"}""", // bad ts
+      """{"meter_id": 9, "status": "V"}""", // ts field absent entirely
       """###garbage###""")
     val q = Ingest.startIngestWithQuarantine(
       mem.toDF(), bronze, quarantine, s"$dir/ckpt", Trigger.AvailableNow())
@@ -93,12 +94,13 @@ class IngestSpec extends SparkSpec {
 
     assert(spark.read.parquet(bronze).count() == 2)
     val bad = spark.read.parquet(quarantine)
-    assert(bad.count() == 3)
+    assert(bad.count() == 4)
     val reasons = bad.select("reason").as[String].collect().sorted.toSeq
     // '###garbage###' parses to a null struct -> malformed; the no-meter-id
-    // row keeps a struct with a null field
-    assert(reasons == Seq("bad_timestamp", "malformed_json", "missing_meter_id"),
-      reasons.toString)
+    // row keeps a struct with a null field; an absent ts field is reported
+    // as missing, not as a parse failure
+    assert(reasons == Seq("bad_timestamp", "malformed_json",
+      "missing_meter_id", "missing_timestamp"), reasons.toString)
     // raw payloads preserved for reprocessing
     assert(bad.filter(col("raw").contains("garbage")).count() == 1)
 

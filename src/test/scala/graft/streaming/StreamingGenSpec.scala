@@ -286,20 +286,32 @@ class StreamingGenSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       val zones = meters.select("meter_id", "grid_zone_id").as[(Int, Int)].collect().toMap
-      // tariff updates for every zone at 00:00 and 01:00; readings across 3 hours
+      // tariff updates at 00:00 and 01:00 everywhere, PLUS an overlapping
+      // 00:30 correction in meter 1's zone: its 00:20 readings stay on the
+      // 00:00 rate, but any reading in [00:30, 01:00) must take the
+      // correction — and must NOT be billed twice
+      val z1 = zones(1)
       val updateRows = zones.values.toSeq.distinct.flatMap(z =>
-        Seq((z, t("2026-01-01 00:00:00"), 0.25), (z, t("2026-01-01 01:00:00"), 0.30)))
+        Seq((z, t("2026-01-01 00:00:00"), 0.25), (z, t("2026-01-01 01:00:00"), 0.30))) :+
+        ((z1, t("2026-01-01 00:30:00"), 0.27))
       val readingRows = (1 to nMeters.toInt).flatMap(m => Seq(
         (t("2026-01-01 00:20:00"), m, 4000000L),
-        (t("2026-01-01 01:40:00"), m, 2000000L),
+        (t("2026-01-01 00:45:00"), m, 3000000L), // overlap regime in z1
         (t("2026-01-01 02:30:00"), m, 1000000L))) // no update covers hour 2
       updatesMem.addData(updateRows)
       readingsMem.addData(readingRows)
       q.processAllAvailable()
+      // advance both watermarks so every hour-0 reading finalizes
+      // (append-mode: priced rows emit when the watermark passes them)
+      updatesMem.addData((z1, t("2026-01-01 09:00:00"), 0.40))
+      readingsMem.addData((t("2026-01-01 09:30:00"), 1, 1000000L))
+      q.processAllAvailable()
 
       val got = spark.table("priced_out")
-        .select("meter_id", "tariff_effective_ts", "rate_per_kwh", "consumption_charge")
-      // the SAME join expressed in batch is the oracle
+        .select("meter_id", "reading_timestamp", "tariff_effective_ts",
+          "rate_per_kwh", "consumption_charge")
+      // oracle: the same join in batch, reduced to the LATEST covering
+      // update per reading (overlap must not double-bill)
       val batch = readingRows.toDF("reading_timestamp", "meter_id", "consumption_delta_mwh")
         .join(broadcast(meters.select(col("meter_id"), col("grid_zone_id"))), Seq("meter_id"))
         .join(updateRows.toDF("grid_zone_id", "update_ts", "rate_per_kwh")
@@ -307,19 +319,24 @@ class StreamingGenSpec extends SparkSpec {
           expr("""grid_zone_id = u_zone
                   AND reading_timestamp >= update_ts
                   AND reading_timestamp < update_ts + INTERVAL 1 HOUR"""))
-        .select(col("meter_id"), col("update_ts").as("tariff_effective_ts"),
-          col("rate_per_kwh"),
-          (col("consumption_delta_mwh") / 1000000.0 * col("rate_per_kwh"))
+        .groupBy(col("reading_timestamp"), col("meter_id"), col("consumption_delta_mwh"))
+        .agg(max(struct(col("update_ts"), col("rate_per_kwh"))).as("m"))
+        .select(col("meter_id"), col("reading_timestamp"),
+          col("m.update_ts").as("tariff_effective_ts"),
+          col("m.rate_per_kwh").as("rate_per_kwh"),
+          (col("consumption_delta_mwh") / 1000000.0 * col("m.rate_per_kwh"))
             .as("consumption_charge"))
-      assert(got.count() == nMeters * 2, "hour-2 readings must not match any update")
+      // hour-2 readings never price; one row per priced reading, never two
+      assert(got.count() == nMeters * 2, s"got ${got.count()}")
+      assert(got.groupBy("meter_id", "reading_timestamp").count()
+        .filter(col("count") > 1).count() == 0, "a reading was billed twice")
       assert(got.except(batch).count() == 0 && batch.except(got).count() == 0,
-        "stream-stream join diverged from the batch join")
+        "stream-stream pricing diverged from the batch argmax join")
+      // the overlapping correction won in z1 for the 00:45 reading
+      assert(got.filter(col("meter_id") === 1 &&
+        col("reading_timestamp") === t("2026-01-01 00:45:00"))
+        .head().getAs[Double]("rate_per_kwh") == 0.27)
 
-      // advance both watermarks far past hour 0, then replay an hour-0
-      // reading: its join state is evicted, the late row joins nothing
-      updatesMem.addData((zones(1), t("2026-01-01 09:00:00"), 0.40))
-      readingsMem.addData((t("2026-01-01 09:30:00"), 1, 1000000L))
-      q.processAllAvailable()
       val afterAdvance = spark.table("priced_out").count()
       readingsMem.addData((t("2026-01-01 00:25:00"), 1, 9000000L)) // 9.5h late
       q.processAllAvailable()
