@@ -40,6 +40,31 @@ object Store {
   def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
     readBronze(spark, dir).filter(col("reading_date") === lit(day).cast("date"))
 
+  /** Retention enforcement — the TimescaleDB `drop_chunks` / Kafka 7-day
+    * topic-retention analogue (docker-compose.yml:36-42): whole
+    * `reading_date=` partition directories strictly older than `cutoff`
+    * are deleted. Partition-level deletes only — no scan, no rewrite;
+    * surviving chunks keep their files byte-identical. Returns the dropped
+    * chunk dates (for the maintenance job's audit log). */
+  def dropChunksOlderThan(dir: String, cutoff: String): Seq[String] = {
+    val cutoffDate = java.time.LocalDate.parse(cutoff)
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    val prefix = "reading_date="
+    val dropped = java.nio.file.Files.list(root).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith(prefix))
+      .filter { p =>
+        java.time.LocalDate.parse(p.getFileName.toString.stripPrefix(prefix))
+          .isBefore(cutoffDate)
+      }
+    dropped.foreach { p =>
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    dropped.map(_.getFileName.toString.stripPrefix(prefix)).sorted
+  }
+
   /** Mart materialization: full refresh, chunked by its date/hour grain. */
   def writeMart(mart: DataFrame, dir: String, partitionCol: String): Unit =
     mart

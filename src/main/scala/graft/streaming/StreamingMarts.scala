@@ -76,11 +76,15 @@ object StreamingMarts {
     * @param deltas streaming per-reading deltas with reading_timestamp,
     *               meter_id, consumption_delta_mwh
     * @param meters static dim (meter_id, grid_zone_id)
-    * @param tariffUpdates stream of (grid_zone_id, update_ts, rate_per_kwh) */
+    * @param tariffUpdates stream of (grid_zone_id, update_ts, rate_per_kwh)
+    * @param joinType "inner" (default: unpriceable readings do not emit)
+    *                 or "left_outer" (they emit with NULL rate/charge once
+    *                 the watermark proves no update can still arrive — the
+    *                 ops-visibility contract for coverage gaps) */
   def pricedDeltas(
       deltas: DataFrame, meters: DataFrame, tariffUpdates: DataFrame,
       validity: String = "1 hour", readingWm: String = "1 hour",
-      updateWm: String = "2 hours"): DataFrame =
+      updateWm: String = "2 hours", joinType: String = "inner"): DataFrame =
     deltas
       .withWatermark("reading_timestamp", readingWm)
       .join(broadcast(meters.select(col("meter_id"), col("grid_zone_id"))), Seq("meter_id"))
@@ -91,7 +95,8 @@ object StreamingMarts {
             col("rate_per_kwh")),
         expr(s"""grid_zone_id = u_zone
                  AND reading_timestamp >= update_ts
-                 AND reading_timestamp < update_ts + INTERVAL $validity"""))
+                 AND reading_timestamp < update_ts + INTERVAL $validity"""),
+        joinType)
       .groupBy(col("reading_timestamp"), col("meter_id"), col("grid_zone_id"),
         col("consumption_delta_mwh"))
       .agg(max(struct(col("update_ts"), col("rate_per_kwh"))).as("m"))

@@ -107,6 +107,30 @@ class StoreSpec extends SparkSpec {
       "day-1 chunk must not be rewritten by a day-2 refresh")
   }
 
+  test("retention drops only chunks older than the cutoff, byte-identically elsewhere") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = JFiles.createTempDirectory("retain").toString + "/bronze"
+    val raw = MeterGen.readings(spark, 5, 96 * 3) // 3 days
+    Store.writeBronze(raw, dir)
+    assert(spark.read.parquet(dir)
+      .select(countDistinct(col("reading_date"))).head().getLong(0) == 3)
+    def mtimes = JFiles.walk(JPaths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(p => p -> JFiles.getLastModifiedTime(JPaths.get(p)).toMillis).toSeq
+
+    val before = mtimes.filterNot(_._1.contains("reading_date=2026-01-01"))
+    val dropped = Store.dropChunksOlderThan(dir, "2026-01-02")
+    assert(dropped == Seq("2026-01-01"))
+    val after = spark.read.parquet(dir)
+    assert(after.select(countDistinct(col("reading_date"))).head().getLong(0) == 2)
+    assert(after.filter(col("reading_date") === lit("2026-01-01").cast("date")).count() == 0)
+    assert(after.count() == raw.count() * 2 / 3)
+    // surviving chunks untouched (no rewrite)
+    assert(mtimes == before)
+    // idempotent: nothing older remains
+    assert(Store.dropChunksOlderThan(dir, "2026-01-02").isEmpty)
+  }
+
   test("schema evolution: old chunks read alongside a widened new chunk") {
     import spark.implicits._
     val dir = Files.createTempDirectory("evolve").toString + "/bronze"

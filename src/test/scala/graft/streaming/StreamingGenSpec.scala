@@ -345,6 +345,42 @@ class StreamingGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pricedDeltas left_outer: coverage gaps emit with NULL rate once provable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val meters = MeterGen.metersDim(spark, 2)
+    val readingsMem = MemoryStream[(java.sql.Timestamp, Int, Long)]
+    val updatesMem = MemoryStream[(Int, java.sql.Timestamp, Double)]
+    val priced = StreamingMarts.pricedDeltas(
+      readingsMem.toDF().toDF("reading_timestamp", "meter_id", "consumption_delta_mwh"),
+      meters,
+      updatesMem.toDF().toDF("grid_zone_id", "update_ts", "rate_per_kwh"),
+      joinType = "left_outer")
+    val q = priced.writeStream.format("memory").queryName("priced_outer")
+      .outputMode("append").start()
+    try {
+      val z1 = meters.select("meter_id", "grid_zone_id").as[(Int, Int)].collect().toMap.apply(1)
+      updatesMem.addData((z1, t("2026-01-01 00:00:00"), 0.25))
+      readingsMem.addData(
+        (t("2026-01-01 00:30:00"), 1, 1000000L), // covered
+        (t("2026-01-01 02:30:00"), 1, 2000000L)) // coverage gap
+      q.processAllAvailable()
+      // advance watermarks far enough to prove the gap and close all state
+      updatesMem.addData((z1, t("2026-01-01 12:00:00"), 0.40))
+      readingsMem.addData((t("2026-01-01 12:30:00"), 1, 1000000L))
+      q.processAllAvailable()
+      val rows = spark.table("priced_outer")
+        .select("reading_timestamp", "rate_per_kwh").collect()
+        .map(r => (r.getTimestamp(0), Option(r.get(1)))).toMap
+      assert(rows(t("2026-01-01 00:30:00")).contains(0.25))
+      assert(rows.contains(t("2026-01-01 02:30:00")), "gap reading must surface")
+      assert(rows(t("2026-01-01 02:30:00")).isEmpty, "gap reading carries NULL rate")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window streaming aggregation (ST6/ST7 extension)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
