@@ -67,6 +67,16 @@ class MediaCodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("audio fingerprint is volume-invariant (envelope comparisons, not magnitudes)") {
+    samples(Gen.choose(0L, 5000L), 15).foreach { idRaw =>
+      val id = idRaw * 3 + 1 // audio modality
+      val a = decodeWav(audioFor(id))
+      val louder = Audio(a.sampleRate, a.channels, a.samples.map(s => (s * 2).toShort))
+      assert(audioFingerprint28(a) == audioFingerprint28(louder),
+        s"doubling amplitude changed the fingerprint for doc $id")
+    }
+  }
+
   test("truncated or garbled payloads fail loudly, never return wrong data") {
     val good = imageFor(3L)
     intercept[Exception](decodePpm(good.dropRight(5), 0)) // truncated pixel data
