@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes to stdout RAW (no "[info] " logger prefix):
+// the driver parses graft.Bench's one JSON line out of a bounded stdout
+// tail, and a logger prefix could defeat a line-anchored parser.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -54,14 +54,40 @@ object Bench {
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also persist to a file: the driver captures a bounded stdout tail and
-    // has lost the JSON line to truncation before (BENCH_r01 parsed: null)
+    def jsonLine(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // full per-query map → file (always complete)
+    val full = jsonLine(results)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver captures only a BOUNDED TAIL of stdout (~2000 chars) and
+    // parses the JSON line out of it; a 105-query map is ~3 KB and has been
+    // truncated into `parsed: null` in BENCH_r01..r03. Print a headline
+    // subset (one per operator family, the expensive tail included) that is
+    // guaranteed to fit; `value`/`nq` still cover ALL queries, and the full
+    // map is in bench_out.json.
+    val headline = Vector(
+      "a1_daily_user_agg", "a2_two_level_agg", "a7_count_distinct", "a_median_p90",
+      "a_salted_skew_agg", "corpus_assembly", "decontaminate", "dedup_clusters",
+      "dedup_embedding_ivf", "dedup_embedding_lsh", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "dedup_simhash_pairs", "e14_json_decode",
+      "meter_billing_daily", "meter_grid_hourly", "meter_stg_readings",
+      "mm_decode_stats", "mm_image_dhash", "mm_video_framehash_overlap",
+      "pack_sequences", "pii_redact", "q1_pricing_summary", "q3_topk_order_revenue",
+      "q5_nation_revenue", "quality_suite_dims", "range_join_bucketed",
+      "scd2_asof_orders", "sessionize_events", "sim_bruteforce_topk", "sim_ivf_topk",
+      "sim_lsh_topk", "st_ingest_960k_readings", "text_df_novelty",
+      "text_fingerprint", "text_lang_id", "text_quality_score", "text_token_counts",
+      "topk_customers_by_balance", "ts_gapfill", "w1_lag_delta", "w4_moving_window",
+      "w5_topk_per_key_native", "w9_zscore_anomaly"
+    ).toSet
+    val short = jsonLine(results.filter(r => headline.contains(r._1)))
+    require(short.length <= 1800, s"headline bench line too long: ${short.length}")
+    println(short)
     spark.stop()
   }
 }

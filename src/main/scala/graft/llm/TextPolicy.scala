@@ -1,0 +1,161 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Named corpus-filtering POLICIES a production training-data pipeline
+  * applies before anything else touches the corpus — re-expressions of the
+  * published Gopher (Rae et al. 2021, arXiv:2112.11446 §A1.1) and C4
+  * (Raffel et al. 2020, arXiv:1910.10683 §2.2) cleaning rules over the
+  * `documents` table. These differ from [[TextAnalysis]]'s free-form
+  * quality *scores*: a policy emits per-rule boolean verdicts plus one
+  * composite keep/drop decision, which is what downstream mixing /
+  * packing stages consume.
+  *
+  * Scale design: every rule is a narrow per-row expression (no shuffle at
+  * all for Gopher; C4's exact-dup rule is one hash shuffle on the text
+  * key, the same shape as `dedup_exact`). All flags are BIGINT 0/1 — not
+  * BOOLEAN — so the driver's pandas dtype comparison is byte-stable
+  * across engines.
+  */
+object TextPolicy {
+
+  private def words(c: Column): Column = split(c, " ", -1)
+
+  private val stopwords = Seq("the", "a", "of", "and")
+  private val banned = Seq("slow", "broken")
+
+  private def inListSql(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- Gopher quality rules: word-count bounds, mean word length
+    // bounds, stop-word fraction, alphabetic-word fraction, distinct-word
+    // fraction (repetition proxy). Fully map-side — the 100 TB shape is a
+    // single pass that never shuffles.
+    q("text_gopher_rules",
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS mean_word_len,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inListSql(stopwords)})) AS BIGINT)
+         |      * 1.0 / len(string_split(text, ' ')) AS stop_frac,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[a-z]+$$'))) AS BIGINT)
+         |      * 1.0 / len(string_split(text, ' ')) AS alpha_frac,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      * 1.0 / len(string_split(text, ' ')) AS distinct_frac
+         |  FROM documents)
+         |SELECT doc_id, lang, n_words, mean_word_len, stop_frac, alpha_frac, distinct_frac,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_word_count,
+         |  CAST(CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS BIGINT) AS f_mean_word_len,
+         |  CAST(CASE WHEN stop_frac >= 0.02 THEN 1 ELSE 0 END AS BIGINT) AS f_stopwords,
+         |  CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS f_alpha,
+         |  CAST(CASE WHEN distinct_frac >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS f_distinct,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |            AND stop_frac >= 0.02 AND alpha_frac >= 0.8 AND distinct_frac >= 0.3
+         |       THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
+         |FROM m""".stripMargin) { (s, d) =>
+      val w = words(col("text"))
+      val nw = size(w).cast("long")
+      val mwl = length(regexp_replace(col("text"), " ", "")) * 1.0 / size(w)
+      val stopFrac = size(filter(w, x => stopwords.map(v => x === v).reduce(_ || _)))
+        .cast("long") * 1.0 / size(w)
+      val alphaFrac = size(filter(w, _.rlike("^[a-z]+$"))).cast("long") * 1.0 / size(w)
+      val distinctFrac = size(array_distinct(w)).cast("long") * 1.0 / size(w)
+      def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          nw.as("n_words"), mwl.as("mean_word_len"), stopFrac.as("stop_frac"),
+          alphaFrac.as("alpha_frac"), distinctFrac.as("distinct_frac"))
+        .withColumn("f_word_count", flag(col("n_words").between(50, 100000)))
+        .withColumn("f_mean_word_len", flag(col("mean_word_len").between(3, 10)))
+        .withColumn("f_stopwords", flag(col("stop_frac") >= 0.02))
+        .withColumn("f_alpha", flag(col("alpha_frac") >= 0.8))
+        .withColumn("f_distinct", flag(col("distinct_frac") >= 0.3))
+        .withColumn("pass_gopher", flag(
+          col("n_words").between(50, 100000) && col("mean_word_len").between(3, 10) &&
+            col("stop_frac") >= 0.02 && col("alpha_frac") >= 0.8 &&
+            col("distinct_frac") >= 0.3))
+    },
+
+    // ---- C4-style policy: minimum length, bad-word list, keep only the
+    // FIRST copy of an exact-duplicate text (C4 dedups at the span level;
+    // with no line structure in this corpus the analogue is whole-text).
+    // One shuffle, on the text hash — identical shape to `dedup_exact`.
+    q("text_c4_policy",
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(CASE WHEN len(list_filter(string_split(text, ' '),
+         |        w -> w IN ${inListSql(banned)})) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_banned,
+         |    CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) AS BIGINT) AS copy_rank,
+         |    CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies
+         |  FROM documents)
+         |SELECT doc_id, source, n_words, has_banned, copy_rank, n_copies,
+         |  CAST(CASE WHEN n_words >= 5 AND has_banned = 0 AND copy_rank = 1
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m""".stripMargin) { (s, d) =>
+      val w = words(col("text"))
+      val byText = Window.partitionBy(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(w).cast("long").as("n_words"),
+          when(size(filter(w, x => banned.map(v => x === v).reduce(_ || _))) > 0, 1L)
+            .otherwise(0L).as("has_banned"))
+        .withColumn("copy_rank",
+          row_number().over(byText.orderBy(col("doc_id"))).cast("long"))
+        .withColumn("n_copies", count(lit(1)).over(byText).cast("long"))
+        .withColumn("keep",
+          when(col("n_words") >= 5 && col("has_banned") === 0 && col("copy_rank") === 1, 1L)
+            .otherwise(0L))
+        .drop("text")
+    },
+
+    // ---- token-length histogram: power-of-two buckets per language.
+    // Bucket exponent via the binary-representation length (exact integer
+    // arithmetic on both engines — no float log2 at bucket boundaries).
+    q("text_length_histogram",
+      """SELECT lang,
+        |  CAST(length(bin(len(string_split(text, ' ')))) - 1 AS BIGINT) AS bucket_pow2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val nw = size(words(col("text")))
+      Tables.documents(s, d)
+        .groupBy(col("lang"),
+          (length(bin(nw.cast("long"))) - 1).cast("long").as("bucket_pow2"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nw.cast("long")).as("total_words"))
+    },
+
+    // ---- corpus-frequency top tokens: the classic distributed word
+    // count, then a deterministic global top-20. At 100 TB this is one
+    // map-side-combined hash aggregation on the token key followed by a
+    // top-k over |vocab| rows — never a global sort of the corpus.
+    q("text_top_tokens",
+      """WITH counts AS (
+        |  SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT token, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+        |  FROM counts)
+        |SELECT token, n, rank FROM ranked WHERE rank <= 20""".stripMargin) { (s, d) =>
+      Tables.documentsParallel(s, d)
+        .select(explode(words(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        // tiny post-agg frame (|vocab| rows) — the single-partition window
+        // ranks ~100s of rows, not the corpus
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+        .filter(col("rank") <= 20)
+    }
+  )
+}

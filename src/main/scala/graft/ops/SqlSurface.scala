@@ -150,6 +150,66 @@ object SqlSurface {
         .select(col("user_id"),
           expr("min_ns div 1000000").as("session_start_ms"),
           col("n_events"), col("first_event_id"))
+    },
+
+    // ---- UNPIVOT / melt: wide-to-long via the native Dataset.unpivot
+    // operator (Spark's Expand node — one pass, no join, no shuffle
+    // before the pre-aggregation). Melting AFTER the aggregate keeps the
+    // expanded row count at |groups|×|metrics|, never |corpus|×|metrics|.
+    // Exact-cents sums make the DOUBLE value column deterministic.
+    q("unpivot_metrics_long",
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c,
+        |    CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, CAST(qty AS DOUBLE) AS value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, price_c / 100.0 AS value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc' AS metric, disc_c / 100.0 AS value FROM agg""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).cast("long").as("sum_qty"),
+          (sum(Tables.cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+          (sum(Tables.cents(col("l_discount"))) / 100.0).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty").cast("double").as("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+    },
+
+    // ---- higher-order array functions (transform / filter / aggregate /
+    // zip_with) over the embedding column — the API surface for
+    // vector-valued features, all codegen-friendly per-row lambdas with
+    // zero shuffles. Fixed-point quantization (2^20) keeps every derived
+    // statistic an exact integer (oracle-stable regardless of order).
+    q("e_hof_arrays",
+      """WITH qe AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(qv) AS BIGINT) AS dim,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(len(list_filter(qv, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS BIGINT) AS norm2
+        |FROM qe""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("qv",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"))
+        .select(col("vec_id"),
+          size(col("qv")).cast("long").as("dim"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_max(col("qv")).as("q_max"),
+          array_min(col("qv")).as("q_min"),
+          size(filter(col("qv"), _ > 0L)).cast("long").as("n_pos"),
+          aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0L), (acc, x) => acc + x)
+            .as("norm2"))
     }
   )
 }

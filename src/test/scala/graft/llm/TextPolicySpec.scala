@@ -1,0 +1,88 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Policy-filter invariants that the DuckDB oracle can't express:
+  * composite-flag consistency, keep-set semantics, histogram mass
+  * conservation, top-token determinism. */
+class TextPolicySpec extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("gopher: pass_gopher == conjunction of the individual rule flags") {
+    val df = run("text_gopher_rules")
+    val bad = df.filter(
+      col("pass_gopher") =!=
+        (col("f_word_count") * col("f_mean_word_len") * col("f_stopwords")
+          * col("f_alpha") * col("f_distinct")))
+    assert(bad.count() === 0)
+    // every flag is strictly 0/1
+    val flags = Seq("f_word_count", "f_mean_word_len", "f_stopwords", "f_alpha",
+      "f_distinct", "pass_gopher")
+    assert(df.filter(flags.map(f => !col(f).isin(0L, 1L)).reduce(_ || _)).count() === 0)
+    // the rules actually discriminate on this corpus (not all-pass/all-fail)
+    val n = df.count()
+    val p = df.filter(col("pass_gopher") === 1).count()
+    assert(p > 0 && p < n, s"degenerate policy: $p of $n pass")
+  }
+
+  test("c4: keep-set drops every non-first duplicate copy and nothing else unexpected") {
+    val df = run("text_c4_policy").cache()
+    try {
+      // one kept copy per duplicate group unless the group fails other rules
+      val dupGroups = df.filter(col("n_copies") > 1)
+      if (dupGroups.count() > 0) {
+        assert(dupGroups.filter(col("copy_rank") > 1 && col("keep") === 1).count() === 0)
+      }
+      // keep == conjunction
+      val bad = df.filter(col("keep") =!=
+        when(col("n_words") >= 5 && col("has_banned") === 0 && col("copy_rank") === 1, 1L)
+          .otherwise(0L))
+      assert(bad.count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("histogram: bucket mass sums back to corpus totals; buckets are powers of two") {
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+    val nDocs = docs.count()
+    val nWords = docs.select(sum(size(split(col("text"), " ", -1)).cast("long")))
+      .head.getLong(0)
+    val h = run("text_length_histogram")
+    val agg = h.select(sum("n_docs"), sum("total_words")).head
+    assert(agg.getLong(0) === nDocs)
+    assert(agg.getLong(1) === nWords)
+    // doc word counts land in the right bucket: 2^p <= n_words < 2^(p+1)
+    assert(h.filter(col("bucket_pow2") < 0 || col("bucket_pow2") > 30).count() === 0)
+  }
+
+  test("top tokens: exactly 20 ranked rows, counts non-increasing, deterministic") {
+    val t = run("text_top_tokens").orderBy("rank").collect()
+    assert(t.length === 20)
+    val counts = t.map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val again = run("text_top_tokens").orderBy("rank").collect()
+    assert(t.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("unpivot: long form carries exactly |flags|×3 rows and round-trips the aggregate") {
+    val long = run("unpivot_metrics_long").cache()
+    try {
+      val flagsN = graft.ops.Tables.lineitem(spark, sf0001)
+        .select(countDistinct(col("l_returnflag"))).head.getLong(0)
+      assert(long.count() === flagsN * 3)
+      assert(long.select(countDistinct(col("metric"))).head.getLong(0) === 3)
+    } finally long.unpersist()
+  }
+
+  test("hof arrays: norm2 is nonnegative, dim constant, n_pos bounded by dim") {
+    val df = run("e_hof_arrays").cache()
+    try {
+      assert(df.filter(col("norm2") < 0).count() === 0)
+      assert(df.select(countDistinct(col("dim"))).head.getLong(0) === 1)
+      assert(df.filter(col("n_pos") > col("dim")).count() === 0)
+      assert(df.filter(col("q_max") < col("q_min")).count() === 0)
+    } finally df.unpersist()
+  }
+}
