@@ -94,6 +94,56 @@ object Scd {
         .agg(count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_customers"),
           min(col("o_orderkey")).as("min_orderkey"))
+    },
+
+    // ---- SCD-1 MERGE / upsert: apply a CDC batch (insert / update /
+    // delete ops) to the customer base — the batch analogue of
+    // `MERGE INTO`. The CDC batch is synthesized deterministically from
+    // the key space (custkey%10: 0→update +100.00 balance, 1→delete,
+    // 2→insert a fresh key above the base range).
+    //
+    // Scale shape: a CDC batch is tiny next to the base, so every arm is
+    // a BROADCAST of the batch — update = broadcast equi join, delete =
+    // broadcast anti join, insert = plain union. The base table never
+    // shuffles, which is the only MERGE plan that survives 100 TB.
+    q("merge_upsert_customers",
+      """WITH maxk AS (SELECT MAX(c_custkey) AS mk FROM customer),
+        |ups AS (SELECT c_custkey, CAST(round(c_acctbal * 100) + 10000 AS BIGINT) AS new_bal_c
+        |        FROM customer WHERE c_custkey % 10 = 0),
+        |dels AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 1),
+        |ins AS (SELECT c_custkey + mk AS c_custkey, c_nationkey,
+        |          CAST(0 AS BIGINT) AS bal_c
+        |        FROM customer, maxk WHERE c_custkey % 10 = 2),
+        |kept AS (
+        |  SELECT b.c_custkey, b.c_nationkey,
+        |    CAST(coalesce(u.new_bal_c, CAST(round(b.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN 'updated' ELSE 'base' END AS src
+        |  FROM customer b
+        |  LEFT JOIN ups u ON b.c_custkey = u.c_custkey
+        |  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM dels))
+        |SELECT c_custkey, c_nationkey, bal_c, src FROM kept
+        |UNION ALL
+        |SELECT c_custkey, c_nationkey, bal_c, 'inserted' AS src FROM ins""".stripMargin) { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          Tables.cents(col("c_acctbal")).as("bal_c"))
+      val ups = base.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("bal_c") + 10000L).as("new_bal_c"))
+      val dels = base.filter(col("c_custkey") % 10 === 1).select(col("c_custkey"))
+      val maxK = base.agg(max(col("c_custkey")).as("mk"))
+      val ins = base.filter(col("c_custkey") % 10 === 2)
+        .crossJoin(broadcast(maxK))
+        .select((col("c_custkey") + col("mk")).as("c_custkey"), col("c_nationkey"),
+          lit(0L).as("bal_c"), lit("inserted").as("src"))
+      base
+        .join(broadcast(dels.withColumnRenamed("c_custkey", "d_key")),
+          col("c_custkey") === col("d_key"), "left_anti")
+        .join(broadcast(ups.withColumnRenamed("c_custkey", "u_key")),
+          col("c_custkey") === col("u_key"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("new_bal_c"), col("bal_c")).as("bal_c"),
+          when(col("u_key").isNotNull, "updated").otherwise("base").as("src"))
+        .unionByName(ins)
     }
   )
 }

@@ -192,6 +192,45 @@ object TimeSeriesExt {
         .select(col("event_id"), col("user_id"), col("asof_click_id"))
     },
 
+    // ---- FORWARD as-of with tolerance (pandas merge_asof
+    // direction='forward' parity): for each purchase, the next error of
+    // the same user, kept only when it lands within 1 h. Same
+    // single-window shape as the backward variant — a conditional min
+    // over the FOLLOWING frame, one shuffle on user_id, no join node at
+    // all. Arithmetic is exact BIGINT MICROseconds on both engines:
+    // DuckDB floor-truncates the parquet ns timestamps to µs on read, and
+    // `ts_ns div 1000` is the same floor — so values AND window ordering
+    // agree bit-for-bit (µs ties broken by event_id identically).
+    q("asof_next_error_tolerance",
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('error', 'purchase')),
+        |carried AS (
+        |  SELECT event_id, user_id, ts_us, event_type,
+        |    min(CASE WHEN event_type = 'error' THEN ts_us END) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_error_us
+        |  FROM tagged)
+        |SELECT event_id, user_id,
+        |  CASE WHEN next_error_us - ts_us <= 3600000000 THEN next_error_us END AS next_error_us,
+        |  CASE WHEN next_error_us - ts_us <= 3600000000 THEN next_error_us - ts_us END AS gap_us
+        |FROM carried WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val TolUs = 3600000000L
+      Tables.events(s, d)
+        .filter(col("event_type").isin("error", "purchase"))
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("next_error_us",
+          min(when(col("event_type") === "error", col("ts_us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(col("next_error_us") - col("ts_us") <= TolUs, col("next_error_us"))
+            .as("next_error_us"),
+          when(col("next_error_us") - col("ts_us") <= TolUs,
+            col("next_error_us") - col("ts_us")).as("gap_us"))
+    },
+
     // ---- custom-operator path: per-key top-k through graft.plans.TopKPerKey
     // (LogicalPlan + Strategy + bounded-heap physical operator). The oracle
     // states the semantics as the standard window formulation — identical

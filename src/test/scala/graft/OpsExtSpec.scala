@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-4 relational extensions (MERGE upsert,
+  * forward as-of) that go beyond the DuckDB hash check: semantic
+  * postconditions and the broadcast plan shape the 100 TB story rests on. */
+class OpsExtSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("merge upsert: deletes gone, updates applied, inserts disjoint") {
+    val base = ops.Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), ops.Tables.cents(col("c_acctbal")).as("bal_c"))
+      .cache()
+    val out = run("merge_upsert_customers").cache()
+    try {
+      // every %10==1 BASE key is gone (inserted keys may land on any residue)
+      assert(out.filter(col("src") =!= "inserted" && col("c_custkey") % 10 === 1)
+        .count() === 0)
+      // every surviving %10==0 key got +100.00 and is tagged updated
+      val upd = out.filter(col("src") === "updated")
+        .join(base.withColumnRenamed("bal_c", "old_bal"), "c_custkey")
+      assert(upd.filter(col("bal_c") =!= col("old_bal") + 10000L).count() === 0)
+      assert(upd.count() === base.filter(col("c_custkey") % 10 === 0).count())
+      // inserted keys sit strictly above the base key range
+      val maxBase = base.agg(max("c_custkey")).head.getLong(0)
+      assert(out.filter(col("src") === "inserted" && col("c_custkey") <= maxBase).count() === 0)
+      // row accounting: base - deletes + inserts
+      val nBase = base.count()
+      val nDel = base.filter(col("c_custkey") % 10 === 1).count()
+      val nIns = base.filter(col("c_custkey") % 10 === 2).count()
+      assert(out.count() === nBase - nDel + nIns)
+    } finally { out.unpersist(); base.unpersist() }
+  }
+
+  test("merge upsert plan: CDC arms broadcast, base never exchanges on a join key") {
+    val plan = run("merge_upsert_customers").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"base should not sort-merge:\n$plan")
+  }
+
+  test("forward as-of: gaps nonnegative and within tolerance; null iff no error in window") {
+    val out = run("asof_next_error_tolerance").cache()
+    try {
+      assert(out.count() > 0)
+      val withGap = out.filter(col("gap_us").isNotNull)
+      assert(withGap.filter(col("gap_us") < 0 || col("gap_us") > 3600000000L).count() === 0)
+      // next_error_us and gap_us are null together
+      assert(out.filter(col("gap_us").isNull =!= col("next_error_us").isNull).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("forward as-of matches a brute-force per-row scan at sf0.001") {
+    val ev = ops.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("error", "purchase"))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select("event_id", "user_id", "ts_us", "event_type")
+      .collect()
+    val errors = ev.filter(_.getAs[String]("event_type") == "error")
+      .groupBy(_.getAs[Long]("user_id"))
+    val expect = ev.filter(_.getAs[String]("event_type") == "purchase").map { p =>
+      val uid = p.getAs[Long]("user_id")
+      val t = p.getAs[Long]("ts_us")
+      val eid = p.getAs[Long]("event_id")
+      // frame is 1 FOLLOWING on (ts_us, event_id) ordering, not ts alone
+      val next = errors.getOrElse(uid, Array.empty)
+        .filter { e =>
+          val (ets, eeid) = (e.getAs[Long]("ts_us"), e.getAs[Long]("event_id"))
+          ets > t || (ets == t && eeid > eid)
+        }
+        .map(_.getAs[Long]("ts_us")).sorted.headOption
+      p.getAs[Long]("event_id") -> next.filter(_ - t <= 3600000000L)
+    }.toMap
+    val got = run("asof_next_error_tolerance").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("next_error_us")).map(_.longValue)).toMap
+    assert(got === expect)
+  }
+}
