@@ -47,7 +47,17 @@ object PlanReport {
     "dedup_clusters_star" ->
       "Large-star/small-star connected components: per round, each star operation is one groupBy (neighborhood min) + one join — no windows, no driver graph; converged star edges become the labels directly.",
     "chunk_documents" ->
-      "Sliding-window chunking is scan → project → generate (explode) → project: zero exchanges; the per-chunk hash is computed inside the same codegen stage.")
+      "Sliding-window chunking is scan → project → generate (explode) → project: zero exchanges; the per-chunk hash is computed inside the same codegen stage.",
+    "merge_upsert_customers" ->
+      "MERGE decomposed into all-broadcast CDC arms: delete = BroadcastHashJoin LeftAnti, update = BroadcastHashJoin LeftOuter, insert = union — the base scan feeds every arm without a single exchange on a join key (no SortMergeJoin anywhere).",
+    "asof_next_error_tolerance" ->
+      "Forward as-of with tolerance has NO join node: one exchange on user_id feeds a single window sort; the conditional min over the FOLLOWING frame and the tolerance filter run in the same stage.",
+    "unpivot_metrics_long" ->
+      "Wide-to-long is an Expand node placed AFTER the aggregate: the corpus passes one partial→final hash agg, then the 3× row expansion touches only |groups| rows.",
+    "text_gopher_rules" ->
+      "All five policy rules and the composite verdict compile into ONE project over the scan — no shuffle at all; the whole policy is a single WholeStageCodegen span.",
+    "text_top_tokens" ->
+      "Distributed word count: explode → partial count (map-side combine) → key exchange → final count; only the |vocab|-row ranked head crosses the final single-partition window.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

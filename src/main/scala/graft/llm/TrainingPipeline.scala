@@ -147,6 +147,40 @@ object TrainingPipeline {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc_id"))
     },
 
+    // ---- token-budget corpus selection: greedy per-language prefix
+    // under a fixed token budget — the "give me N tokens per language"
+    // op every mixture recipe needs. Docs are ranked by a deterministic
+    // hash-uniform priority (a budget-capped stratified sample; swap the
+    // priority for a quality score to get quality-ranked selection), then
+    // a running token total per language admits the longest prefix that
+    // fits. One window cumsum per lang; at 100 TB the hot-language
+    // partition would use the same two-level chunked prefix sum
+    // `pack_sequences` already implements.
+    q("select_token_budget",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${MeterGen.uSql("doc_id * 23 + 5")} AS pr
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY pr, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 5000""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("pr"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+          MeterGen.u(col("doc_id") * 23 + 5).as("pr"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+        .filter(col("cum_tokens") <= 5000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+    },
+
     // ---- capstone: the full corpus-assembly chain as ONE composed
     // operator — exact-dup keeper (md5 window), length quality gate,
     // language allowlist, deterministic split, per-(split, lang) stats.
