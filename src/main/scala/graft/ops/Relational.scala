@@ -109,6 +109,49 @@ object Relational {
         .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
     },
 
+    // ---- TPC-H Q4 shape: EXISTS decorrelated to a left-semi join on the
+    // equi key with the date comparison as a residual condition — orders
+    // never shuffles on anything but o_orderkey (this corpus has no
+    // commit/receipt dates, so "late" = shipped >90 days after order)
+    q("q4_late_ship_priority",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // ---- TPC-H Q14 shape: promo revenue share for one ship month. The
+    // part dim broadcasts; the global 2-value ratio is exact-cents on
+    // both sides before the single final division.
+    q("q14_promo_share",
+      """SELECT
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |      ELSE 0 END) AS BIGINT)
+        |    / CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |    AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(
+        col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+      val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+      li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+          / sum(rev)).as("promo_share_pct"))
+    },
+
     // ---- J4: left-anti join (orphan check pattern; NOT EXISTS)
     q("j_anti_customers_without_orders",
       """SELECT c_nationkey, COUNT(*) AS n_customers_no_orders
