@@ -54,7 +54,10 @@ object Bench {
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON ({"value":40,800,...})
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -85,6 +88,9 @@ object Bench {
       "topk_customers_by_balance", "ts_gapfill", "w1_lag_delta", "w4_moving_window",
       "w5_topk_per_key_native", "w9_zscore_anomaly"
     ).toSet
+    val registered = results.map(_._1).toSet
+    val orphans = headline -- registered
+    require(orphans.isEmpty, s"headline names not in registry (renamed?): $orphans")
     val short = jsonLine(results.filter(r => headline.contains(r._1)))
     require(short.length <= 1800, s"headline bench line too long: ${short.length}")
     println(short)

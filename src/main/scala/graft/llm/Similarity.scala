@@ -129,7 +129,9 @@ object Similarity {
          |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id)
          |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin) { (s, d) =>
       val qe = quantized(s, d)
-      qe.as("a").join(qe.as("b"), col("a.vec_id") < col("b.vec_id"))
+      // ground-truth all-pairs runs only at verification scale: broadcast
+      // one side so the plan is a bounded-build BNLJ, never CartesianProduct
+      qe.as("a").join(broadcast(qe.as("b")), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
           (dot("a.qv", "b.qv").cast("double")
             / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
@@ -152,7 +154,9 @@ object Similarity {
          |SELECT query_id, vec_id, label, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin) { (s, d) =>
       val qe = quantized(s, d)
       val queries = qe.filter(col("vec_id") % 50 === 0)
-      val scored = queries.as("a")
+      // the query set is 1/50th of the corpus by construction — broadcast
+      // it so brute-force scoring is one corpus pass (BNLJ, bounded build)
+      val scored = broadcast(queries.as("a"))
         .join(qe.as("b"), col("b.vec_id") =!= col("a.vec_id"))
         .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
           col("b.label").as("label"),

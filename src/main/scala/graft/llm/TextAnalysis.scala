@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
   import TextHash._
 
-  private val stopwords = Seq("the", "a", "of", "and")
+  // shared with TextPolicy — these are oracle-critical constants/shapes
+  // (the stopword list and the split-on-single-space convention must stay
+  // in lockstep with every SQL twin that uses them)
+  private[llm] val stopwords = Seq("the", "a", "of", "and")
 
-  private def words(c: Column): Column = split(c, " ", -1)
+  private[llm] def words(c: Column): Column = split(c, " ", -1)
 
-  private def countIn(c: Column, xs: Seq[String]): Column =
+  private[llm] def countIn(c: Column, xs: Seq[String]): Column =
     size(filter(words(c), w => xs.map(x => w === x).reduce(_ || _)))
 
-  private def countInSql(e: String, xs: Seq[String]): String = {
+  private[llm] def countInSql(e: String, xs: Seq[String]): String = {
     val list = xs.map(x => s"'$x'").mkString(", ")
     s"len(list_filter(string_split($e, ' '), w -> w IN ($list)))"
   }

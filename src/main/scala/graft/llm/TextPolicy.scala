@@ -23,14 +23,40 @@ import org.apache.spark.sql.expressions.Window
   * across engines.
   */
 object TextPolicy {
+  // canonical split convention + stopword list live in TextAnalysis —
+  // one definition keeps both modules' Spark and SQL sides in lockstep
+  import TextAnalysis.{stopwords, words}
 
-  private def words(c: Column): Column = split(c, " ", -1)
-
-  private val stopwords = Seq("the", "a", "of", "and")
   private val banned = Seq("slow", "broken")
 
   private def inListSql(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** The Gopher rule metrics over a text column — one definition shared
+    * by the batch query below and the streaming curate path
+    * ([[graft.streaming.DocStream]]), so online and offline filtering can
+    * never disagree. All narrow per-row expressions. */
+  private[graft] final case class GopherCols(
+      nWords: Column, meanWordLen: Column, stopFrac: Column,
+      alphaFrac: Column, distinctFrac: Column) {
+    def fWordCount: Column = nWords.between(50, 100000)
+    def fMeanWordLen: Column = meanWordLen.between(3, 10)
+    def fStopwords: Column = stopFrac >= 0.02
+    def fAlpha: Column = alphaFrac >= 0.8
+    def fDistinct: Column = distinctFrac >= 0.3
+    def pass: Column = fWordCount && fMeanWordLen && fStopwords && fAlpha && fDistinct
+  }
+
+  private[graft] def gopher(text: Column): GopherCols = {
+    val w = words(text)
+    GopherCols(
+      nWords = size(w).cast("long"),
+      meanWordLen = length(regexp_replace(text, " ", "")) * 1.0 / size(w),
+      stopFrac = size(filter(w, x => stopwords.map(v => x === v).reduce(_ || _)))
+        .cast("long") * 1.0 / size(w),
+      alphaFrac = size(filter(w, _.rlike("^[a-z]+$"))).cast("long") * 1.0 / size(w),
+      distinctFrac = size(array_distinct(w)).cast("long") * 1.0 / size(w))
+  }
 
   val all: Seq[GraftQuery] = Seq(
     // ---- Gopher quality rules: word-count bounds, mean word length
@@ -59,18 +85,13 @@ object TextPolicy {
          |            AND stop_frac >= 0.02 AND alpha_frac >= 0.8 AND distinct_frac >= 0.3
          |       THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
          |FROM m""".stripMargin) { (s, d) =>
-      val w = words(col("text"))
-      val nw = size(w).cast("long")
-      val mwl = length(regexp_replace(col("text"), " ", "")) * 1.0 / size(w)
-      val stopFrac = size(filter(w, x => stopwords.map(v => x === v).reduce(_ || _)))
-        .cast("long") * 1.0 / size(w)
-      val alphaFrac = size(filter(w, _.rlike("^[a-z]+$"))).cast("long") * 1.0 / size(w)
-      val distinctFrac = size(array_distinct(w)).cast("long") * 1.0 / size(w)
+      val g = gopher(col("text"))
       def flag(c: Column): Column = when(c, 1L).otherwise(0L)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          nw.as("n_words"), mwl.as("mean_word_len"), stopFrac.as("stop_frac"),
-          alphaFrac.as("alpha_frac"), distinctFrac.as("distinct_frac"))
+          g.nWords.as("n_words"), g.meanWordLen.as("mean_word_len"),
+          g.stopFrac.as("stop_frac"), g.alphaFrac.as("alpha_frac"),
+          g.distinctFrac.as("distinct_frac"))
         .withColumn("f_word_count", flag(col("n_words").between(50, 100000)))
         .withColumn("f_mean_word_len", flag(col("mean_word_len").between(3, 10)))
         .withColumn("f_stopwords", flag(col("stop_frac") >= 0.02))

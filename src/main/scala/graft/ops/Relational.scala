@@ -327,8 +327,13 @@ object Relational {
     // ---- explicit cross join (dim × dim grid; absent in the reference)
     q("j_cross_region_nation",
       """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin) { (s, d) =>
-      Tables.region(s, d).select(col("r_name"))
-        .crossJoin(Tables.nation(s, d).select(col("n_name")))
+      // broadcast the smaller side explicitly: a cross join is only ever
+      // scale-sane as BroadcastNestedLoopJoin with a bounded build side —
+      // under autoBroadcast=-1 a bare crossJoin would degrade to
+      // CartesianProduct (PlanGuardSpec plans with -1 to catch exactly that)
+      Tables.nation(s, d).select(col("n_name"))
+        .crossJoin(broadcast(Tables.region(s, d).select(col("r_name"))))
+        .select(col("r_name"), col("n_name"))
     },
 
     // ---- UNION (distinct) — the dedup twin of setop_union_all_agg

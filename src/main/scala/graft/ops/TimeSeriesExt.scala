@@ -545,7 +545,9 @@ object TimeSeriesExt {
       val mc = MeterGen.metersDim(s, 1000).agg(
         count(lit(1)).as("meter_count"),
         sum(when(col("malo_prod").isNotNull, 1L).otherwise(0L)).as("solar_meter_count"))
-      zc.crossJoin(cc).crossJoin(mc)
+      // 1-row global-aggregate frames: broadcast hints keep the combine a
+      // bounded BroadcastNestedLoopJoin (never CartesianProduct)
+      zc.crossJoin(broadcast(cc)).crossJoin(broadcast(mc))
         .withColumn("solar_pct",
           col("solar_meter_count") * 100.0 / col("meter_count"))
     }

@@ -89,7 +89,7 @@ object Checks {
     val orphans = child.join(parent, child(childKey) === parent(parentKey), "left_anti")
       .agg(count(lit(1)).as("violations"))
     val total = child.agg(count(lit(1)).as("total"))
-    orphans.crossJoin(total)
+    orphans.crossJoin(org.apache.spark.sql.functions.broadcast(total))
       .select(lit("referential_integrity").as("check_name"),
         lit(s"$childKey->$parentKey").as("col_name"),
         col("violations"), col("total"))

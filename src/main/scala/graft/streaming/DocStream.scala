@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.llm.TextPolicy
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus ingestion: the ONLINE twin of the batch
+  * corpus-assembly chain. Documents arrive as an unbounded stream and are
+  * curated incrementally:
+  *
+  *   1. Gopher policy gate — the same rule columns the batch
+  *      `text_gopher_rules` query uses ([[TextPolicy.gopher]]; one shared
+  *      definition, so online and offline filtering can never disagree).
+  *      Narrow per-row expressions, zero state.
+  *   2. Exact-dup suppression within a watermark —
+  *      `dropDuplicatesWithinWatermark` on the content hash. State is
+  *      BOUNDED by the watermark horizon (the streaming analogue of
+  *      `dedup_exact` / the C4 keep-first rule): a redelivered or
+  *      re-crawled document inside the horizon is dropped, state for
+  *      expired horizons is evicted — this is the shape that survives an
+  *      unbounded 100 TB/day crawl, where an unwindowed global dedup
+  *      would accumulate state forever. (Corpus-wide historical dedup
+  *      stays a batch job — `dedup_exact` — over the landed bronze.)
+  *
+  * Input schema: (doc_id LONG, event_time TIMESTAMP, lang STRING,
+  * source STRING, text STRING). Output appends the policy verdict columns
+  * plus the content hash, so downstream sinks can route kept/dropped.
+  */
+object DocStream {
+
+  /** Curate a document stream: hash → watermark → in-horizon exact dedup
+    * → policy gate. Works identically on a batch frame (minus the
+    * watermark/dedup state semantics), which the spec exploits. */
+  def curate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val g = TextPolicy.gopher(col("text"))
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn("n_words", g.nWords)
+      .withColumn("pass_gopher", g.pass)
+      .filter(col("pass_gopher"))
+      .select(col("doc_id"), col("event_time"), col("lang"), col("source"),
+        col("content_hash"), col("n_words"))
+  }
+}

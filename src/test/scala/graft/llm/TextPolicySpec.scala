@@ -53,7 +53,14 @@ class TextPolicySpec extends SparkSpec {
     val agg = h.select(sum("n_docs"), sum("total_words")).head
     assert(agg.getLong(0) === nDocs)
     assert(agg.getLong(1) === nWords)
-    // doc word counts land in the right bucket: 2^p <= n_words < 2^(p+1)
+    // doc word counts land in the right bucket: 2^p <= n_words < 2^(p+1),
+    // asserted per document against the recomputed word count
+    val perDoc = docs
+      .select(size(split(col("text"), " ", -1)).cast("long").as("n_words"))
+      .withColumn("p", (length(bin(col("n_words"))) - 1).cast("long"))
+    assert(perDoc.filter(
+      col("n_words") < pow(lit(2.0), col("p")).cast("long") ||
+        col("n_words") >= pow(lit(2.0), col("p") + 1).cast("long")).count() === 0)
     assert(h.filter(col("bucket_pow2") < 0 || col("bucket_pow2") > 30).count() === 0)
   }
 

@@ -16,11 +16,24 @@ import graft.{SparkEntry, SparkSpec}
 class PlanGuardSpec extends SparkSpec {
 
   test("no registered query plans a CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(name) else None
+    // Disable size-based auto-broadcast while planning: at sf0.001 every
+    // table fits the default 10 MB threshold, so JoinSelection would pick
+    // BroadcastNestedLoopJoin for ANY non-equi join and the guard would
+    // never fire. With -1, only joins that carry an explicit broadcast()
+    // hint stay BNLJ (the allowed bounded-build pattern); an unhinted
+    // non-equi join between two facts degrades to CartesianProduct here —
+    // exactly like it would at 100 TB.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+      assert(offenders.isEmpty, s"cartesian plans in: ${offenders.mkString(", ")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.catalog.clearCache()
     }
-    assert(offenders.isEmpty, s"cartesian plans in: ${offenders.mkString(", ")}")
-    spark.catalog.clearCache()
   }
 }

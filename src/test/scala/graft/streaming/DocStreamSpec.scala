@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Online corpus curation ([[DocStream.curate]]): the streamed result must
+  * equal the batch policy+dedup over the same documents, redeliveries
+  * inside the watermark horizon must be absorbed, and a re-crawl AFTER the
+  * horizon must be re-admitted (bounded state, not corpus-lifetime state). */
+class DocStreamSpec extends SparkSpec {
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streamed curation equals batch policy+dedup over the corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // real corpus rows with synthetic arrival times (1 s apart, doc order)
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        new java.sql.Timestamp(t("2026-01-01 00:00:00").getTime + r.getAs[Long]("doc_id") * 1000),
+        r.getAs[String]("lang"), r.getAs[String]("source"), r.getAs[String]("text")))
+      .sortBy(_._1)
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val curated = DocStream.curate(
+      mem.toDF().toDF("doc_id", "event_time", "lang", "source", "text"))
+    val q = curated.writeStream.format("memory").queryName("doc_curated")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b1.take(20).toSeq) // at-least-once redelivery, same event times
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+
+      val streamedHashes = spark.table("doc_curated")
+        .select("content_hash").as[String].collect().toSeq
+
+      // batch expectation: distinct content hash among policy-passing docs
+      val batchHashes = graft.ops.Tables.documents(spark, sf0001)
+        .filter(graft.llm.TextPolicy.gopher(col("text")).pass)
+        .select(md5(col("text")).as("h")).distinct()
+        .as[String].collect().toSeq
+
+      assert(streamedHashes.sorted === streamedHashes.distinct.sorted,
+        "streamed output contains duplicate content")
+      assert(streamedHashes.toSet === batchHashes.toSet)
+    } finally q.stop()
+  }
+
+  test("duplicate inside the horizon is absorbed; re-crawl after the horizon is re-admitted") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // text passes every Gopher rule: >=50 words, stopwords present, all
+    // words purely alphabetic (digits would fail the alpha-fraction rule)
+    def w(prefix: String, i: Int) =
+      prefix + ('a' + i % 26).toChar + ('a' + i / 26 % 26).toChar
+    val text = (1 to 30).flatMap(i => Seq("the", w("word", i))).mkString(" ")
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val q = DocStream.curate(
+      mem.toDF().toDF("doc_id", "event_time", "lang", "source", "text"),
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("doc_horizon")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t("2026-01-01 00:00:00"), "en", "src0", text))
+      q.processAllAvailable()
+      // duplicate 1 min later: inside the horizon → absorbed
+      mem.addData((2L, t("2026-01-01 00:01:00"), "en", "src0", text))
+      q.processAllAvailable()
+      // push the watermark far past the horizon with a different doc
+      val other = (1 to 30).flatMap(i => Seq("a", w("other", i))).mkString(" ")
+      mem.addData((3L, t("2026-01-01 02:00:00"), "en", "src0", other))
+      q.processAllAvailable()
+      // re-crawl of the same content, new event time, after the horizon
+      mem.addData((4L, t("2026-01-01 02:01:00"), "en", "src0", text))
+      q.processAllAvailable()
+
+      val hashes = spark.table("doc_horizon")
+        .select("content_hash").as[String].collect().toSeq
+      val textHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(hashes.count(_ == textHash) === 2,
+        s"expected in-horizon dup absorbed and post-horizon re-crawl admitted; got $hashes")
+    } finally q.stop()
+  }
+}
