@@ -57,7 +57,9 @@ object PlanReport {
     "text_gopher_rules" ->
       "All five policy rules and the composite verdict compile into ONE project over the scan — no shuffle at all; the whole policy is a single WholeStageCodegen span.",
     "text_top_tokens" ->
-      "Distributed word count: explode → partial count (map-side combine) → key exchange → final count; only the |vocab|-row ranked head crosses the final single-partition window.")
+      "Distributed word count: explode → partial count (map-side combine) → key exchange → final count; only the |vocab|-row ranked head crosses the final single-partition window.",
+    "j_salted_skew_join" ->
+      "Manual skew salting: the tiny dim side explodes over the salt range and the fact routes to pmod(event_id, 8) — the join exchange hashes (skew_key, salt), so the hot key spreads across 8 tasks instead of landing on one.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -345,6 +345,48 @@ object TimeSeriesExt {
         .agg(sum(col("pn")).as("n"), (sum(col("pcents")) / 100.0).as("total_value"))
     },
 
+    // ---- salted skew JOIN — the join-side twin of a_salted_skew_agg.
+    // A synthetic hot key (~30% of events collapse onto skew_key 0) would
+    // put one-third of the fact on a single shuffle task in a plain
+    // key-partitioned join. The salted plan replicates the SMALL dim side
+    // SALT_N ways (explode on the salt range — bounded, dim is tiny) and
+    // routes each fact row to one deterministic salt bucket, so the join
+    // key becomes (skew_key, salt) and the hot key spreads over SALT_N
+    // tasks. Results are salt-invariant — the oracle states the plain
+    // join. (AQE skew-join handles this adaptively; the manual salt is
+    // the planner-independent form that also works inside streaming or
+    // bucketed plans where AQE cannot re-plan.)
+    q("j_salted_skew_join",
+      """WITH fact AS (
+        |  SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS skew_key,
+        |    event_id, CAST(round(value*100) AS BIGINT) AS v_c
+        |  FROM events),
+        |dim AS (
+        |  SELECT skew_key, CAST(MIN(event_id) AS BIGINT) AS first_event_id
+        |  FROM fact GROUP BY skew_key)
+        |SELECT f.skew_key, COUNT(*) AS n_events,
+        |  CAST(SUM(f.v_c) AS BIGINT)/100.0 AS total_value,
+        |  CAST(MIN(d.first_event_id) AS BIGINT) AS first_event_id
+        |FROM fact f JOIN dim d ON f.skew_key = d.skew_key
+        |GROUP BY f.skew_key""".stripMargin) { (s, d) =>
+      val SaltN = 8
+      val fact = Tables.events(s, d)
+        .select(
+          when(col("user_id") % 10 < 3, 0L).otherwise(col("user_id")).as("skew_key"),
+          col("event_id"), cents(col("value")).as("v_c"))
+      val dim = fact.groupBy(col("skew_key"))
+        .agg(min(col("event_id")).as("first_event_id"))
+      val dimSalted = dim.withColumn("salt",
+        explode(array((0 until SaltN).map(lit): _*)))
+      val factSalted = fact.withColumn("salt", pmod(col("event_id"), lit(SaltN)).cast("int"))
+      factSalted
+        .join(dimSalted, Seq("skew_key", "salt"))
+        .groupBy(col("skew_key"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("v_c")) / 100.0).as("total_value"),
+          min(col("first_event_id")).as("first_event_id"))
+    },
+
     // ---- correlated scalar subquery (SQL entry point; decorrelated by
     // Catalyst into an aggregate + join)
     q("subquery_scalar_latest_order",
