@@ -293,7 +293,13 @@ object Similarity {
     * τ ≥ 0.9 (agreement 0.86) where pruning is far sharper. The
     * deliverable is the plan shape: the only joins are bucket-equality on
     * (band, key) + the verify lookups — no all-pairs theta-join anywhere,
-    * so cost tracks candidate volume, not n². */
+    * so cost tracks candidate volume, not n².
+    *
+    * Measured alternative (rejected): 16 exact bands without probes —
+    * same asymptotic recall on paper, but runtime did NOT improve (the
+    * map-side banding cost is 48 plane dots/row vs 24; the hot cost is
+    * banding, not the candidate join at this corpus size) and measured
+    * pairs dropped 907 → 815. Multi-probe kept. */
   val dedupLshQuery: GraftQuery =
     q("dedup_embedding_lsh", {
       val bandSelects = (0 until DedupBands).map { t =>

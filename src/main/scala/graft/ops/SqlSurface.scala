@@ -181,6 +181,42 @@ object SqlSurface {
           "metric", "value")
     },
 
+    // ---- single-pass table profiling (the Deequ/dbt-docs capability):
+    // row count, per-column null counts, exact distinct counts, min/max —
+    // ONE scan of the table. The three exact count-distincts expand the
+    // aggregate (Spark's Expand), still one pass over the fact; at 100 TB
+    // the approx variant (a7_approx_count_distinct's HLL path) swaps in
+    // per column with no shape change.
+    q("profile_table_orders",
+      """SELECT
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+        |  CAST(MIN(o_custkey) AS BIGINT) AS custkey_min,
+        |  CAST(MAX(o_custkey) AS BIGINT) AS custkey_max,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+        |  MIN(o_orderstatus) AS status_min,
+        |  MAX(o_orderstatus) AS status_max,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS priority_distinct,
+        |  CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS price_min,
+        |  CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS price_max,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS price_sum
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        min(col("o_custkey")).as("custkey_min"),
+        max(col("o_custkey")).as("custkey_max"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min(col("o_orderstatus")).as("status_min"),
+        max(col("o_orderstatus")).as("status_max"),
+        countDistinct(col("o_orderpriority")).as("priority_distinct"),
+        (min(Tables.cents(col("o_totalprice"))) / 100.0).as("price_min"),
+        (max(Tables.cents(col("o_totalprice"))) / 100.0).as("price_max"),
+        (sum(Tables.cents(col("o_totalprice"))) / 100.0).as("price_sum"))
+    },
+
     // ---- higher-order array functions (transform / filter / aggregate /
     // zip_with) over the embedding column — the API surface for
     // vector-valued features, all codegen-friendly per-row lambdas with
