@@ -294,6 +294,55 @@ object TrainingPipeline {
           TextHash.h64(array_join(col("chunk"), " ")).as("chunk_hash"))
     },
 
+    // ---- cross-document SPAN dedup: the C4 / suffix-array-style
+    // "remove repeated passages" analogue at corpus scale, composed from
+    // the chunk_documents chain. Chunks (64-word windows, stride 48) are
+    // content-hashed; a chunk is a cross-doc duplicate when its hash
+    // occurs in MORE THAN ONE document. Per-doc verdict: chunk counts,
+    // duplicated-chunk count, dup ratio. Scale shape: chunking is a
+    // narrow explode; the only shuffles are the chunk-hash aggregate
+    // (map-side combined) and the join-back on the hash — candidate
+    // volume tracks corpus size, never n² (the suffix-array alternative
+    // needs a global sort; this is the shuffle-native form).
+    q("dedup_chunks_cross_doc", {
+      val S = 64; val stride = 48
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |k AS (SELECT doc_id, ws,
+         |        unnest(generate_series(0, (len(ws) - 1) // $stride)) AS kk
+         |      FROM w),
+         |c AS (SELECT doc_id,
+         |        ${TextHash.h64Sql(s"array_to_string(ws[kk * $stride + 1 : kk * $stride + $S], ' ')")} AS chunk_hash
+         |      FROM k),
+         |df AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs FROM c GROUP BY chunk_hash)
+         |SELECT c.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*) AS dup_chunk_ratio
+         |FROM c JOIN df ON c.chunk_hash = df.chunk_hash
+         |GROUP BY c.doc_id""".stripMargin
+    }) { (s, d) =>
+      val S = 64; val stride = 48
+      val ws = split(col("text"), " ", -1)
+      val chunks = Tables.documentsParallel(s, d)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, (size(ws) - 1) div $stride), k -> k)"))
+            .as("kk"), col("ws"))
+        .select(col("doc_id"),
+          TextHash.h64(array_join(expr(s"slice(ws, kk * $stride + 1, $S)"), " "))
+            .as("chunk_hash"))
+      val df = chunks.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      chunks
+        .join(df, Seq("chunk_hash"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          (sum(when(col("n_docs") > 1, 1L).otherwise(0L)) * 1.0 / count(lit(1)))
+            .as("dup_chunk_ratio"))
+    },
+
     // ---- benchmark decontamination: flag training docs sharing any
     // character shingle with the held-out eval set (doc_id % 97 = 0 stands
     // in for the benchmark). The n-gram-overlap contamination check every
