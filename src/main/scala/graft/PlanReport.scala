@@ -59,7 +59,11 @@ object PlanReport {
     "text_top_tokens" ->
       "Distributed word count: explode → partial count (map-side combine) → key exchange → final count; only the |vocab|-row ranked head crosses the final single-partition window.",
     "j_salted_skew_join" ->
-      "Manual skew salting: the tiny dim side explodes over the salt range and the fact routes to pmod(event_id, 8) — the join exchange hashes (skew_key, salt), so the hot key spreads across 8 tasks instead of landing on one.")
+      "Manual skew salting: the tiny dim side explodes over the salt range and the fact routes to pmod(event_id, 8) — the join exchange hashes (skew_key, salt), so the hot key spreads across 8 tasks instead of landing on one.",
+    "dedup_chunks_cross_doc" ->
+      "Cross-doc span dedup without a global sort: chunking is scan → explode → hash in one codegen stage; the chunk-hash document frequency is a map-side-combined aggregate; the verdict join hashes on chunk_hash only.",
+    "profile_table_orders" ->
+      "Single-pass profiling: every metric lives in ONE aggregate over one scan; the three exact count-distincts appear as Expand inside the same two-phase aggregate, never as separate scans.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
