@@ -41,6 +41,23 @@ class OpsExtSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"base should not sort-merge:\n$plan")
   }
 
+  test("salted skew join exchanges on (skew_key, salt), not skew_key alone") {
+    // at sf0.001 the dim fits the auto-broadcast threshold and the join
+    // would not shuffle at all; disable it to expose the shuffle shape
+    // the salt exists for (dim too large to broadcast — e.g. one row per
+    // user). DataFrame must be rebuilt AFTER the conf change.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = run("j_salted_skew_join").queryExecution.executedPlan.toString
+      // the join-feeding exchange must carry the salt column too — an
+      // exchange on skew_key alone would put the hot key on one task
+      val saltedExchange = "hashpartitioning\\(skew_key#\\d+L?, salt#\\d+".r
+      assert(saltedExchange.findFirstIn(plan).isDefined,
+        s"no (skew_key, salt) exchange found in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("forward as-of: gaps nonnegative and within tolerance; null iff no error in window") {
     val out = run("asof_next_error_tolerance").cache()
     try {
