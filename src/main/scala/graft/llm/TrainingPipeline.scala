@@ -4,6 +4,7 @@ import graft.GraftQuery
 import graft.GraftQuery.q
 import graft.meter.MeterGen
 import graft.ops.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -21,6 +22,32 @@ object TrainingPipeline {
 
   /** Tokens per context window for [[packSequences]]. */
   private val PackBudget = 2048L
+
+  // sliding-window segmentation geometry shared by chunk_documents and
+  // dedup_chunks_cross_doc — ONE definition (Scala + SQL twins below) so
+  // the two queries cannot silently disagree about what a "chunk" is
+  private val WindowWords = 64
+  private val WindowStride = 48
+
+  /** (doc_id, chunk_id, chunk) rows: overlapping word windows over the
+    * corpus. Narrow projection + explode — no shuffle. */
+  private def chunkRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (size(ws) - 1) div $WindowStride)")).as("chunk_id"),
+        col("ws"))
+      .withColumn("chunk", expr(s"slice(ws, chunk_id * $WindowStride + 1, $WindowWords)"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk"))
+
+  /** Oracle CTE twin of [[chunkRows]]: produces c(doc_id, kk, chunk). */
+  private val chunkCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |k AS (SELECT doc_id, ws,
+       |        unnest(generate_series(0, (len(ws) - 1) // $WindowStride)) AS kk
+       |      FROM w),
+       |c AS (SELECT doc_id, kk,
+       |        ws[kk * $WindowStride + 1 : kk * $WindowStride + $WindowWords] AS chunk
+       |      FROM k)""".stripMargin
   private val ChunkSize = 100L
 
   val all: Seq[GraftQuery] = Seq(
@@ -264,32 +291,18 @@ object TrainingPipeline {
     // chunk row carries the 60-bit hash of its joined text, which the
     // oracle recomputes from its own slice arithmetic.
     q("chunk_documents", {
-      val S = 64; val stride = 48
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |k AS (SELECT doc_id, ws,
-         |        unnest(generate_series(0, (len(ws) - 1) // $stride)) AS kk
-         |      FROM w),
-         |c AS (SELECT doc_id, kk AS chunk_id, kk * $stride AS start_word,
-         |        ws[kk * $stride + 1 : kk * $stride + $S] AS chunk
-         |      FROM k)
-         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-         |  CAST(start_word AS BIGINT) AS start_word,
+      s"""WITH $chunkCtes
+         |SELECT doc_id, CAST(kk AS BIGINT) AS chunk_id,
+         |  CAST(kk * $WindowStride AS BIGINT) AS start_word,
          |  CAST(len(chunk) AS BIGINT) AS n_chunk_words,
          |  ${TextHash.h64Sql("array_to_string(chunk, ' ')")} AS chunk_hash
          |FROM c""".stripMargin
     }) { (s, d) =>
-      val S = 64; val stride = 48
-      val ws = split(col("text"), " ", -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), ws.as("ws"))
-        .select(col("doc_id"), col("ws"),
-          explode(expr(s"transform(sequence(0, (size(ws) - 1) div $stride), k -> k)"))
-            .as("chunk_id"))
-        .withColumn("chunk", expr(s"slice(ws, chunk_id * $stride + 1, $S)"))
+      chunkRows(Tables.documents(s, d))
         .select(
           col("doc_id"),
           col("chunk_id").cast("long").as("chunk_id"),
-          (col("chunk_id") * stride).cast("long").as("start_word"),
+          (col("chunk_id") * WindowStride).cast("long").as("start_word"),
           size(col("chunk")).cast("long").as("n_chunk_words"),
           TextHash.h64(array_join(col("chunk"), " ")).as("chunk_hash"))
     },
@@ -305,42 +318,40 @@ object TrainingPipeline {
     // volume tracks corpus size, never n² (the suffix-array alternative
     // needs a global sort; this is the shuffle-native form).
     q("dedup_chunks_cross_doc", {
-      val S = 64; val stride = 48
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |k AS (SELECT doc_id, ws,
-         |        unnest(generate_series(0, (len(ws) - 1) // $stride)) AS kk
-         |      FROM w),
-         |c AS (SELECT doc_id,
-         |        ${TextHash.h64Sql(s"array_to_string(ws[kk * $stride + 1 : kk * $stride + $S], ' ')")} AS chunk_hash
-         |      FROM k),
-         |df AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs FROM c GROUP BY chunk_hash)
-         |SELECT c.doc_id,
+      s"""WITH $chunkCtes,
+         |h AS (SELECT doc_id,
+         |        ${TextHash.h64Sql("array_to_string(chunk, ' ')")} AS chunk_hash
+         |      FROM c),
+         |df AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs FROM h GROUP BY chunk_hash)
+         |SELECT h.doc_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
          |  CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          |  CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*) AS dup_chunk_ratio
-         |FROM c JOIN df ON c.chunk_hash = df.chunk_hash
-         |GROUP BY c.doc_id""".stripMargin
+         |FROM h JOIN df ON h.chunk_hash = df.chunk_hash
+         |GROUP BY h.doc_id""".stripMargin
     }) { (s, d) =>
-      val S = 64; val stride = 48
-      val ws = split(col("text"), " ", -1)
-      val chunks = Tables.documentsParallel(s, d)
-        .select(col("doc_id"), ws.as("ws"))
+      // hash each chunk ONCE: aggregate to per-(doc, hash) occurrence
+      // counts first (lazily checkpointed — the md5 chunk hashing is the
+      // CPU hot path and must not run once per consumer), derive the
+      // cross-doc document frequency from that small frame, and join the
+      // tiny df table back to the aggregate, never to the raw chunk rows.
+      val pairs = chunkRows(Tables.documentsParallel(s, d))
         .select(col("doc_id"),
-          explode(expr(s"transform(sequence(0, (size(ws) - 1) div $stride), k -> k)"))
-            .as("kk"), col("ws"))
-        .select(col("doc_id"),
-          TextHash.h64(array_join(expr(s"slice(ws, kk * $stride + 1, $S)"), " "))
-            .as("chunk_hash"))
-      val df = chunks.groupBy(col("chunk_hash"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-      chunks
+          TextHash.h64(array_join(col("chunk"), " ")).as("chunk_hash"))
+        .groupBy(col("doc_id"), col("chunk_hash"))
+        .agg(count(lit(1)).as("n_occ"))
+        .localCheckpoint(eager = false)
+      // one row per (doc, hash) in `pairs` => COUNT(*) = distinct docs
+      val df = pairs.groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_docs"))
+      pairs
         .join(df, Seq("chunk_hash"))
         .groupBy(col("doc_id"))
         .agg(
-          count(lit(1)).as("n_chunks"),
-          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
-          (sum(when(col("n_docs") > 1, 1L).otherwise(0L)) * 1.0 / count(lit(1)))
-            .as("dup_chunk_ratio"))
+          sum(col("n_occ")).as("n_chunks"),
+          sum(when(col("n_docs") > 1, col("n_occ")).otherwise(0L)).as("n_dup_chunks"),
+          (sum(when(col("n_docs") > 1, col("n_occ")).otherwise(0L)) * 1.0
+            / sum(col("n_occ"))).as("dup_chunk_ratio"))
     },
 
     // ---- benchmark decontamination: flag training docs sharing any

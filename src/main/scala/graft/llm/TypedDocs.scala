@@ -39,9 +39,13 @@ object TypedDocs {
       def zero: Acc = Acc(0L, 0L, 0L, 0L, 0L)
       def reduce(b: Acc, d: Doc): Acc = {
         // same split-on-single-space convention as TextAnalysis.words;
-        // split of "" yields one empty token on both engines
+        // split of "" yields one empty token on both engines.
+        // codePointCount, NOT String.length: Spark's length() and DuckDB's
+        // len() count Unicode code points, while Java length() counts
+        // UTF-16 code units — they diverge on any supplementary-plane
+        // character (emoji), and this path is contracted bit-identical
         val w = d.text.split(" ", -1).length.toLong
-        val c = d.text.length.toLong
+        val c = d.text.codePointCount(0, d.text.length).toLong
         Acc(b.n + 1, b.words + w, b.chars + c,
           b.bpe + (c + 3) / 4, math.max(b.maxWords, w))
       }
