@@ -25,6 +25,24 @@ class TypedDocsSpec extends SparkSpec {
     assert(untyped.except(typed).count() === 0)
   }
 
+  test("typed char counts match untyped on supplementary-plane characters") {
+    import spark.implicits._
+    // "👍" is one code point but two UTF-16 units — String.length would
+    // count 2 here and silently diverge from Spark length()/DuckDB len()
+    val rows = Seq(
+      TypedDocs.Doc(1L, "a 👍 b", "en", "s", 5L),
+      TypedDocs.Doc(2L, "plain ascii text", "en", "s", 16L))
+    val ds = spark.createDataset(rows)
+    val typed = ds.groupByKey(_.lang).agg(TypedDocs.langStatsAgg.toColumn)
+      .map { case (lang, st) => st.copy(lang = lang) }
+      .toDF().select("lang", "total_chars")
+    val untyped = ds.toDF().groupBy(col("lang"))
+      .agg(sum(length(col("text")).cast("long")).as("total_chars"))
+    assert(typed.collect().toSeq.map(_.toSeq) === untyped.collect().toSeq.map(_.toSeq))
+    // and the absolute value is the code-point count: 5 + 16
+    assert(typed.head.getLong(1) === 21L)
+  }
+
   test("typed aggregation plans as a two-phase object hash aggregate (partial + final)") {
     val plan = TypedDocs.langStats(spark, sf0001).queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
