@@ -12,7 +12,7 @@ class SparkEntrySpec extends SparkSpec {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"orphan oracles: ${ok -- qk}")
-    assert(qk.size >= 58)
+    assert(qk.size >= 120)
   }
 
   test("every registered query executes at sf0.001") {
