@@ -41,6 +41,29 @@ object DocStream {
       .withColumn("pass_gopher", g.pass)
       .filter(col("pass_gopher"))
       .select(col("doc_id"), col("event_time"), col("lang"), col("source"),
-        col("content_hash"), col("n_words"))
+        col("text"), col("content_hash"), col("n_words"))
   }
+
+  /** The full online ingestion pipeline: [[curate]] (policy gate +
+    * in-horizon dedup, BOUNDED state) feeding
+    * [[graft.sources.DocStore.appendDeduped]] per micro-batch (history
+    * dedup via the hash index, UNBOUNDED coverage at index-sized cost).
+    * The two layers compose into history-wide exactly-once landing: the
+    * watermark bounds streaming state, and anything that slips past the
+    * horizon (a re-crawl weeks later) still anti-joins the index. */
+  def startCuratedIngest(
+      docs: org.apache.spark.sql.DataFrame,
+      baseDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+    curate(docs, watermark).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.DocStore.appendDeduped(batch.sparkSession, batch, baseDir)
+        ()
+      }
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
 }
