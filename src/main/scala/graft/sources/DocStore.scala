@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental CROSS-BATCH corpus dedup: append only never-seen documents
@@ -8,16 +9,23 @@ import org.apache.spark.sql.functions._
   * the production shape for continuous ingestion, where each arriving
   * batch must dedup against the WHOLE history without rescanning it.
   *
-  *   baseDir/docs/        the landed, deduplicated corpus
-  *   baseDir/hash_index/  one row per landed content hash
+  *   baseDir/docs/        the landed, deduplicated corpus (batch_id-partitioned)
+  *   baseDir/hash_index/  one row per landed content hash (batch_id-partitioned)
+  *
+  * Exactly-once under at-least-once delivery: both writes are
+  * batch_id-partitioned DYNAMIC OVERWRITES (same idiom as
+  * `Ingest.startIngestWithQuarantine`), so a replayed batch — including a
+  * crash between the docs write and the index write — REWRITES its own
+  * partition with identical rows instead of appending duplicates. The
+  * caller must supply a stable per-batch id (foreachBatch's batchId);
+  * distinct batches must use distinct ids.
   *
   * Scale design: the per-batch work is (batch in-dedup) + one left-anti
   * join of the batch against the index — never against the corpus text.
   * The index is hashes only (~32 B/doc vs KBs of text), so at 100 TB of
   * corpus the index is ~3 orders of magnitude smaller; bucketing it by
   * hash (Store-style bucketBy) would make the anti-join co-located and
-  * shuffle-free on the index side. Replay-idempotent by construction: a
-  * redelivered batch anti-joins to empty.
+  * shuffle-free on the index side.
   *
   * The single-corpus batch twin is `dedup_exact`; the bounded-horizon
   * streaming twin is [[graft.streaming.DocStream.curate]]. This is the
@@ -25,34 +33,52 @@ import org.apache.spark.sql.functions._
   */
 object DocStore {
 
-  /** Append `docs` (doc_id, text, ...) minus already-seen content.
-    * Returns the number of newly landed documents. */
-  def appendDeduped(spark: SparkSession, docs: DataFrame, baseDir: String): Long = {
+  /** Land `docs` (doc_id, text, ...) minus already-seen content under the
+    * given stable batch id. Returns the number of newly landed documents. */
+  def appendDeduped(spark: SparkSession, docs: DataFrame, baseDir: String,
+      batchId: Long): Long = {
     val docsPath = s"$baseDir/docs"
     val indexPath = s"$baseDir/hash_index"
 
-    // in-batch dedup first (keep min doc_id per hash — deterministic
-    // under replay), then history dedup via the index
-    val hashed = docs
-      .withColumn("content_hash", md5(col("text")))
+    // a document with no content is rejected, not landed: md5(null) is
+    // null, and a null hash would never match itself in the anti-join —
+    // one null-text row per batch would re-land forever
+    val withHash = docs.filter(col("text").isNotNull)
+    // reuse the hash when the caller (e.g. DocStream.curate) already
+    // computed it — document bodies are the expensive thing to hash twice
+    val hashed0 =
+      if (withHash.columns.contains("content_hash")) withHash
+      else withHash.withColumn("content_hash", md5(col("text")))
+
+    // in-batch dedup (keep min doc_id per hash — deterministic under
+    // replay), then history dedup via the index
+    val hashed = hashed0
       .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
 
     val fresh0 =
       if (indexExists(spark, indexPath)) {
-        val seen = spark.read.parquet(indexPath)
+        val seen = spark.read.parquet(indexPath).select(col("content_hash"))
         hashed.join(seen, Seq("content_hash"), "left_anti")
       } else hashed
 
     // materialize BEFORE touching the index path: the anti-join reads the
-    // same files the index append below rewrites ("Cannot overwrite a
+    // same files the index overwrite below rewrites ("Cannot overwrite a
     // path that is also being read from" — same trap as Store.compactChunk)
-    val fresh = fresh0.localCheckpoint(eager = true)
+    val fresh = fresh0.withColumn("batch_id", lit(batchId))
+      .localCheckpoint(eager = true)
 
-    fresh.write.mode(SaveMode.Append).parquet(docsPath)
-    fresh.select(col("content_hash")).write.mode(SaveMode.Append).parquet(indexPath)
+    // dynamic overwrite: an empty replay (index already has the hashes)
+    // touches no partitions; a partial-failure replay rewrites batch_id=N
+    // with the same rows
+    fresh.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(docsPath)
+    fresh.select(col("content_hash"), col("batch_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexPath)
     fresh.count()
   }
 

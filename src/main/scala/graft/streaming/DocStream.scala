@@ -59,8 +59,11 @@ object DocStream {
       watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
     curate(docs, watermark).writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.sources.DocStore.appendDeduped(batch.sparkSession, batch, baseDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // batchId threads through to DocStore's dynamic-overwrite commit —
+        // foreachBatch is at-least-once, and the id is what makes a
+        // replayed batch rewrite its partition instead of duplicating
+        graft.sources.DocStore.appendDeduped(batch.sparkSession, batch, baseDir, batchId)
         ()
       }
       .trigger(trigger)

@@ -14,14 +14,15 @@ class DocStoreSpec extends SparkSpec {
     val b1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "alpha beta gamma"))
       .toDF("doc_id", "text")
     // in-batch dup (doc 3) collapses; two uniques land
-    assert(DocStore.appendDeduped(spark, b1, dir) === 2L)
+    assert(DocStore.appendDeduped(spark, b1, dir, batchId = 1L) === 2L)
 
-    // full replay: nothing lands
-    assert(DocStore.appendDeduped(spark, b1, dir) === 0L)
+    // full replay (same batch id, as a checkpoint restart would deliver):
+    // nothing lands
+    assert(DocStore.appendDeduped(spark, b1, dir, batchId = 1L) === 0L)
 
     // second batch: one overlap with history, one new
     val b2 = Seq((10L, "delta epsilon"), (11L, "zeta eta")).toDF("doc_id", "text")
-    assert(DocStore.appendDeduped(spark, b2, dir) === 1L)
+    assert(DocStore.appendDeduped(spark, b2, dir, batchId = 2L) === 1L)
 
     val landed = spark.read.parquet(s"$dir/docs")
     assert(landed.count() === 3L)
@@ -32,6 +33,35 @@ class DocStoreSpec extends SparkSpec {
     // index mirrors the corpus exactly
     val idx = spark.read.parquet(s"$dir/hash_index")
     assert(idx.count() === 3L)
-    assert(landed.select("content_hash").except(idx).count() === 0L)
+    assert(landed.select("content_hash").except(idx.select("content_hash")).count() === 0L)
+  }
+
+  test("crash between the docs write and the index write does not duplicate on replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstore-crash").toString
+    val b = Seq((1L, "theta iota kappa")).toDF("doc_id", "text")
+    assert(DocStore.appendDeduped(spark, b, dir, batchId = 7L) === 1L)
+
+    // simulate the crash window: docs landed, index write lost
+    val idxPart = new java.io.File(s"$dir/hash_index/batch_id=7")
+    assert(idxPart.exists)
+    idxPart.listFiles.foreach(_.delete()); idxPart.delete()
+
+    // at-least-once replay of the same batch id: the anti-join passes the
+    // doc again (index lost it), but the dynamic overwrite REWRITES
+    // partition batch_id=7 instead of appending a second copy
+    assert(DocStore.appendDeduped(spark, b, dir, batchId = 7L) === 1L)
+    val landed = spark.read.parquet(s"$dir/docs")
+    assert(landed.count() === 1L)
+    assert(spark.read.parquet(s"$dir/hash_index").count() === 1L)
+  }
+
+  test("null-text rows are rejected, not re-landed forever") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstore-null").toString
+    val b = Seq((1L, "lambda mu"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(DocStore.appendDeduped(spark, b, dir, batchId = 1L) === 1L)
+    assert(DocStore.appendDeduped(spark, b, dir, batchId = 2L) === 0L)
+    assert(spark.read.parquet(s"$dir/docs").count() === 1L)
   }
 }

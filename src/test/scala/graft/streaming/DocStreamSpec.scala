@@ -101,29 +101,29 @@ class DocStreamSpec extends SparkSpec {
     val other = (1 to 30).flatMap(i => Seq("a", w("other", i))).mkString(" ")
 
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    // data BEFORE start: AvailableNow snapshots the available offsets at
+    // query start — adding afterwards races the snapshot
+    mem.addData(
+      (1L, t("2026-01-01 00:00:00"), "en", "s", text),
+      (2L, t("2026-01-01 00:01:00"), "en", "s", text), // in-horizon dup
+      (3L, t("2026-01-01 02:00:00"), "en", "s", other))
     val q = DocStream.startCuratedIngest(
       mem.toDF().toDF("doc_id", "event_time", "lang", "source", "text"),
       s"$dir/store", s"$dir/ckpt",
       org.apache.spark.sql.streaming.Trigger.AvailableNow(), "10 minutes")
-    try {
-      mem.addData(
-        (1L, t("2026-01-01 00:00:00"), "en", "s", text),
-        (2L, t("2026-01-01 00:01:00"), "en", "s", text), // in-horizon dup
-        (3L, t("2026-01-01 02:00:00"), "en", "s", other))
-      q.awaitTermination(120000)
-    } finally q.stop()
+    try assert(q.awaitTermination(120000), "run 1 did not terminate")
+    finally q.stop()
 
     // post-horizon re-crawl in a NEW run (fresh stream state): the
     // watermark layer re-admits it; the history index must still drop it
     val mem2 = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    mem2.addData((10L, t("2026-01-02 00:00:00"), "en", "s", text))
     val q2 = DocStream.startCuratedIngest(
       mem2.toDF().toDF("doc_id", "event_time", "lang", "source", "text"),
       s"$dir/store", s"$dir/ckpt2",
       org.apache.spark.sql.streaming.Trigger.AvailableNow(), "10 minutes")
-    try {
-      mem2.addData((10L, t("2026-01-02 00:00:00"), "en", "s", text))
-      q2.awaitTermination(120000)
-    } finally q2.stop()
+    try assert(q2.awaitTermination(120000), "run 2 did not terminate")
+    finally q2.stop()
 
     val landed = spark.read.parquet(s"$dir/store/docs")
     assert(landed.count() === 2L, "exactly one copy of each distinct passing text")
