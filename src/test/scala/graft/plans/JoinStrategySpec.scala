@@ -34,6 +34,27 @@ class JoinStrategySpec extends SparkSpec {
     }
   }
 
+  test("join strategy hints are honored: shuffle_hash and merge steer the same equi join") {
+    withNoAutoBroadcast {
+      import org.apache.spark.sql.functions.col
+      val o = graft.ops.Tables.orders(spark, sf0001)
+      val c = graft.ops.Tables.customer(spark, sf0001)
+      // default (no hint): SortMergeJoin
+      val smj = o.join(c, col("o_custkey") === col("c_custkey"))
+        .queryExecution.sparkPlan
+      assert(smj.collect { case j: SortMergeJoinExec => j }.nonEmpty, s"$smj")
+      // shuffle_hash hint: hash join without the per-partition sort — the
+      // right call when one side is much smaller but not broadcastable
+      val shj = o.join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+        .queryExecution.sparkPlan
+      assert(shj.collect { case j: ShuffledHashJoinExec => j }.nonEmpty, s"$shj")
+      // merge hint: forces the sort-merge path even where hash would win
+      val merged = o.join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+        .queryExecution.sparkPlan
+      assert(merged.collect { case j: SortMergeJoinExec => j }.nonEmpty, s"$merged")
+    }
+  }
+
   test("q5: the fact-fact join shuffles (never broadcasts a fact); dims broadcast") {
     withNoAutoBroadcast {
       val plan = graft.SparkEntry.queries("q5_nation_revenue")(spark, sf0001)
