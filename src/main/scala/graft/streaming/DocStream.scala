@@ -39,6 +39,13 @@ object DocStream {
       .dropDuplicatesWithinWatermark("content_hash")
       .withColumn("n_words", g.nWords)
       .withColumn("pass_gopher", g.pass)
+      // per-batch curation counters (the corpus-path analogue of
+      // Ingest.parseAndValidate's drop accounting): rows surviving the
+      // in-horizon dedup, and how many the policy gate rejects —
+      // surfaced on every QueryProgress via observedMetrics("curate")
+      .observe("curate",
+        count(lit(1)).as("n_after_dedup"),
+        sum(when(col("pass_gopher"), 0L).otherwise(1L)).as("n_policy_dropped"))
       .filter(col("pass_gopher"))
       .select(col("doc_id"), col("event_time"), col("lang"), col("source"),
         col("text"), col("content_hash"), col("n_words"))

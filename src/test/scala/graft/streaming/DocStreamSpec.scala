@@ -91,6 +91,34 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curate exposes per-batch dedup/policy drop counters via observe") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def w(prefix: String, i: Int) =
+      prefix + ('a' + i % 26).toChar + ('a' + i / 26 % 26).toChar
+    val good = (1 to 30).flatMap(i => Seq("the", w("word", i))).mkString(" ")
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val q = DocStream.curate(
+      mem.toDF().toDF("doc_id", "event_time", "lang", "source", "text"))
+      .writeStream.format("memory").queryName("doc_observed")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, t("2026-01-01 00:00:00"), "en", "s", good),
+        (2L, t("2026-01-01 00:00:30"), "en", "s", good), // dedup victim
+        (3L, t("2026-01-01 00:01:00"), "en", "s", "too short")) // policy victim
+      q.processAllAvailable()
+      // lastProgress may be a watermark-advance empty batch: total the
+      // counters across every progress event of the run instead
+      val ms = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("curate")))
+      assert(ms.nonEmpty, "no observed metrics on any progress")
+      assert(ms.map(_.getAs[Long]("n_after_dedup")).sum === 2L)
+      assert(ms.map(_.getAs[Long]("n_policy_dropped")).sum === 1L)
+    } finally q.stop()
+  }
+
   test("curate + DocStore compose into history-wide exactly-once landing") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
