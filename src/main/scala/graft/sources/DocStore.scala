@@ -82,6 +82,40 @@ object DocStore {
     fresh.count()
   }
 
+  /** Compact the hash index: thousands of landed batches mean thousands
+    * of tiny batch_id partitions (the same small-file decay
+    * `Store.compactChunk` repairs on bronze). All hashes are folded into
+    * the reserved history partition `batch_id = -1`, then the per-batch
+    * partitions are dropped.
+    *
+    * Crash-safe and idempotent: the fold is written first (dynamic
+    * overwrite of the -1 partition only), deletes happen after. A crash
+    * between the two leaves some hashes present twice — harmless, the
+    * anti-join tests existence, not multiplicity — and a re-run converges.
+    * Replays of pre-compaction batches stay exactly-once: their hashes
+    * are still in the index, so the anti-join lands nothing and the empty
+    * dynamic overwrite touches no partition. Returns the compacted hash
+    * count. */
+  def compactIndex(spark: SparkSession, baseDir: String): Long = {
+    val indexPath = s"$baseDir/hash_index"
+    if (!indexExists(spark, indexPath)) return 0L
+    val folded = spark.read.parquet(indexPath)
+      .select(col("content_hash")).distinct()
+      .withColumn("batch_id", lit(-1L))
+      // materialize before rewriting the directory being read
+      .localCheckpoint(eager = true)
+    folded.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexPath)
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id=")
+        && st.getPath.getName != "batch_id=-1")
+      .foreach(st => fs.delete(st.getPath, true))
+    folded.count()
+  }
+
   private def indexExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -56,6 +56,30 @@ class DocStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/hash_index").count() === 1L)
   }
 
+  test("index compaction folds batch partitions and preserves dedup semantics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstore-compact").toString
+    (1 to 4).foreach { i =>
+      val b = Seq((i.toLong, s"content number $i")).toDF("doc_id", "text")
+      assert(DocStore.appendDeduped(spark, b, dir, batchId = i.toLong) === 1L)
+    }
+    assert(DocStore.compactIndex(spark, dir) === 4L)
+    // single history partition remains
+    val parts = new java.io.File(s"$dir/hash_index").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+    assert(parts === Set("batch_id=-1"))
+    // replay of a pre-compaction batch still lands nothing
+    val b2 = Seq((2L, "content number 2")).toDF("doc_id", "text")
+    assert(DocStore.appendDeduped(spark, b2, dir, batchId = 2L) === 0L)
+    // and genuinely new content still lands after compaction
+    val b5 = Seq((5L, "content number five")).toDF("doc_id", "text")
+    assert(DocStore.appendDeduped(spark, b5, dir, batchId = 5L) === 1L)
+    assert(spark.read.parquet(s"$dir/docs").count() === 5L)
+    // compaction is idempotent
+    assert(DocStore.compactIndex(spark, dir) === 5L)
+  }
+
   test("null-text rows are rejected, not re-landed forever") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("docstore-null").toString
