@@ -66,7 +66,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      // nq_shown tells parsers whether `queries` is the complete map or the
+      // bounded-stdout headline subset (value/nq always cover ALL queries)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nq_shown":${rs.size},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full per-query map → file (always complete)
     val full = jsonLine(results)

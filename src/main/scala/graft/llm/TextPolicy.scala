@@ -106,22 +106,24 @@ object TextPolicy {
     // ---- C4-style policy: minimum length, bad-word list, keep only the
     // FIRST copy of an exact-duplicate text (C4 dedups at the span level;
     // with no line structure in this corpus the analogue is whole-text).
-    // One shuffle, on the text hash — identical shape to `dedup_exact`.
+    // One shuffle, on md5(text) — identical shape to `dedup_exact`: the
+    // exchange keys (and sorts) on a fixed-width 32-char digest, never on
+    // full document bodies (KBs per row of shuffle key at 100 TB).
     q("text_c4_policy",
       s"""WITH m AS (
          |  SELECT doc_id, source,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
          |    CAST(CASE WHEN len(list_filter(string_split(text, ' '),
          |        w -> w IN ${inListSql(banned)})) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_banned,
-         |    CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) AS BIGINT) AS copy_rank,
-         |    CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies
+         |    CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS copy_rank,
+         |    CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
          |  FROM documents)
          |SELECT doc_id, source, n_words, has_banned, copy_rank, n_copies,
          |  CAST(CASE WHEN n_words >= 5 AND has_banned = 0 AND copy_rank = 1
          |       THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM m""".stripMargin) { (s, d) =>
       val w = words(col("text"))
-      val byText = Window.partitionBy(col("text"))
+      val byText = Window.partitionBy(md5(col("text")))
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"),
           size(w).cast("long").as("n_words"),

@@ -69,9 +69,16 @@ object DocStore {
     val fresh = fresh0.withColumn("batch_id", lit(batchId))
       .localCheckpoint(eager = true)
 
-    // dynamic overwrite: an empty replay (index already has the hashes)
-    // touches no partitions; a partial-failure replay rewrites batch_id=N
-    // with the same rows
+    // an empty batch (empty micro-batch at stream start, all rows null-text,
+    // or a full replay) must write NOTHING: a dynamic overwrite of zero rows
+    // still creates the target directory with only _SUCCESS, after which
+    // indexExists says true and the next batch's parquet read fails with
+    // "Unable to infer schema" — a poisoned store until manual cleanup
+    val landed = fresh.count()
+    if (landed == 0L) return 0L
+
+    // dynamic overwrite: a partial-failure replay rewrites batch_id=N with
+    // the same rows instead of appending duplicates
     fresh.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(docsPath)
@@ -79,7 +86,7 @@ object DocStore {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(indexPath)
-    fresh.count()
+    landed
   }
 
   /** Compact the hash index: thousands of landed batches mean thousands
@@ -93,13 +100,34 @@ object DocStore {
     * between the two leaves some hashes present twice — harmless, the
     * anti-join tests existence, not multiplicity — and a re-run converges.
     * Replays of pre-compaction batches stay exactly-once: their hashes
-    * are still in the index, so the anti-join lands nothing and the empty
-    * dynamic overwrite touches no partition. Returns the compacted hash
-    * count. */
+    * are still in the index, so the anti-join lands nothing and no
+    * partition is touched.
+    *
+    * Concurrent ingest is safe because the partition list is SNAPSHOTTED
+    * first: the fold reads exactly the snapshotted partitions and the
+    * delete removes exactly those — a batch that lands while the fold is
+    * running is neither folded nor deleted, just left for the next
+    * compaction. (Listing, folding, then re-listing for the delete would
+    * drop such a batch's hashes without folding them — content could
+    * re-land later, silently breaking exactly-once.) Returns the
+    * compacted hash count. */
   def compactIndex(spark: SparkSession, baseDir: String): Long = {
     val indexPath = s"$baseDir/hash_index"
     if (!indexExists(spark, indexPath)) return 0L
-    val folded = spark.read.parquet(indexPath)
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // snapshot: the per-batch partitions to fold AND later delete
+    val snapshot = fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id=")
+        && st.getPath.getName != "batch_id=-1")
+      .map(_.getPath)
+    if (snapshot.isEmpty) return 0L // nothing to fold; leave -1 as-is
+    // fold = snapshotted partitions ∪ the existing history partition
+    val historyDir = new org.apache.hadoop.fs.Path(indexPath, "batch_id=-1")
+    val foldDirs = (if (fs.exists(historyDir)) snapshot :+ historyDir else snapshot)
+      .map(_.toString)
+    val folded = spark.read.option("basePath", indexPath)
+      .parquet(foldDirs: _*)
       .select(col("content_hash")).distinct()
       .withColumn("batch_id", lit(-1L))
       // materialize before rewriting the directory being read
@@ -107,18 +135,18 @@ object DocStore {
     folded.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(indexPath)
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id=")
-        && st.getPath.getName != "batch_id=-1")
-      .foreach(st => fs.delete(st.getPath, true))
+    snapshot.foreach(dir => fs.delete(dir, true))
     folded.count()
   }
 
+  /** True only when the index holds at least one real batch partition —
+    * a directory containing nothing but _SUCCESS (e.g. left by a crashed
+    * writer before the empty-batch guard existed) must read as absent, or
+    * the next batch's parquet read dies on schema inference. */
   private def indexExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs.listStatus(p)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
   }
 }

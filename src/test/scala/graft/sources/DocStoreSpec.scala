@@ -80,6 +80,39 @@ class DocStoreSpec extends SparkSpec {
     assert(DocStore.compactIndex(spark, dir) === 5L)
   }
 
+  test("an empty first batch does not poison the store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstore-empty").toString
+    // batch of zero landable rows (all null text) — the empty-micro-batch-
+    // at-stream-start shape; before the guard this wrote docs/ and
+    // hash_index/ holding only _SUCCESS, so the next batch's index read
+    // failed schema inference and ingestion was stuck until manual cleanup
+    val b0 = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(DocStore.appendDeduped(spark, b0, dir, batchId = 0L) === 0L)
+    val docsDir = new java.io.File(s"$dir/docs")
+    assert(!docsDir.exists || docsDir.listFiles.exists(_.getName.startsWith("batch_id=")),
+      "an empty batch must not leave a _SUCCESS-only directory behind")
+
+    // the store still works: a real batch lands, a replay of it doesn't
+    val b1 = Seq((2L, "nu xi omicron")).toDF("doc_id", "text")
+    assert(DocStore.appendDeduped(spark, b1, dir, batchId = 1L) === 1L)
+    assert(DocStore.appendDeduped(spark, b1, dir, batchId = 2L) === 0L)
+    assert(spark.read.parquet(s"$dir/docs").count() === 1L)
+  }
+
+  test("compacting an already-compact index is a no-op that keeps history intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstore-recompact").toString
+    val b = Seq((1L, "pi rho sigma")).toDF("doc_id", "text")
+    assert(DocStore.appendDeduped(spark, b, dir, batchId = 1L) === 1L)
+    assert(DocStore.compactIndex(spark, dir) === 1L)
+    // no per-batch partitions left to fold: early exit, -1 untouched
+    assert(DocStore.compactIndex(spark, dir) === 0L)
+    assert(spark.read.parquet(s"$dir/hash_index").count() === 1L)
+    // history still suppresses a replay
+    assert(DocStore.appendDeduped(spark, b, dir, batchId = 9L) === 0L)
+  }
+
   test("null-text rows are rejected, not re-landed forever") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("docstore-null").toString
