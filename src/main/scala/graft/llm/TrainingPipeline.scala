@@ -138,6 +138,28 @@ object TrainingPipeline {
         Tables.documents(s, d).filter(keep).select(col("doc_id"), col("lang"))
     },
 
+    // ---- per-domain cap (C4 / RefinedWeb-style per-host limits): keep at
+    // most K documents per source, chosen by a deterministic hash PRIORITY
+    // (md5 of doc_id) — the distributed equivalent of a uniform reservoir
+    // sample per key, but reproducible on any engine and any partitioning.
+    // One shuffle on the source key; the window is per-source, never global.
+    // A hot domain at 100 TB would swap row_number for the native
+    // [[graft.plans.TopKPerKey]] operator (map-side bounded-heap pruning),
+    // which has identical semantics on (priority, doc_id) order.
+    q("sample_cap_per_source",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 15""".stripMargin) { (s, d) =>
+      val pri = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(pri))
+        .filter(col("rn") <= 15).drop("rn")
+    },
+
     // ---- domain mixing: resample sources toward target mix weights.
     // Unlike [[sample_stratified]]'s fixed fractions, the keep-fraction is
     // DERIVED FROM THE DATA: frac(source) = min(1, target_share · N_total

@@ -152,6 +152,83 @@ object Relational {
           / sum(rev)).as("promo_share_pct"))
     },
 
+    // ---- TPC-H Q18 shape: IN-subquery over a HAVING aggregate. The
+    // subquery IS the aggregate the outer query re-derives, so the Spark
+    // plan computes it ONCE and joins it back carrying total_qty — one
+    // lineitem scan where the SQL text implies two. l_quantity holds
+    // small integers in DOUBLE, so SUM is float-exact / order-independent.
+    q("q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_date, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ---- TPC-H Q20 shape: nested IN with a correlated-style aggregate
+    // gate (suppliers who moved excess PROMO volume). Decorrelated: part
+    // filter broadcasts into the fact scan, the per-supplier aggregate is
+    // one map-side-combined shuffle on l_suppkey, and the gate becomes a
+    // left-semi join into the supplier dim.
+    q("q20_excess_promo_suppliers",
+      """SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY l_suppkey HAVING SUM(l_quantity) > 400)""".stripMargin) { (s, d) =>
+      val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val excess = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 400)
+      Tables.supplier(s, d)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    },
+
+    // ---- TPC-H Q11 shape: HAVING against a global scalar subquery
+    // (parts whose revenue exceeds 1.3× the per-part average). The scalar
+    // decorrelates to a broadcast single-row join; the comparison is kept
+    // in exact BIGINT — threshold = (13·total) div (10·n_parts) — so both
+    // engines agree bit-for-bit with no float boundary.
+    q("q11_important_parts",
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_cc
+        |  FROM lineitem GROUP BY l_partkey),
+        |g AS (SELECT CAST(SUM(rev_cc) AS BIGINT) AS tot, COUNT(*) AS np FROM pr)
+        |SELECT l_partkey, rev_cc/10000.0 AS part_revenue
+        |FROM pr, g WHERE rev_cc > (13 * tot) // (10 * np)""".stripMargin) { (s, d) =>
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("rev_cc"))
+      val g = pr.agg(sum(col("rev_cc")).as("tot"), count(lit(1)).as("np"))
+      pr.crossJoin(broadcast(g))
+        .filter(col("rev_cc") > expr("(13 * tot) div (10 * np)"))
+        .select(col("l_partkey"), (col("rev_cc") / 10000.0).as("part_revenue"))
+    },
+
     // ---- J4: left-anti join (orphan check pattern; NOT EXISTS)
     q("j_anti_customers_without_orders",
       """SELECT c_nationkey, COUNT(*) AS n_customers_no_orders
