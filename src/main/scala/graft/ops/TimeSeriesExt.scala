@@ -387,6 +387,42 @@ object TimeSeriesExt {
           min(col("first_event_id")).as("first_event_id"))
     },
 
+    // ---- heavy hitters over a high-cardinality skewed key via the
+    // Misra–Gries sketch (custom TypedImperativeAggregate, O(k) state per
+    // partial) + one exact re-count of the ≤ k−1 candidates. The sketch
+    // pass holds 255 counters per partition whatever the key cardinality;
+    // the second pass broadcasts the candidate array and exact-counts only
+    // matching rows — so the full key space is NEVER hash-aggregated, the
+    // shape that survives a hot 100 TB column with billions of distinct
+    // keys. Guarantee (MisraGries scaladoc): candidates ⊇ every key above
+    // n/256, and the output threshold is 1% > 1/256 — so the two-pass
+    // result is EXACTLY the brute-force answer the oracle states. Skew is
+    // synthesized as in j_salted_skew_join: ~30% of events collapse onto
+    // two hot keys, the rest stay unique per event.
+    q("a_heavy_hitters_sketch",
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id % 10 < 3 THEN 'hot_' || CAST(user_id % 2 AS VARCHAR)
+        |              ELSE 'u' || CAST(event_id AS VARCHAR) END AS skew_key
+        |  FROM events),
+        |t AS (SELECT COUNT(*) AS n FROM f)
+        |SELECT skew_key, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM f, t GROUP BY skew_key, n HAVING COUNT(*)*100 >= n""".stripMargin) { (s, d) =>
+      val f = Tables.events(s, d).select(
+        when(col("user_id") % 10 < 3,
+          concat(lit("hot_"), (col("user_id") % 2).cast("string")))
+          .otherwise(concat(lit("u"), col("event_id").cast("string")))
+          .as("skew_key"))
+      val sketch = f.agg(
+        graft.functions.MisraGries(col("skew_key"), 256).as("cands"),
+        count(lit(1)).as("n"))
+      f.crossJoin(broadcast(sketch))
+        .filter(array_contains(col("cands"), col("skew_key")))
+        .groupBy(col("skew_key"), col("n"))
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") * 100 >= col("n"))
+        .select(col("skew_key"), col("freq"))
+    },
+
     // ---- correlated scalar subquery (SQL entry point; decorrelated by
     // Catalyst into an aggregate + join)
     q("subquery_scalar_latest_order",

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,100 @@ object DocStore {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(indexPath)
+    landed
+  }
+
+  /** Incremental cross-batch NEAR-dedup: land only documents that are not
+    * MinHash-near-duplicates (estimated Jaccard ≥ `threshold`) of anything
+    * already landed — the fuzzy twin of [[appendDeduped]], and the shape
+    * of a production de-duplicating crawl (each arriving batch is checked
+    * against the WHOLE history without ever rescanning history text).
+    *
+    * Index: `baseDir/sig_index/` holds, per landed document, its 8 LSH
+    * band rows `(band, key, doc_id, sig)` — the 32-long MinHash signature
+    * is denormalized onto each band row so the candidate probe and the
+    * similarity verification are ONE equi-join on (band, key) with a
+    * map-side signature compare; no second join back to a signature
+    * table. ~2 KB/doc — orders of magnitude under the text, and the only
+    * thing a new batch ever joins against.
+    *
+    * Semantics (deterministic under any partitioning):
+    *   - in-batch: for every near-dup pair (d1 < d2) the larger doc_id is
+    *     dropped — conservative pair-drop, may over-drop chains A~B~C
+    *     relative to greedy-keep, never under-drops;
+    *   - cross-batch: a document matching ANY landed band bucket with
+    *     ≥ `threshold` estimated Jaccard is dropped.
+    * A replayed batch self-matches its landed twin at est-Jaccard 1.0, so
+    * replays land nothing; a crash between the docs and index writes is
+    * repaired by the same batch_id dynamic-overwrite idiom as
+    * [[appendDeduped]]. Returns the number of newly landed documents. */
+  def appendNearDeduped(spark: SparkSession, docs: DataFrame, baseDir: String,
+      batchId: Long, threshold: Double = 0.5): Long = {
+    import graft.llm.TextHash
+    val docsPath = s"$baseDir/docs"
+    val sigPath = s"$baseDir/sig_index"
+    val nBands = TextHash.NumHashes / TextHash.BandRows
+    val minMatches = math.ceil(TextHash.NumHashes * threshold).toLong
+
+    val sigs = docs.filter(col("text").isNotNull)
+      .withColumn("sig",
+        graft.functions.MinHashSigs(TextHash.shingleHashArray(col("text"))))
+
+    // 8 band rows per doc; key = base-31 fold of the band's 4 sig values
+    // (identical arithmetic to the batch dedup_minhash_lsh operator)
+    def bandStructs = array((0 until nBands).map { b =>
+      val key = (1 until TextHash.BandRows).foldLeft(
+        element_at(col("sig"), b * TextHash.BandRows + 1)) {
+        (acc, r) => acc * 31 + element_at(col("sig"), b * TextHash.BandRows + r + 1)
+      }
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+    def explodeBands(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("sig"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    // exact integer match count between two signatures (≥ minMatches ⇔
+    // estimated Jaccard ≥ threshold — no float boundary)
+    def sigMatches(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+
+    val batchBands = explodeBands(sigs).localCheckpoint(eager = false)
+
+    // in-batch pair-drop: bucket-join candidates only, then verify
+    val inDup = batchBands.as("x")
+      .join(batchBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(sigMatches(col("x.sig"), col("y.sig")) >= minMatches)
+      .select(col("y.doc_id").as("dup_id")).distinct()
+
+    // cross-batch: probe the landed band index, verify on the stored sig
+    val histDup =
+      if (indexExists(spark, sigPath)) {
+        val idx = spark.read.parquet(sigPath)
+          .select(col("band"), col("key"), col("sig").as("hist_sig"))
+        batchBands
+          .join(idx, Seq("band", "key"))
+          .filter(sigMatches(col("sig"), col("hist_sig")) >= minMatches)
+          .select(col("doc_id").as("dup_id")).distinct()
+      } else inDup.limit(0)
+
+    val fresh = sigs
+      .join(inDup.union(histDup).distinct(), col("doc_id") === col("dup_id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(eager = true) // materialize before touching the index path
+    val landed = fresh.count()
+    if (landed == 0L) return 0L // never write _SUCCESS-only partitions
+
+    fresh.drop("sig").write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(docsPath)
+    explodeBands(fresh.select(col("doc_id"), col("sig")))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(sigPath)
     landed
   }
 

@@ -113,6 +113,56 @@ class DocStoreSpec extends SparkSpec {
     assert(DocStore.appendDeduped(spark, b, dir, batchId = 9L) === 0L)
   }
 
+  // ~200-char base texts; a near-dup shares all but the tail, so the
+  // 14-char shingle sets overlap heavily (true Jaccard ≈ 0.9)
+  private val baseA = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+  private val baseE = ("one two three four five six seven eight nine ten eleven " * 4).trim
+  private def vary(s: String) = s.dropRight(12) + " CHANGED TAIL"
+
+  test("appendNearDeduped suppresses fuzzy duplicates in-batch, cross-batch, and on replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstore-near").toString
+
+    // batch 1: A, near-dup of A (in-batch drop), unrelated C
+    val b1 = Seq((1L, baseA), (2L, vary(baseA)), (3L, "completely different short text"))
+      .toDF("doc_id", "text")
+    assert(DocStore.appendNearDeduped(spark, b1, dir, batchId = 1L) === 2L)
+    assert(spark.read.parquet(s"$dir/docs").select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 3L))
+
+    // batch 2: near-dup of landed A (cross-batch drop), new E, near-dup of E
+    // (in-batch drop) — only E lands
+    val b2 = Seq((10L, vary(baseA)), (11L, baseE), (12L, vary(baseE)))
+      .toDF("doc_id", "text")
+    assert(DocStore.appendNearDeduped(spark, b2, dir, batchId = 2L) === 1L)
+    assert(spark.read.parquet(s"$dir/docs").select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 3L, 11L))
+
+    // full replay of batch 2: every survivor self-matches history at
+    // est-Jaccard 1.0 — nothing lands
+    assert(DocStore.appendNearDeduped(spark, b2, dir, batchId = 2L) === 0L)
+
+    // an EXACT re-crawl of landed content in a later batch is also caught
+    val b3 = Seq((20L, baseE)).toDF("doc_id", "text")
+    assert(DocStore.appendNearDeduped(spark, b3, dir, batchId = 3L) === 0L)
+    assert(spark.read.parquet(s"$dir/docs").count() === 3L)
+    // band index holds 8 rows per landed doc
+    assert(spark.read.parquet(s"$dir/sig_index").count() === 24L)
+  }
+
+  test("appendNearDeduped: an all-duplicate batch writes nothing and does not poison the store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstore-near-empty").toString
+    assert(DocStore.appendNearDeduped(spark,
+      Seq((1L, baseA)).toDF("doc_id", "text"), dir, 1L) === 1L)
+    // batch of only near-dups: empty-batch guard must hold for the sig store
+    assert(DocStore.appendNearDeduped(spark,
+      Seq((2L, vary(baseA))).toDF("doc_id", "text"), dir, 2L) === 0L)
+    assert(DocStore.appendNearDeduped(spark,
+      Seq((3L, "fresh text that matches nothing at all")).toDF("doc_id", "text"), dir, 3L) === 1L)
+    assert(spark.read.parquet(s"$dir/docs").count() === 2L)
+  }
+
   test("null-text rows are rejected, not re-landed forever") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("docstore-null").toString
