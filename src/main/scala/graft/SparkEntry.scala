@@ -17,7 +17,8 @@ object SparkEntry {
       ops.SqlSurface.all ++ ops.Scd.all ++ meter.MeterPipeline.all ++
       llm.TextAnalysis.all ++ llm.TextPolicy.all ++ llm.TypedDocs.all ++
       llm.Dedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
-      llm.TrainingPipeline.all ++
+      llm.TrainingPipeline.all ++ llm.CorpusSignals.all ++
+      graph.GraphOps.all ++
       streaming.IngestBench.all
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG

@@ -1,0 +1,94 @@
+package graft.graph
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative GRAPH operators expressed as DataFrame fixed-iteration loops —
+  * the crawl-graph side of a training-data pipeline (centrality as a crawl
+  * priority / quality prior, as in production crawl schedulers).
+  *
+  * The corpus has no native hyperlinks, so the link graph is derived
+  * DETERMINISTICALLY from the dense doc_id space (every node emits
+  * [[OutDeg]] arithmetic out-links). That keeps the operator fully
+  * DuckDB-oracle-checkable: the oracle builds the same graph and unrolls
+  * the same iterations as chained CTEs.
+  *
+  * Arithmetic doctrine: PageRank here is SCALED-INTEGER (rank mass in
+  * units of 1e-12, floor division everywhere). Integer sums are exact and
+  * associative, so the result is bit-identical under any partitioning and
+  * any engine — float PageRank would diverge between engines in the last
+  * ulps and be un-hashable. The deliberate cost: floor division leaks up
+  * to OutDeg-1 units of mass per node per round — bounded, deterministic,
+  * and irrelevant at 1e-12 granularity.
+  *
+  * Scale shape per iteration: one equi-join of the edge list with the
+  * current rank vector on src (both keyed by node id — at 100 TB both
+  * sides would be pre-bucketed on id so the join reuses partitioning
+  * round over round, as the sibling [[graft.llm.Dedup]] label-propagation
+  * does), one map-side-combinable groupBy(dst), one left join back onto
+  * the node frame for dangling-in nodes. Fixed [[Iters]] rounds ⇒ plan
+  * depth is constant; no driver-side convergence loop is needed.
+  */
+object GraphOps {
+
+  /** Rank mass scale: total mass ≈ 1e12 split over N nodes. */
+  private val Scale = 1000000000000L
+  private val OutDeg = 3
+  private val Iters = 8
+  /** Damping 0.85 as an integer percentage. */
+  private val DampPct = 85L
+
+  /** Synthetic out-links of one node over a dense 0..N-1 id space:
+    * dst_k = (src * 31 + k * 17) mod N for k = 1..OutDeg. */
+  private def edgeDstSql(src: String, k: String): String =
+    s"(($src) * 31 + ($k) * 17) % (SELECT n FROM n)"
+
+  val all: Seq[GraftQuery] = Seq(
+    q("graph_pagerank", {
+      val base = s"(15 * ($Scale // (SELECT n FROM n))) // 100"
+      val iterCtes = (1 to Iters).map { i =>
+        s"""pr$i AS (
+           |  SELECT nodes.doc_id,
+           |    $base + ($DampPct * COALESCE(s.insum, 0)) // 100 AS pr
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS doc_id, SUM(p.pr // $OutDeg) AS insum
+           |    FROM edges e JOIN pr${i - 1} p ON e.src = p.doc_id GROUP BY 1) s
+           |  USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |edges AS (
+         |  SELECT doc_id AS src, ${edgeDstSql("doc_id", "k")} AS dst
+         |  FROM nodes CROSS JOIN (SELECT unnest(generate_series(1, $OutDeg)) AS k)),
+         |pr0 AS (SELECT doc_id, $Scale // (SELECT n FROM n) AS pr FROM nodes),
+         |$iterCtes
+         |SELECT doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM pr$Iters""".stripMargin
+    }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      // edge list: explode k=1..OutDeg, dst arithmetic over the dense id
+      // space; N rides in via the broadcast 1-row aggregate (no collect)
+      val edges = nodes
+        .crossJoin(nRow)
+        .select(col("doc_id").as("src"),
+          explode(expr(s"sequence(1, $OutDeg)")).as("k"), col("n"))
+        .select(col("src"), expr("(src * 31 + k * 17) % n").as("dst"))
+      val pr0 = nodes.crossJoin(nRow)
+        .select(col("doc_id"), expr(s"$Scale div n").as("pr"))
+      val baseCol = expr(s"15 * ($Scale div n) div 100")
+      val ranks = (1 to Iters).foldLeft(pr0) { (pr, _) =>
+        val insum = edges.join(pr, edges("src") === pr("doc_id"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(sum(expr(s"pr div $OutDeg")).as("insum"))
+        nodes.join(insum, Seq("doc_id"), "left")
+          .crossJoin(nRow)
+          .select(col("doc_id"),
+            (baseCol + expr(s"$DampPct * coalesce(insum, 0L) div 100")).as("pr"))
+      }
+      ranks.select(col("doc_id"), col("pr").as("pr_scaled"))
+    }
+  )
+}

@@ -175,9 +175,11 @@ object TextPolicy {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
         // tiny post-agg frame (|vocab| rows) — the single-partition window
-        // ranks ~100s of rows, not the corpus
+        // ranks ~100s of rows, not the corpus. Constant partition key =
+        // explicit single-task intent, not WindowExec's warned fallback.
         .withColumn("rank",
-          row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+          row_number().over(
+            Window.partitionBy(lit(0)).orderBy(col("n").desc, col("token"))).cast("long"))
         .filter(col("rank") <= 20)
     }
   )
