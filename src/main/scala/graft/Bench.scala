@@ -84,7 +84,8 @@ object Bench {
       "a1_daily_user_agg", "a2_two_level_agg", "a7_count_distinct", "a_median_p90",
       "a_salted_skew_agg", "corpus_assembly", "decontaminate", "dedup_clusters",
       "dedup_embedding_ivf", "dedup_embedding_lsh", "dedup_exact", "dedup_minhash_lsh",
-      "dedup_ngram_jaccard", "dedup_simhash_pairs", "e14_json_decode",
+      "dedup_ngram_jaccard", "dedup_simhash_pairs", "dsir_importance",
+      "e14_json_decode", "graph_pagerank",
       "meter_billing_daily", "meter_grid_hourly", "meter_stg_readings",
       "mm_decode_stats", "mm_image_dhash", "mm_video_framehash_overlap",
       "pack_sequences", "pii_redact", "q1_pricing_summary", "q3_topk_order_revenue",

@@ -42,9 +42,13 @@ object GraphOps {
   private val DampPct = 85L
 
   /** Synthetic out-links of one node over a dense 0..N-1 id space:
-    * dst_k = (src * 31 + k * 17) mod N for k = 1..OutDeg. */
+    * dst_k = md5-hash64("src-k") mod N for k = 1..OutDeg. The hash (not
+    * affine arithmetic — an affine map with gcd(31, N) = 1 is a bijection
+    * per k, which makes the graph in-regular and PageRank uniform) gives
+    * Poisson-distributed in-degrees, so ranks genuinely differ. */
   private def edgeDstSql(src: String, k: String): String =
-    s"(($src) * 31 + ($k) * 17) % (SELECT n FROM n)"
+    s"CAST('0x' || substr(md5(($src) || '-' || ($k)), 1, 15) AS BIGINT) " +
+      s"% (SELECT n FROM n)"
 
   val all: Seq[GraftQuery] = Seq(
     q("graph_pagerank", {
@@ -75,7 +79,10 @@ object GraphOps {
         .crossJoin(nRow)
         .select(col("doc_id").as("src"),
           explode(expr(s"sequence(1, $OutDeg)")).as("k"), col("n"))
-        .select(col("src"), expr("(src * 31 + k * 17) % n").as("dst"))
+        .select(col("src"),
+          (graft.functions.Md5Prefix64(
+            concat(col("src").cast("string"), lit("-"), col("k").cast("string")))
+            % col("n")).as("dst"))
       val pr0 = nodes.crossJoin(nRow)
         .select(col("doc_id"), expr(s"$Scale div n").as("pr"))
       val baseCol = expr(s"15 * ($Scale div n) div 100")

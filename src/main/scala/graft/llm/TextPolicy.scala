@@ -181,6 +181,34 @@ object TextPolicy {
           row_number().over(
             Window.partitionBy(lit(0)).orderBy(col("n").desc, col("token"))).cast("long"))
         .filter(col("rank") <= 20)
+    },
+
+    // ---- normalization-canonical dedup: casefold, strip non-alphanumerics,
+    // collapse whitespace, THEN keep-first — catches trivially-mutated
+    // copies ("Hello, World!" vs "hello world") that exact-hash dedup
+    // misses. Same shuffle shape as dedup_exact: ONE exchange keyed by the
+    // fixed-width 60-bit hash of the normalized form (never the raw text).
+    q("dedup_normalized", {
+      val normSql = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH t AS (
+         |  SELECT doc_id, ${TextHash.h64Sql(normSql)} AS nh FROM documents)
+         |SELECT doc_id,
+         |  CAST(min(doc_id) OVER (PARTITION BY nh) AS BIGINT) AS keeper_doc_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY nh) AS BIGINT) AS group_size,
+         |  CAST(CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY nh)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_duplicate
+         |FROM t""".stripMargin
+    }) { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val w = Window.partitionBy(TextHash.h64(norm))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        min(col("doc_id")).over(w).as("keeper_doc_id"),
+        count(lit(1)).over(w).as("group_size"),
+        when(col("doc_id") =!= min(col("doc_id")).over(w), 1L).otherwise(0L)
+          .as("is_duplicate"))
     }
   )
 }

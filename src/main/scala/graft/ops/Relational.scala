@@ -229,6 +229,70 @@ object Relational {
         .select(col("l_partkey"), (col("rev_cc") / 10000.0).as("part_revenue"))
     },
 
+    // ---- TPC-H Q22 shape: scalar-average gate + NOT EXISTS, decorrelated.
+    // The avg-of-positive-balances comparison is kept in exact integers
+    // (cents × count > total-cents — no division, no float ulps); the
+    // 1-row global aggregate broadcasts into the customer scan, and the
+    // NOT EXISTS becomes a left-anti join on the order key. The customer
+    // table is scanned twice (once for the average, once for candidates)
+    // — at 100 TB both scans prune to two columns, and the aggregate side
+    // is map-side combined to one row per partition before the broadcast.
+    q("q22_global_sales_opportunity",
+      """WITH pos AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM customer WHERE c_acctbal > 0),
+        |cand AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS cents
+        |  FROM customer CROSS JOIN pos
+        |  WHERE CAST(round(c_acctbal*100) AS BIGINT) * n_pos > sum_cents
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '2001-07-01 00:00:00'))
+        |SELECT c_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(cents) AS BIGINT) AS total_acctbal_cents
+        |FROM cand GROUP BY 1""".stripMargin) { (s, d) =>
+      val pos = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(cents(col("c_acctbal"))).as("sum_cents"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("cents"))
+        .crossJoin(broadcast(pos))
+        .filter(col("cents") * col("n_pos") > col("sum_cents"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2001-07-01 00:00:00").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("total_acctbal_cents"))
+    },
+
+    // ---- TPC-H Q13 shape: order-count DISTRIBUTION — a left outer join
+    // whose residual filter lives in the JOIN condition (a WHERE would
+    // silently drop the zero-order customers that are the query's point),
+    // then a two-level re-aggregation: per-customer counts re-aggregated
+    // into a histogram over counts. Both aggs map-side combine; the second
+    // input is |customers| rows, not |orders|.
+    q("q13_order_count_distribution",
+      """WITH percust AS (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM percust GROUP BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("o_custkey") === col("c_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
     // ---- J4: left-anti join (orphan check pattern; NOT EXISTS)
     q("j_anti_customers_without_orders",
       """SELECT c_nationkey, COUNT(*) AS n_customers_no_orders

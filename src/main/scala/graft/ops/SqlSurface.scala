@@ -51,6 +51,36 @@ object SqlSurface {
         cume_dist().over(byValue).as("cume"))
     },
 
+    // ---- running COUNT(DISTINCT) over a window — not directly supported
+    // by either engine's window frames; the standard re-expression is a
+    // first-occurrence flag (row_number = 1 within (user, type)) summed by
+    // a running frame. Two window shuffles — (user_id, event_type) then
+    // user_id — both keyed, never global; the flag pass is the same
+    // exchange the running sum needs, so AQE coalesces them per user.
+    q("w11_running_distinct_types",
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN row_number() OVER (
+        |        PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |      THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_types_so_far
+        |FROM f""".stripMargin) { (s, d) =>
+      val byFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val running = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          when(row_number().over(byFirst) === 1, 1L).otherwise(0L).as("first_seen"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("first_seen")).over(running).cast("long").as("distinct_types_so_far"))
+    },
+
     // ---- ordered string aggregation (listagg/string_agg): sorted so the
     // result is deterministic under any partitioning — the only correct
     // form on a cluster
