@@ -181,6 +181,83 @@ object CorpusSignals {
           expr("(oov_tokens * 1000) div n_tokens").as("oov_permille"))
     },
 
+    // ---- bigram typicality: score each document by the corpus-average
+    // conditional probability of its word transitions — the fixed-point
+    // integer re-expression of n-gram-LM perplexity scoring (the classic
+    // cheap fluency gate before a neural quality model). p(w2|w1) is
+    // (c2 * 1e9) div c1 in parts-per-billion; a doc's score is the
+    // tf-weighted mean over its transitions. Shape: one corpus-sized agg
+    // on (doc, w1, w2); the global bigram/left-marginal tables re-agg
+    // from that frame (map-side combinable, ≪ corpus) and join back on
+    // the bigram key; final per-doc agg. No float anywhere ⇒ bit-stable.
+    q("text_bigram_typicality",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+        |dp AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM dp GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |scored AS (
+        |  SELECT dp.doc_id,
+        |    CAST(SUM(dp.tf) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(dp.tf * ((c2.c2 * 1000000000) // c1.c1)) AS BIGINT) AS s
+        |  FROM dp JOIN c2 ON dp.w1 = c2.w1 AND dp.w2 = c2.w2
+        |  JOIN c1 ON dp.w1 = c1.w1
+        |  GROUP BY 1)
+        |SELECT doc_id, n_pairs, CAST(s // n_pairs AS BIGINT) AS typicality_ppb
+        |FROM scored""".stripMargin) { (s, d) =>
+      val dp = Tables.documentsParallel(s, d)
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+            .as("pr"))
+        .select(col("doc_id"), col("pr.w1"), col("pr.w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+      val c2 = dp.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      dp.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_pairs"),
+          sum(col("tf") * expr("(c2 * 1000000000) div c1")).as("s"))
+        .select(col("doc_id"), col("n_pairs"),
+          expr("s div n_pairs").as("typicality_ppb"))
+    },
+
+    // ---- the first BPE merge decisions: corpus-wide adjacent character
+    // pair frequencies inside words (Sennrich et al. 2016's statistic for
+    // merge round 1). Fully map-side until one hash agg on a 2-char key;
+    // the top-10 ranking runs on the tiny |alphabet|² post-agg frame.
+    q("bpe_first_merges",
+      """WITH wds AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |pr AS (
+        |  SELECT substr(w, i, 2) AS pair
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM wds WHERE len(w) >= 2)),
+        |cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1),
+        |rk AS (
+        |  SELECT pair, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+        |  FROM cnt)
+        |SELECT pair, n, rank FROM rk WHERE rank <= 10""".stripMargin) { (s, d) =>
+      Tables.documentsParallel(s, d)
+        .select(explode(TextAnalysis.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        // n % 1 ≡ 0: non-foldable constant key — single-task ranking of the
+        // tiny |alphabet|² frame without WindowExec's empty-spec warning
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(pmod(col("n"), lit(1L)))
+            .orderBy(col("n").desc, col("pair"))).cast("long"))
+        .filter(col("rank") <= 10)
+    },
+
     // ---- per-language length deciles: ntile over a fully-ordered
     // (n_chars, doc_id) ranking inside each language partition — the
     // window is keyed by lang, so no single-task global sort; both engines

@@ -211,7 +211,39 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
         .filter(col("rank") <= 5)
     }
-  ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery
+  ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery
+
+  /** Diversity (coreset) sampling: ONE representative per sign-LSH bucket
+    * — the cheap distributed stand-in for k-center selection when curating
+    * "spread" fine-tuning sets. Each vector's bucket is its 8 hyperplane
+    * sign bits (map-side, no candidate joins at all); the representative
+    * is the min vec_id so selection is deterministic. At 100 TB this is a
+    * single map-side-combinable aggregate keyed by a 1-byte bucket —
+    * contrast with true k-center's inherently sequential greedy passes. */
+  lazy val diversityQuery: GraftQuery =
+    q("sample_diverse_embeddings", {
+      val planes0 = planes
+      val bitsSql = planes0.zipWithIndex.map { case (w, p) =>
+        val lit = w.mkString("[", ", ", "]")
+        s"(CASE WHEN CAST(list_sum(list_transform(list_zip(qv, $lit), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $quantizedSql,
+         |bucketed AS (SELECT vec_id, CAST($bitsSql AS BIGINT) AS bucket FROM qn)
+         |SELECT bucket,
+         |  CAST(MIN(vec_id) AS BIGINT) AS rep_vec_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |FROM bucketed GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val bits = planes.zipWithIndex.map { case (w, p) =>
+        when(graft.functions.FixedPointDot(col("qv"), typedLit(w.toArray)) > 0,
+          1 << p).otherwise(0)
+      }.reduce(_ + _)
+      quantized(s, d)
+        .select(col("vec_id"), bits.cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(min(col("vec_id")).as("rep_vec_id"),
+          count(lit(1)).as("n_vectors"))
+    }
 
   /** IVF multi-probe threshold-dedup — the cluster-shaped alternative to
     * [[dedupLshQuery]]: every vector is assigned to its 3 nearest

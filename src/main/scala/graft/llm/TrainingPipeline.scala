@@ -79,14 +79,15 @@ object TrainingPipeline {
           size(split(col("text"), " ", -1)).cast("long").as("n"),
           expr(s"doc_id div $ChunkSize").as("chunk"))
       // level 1: token total per chunk; cumulative offset over the chunk
-      // frame (cardinality n/ChunkSize — trivially small). The constant
-      // partition key states the single-task intent explicitly (the chunk
-      // frame is MEANT to flow through one task) instead of falling into
-      // WindowExec's warn-and-coalesce default for an empty partition spec.
+      // frame (cardinality n/ChunkSize — trivially small). chunk % 1 ≡ 0
+      // is a NON-FOLDABLE constant partition key: it states the
+      // single-task intent explicitly (the chunk frame is MEANT to flow
+      // through one task) where a literal would be constant-folded out of
+      // the partition spec back into WindowExec's warned empty-spec path.
       val chunkTotals = toks.groupBy(col("chunk"))
         .agg(sum(col("n")).as("chunk_tokens"))
         .withColumn("chunk_end", sum(col("chunk_tokens")).over(
-          Window.partitionBy(lit(0)).orderBy(col("chunk"))
+          Window.partitionBy(pmod(col("chunk"), lit(1))).orderBy(col("chunk"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("chunk"), (col("chunk_end") - col("chunk_tokens")).as("offset"))
       // level 2: partition-local cumulative sum + broadcast chunk offsets
