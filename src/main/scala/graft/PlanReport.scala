@@ -63,7 +63,17 @@ object PlanReport {
     "dedup_chunks_cross_doc" ->
       "Cross-doc span dedup without a global sort: chunking is scan → explode → hash in one codegen stage; the chunk-hash document frequency is a map-side-combined aggregate; the verdict join hashes on chunk_hash only.",
     "profile_table_orders" ->
-      "Single-pass profiling: every metric lives in ONE aggregate over one scan; the three exact count-distincts appear as Expand inside the same two-phase aggregate, never as separate scans.")
+      "Single-pass profiling: every metric lives in ONE aggregate over one scan; the three exact count-distincts appear as Expand inside the same two-phase aggregate, never as separate scans.",
+    "dsir_importance" ->
+      "DSIR importance weighting: the per-bucket weight table (≤512 rows) re-aggregates from the (doc,bucket) frame and BROADCASTS back — the corpus-sized side never joins anything its own size; the keep threshold is a second 1-row broadcast.",
+    "graph_pagerank" ->
+      "Fixed-iteration integer PageRank: 8 unrolled rounds, each one edge⋈rank equi-join + one map-side-combinable groupBy(dst) + a left join onto the node frame; constant plan depth, no driver-side convergence loop, all BIGINT (bit-stable under any partitioning).",
+    "q7_volume_shipping" ->
+      "Two independent dim chains: supplier→nation collapses to a broadcast BEFORE touching lineitem, customer→nation prunes orders first — the only corpus-sized exchange is lineitem⋈orders on the order key.",
+    "text_bigram_typicality" ->
+      "Bigram-LM scoring: the global bigram and left-marginal tables re-aggregate from the per-doc frame (map-side combinable, ≪ corpus) and join back on the bigram key; every probability is scaled-integer floor division.",
+    "funnel_view_click_purchase" ->
+      "Staged-min funnel decorrelation: all three stages key their aggregates and joins on user_id — one exchange key end to end, so the sequential pattern costs one real shuffle.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

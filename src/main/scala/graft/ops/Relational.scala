@@ -229,6 +229,47 @@ object Relational {
         .select(col("l_partkey"), (col("rev_cc") / 10000.0).as("part_revenue"))
     },
 
+    // ---- TPC-H Q7 shape: volume shipping between two nations — a 6-table
+    // star with TWO independent dim chains (supplier→nation, customer→
+    // nation) hanging off the fact. Plan intent: both nation filters
+    // broadcast and prune EARLY (supplier side collapses to a broadcast
+    // before touching lineitem; customer side prunes orders first), so the
+    // only corpus-sized exchange is lineitem⋈orders on the order key.
+    // Revenue in exact integer cents×percent, one cast at the end.
+    q("q7_volume_shipping",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cc
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val nations = Tables.nation(s, d).filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ords = Tables.orders(s, d)
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(ords, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_cc"))
+    },
+
     // ---- TPC-H Q22 shape: scalar-average gate + NOT EXISTS, decorrelated.
     // The avg-of-positive-balances comparison is kept in exact integers
     // (cents × count > total-cents — no division, no float ulps); the

@@ -51,6 +51,44 @@ object SqlSurface {
         cume_dist().over(byValue).as("cume"))
     },
 
+    // ---- ordered funnel analysis (view → click-after-view →
+    // purchase-after-click): each stage's entry time is the MIN event time
+    // AFTER the previous stage's — the staged-min formulation decorrelates
+    // the sequential pattern into three keyed aggregations on user_id.
+    // The same exchange key all the way down ⇒ one real shuffle, reused.
+    // Comparisons stay in raw event-time (ns on both engines), only
+    // counts are emitted.
+    q("funnel_view_click_purchase",
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+        |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click""".stripMargin) {
+      (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_ns"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts_ns") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts_ns") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_clicked_after_view"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchased_after_click"))))
+    },
+
     // ---- running COUNT(DISTINCT) over a window — not directly supported
     // by either engine's window frames; the standard re-expression is a
     // first-occurrence flag (row_number = 1 within (user, type)) summed by
