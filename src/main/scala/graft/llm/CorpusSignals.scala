@@ -258,6 +258,39 @@ object CorpusSignals {
         .filter(col("rank") <= 10)
     },
 
+    // ---- repetition-aware epoch scheduling (Muennighoff et al. 2023,
+    // arXiv:2305.16264: repeating good data up to ~4 epochs is nearly as
+    // good as new data): docs earn 1-3 epochs by quality tier, the
+    // schedule EXPANDS to one row per (doc, epoch), and each epoch gets a
+    // different deterministic presentation order via an epoch-salted hash
+    // shard — same data, different order per epoch, reproducible on any
+    // engine. Shape: narrow per-row tiering + explode; the only wide op
+    // downstream is whatever sorts/routes on (epoch, shard).
+    q("schedule_epochs",
+      s"""WITH tiers AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words,
+         |    CASE WHEN lang = 'en' AND len(string_split(text, ' ')) >= 60 THEN 3
+         |         WHEN len(string_split(text, ' ')) >= 40 THEN 2
+         |         ELSE 1 END AS n_epochs
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_epochs AS BIGINT) AS n_epochs,
+         |  CAST(epoch AS BIGINT) AS epoch,
+         |  ${TextHash.h64Sql("doc_id || '@' || epoch")} % 64 AS shard
+         |FROM (SELECT doc_id, n_epochs,
+         |        unnest(generate_series(1, n_epochs)) AS epoch
+         |      FROM tiers)""".stripMargin) { (s, d) =>
+      val nw = size(TextAnalysis.words(col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("lang") === "en" && nw >= 60, 3L)
+            .when(nw >= 40, 2L).otherwise(1L).as("n_epochs"))
+        .select(col("doc_id"), col("n_epochs"),
+          explode(expr("sequence(1L, n_epochs)")).as("epoch"))
+        .withColumn("shard",
+          TextHash.h64(concat(col("doc_id").cast("string"), lit("@"),
+            col("epoch").cast("string"))) % 64)
+    },
+
     // ---- per-language length deciles: ntile over a fully-ordered
     // (n_chars, doc_id) ranking inside each language partition — the
     // window is keyed by lang, so no single-task global sort; both engines

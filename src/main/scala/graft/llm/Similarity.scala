@@ -23,7 +23,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private val Q = 1048576L // 2^20 fixed-point scale
+  // 2^20 fixed-point scale (graft-visible: VecStore mirrors the arithmetic)
+  private[graft] val Q = 1048576L
 
   // banded threshold-dedup geometry (declared before any val that builds
   // SQL from them — object init order matters)

@@ -119,7 +119,12 @@ object TextAnalysis {
          |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*) AS unique_ratio
          |FROM sh s JOIN dfreq USING (sh)
          |GROUP BY s.doc_id""".stripMargin) { (s, d) =>
-      val sh = shingles(Tables.documentsParallel(s, d))
+      // key the exchanges on the 60-bit shingle HASH, not the 14-char
+      // string: set-equivalent up to md5-prefix collisions (P ≈ 1e-9
+      // corpus-wide, same contract as the whole dedup family), and both
+      // shuffles move fixed-width BIGINTs instead of strings
+      val sh = Tables.documentsParallel(s, d)
+        .select(col("doc_id"), explode(shingleHashArray(col("text"))).as("sh"))
       val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       sh.join(dfreq, "sh")
         .groupBy(col("doc_id"))
