@@ -21,7 +21,8 @@ object TextAnalysis {
   // in lockstep with every SQL twin that uses them)
   private[llm] val stopwords = Seq("the", "a", "of", "and")
 
-  private[llm] def words(c: Column): Column = split(c, " ", -1)
+  // graft-wide: the one canonical tokenization (streaming twins reuse it)
+  private[graft] def words(c: Column): Column = split(c, " ", -1)
 
   private[llm] def countIn(c: Column, xs: Seq[String]): Column =
     size(filter(words(c), w => xs.map(x => w === x).reduce(_ || _)))

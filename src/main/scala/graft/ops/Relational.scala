@@ -270,6 +270,68 @@ object Relational {
           .as("revenue_cc"))
     },
 
+    // ---- TPC-H Q19 shape: disjunctive (OR-of-ANDs) mixed-table
+    // predicate. The plan story: Catalyst distributes the disjunction so
+    // each side's derivable envelope pushes to ITS scan (part gets the
+    // brand/size OR, lineitem gets the quantity-range OR) before the
+    // broadcast join evaluates the full residual — the predicate never
+    // forces a scan-everything plan.
+    q("q19_disjunctive_revenue",
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |         AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |         AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, d) =>
+      val arm = (brand: String, sLo: Int, sHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand && col("p_size").between(sLo, sHi) &&
+          col("l_quantity").between(qLo, qHi)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .filter(arm("Brand#1", 1, 15, 1, 11) ||
+          arm("Brand#2", 10, 30, 10, 25) ||
+          arm("Brand#3", 20, 50, 20, 40))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_cc"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ---- TPC-H Q15 shape: argmax by scalar subquery — top supplier(s)
+    // by quarterly revenue. Decorrelated: the per-supplier aggregate is
+    // one map-side-combined shuffle; the MAX is a 1-row broadcast
+    // compared back against the same aggregate (computed once, reused
+    // through the exchange); the supplier dim broadcasts for names.
+    q("q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_cc
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2001-04-01 00:00:00'
+        |  GROUP BY 1),
+        |mx AS (SELECT MAX(total_cc) AS m FROM rev)
+        |SELECT s_suppkey, s_name, total_cc
+        |FROM supplier JOIN rev ON l_suppkey = s_suppkey CROSS JOIN mx
+        |WHERE total_cc = m""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("total_cc"))
+      val mx = rev.agg(max(col("total_cc")).as("m"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_cc") === col("m"))
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cc"))
+    },
+
     // ---- TPC-H Q22 shape: scalar-average gate + NOT EXISTS, decorrelated.
     // The avg-of-positive-balances comparison is kept in exact integers
     // (cents × count > total-cents — no division, no float ulps); the

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.llm.TextPolicy
+import graft.llm.{TextAnalysis, TextPolicy}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -76,4 +76,29 @@ object DocStream {
       .trigger(trigger)
       .outputMode("append")
       .start()
+
+  /** Windowed TRENDING-TOKEN detection over the document stream: tumbling
+    * event-time windows of per-token counts, emitted only once the
+    * watermark closes the window (append mode ⇒ exactly-once, late docs
+    * inside the horizon still count). The batch twin is a plain
+    * (window, token) groupBy — the spec asserts closed-window equality.
+    *
+    * Scale shape: explode is narrow; the windowed aggregate partial-aggs
+    * map-side before one exchange on (window, token); state is bounded by
+    * |vocab| × open windows, and the `minCount` gate keeps the emission
+    * (and any downstream sink) to genuinely-trending tokens. */
+  def trendingTokens(
+      docs: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes",
+      minCount: Long = 3L): DataFrame =
+    docs
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"),
+        explode(TextAnalysis.words(col("text"))).as("token"))
+      .groupBy(window(col("event_time"), windowLen), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("token"), col("n"))
 }

@@ -158,4 +158,38 @@ class DocStreamSpec extends SparkSpec {
     assert(landed.select(countDistinct(col("content_hash"))).head.getLong(0) === 2L)
     assert(landed.filter(col("text") === text).select("doc_id").head.getLong(0) === 1L)
   }
+
+  test("trending tokens: closed windows equal the batch windowed count, open windows withheld") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val rows = Seq(
+      (1L, t("2026-01-01 00:05:00"), "en", "s", "spark spark flink"),
+      (2L, t("2026-01-01 00:20:00"), "en", "s", "spark beam"),
+      (3L, t("2026-01-01 00:40:00"), "en", "s", "spark flink flink"),
+      // next hour: arrives later, advances the watermark past hour 0
+      (4L, t("2026-01-01 02:00:00"), "en", "s", "quiet words here"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val trending = DocStream.trendingTokens(
+      mem.toDF().toDF("doc_id", "event_time", "lang", "source", "text"),
+      windowLen = "1 hour", watermark = "10 minutes", minCount = 3L)
+    val q = trending.writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3))
+      q.processAllAvailable()
+      // hour-0 window still open (watermark at 00:30) — nothing emitted
+      assert(spark.table("trend_out").count() == 0)
+
+      mem.addData(rows.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("trend_out")
+        .select("token", "n").as[(String, Long)].collect().toSet
+      // batch expectation over hour 0: spark=4, flink=3, beam=1(<3)
+      assert(got == Set(("spark", 4L), ("flink", 3L)))
+      // hour-2 window is still open — its tokens are withheld
+      assert(!spark.table("trend_out").as[(java.sql.Timestamp, java.sql.Timestamp, String, Long)]
+        .collect().exists(_._1.after(t("2026-01-01 01:00:00"))))
+    } finally q.stop()
+  }
 }
