@@ -423,6 +423,29 @@ object TimeSeriesExt {
         .select(col("skew_key"), col("freq"))
     },
 
+    // ---- MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    // Spark 4 built-ins): per-day sketches materialize once, then ANY
+    // slice re-aggregates by sketch UNION without rescanning rows — the
+    // warehouse pattern for incremental/rollup-able distinct counts (a
+    // plain COUNT(DISTINCT) per slice rescans the fact table per
+    // question; sketches make distincts additive like sums). Rows-only:
+    // DataSketches binaries have no DuckDB twin; the spec bounds the
+    // estimates against exact distincts instead.
+    GraftQuery.qNoOracle("a_sketch_union_distinct") { (s, d) =>
+      val perDay = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val total = perDay.agg(
+        lit(null).cast("date").as("day"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        lit(null).cast("long").as("exact_users"))
+      perDay
+        .select(col("day"), hll_sketch_estimate(col("sk")).as("est_users"),
+          col("exact_users"))
+        .unionByName(total)
+    },
+
     // ---- correlated scalar subquery (SQL entry point; decorrelated by
     // Catalyst into an aggregate + join)
     q("subquery_scalar_latest_order",

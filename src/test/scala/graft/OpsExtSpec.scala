@@ -95,4 +95,23 @@ class OpsExtSpec extends SparkSpec {
         Option(r.getAs[java.lang.Long]("next_error_us")).map(_.longValue)).toMap
     assert(got === expect)
   }
+
+  test("mergeable HLL sketches: per-day and unioned estimates stay within 5% of exact") {
+    val out = run("a_sketch_union_distinct").cache()
+    try {
+      val days = out.filter(col("day").isNotNull).collect()
+      assert(days.nonEmpty)
+      days.foreach { r =>
+        val (est, exact) = (r.getAs[Long]("est_users"), r.getAs[Long]("exact_users"))
+        assert(math.abs(est - exact) <= math.max(1L, exact / 20),
+          s"day ${r.get(0)}: est=$est exact=$exact")
+      }
+      val globalExact = ops.Tables.events(spark, sf0001)
+        .select(countDistinct(col("user_id"))).head.getLong(0)
+      val unionEst = out.filter(col("day").isNull)
+        .select("est_users").head.getLong(0)
+      assert(math.abs(unionEst - globalExact) <= math.max(1L, globalExact / 20),
+        s"union est=$unionEst exact=$globalExact")
+    } finally out.unpersist()
+  }
 }
