@@ -291,6 +291,52 @@ object CorpusSignals {
             col("epoch").cast("string"))) % 64)
     },
 
+    // ---- per-source distribution DRIFT: total-variation distance between
+    // each source's hashed-token distribution and the corpus distribution
+    // — the dataset-shift monitor a curation pipeline runs per crawl
+    // snapshot / per provider. TV = ½ Σ_b |p_s(b) − p_c(b)| computed with
+    // CROSS-MULTIPLIED integers (|n_sb·N_c − n_cb·N_s|), so the only
+    // division is the final ppm scaling — bit-stable on any engine. All
+    // frames after the one corpus-sized (source, bucket) agg are ≤
+    // |sources|×512 rows; the grid is a broadcast cross join. (At extreme
+    // corpus sizes the cross products approach 2^63 — there the same sum
+    // runs per-bucket-scaled or in DECIMAL; exact BIGINT is right for the
+    // magnitudes here.)
+    q("source_drift_tv", {
+      val b = s"${TextHash.h64Sql("unnest(string_split(text, ' '))")} % $DsirBuckets"
+      s"""WITH tok AS (SELECT source, $b AS b FROM documents),
+         |sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n_sb FROM tok GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+         |cb AS (SELECT b, CAST(SUM(n_sb) AS BIGINT) AS n_cb FROM sb GROUP BY 1),
+         |nc AS (SELECT CAST(SUM(n_cb) AS BIGINT) AS n_c FROM cb),
+         |grid AS (
+         |  SELECT ns.source, ns.n_s, cb.b, cb.n_cb, COALESCE(sb.n_sb, 0) AS n_sb
+         |  FROM ns CROSS JOIN cb
+         |  LEFT JOIN sb ON sb.source = ns.source AND sb.b = cb.b)
+         |SELECT source, n_s AS n_tokens,
+         |  CAST(SUM(abs(n_sb * (SELECT n_c FROM nc) - n_cb * n_s)) * 1000000
+         |    // (2 * n_s * (SELECT n_c FROM nc)) AS BIGINT) AS tv_ppm
+         |FROM grid GROUP BY source, n_s""".stripMargin
+    }) { (s, d) =>
+      val sb = Tables.documentsParallel(s, d)
+        .select(col("source"), explode(TextAnalysis.words(col("text"))).as("token"))
+        .withColumn("b", TextHash.h64(col("token")) % DsirBuckets)
+        .groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("n_sb"))
+      val ns = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+      val cb = sb.groupBy(col("b")).agg(sum(col("n_sb")).as("n_cb"))
+      val nc = cb.agg(sum(col("n_cb")).as("n_c"))
+      ns.crossJoin(broadcast(cb))
+        .join(sb, Seq("source", "b"), "left")
+        .na.fill(0L, Seq("n_sb"))
+        .crossJoin(broadcast(nc))
+        .groupBy(col("source"), col("n_s"))
+        .agg(sum(abs(col("n_sb") * col("n_c") - col("n_cb") * col("n_s"))).as("num"),
+          first(col("n_c")).as("n_c"))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          expr("num * 1000000 div (2 * n_s * n_c)").as("tv_ppm"))
+    },
+
     // ---- per-language length deciles: ntile over a fully-ordered
     // (n_chars, doc_id) ranking inside each language partition — the
     // window is keyed by lang, so no single-task global sort; both engines

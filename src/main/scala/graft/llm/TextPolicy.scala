@@ -211,6 +211,75 @@ object TextPolicy {
         count(lit(1)).over(w).as("group_size"),
         when(col("doc_id") =!= min(col("doc_id")).over(w), 1L).otherwise(0L)
           .as("is_duplicate"))
+    },
+
+    // ---- CURATION FUNNEL: survival counts through the sequential gates a
+    // real pipeline applies — raw → Gopher policy → keep-first exact dedup
+    // (among survivors) → benchmark-decontaminated train split. One output
+    // row per stage makes regressions visible at a glance (a policy change
+    // that nukes half the corpus shows up as a cliff between rows). Each
+    // stage reuses the SAME definitions as its standalone query (gopher
+    // cols, md5 keep-first, %97 bench split + shingle overlap), so funnel
+    // and per-stage queries can never disagree.
+    q("curation_funnel",
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS mwl,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inListSql(stopwords)})) AS BIGINT)
+         |      * 1.0 / len(string_split(text, ' ')) AS stopf,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[a-z]+$$'))) AS BIGINT)
+         |      * 1.0 / len(string_split(text, ' ')) AS alphaf,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      * 1.0 / len(string_split(text, ' ')) AS distf
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, text FROM m
+         |  WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+         |    AND stopf >= 0.02 AND alphaf >= 0.8 AND distf >= 0.3),
+         |k AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM p)
+         |  WHERE doc_id = keeper),
+         |shs AS (${TextHash.shinglesSql()}),
+         |sh AS (SELECT doc_id, ${TextHash.h64Sql("sh")} AS sh FROM shs),
+         |bench AS (SELECT sh FROM sh WHERE doc_id % 97 = 0),
+         |cont AS (
+         |  SELECT DISTINCT t.doc_id FROM sh t JOIN bench b ON t.sh = b.sh
+         |  WHERE t.doc_id % 97 <> 0),
+         |clean AS (
+         |  SELECT doc_id FROM k
+         |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont))
+         |SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+         |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+         |UNION ALL SELECT CAST(2 AS BIGINT), 'policy_pass',
+         |  CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+         |UNION ALL SELECT CAST(3 AS BIGINT), 'dedup_keep_first',
+         |  CAST((SELECT COUNT(*) FROM k) AS BIGINT)
+         |UNION ALL SELECT CAST(4 AS BIGINT), 'decontaminated_train',
+         |  CAST((SELECT COUNT(*) FROM clean) AS BIGINT)""".stripMargin) { (s, d) =>
+      val docs = Tables.documentsParallel(s, d)
+      val passing = docs.filter(gopher(col("text")).pass)
+      val wKeep = Window.partitionBy(md5(col("text")))
+      val kept = passing
+        .withColumn("keeper", min(col("doc_id")).over(wKeep))
+        .filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"))
+      val sh = docs.select(col("doc_id"),
+        explode(TextHash.shingleHashArray(col("text"))).as("sh"))
+      val bench = sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()
+      val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("sh"))
+        .select(col("doc_id")).distinct()
+      val clean = kept.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      def stageRow(i: Int, name: String, frame: org.apache.spark.sql.DataFrame) =
+        frame.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+      stageRow(1, "raw", docs)
+        .unionByName(stageRow(2, "policy_pass", passing))
+        .unionByName(stageRow(3, "dedup_keep_first", kept))
+        .unionByName(stageRow(4, "decontaminated_train", clean))
     }
   )
 }
