@@ -73,7 +73,11 @@ object PlanReport {
     "text_bigram_typicality" ->
       "Bigram-LM scoring: the global bigram and left-marginal tables re-aggregate from the per-doc frame (map-side combinable, ≪ corpus) and join back on the bigram key; every probability is scaled-integer floor division.",
     "funnel_view_click_purchase" ->
-      "Staged-min funnel decorrelation: all three stages key their aggregates and joins on user_id — one exchange key end to end, so the sequential pattern costs one real shuffle.")
+      "Staged-min funnel decorrelation: all three stages key their aggregates and joins on user_id — one exchange key end to end, so the sequential pattern costs one real shuffle.",
+    "curation_funnel" ->
+      "Four sequential gates composed in ONE plan: the policy stage is pure projection, dedup is one md5-keyed window, decontamination broadcasts the bench shingles; stage counts are 1-row aggregates unioned at the end.",
+    "source_drift_tv" ->
+      "Drift monitor: after the single (source,bucket) corpus agg, everything is a ≤|sources|×512 broadcast grid — exact cross-multiplied integers, one division at the very end.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
