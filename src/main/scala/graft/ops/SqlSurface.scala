@@ -51,6 +51,67 @@ object SqlSurface {
         cume_dist().over(byValue).as("cume"))
     },
 
+    // ---- cohort retention: users bucketed by first-activity week, then
+    // distinct active users per (cohort, week-offset) — the standard
+    // product-analytics mart. Shape: one agg for cohorts (user-keyed), a
+    // join back on user_id (same exchange key), then a distinct-agg on
+    // the (cohort, offset) pair. Weeks are ISO date_trunc on both
+    // engines; the offset is exact integer day arithmetic / 7.
+    q("cohort_retention",
+      """WITH cohorts AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id, c.cohort_week,
+        |    CAST(date_trunc('week', e.ts) AS DATE) AS act_week
+        |  FROM events e JOIN cohorts c ON e.user_id = c.user_id)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM activity GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+      ev.join(cohorts, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          to_date(date_trunc("week", col("ts"))).as("act_week"))
+        .distinct()
+        .groupBy(col("cohort_week"),
+          (datediff(col("act_week"), col("cohort_week")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // ---- Markov transition matrix over the event stream: counts and
+    // integer-ppm probabilities of each (prev_type → type) transition per
+    // user-ordered sequence — the model a session-simulator or anomaly
+    // scorer trains on. One window shuffle on user_id, one tiny agg on
+    // the ≤|types|² pairs; probabilities are floor-ppm of exact counts.
+    q("markov_transitions",
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.event_type, c.n,
+        |  CAST((c.n * 1000000) // t.tot AS BIGINT) AS p_ppm
+        |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val c = Tables.events(s, d)
+        .select(col("event_type"), lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(t), Seq("prev_type"))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          expr("(n * 1000000) div tot").as("p_ppm"))
+    },
+
     // ---- ordered funnel analysis (view → click-after-view →
     // purchase-after-click): each stage's entry time is the MIN event time
     // AFTER the previous stage's — the staged-min formulation decorrelates
