@@ -200,6 +200,34 @@ object TrainingPipeline {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc_id"))
     },
 
+    // ---- temperature-scaled mixing weights (Arivazhagan et al. 2019,
+    // arXiv:1907.05019 §4: sample language l ∝ p_l^(1/T); T=2 ⇒ ∝ √p):
+    // the REWEIGHTING TABLE a data loader consumes — flattens the source
+    // distribution so head sources stop drowning the tail. √n via
+    // floor(sqrt(BIGINT)) is exact on both engines for any realistic
+    // count (doubles are correctly-rounded and n ≪ 2^52, so the floor
+    // can't straddle a perfect square). Pure two-level aggregate over the
+    // tiny source frame; the corpus is touched once for counts.
+    q("mix_temperature_weights",
+      """WITH counts AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM counts),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(n_docs) AS BIGINT) AS tn FROM w)
+        |SELECT source, n_docs,
+        |  CAST((n_docs * 1000000) // (SELECT tn FROM t) AS BIGINT) AS raw_share_ppm,
+        |  CAST((w * 1000000) // (SELECT tw FROM t) AS BIGINT) AS temp_share_ppm
+        |FROM w""".stripMargin) { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      val t = counts.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("tn"))
+      counts.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"),
+          expr("(n_docs * 1000000) div tn").as("raw_share_ppm"),
+          expr("(w * 1000000) div tw").as("temp_share_ppm"))
+    },
+
     // ---- token-budget corpus selection: greedy per-language prefix
     // under a fixed token budget — the "give me N tokens per language"
     // op every mixture recipe needs. Docs are ranked by a deterministic

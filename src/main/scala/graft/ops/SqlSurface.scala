@@ -51,6 +51,89 @@ object SqlSurface {
         cume_dist().over(byValue).as("cume"))
     },
 
+    // ---- equi-width numeric histogram with DATA-DERIVED bounds: the
+    // min/max ride in as a broadcast 1-row aggregate and the bin index is
+    // exact integer-cents arithmetic (no float bin boundaries to diverge
+    // at the edges). Two passes over the column, one tiny broadcast, one
+    // map-side-combinable agg on the bin key.
+    q("a_value_histogram",
+      """WITH b AS (
+        |  SELECT CAST(MIN(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS lo,
+        |    CAST(MAX(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS hi
+        |  FROM events),
+        |binned AS (
+        |  SELECT least(19, ((CAST(round(value*100) AS BIGINT) - lo) * 20)
+        |      // (hi - lo + 1)) AS bin,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events CROSS JOIN b)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+        |  CAST(MAX(cents) AS BIGINT) AS max_cents
+        |FROM binned GROUP BY 1""".stripMargin) { (s, d) =>
+      val cents = Tables.cents(col("value"))
+      val ev = Tables.events(s, d).select(cents.as("cents"))
+      val b = ev.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      ev.crossJoin(broadcast(b))
+        // div, not `/`: Column./ is double division, the bin must be exact
+        .select(expr("least(19L, ((cents - lo) * 20) div (hi - lo + 1))")
+          .as("bin"), col("cents"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    },
+
+    // ---- snapshot table diff (data-regression check between two
+    // versions of a table): FULL OUTER join on the key, rows classified
+    // added / removed / changed / same, with exact-cents drift mass. The
+    // "new" version is derived deterministically (bump %7 balances, drop
+    // %13 rows, insert 50 shifted keys) so the oracle states the same
+    // scenario. At scale this is one key-partitioned full-outer join —
+    // the same exchange a MERGE would need anyway.
+    q("table_diff_snapshots",
+      """WITH old AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer),
+        |mx AS (SELECT MAX(c_custkey) AS mk FROM old),
+        |new_v AS (
+        |  SELECT c_custkey,
+        |    cents + CASE WHEN c_custkey % 7 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM old WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + mk + 1, c_custkey * 100 FROM old CROSS JOIN mx
+        |  WHERE c_custkey < 50),
+        |d AS (
+        |  SELECT COALESCE(o.c_custkey, n.c_custkey) AS k,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |         WHEN n.c_custkey IS NULL THEN 'removed'
+        |         WHEN o.cents <> n.cents THEN 'changed'
+        |         ELSE 'same' END AS status,
+        |    abs(COALESCE(n.cents, 0) - COALESCE(o.cents, 0)) AS drift
+        |  FROM old o FULL OUTER JOIN new_v n ON o.c_custkey = n.c_custkey)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(drift) AS BIGINT) AS drift_cents
+        |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
+      val old = Tables.customer(s, d)
+        .select(col("c_custkey"), Tables.cents(col("c_acctbal")).as("cents"))
+      val mx = old.agg(max(col("c_custkey")).as("mk"))
+      val newV = old.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"),
+          (col("cents") + when(col("c_custkey") % 7 === 0, 1000L).otherwise(0L))
+            .as("cents"))
+        .unionByName(old.filter(col("c_custkey") < 50).crossJoin(broadcast(mx))
+          .select((col("c_custkey") + col("mk") + 1).as("c_custkey"),
+            (col("c_custkey") * 100).as("cents")))
+      old.as("o").join(newV.as("n"),
+          col("o.c_custkey") === col("n.c_custkey"), "full_outer")
+        .select(
+          when(col("o.c_custkey").isNull, "added")
+            .when(col("n.c_custkey").isNull, "removed")
+            .when(col("o.cents") =!= col("n.cents"), "changed")
+            .otherwise("same").as("status"),
+          abs(coalesce(col("n.cents"), lit(0L)) - coalesce(col("o.cents"), lit(0L)))
+            .as("drift"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("drift")).as("drift_cents"))
+    },
+
     // ---- cohort retention: users bucketed by first-activity week, then
     // distinct active users per (cohort, week-offset) — the standard
     // product-analytics mart. Shape: one agg for cohorts (user-keyed), a
