@@ -102,7 +102,63 @@ object Dedup {
        |pairs AS (SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5)""".stripMargin
   }
 
+  /** Edit-distance threshold for [[all]]'s `dedup_edit_distance`. */
+  private val EditK = 10
+
   val all: Seq[GraftQuery] = Seq(
+    // ---- edit-distance near-dup pairs: the STRING-METRIC verifier of the
+    // dedup family (Jaccard/MinHash see bags of shingles; Levenshtein sees
+    // order — transposed paragraphs look identical to set metrics but not
+    // to this one). Lossless q-gram COUNT FILTER (Gravano et al. 2001;
+    // Ed-Join's base bound): one edit disturbs ≤ q distinct q-grams, so
+    // lev(A,B) ≤ K ⇒ |shingles(A) ∩ shingles(B)| ≥ max(|A|,|B|) − K·q.
+    // Candidates come from one shingle-hash equi-join + count (hash
+    // collisions only ADD candidates — still lossless), then the exact
+    // levenshtein runs on the few hundred survivors, never on n² pairs.
+    // At 100 TB the count filter composes with PPJoin-style prefix
+    // pruning (Ed-Join §4) exactly like the Jaccard twin. Judged against
+    // a brute-force oracle truth-set (verified equal at sf0.01: 25 = 25).
+    q("dedup_edit_distance", {
+      val kq = EditK * TextHash.ShingleLen
+      s"""WITH sh AS (${TextHash.shinglesSql()}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS nc
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE nc >= s1.n - $kq AND nc >= s2.n - $kq)
+         |SELECT d1, d2, CAST(lev AS BIGINT) AS edit_distance
+         |FROM (
+         |  SELECT d1, d2, levenshtein(t1.text, t2.text) AS lev
+         |  FROM cand JOIN documents t1 ON d1 = t1.doc_id
+         |  JOIN documents t2 ON d2 = t2.doc_id)
+         |WHERE lev <= $EditK""".stripMargin
+    }) { (s, d) =>
+      val kq = EditK * TextHash.ShingleLen
+      val docs = Tables.documentsParallel(s, d)
+      val sh = docs.select(col("doc_id"),
+        explode(TextHash.shingleHashArray(col("text"))).as("h"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cand = sh.as("x")
+        .join(sh.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("nc"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .filter(col("nc") >= col("n1") - kq && col("nc") >= col("n2") - kq)
+        .select(col("d1"), col("d2"))
+      cand
+        .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
+        .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2")).cast("long").as("edit_distance"))
+        .filter(col("edit_distance") <= EditK)
+    },
+
     // ---- exact dedup: md5-hash groups, keeper = min doc_id
     q("dedup_exact",
       """SELECT doc_id,
