@@ -229,6 +229,147 @@ object Relational {
         .select(col("l_partkey"), (col("rev_cc") / 10000.0).as("part_revenue"))
     },
 
+    // ---- TPC-H Q6 shape: THE canonical scan-dominated query — filtered
+    // single aggregate, zero joins. Its whole point is the plan: every
+    // predicate in PushedFilters, a 3-column ReadSchema, one partial→final
+    // agg. Exact cents arithmetic as everywhere.
+    q("q6_forecast_revenue",
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .as("revenue_cc"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ---- TPC-H Q8 shape: market share — a conditional-over-total ratio
+    // inside a 7-table star, by year. Both numerator and denominator come
+    // from ONE aggregation pass (conditional sum over the same joined
+    // rows); the supplier→nation chain rides as a broadcast and flags
+    // which revenue is "ours". Ratio emitted in exact integer ppm.
+    q("q8_market_share",
+      """WITH joined AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev_cc,
+        |    CASE WHEN n2.n_name = 'NATION_3' THEN 1 ELSE 0 END AS ours
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN ours = 1 THEN rev_cc ELSE 0 END) AS BIGINT) AS our_rev_cc,
+        |  CAST(SUM(rev_cc) AS BIGINT) AS total_rev_cc,
+        |  CAST((SUM(CASE WHEN ours = 1 THEN rev_cc ELSE 0 END) * 1000000)
+        |    // SUM(rev_cc) AS BIGINT) AS share_ppm
+        |FROM joined GROUP BY 1""".stripMargin) { (s, d) =>
+      val custNation = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"),
+          when(col("sn_name") === "NATION_3", 1).otherwise(0).as("ours"))
+      val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(custNation, col("o_custkey") === col("c_custkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_cc"),
+          col("ours"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("ours") === 1, col("rev_cc")).otherwise(0L)).as("our_rev_cc"),
+          sum(col("rev_cc")).as("total_rev_cc"))
+        .select(col("o_year"), col("our_rev_cc"), col("total_rev_cc"),
+          expr("(our_rev_cc * 1000000) div total_rev_cc").as("share_ppm"))
+    },
+
+    // ---- TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // dims broadcast, one fact aggregation keyed by customer, a bounded
+    // TakeOrderedAndProject instead of a global sort.
+    q("q10_returned_revenue",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cc
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cc DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_cc"))
+        .orderBy(col("revenue_cc").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- TPC-H Q17 shape: correlated per-group average gate
+    // (small-quantity orders for one brand). Decorrelated: the per-part
+    // average is an aggregate over the SAME filtered fact slice, joined
+    // back on the part key; the 5× avg comparison stays in exact integers
+    // (qty_cents · 5 · n < Σqty_cents · ... cross-multiplied).
+    q("q17_small_quantity_revenue",
+      """WITH brand_items AS (
+        |  SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#7'),
+        |avgs AS (
+        |  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c
+        |  FROM brand_items GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(price_c) AS BIGINT) AS revenue_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM brand_items JOIN avgs ON l_partkey = pk
+        |WHERE qty_c * n * 5 < sum_qty_c""".stripMargin) { (s, d) =>
+      val brand = Tables.part(s, d).filter(col("p_brand") === "Brand#7")
+        .select(col("p_partkey"))
+      val items = Tables.lineitem(s, d)
+        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"))
+      val avgs = items.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("sum_qty_c"))
+      items.join(avgs, col("l_partkey") === col("pk"))
+        // qty < avg/5 ⇔ qty·n·5 < Σqty — exact, no division
+        .filter(col("qty_c") * col("n") * 5 < col("sum_qty_c"))
+        .agg(sum(col("price_c")).as("revenue_c"), count(lit(1)).as("n_items"))
+    },
+
     // ---- TPC-H Q7 shape: volume shipping between two nations — a 6-table
     // star with TWO independent dim chains (supplier→nation, customer→
     // nation) hanging off the fact. Plan intent: both nation filters
