@@ -18,7 +18,7 @@ object SparkEntry {
       llm.TextAnalysis.all ++ llm.TextPolicy.all ++ llm.TypedDocs.all ++
       llm.Dedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
       llm.TrainingPipeline.all ++ llm.CorpusSignals.all ++
-      graph.GraphOps.all ++
+      llm.Search.all ++ graph.GraphOps.all ++
       streaming.IngestBench.all
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
