@@ -50,6 +50,64 @@ object Search {
         .filter(col("n_terms") === AndTerms.size)
     },
 
+    // ---- BM25-ranked retrieval in FIXED POINT (Robertson & Zaragoza
+    // 2009, k1 = 1.2, b = 0.75 as permille constants): every factor is a
+    // scaled-integer floor expression — idf as the (N·1e6) div df proxy
+    // (rank-preserving vs the log form for df ≪ N), relative doc length
+    // in permille, the saturation denominator in permille — so both
+    // engines score bit-identically and the top-10 is deterministic with
+    // the (score, doc_id) tie-break. Shape: tf agg on (doc, term-subset)
+    // after a broadcast term filter, df/avgdl as tiny broadcast aggs,
+    // TakeOrderedAndProject for the bounded head — no global sort.
+    q("search_bm25_topk", {
+      val terms = inList(AndTerms)
+      s"""WITH post AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |lens AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM post WHERE term IN $terms GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    SUM(((s.n_docs * 1000000) // df.df) * tf.tf * 2200
+         |        // (tf.tf * 1000 +
+         |            (1200 * (250 + (750 * ((l.dl * 1000 * s.n_docs) // s.total_dl))
+         |              // 1000)) // 1000)) AS score
+         |  FROM tf JOIN df ON tf.term = df.term
+         |  JOIN lens l ON tf.doc_id = l.doc_id CROSS JOIN stats s
+         |  GROUP BY 1)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score_scaled
+         |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documentsParallel(s, d)
+      val lens = docs.select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .filter(col("term").isin(AndTerms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score", expr(
+          "((n_docs * 1000000) div df) * tf * 2200 " +
+            "div (tf * 1000 + (1200 * (250 + (750 * ((dl * 1000 * n_docs) div total_dl)) " +
+            "div 1000)) div 1000)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_score")).as("score_scaled"))
+        .orderBy(col("score_scaled").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // ---- exact phrase search: positional postings (term, doc, pos);
     // the phrase "A B" holds wherever A's posting at pos p meets B's at
     // p+1 — a positional equi-join on (doc, pos+1), the classic
