@@ -77,7 +77,11 @@ object PlanReport {
     "curation_funnel" ->
       "Four sequential gates composed in ONE plan: the policy stage is pure projection, dedup is one md5-keyed window, decontamination broadcasts the bench shingles; stage counts are 1-row aggregates unioned at the end.",
     "source_drift_tv" ->
-      "Drift monitor: after the single (source,bucket) corpus agg, everything is a ≤|sources|×512 broadcast grid — exact cross-multiplied integers, one division at the very end.")
+      "Drift monitor: after the single (source,bucket) corpus agg, everything is a ≤|sources|×512 broadcast grid — exact cross-multiplied integers, one division at the very end.",
+    "search_bm25_topk" ->
+      "Ranked retrieval: the broadcast term filter prunes postings before the tf aggregate; df/avgdl are tiny broadcast aggregates; the head is TakeOrderedAndProject — no global sort, no window.",
+    "dedup_edit_distance" ->
+      "Lossless q-gram count filter: candidates from one shingle-hash equi-join + count bound; the exact levenshtein evaluates only on the few hundred survivors.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
