@@ -332,7 +332,12 @@ object Similarity {
     * same asymptotic recall on paper, but runtime did NOT improve (the
     * map-side banding cost is 48 plane dots/row vs 24; the hot cost is
     * banding, not the candidate join at this corpus size) and measured
-    * pairs dropped 907 → 815. Multi-probe kept. */
+    * pairs dropped 907 → 815. Multi-probe kept.
+    *
+    * Second measured alternative (rejected, r5): 8×4-bit bands with
+    * 5-key multi-probe — steady-state runtime unchanged (~2.3 s sf0.1;
+    * the 5× probe rows offset the 2× smaller buckets) and recall lost a
+    * pair at sf0.01 (59 → 58). The 8×3-bit / 4-probe geometry stands. */
   val dedupLshQuery: GraftQuery =
     q("dedup_embedding_lsh", {
       val bandSelects = (0 until DedupBands).map { t =>
