@@ -209,6 +209,11 @@ object CorpusSignals {
         |FROM scored""".stripMargin) { (s, d) =>
       val dp = Tables.documentsParallel(s, d)
         .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+        // single-word docs have no transitions — and must not reach the
+        // transform: sequence(1, 0) steps DOWN to [1, 0], so ws[1] would be
+        // out of bounds (an ANSI INVALID_ARRAY_INDEX failure). The oracle's
+        // generate_series(1, 0) is empty, so the filter matches it exactly.
+        .filter(size(col("ws")) >= 2)
         .select(col("doc_id"),
           explode(expr(
             "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))

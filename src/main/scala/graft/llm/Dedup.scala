@@ -118,6 +118,18 @@ object Dedup {
     // At 100 TB the count filter composes with PPJoin-style prefix
     // pruning (Ed-Join §4) exactly like the Jaccard twin. Judged against
     // a brute-force oracle truth-set (verified equal at sf0.01: 25 = 25).
+    //
+    // Short-document completeness: the count filter's bound max(n1,n2)−K·q
+    // is ≤ 0 when BOTH docs have ≤ K·q distinct shingles, i.e. such a pair
+    // can be within distance K while sharing ZERO shingles — invisible to
+    // the shingle equi-join. (If either doc is long, nc ≥ n_long − K·q ≥ 1
+    // forces a shared shingle, so only both-short pairs can escape.) Those
+    // docs are cross-paired explicitly via a LENGTH-BAND equi-join:
+    // lev(A,B) ≤ K ⇒ |len(A)−len(B)| ≤ K, so with band = len div (K+1)
+    // qualifying pairs sit in adjacent bands — the probe side expands to
+    // {b−1, b, b+1} and each pair matches exactly once on the build side's
+    // own band. Still an equi-join (no nested loop), and at 100 TB the
+    // short set shards by band instead of ever going quadratic.
     q("dedup_edit_distance", {
       val kq = EditK * TextHash.ShingleLen
       s"""WITH sh AS (${TextHash.shinglesSql()}),
@@ -129,11 +141,21 @@ object Dedup {
          |cand AS (
          |  SELECT d1, d2 FROM inter
          |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-         |  WHERE nc >= s1.n - $kq AND nc >= s2.n - $kq)
+         |  WHERE nc >= s1.n - $kq AND nc >= s2.n - $kq),
+         |short AS (
+         |  SELECT s.doc_id, len(t.text) AS ln
+         |  FROM sizes s JOIN documents t ON s.doc_id = t.doc_id
+         |  WHERE s.n <= $kq),
+         |allcand AS (
+         |  SELECT d1, d2 FROM cand
+         |  UNION
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM short a JOIN short b
+         |  ON a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= $EditK)
          |SELECT d1, d2, CAST(lev AS BIGINT) AS edit_distance
          |FROM (
          |  SELECT d1, d2, levenshtein(t1.text, t2.text) AS lev
-         |  FROM cand JOIN documents t1 ON d1 = t1.doc_id
+         |  FROM allcand JOIN documents t1 ON d1 = t1.doc_id
          |  JOIN documents t2 ON d2 = t2.doc_id)
          |WHERE lev <= $EditK""".stripMargin
     }) { (s, d) =>
@@ -151,7 +173,21 @@ object Dedup {
         .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
         .filter(col("nc") >= col("n1") - kq && col("nc") >= col("n2") - kq)
         .select(col("d1"), col("d2"))
-      cand
+      // both-short pairs the shingle join cannot see: length-band equi-join
+      // (band width K+1 ⇒ |len diff| ≤ K pairs are in adjacent bands; the
+      // probe side explodes to 3 band keys, each pair matches exactly once
+      // against the build side's own band)
+      val short = sizes.filter(col("n") <= kq)
+        .join(docs.select(col("doc_id"), length(col("text")).as("ln")), Seq("doc_id"))
+        .withColumn("band", expr(s"ln div ${EditK + 1}"))
+      val shortPairs = short
+        .select(col("doc_id").as("d1"), col("ln").as("ln1"),
+          explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+        .join(short.select(col("doc_id").as("d2"), col("ln").as("ln2"), col("band")),
+          Seq("band"))
+        .filter(col("d1") < col("d2") && abs(col("ln1") - col("ln2")) <= EditK)
+        .select(col("d1"), col("d2"))
+      cand.union(shortPairs).distinct()
         .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
         .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
         .select(col("d1"), col("d2"),

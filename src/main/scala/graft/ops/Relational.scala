@@ -99,9 +99,11 @@ object Relational {
       val su = Tables.supplier(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      // supplier is SF-scaled — no forced broadcast (AQE promotes it when
+      // it fits); only fixed-size nation/region keep their hints
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su),
+        .join(su,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -147,7 +149,8 @@ object Relational {
         col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
       val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
-      li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      // part is SF-scaled — AQE decides the build side
+      li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
           / sum(rev)).as("promo_share_pct"))
     },
@@ -197,7 +200,7 @@ object Relational {
       val excess = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
-        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(promo, col("l_partkey") === col("p_partkey")) // SF-scaled part slice: AQE decides
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("qty"))
         .filter(col("qty") > 400)
@@ -291,9 +294,12 @@ object Relational {
           when(col("sn_name") === "NATION_3", 1).otherwise(0).as("ours"))
       val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
         .select(col("p_partkey"))
+      // no broadcast hints on promo/suppNation: part and supplier are
+      // SF-scaled (unlike nation/region), so forcing a broadcast would OOM
+      // at the 100 TB SF; AQE promotes them to broadcast when they fit
       Tables.lineitem(s, d)
-        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
         .join(custNation, col("o_custkey") === col("c_custkey"))
         .select(year(col("o_orderdate")).cast("long").as("o_year"),
@@ -324,9 +330,11 @@ object Relational {
         |ORDER BY revenue_cc DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
+      // customer is SF-scaled — no forced broadcast (AQE decides); nation
+      // is a fixed 25-row dim, so its hint is valid at any SF
       Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
@@ -358,7 +366,7 @@ object Relational {
       val brand = Tables.part(s, d).filter(col("p_brand") === "Brand#7")
         .select(col("p_partkey"))
       val items = Tables.lineitem(s, d)
-        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .join(brand, col("l_partkey") === col("p_partkey")) // SF-scaled part slice: AQE decides
         .select(col("l_partkey"),
           cents(col("l_quantity")).as("qty_c"),
           cents(col("l_extendedprice")).as("price_c"))
@@ -402,7 +410,7 @@ object Relational {
         .join(cust, col("c_custkey") === col("o_custkey"))
         .select(col("o_orderkey"), col("cust_nation"))
       Tables.lineitem(s, d)
-        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(supp, col("s_suppkey") === col("l_suppkey")) // SF-scaled supplier slice: AQE decides
         .join(ords, col("o_orderkey") === col("l_orderkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
@@ -433,7 +441,7 @@ object Relational {
         col("p_brand") === brand && col("p_size").between(sLo, sHi) &&
           col("l_quantity").between(qLo, qHi)
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey")) // SF-scaled: AQE decides
         .filter(arm("Brand#1", 1, 15, 1, 11) ||
           arm("Brand#2", 10, 30, 10, 25) ||
           arm("Brand#3", 20, 50, 20, 40))
@@ -467,9 +475,10 @@ object Relational {
         .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
           .as("total_cc"))
       val mx = rev.agg(max(col("total_cc")).as("m"))
-      rev.crossJoin(broadcast(mx))
-        .filter(col("total_cc") === col("m"))
-        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      // the max-filtered side is ~1 row — broadcast THAT, not SF-scaled supplier
+      Tables.supplier(s, d)
+        .join(broadcast(rev.crossJoin(broadcast(mx)).filter(col("total_cc") === col("m"))),
+          col("s_suppkey") === col("l_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_cc"))
     },
 

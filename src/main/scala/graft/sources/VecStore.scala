@@ -53,7 +53,12 @@ object VecStore {
   /** The bucket a raw float-array embedding hashes to (driver-side helper
     * for single-query probes; the arithmetic mirrors [[bucketed]]). */
   def bucketOf(embedding: Seq[Float]): Long = {
-    val qv = embedding.map(x => Math.round(x.toDouble * graft.llm.Similarity.Q))
+    // SQL round() is HALF_UP away from zero; Math.round is half-up toward
+    // +infinity — they disagree at negative exact-.5 products (round(-0.5):
+    // SQL → -1, Math.round → 0), which would send a probe to the wrong
+    // bucket directory. Mirror the stored arithmetic exactly.
+    def sqlRound(v: Double): Long = if (v < 0) -Math.round(-v) else Math.round(v)
+    val qv = embedding.map(x => sqlRound(x.toDouble * graft.llm.Similarity.Q))
     graft.llm.Similarity.planes.zipWithIndex.map { case (w, p) =>
       val dot = qv.zip(w).map { case (a, b) => a * b }.sum
       if (dot > 0) 1L << p else 0L

@@ -63,6 +63,21 @@ class CorpusSignalsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bigram typicality: single-word and empty docs are excluded, not an ANSI array-index crash") {
+    // sequence(1, 0) steps DOWN to [1, 0], so an unguarded transform reads
+    // ws[1] out of bounds on a 1-word doc — this corpus is the regression net
+    val dir = java.nio.file.Files.createTempDirectory("graft-oneword").toString
+    Seq(
+      (1L, "solo", "en", "web", 4L),
+      (2L, "", "en", "web", 0L),
+      (3L, "two words repeated two words", "en", "web", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("text_bigram_typicality")(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(3L), s"only the multi-word doc has transitions, got $out")
+  }
+
   test("integer pagerank: mass is conserved up to floor-division leakage, and in-link-favored nodes outrank") {
     val out = graft.SparkEntry.queries("graph_pagerank")(spark, sf0001).cache()
     val n = out.count()

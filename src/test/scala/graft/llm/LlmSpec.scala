@@ -124,6 +124,24 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("l.cosine") =!= col("b.cosine")).count() == 0)
   }
 
+  test("edit-distance dedup finds both-short pairs that share zero shingles") {
+    // two 10-char docs at lev=1: each has exactly ONE 14-char shingle (its
+    // whole text) and they differ, so the shingle equi-join never pairs them
+    // — only the short-doc length-band cross-pair can. The long third doc
+    // must stay unpaired (the band join is scoped to short docs).
+    val dir = java.nio.file.Files.createTempDirectory("graft-shortdocs").toString
+    Seq(
+      (1L, "abcdefghij", "en", "web", 10L),
+      (2L, "abcdefghiX", "en", "web", 10L),
+      (3L, "the quick brown fox jumps over the lazy dog and keeps on running " * 4, "en", "web", 260L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("dedup_edit_distance")(spark, dir)
+      .select(col("d1"), col("d2"), col("edit_distance"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L)), s"expected the short pair only, got $out")
+  }
+
   test("decontaminate: only train docs flagged, every flag backed by a real shared shingle") {
     val out = graft.SparkEntry.queries("decontaminate")(spark, sf0001)
       .select(col("doc_id"), col("n_shared_shingles"), col("n_bench_docs"))

@@ -50,4 +50,33 @@ class VecStoreSpec extends SparkSpec {
       .selectExpr("CAST(bucket AS BIGINT)").as[Long].head()
     assert(VecStore.bucketOf(one) == stored)
   }
+
+  test("driver-side bucketOf matches SQL round semantics at negative exact-.5 quantization") {
+    // adversarial vector: component j quantizes to -3.5 exactly (SQL round
+    // → -4 away from zero; naive Math.round → -3 toward +inf) and component
+    // k to +4, both on the same plane with equal weights — so the plane's
+    // dot is 0 under SQL rounding but +w under Math.round: the bucket BIT
+    // differs, and a mismatched driver probe would scan the wrong directory.
+    val q = 1048576.0 // Similarity.Q
+    val w = graft.llm.Similarity.planes.head
+    val j = w.indices.maxBy(w(_)) // largest positive weight a
+    val a = w(j)
+    val k = w.indices.filter(i => i != j && w(i) > 0).minBy(w(_)) // smallest positive b
+    val b = w(k)
+    // c·b ∈ (4a−b, 4a] ⊆ (3a, 4a] since b ≤ a: dot = c·b − 4a ≤ 0 under SQL
+    // rounding (bit 0) but c·b − 3a > 0 under Math.round (bit 1) — plane 0's
+    // bucket bit provably differs between the two rounding modes
+    val c = (4 * a) / b
+    val vec = Array.tabulate(w.length) { i =>
+      if (i == j) (-3.5 / q).toFloat else if (i == k) (c / q).toFloat else 0.0f
+    }.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("vecstore-round").toString
+    Seq((0L, vec)).toDF("vec_id", "embedding").write.mode("overwrite")
+      .partitionBy().format("parquet").save(s"$dir/raw")
+    VecStore.append(spark.read.parquet(s"$dir/raw"), s"$dir/idx")
+    val stored = spark.read.parquet(s"$dir/idx")
+      .selectExpr("CAST(bucket AS BIGINT)").as[Long].head()
+    assert(VecStore.bucketOf(vec) == stored,
+      s"plane 0 (dims $j,$k): driver bucket ${VecStore.bucketOf(vec)} != stored $stored")
+  }
 }
