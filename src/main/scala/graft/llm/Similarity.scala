@@ -33,7 +33,7 @@ object Similarity {
 
   /** Quantized vector + its self-dot (squared norm), reused by every query. */
   private def quantized(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
+    Tables.embeddingsParallel(s, d).select(
       col("vec_id"), col("label"),
       expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q) AS BIGINT))").as("qv"))
       .withColumn("norm2", FixedPointDot(col("qv"), col("qv")))
@@ -64,31 +64,68 @@ object Similarity {
     * the trained centroids bit-identical to the oracle. Cells that lose
     * every member drop out on both engines identically. The corpus only
     * ever crosses a BROADCAST of k rows — the 100 TB k-means shape. */
+  /** The centroid frame packed into ONE broadcastable row of parallel
+    * arrays (cids, cqvs, cnorms), sorted by c_id — the "codebook" the
+    * fused assignment reads. The collect/sort runs on k≈8 rows. */
+  private def centsRow(cents: DataFrame): DataFrame =
+    cents
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cqv"), col("cnorm2")))).as("cs"))
+      .select(
+        expr("transform(cs, c -> c.c_id)").as("cids"),
+        expr("transform(cs, c -> c.cqv)").as("cqvs"),
+        expr("transform(cs, c -> c.cnorm2)").as("cnorms"))
+
+  /** Map-side nearest-cell ranking: ONE [[FixedPointDotMulti]] pass gives
+    * all per-centroid dots; the k=8 cosine divisions and the sort happen
+    * as array arithmetic in the same projection. `ranked` is
+    * array<struct<nc, id>> ascending by (−cosine, c_id) — element 0 is
+    * the Lloyd/IVF assignment, slice(…, 1, p) the multi-probe cells. The
+    * cosine doubles are computed with the exact operation order of the
+    * previous per-row form (and of the oracle), so ranking ties and
+    * values are bit-identical; the crossJoin ships one broadcast row.
+    *
+    * This replaces the crossJoin-explode + vec_id-keyed argmax/window
+    * shape, which SHUFFLED 8× the corpus (with the 64-wide qv payload)
+    * per Lloyd step — the assignment stage now has no exchange at all. */
+  private def assignRanked(qe: DataFrame, cents: DataFrame): DataFrame =
+    qe.crossJoin(broadcast(centsRow(cents)))
+      .withColumn("dots", graft.functions.FixedPointDotMulti(col("qv"), col("cqvs")))
+      .withColumn("ranked", expr(
+        """array_sort(zip_with(
+          |  zip_with(dots, cnorms, (dd, cn) ->
+          |    CAST(dd AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))),
+          |  cids, (co, id) -> named_struct('nc', -co, 'id', id)))""".stripMargin))
+
   private def lloydCentroids(qe: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = qe.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("norm2").as("cnorm2"))
     for (_ <- 0 until iters) {
-      // nearest-centroid assignment as a hash-aggregate ARGMAX — not a
-      // row_number window: max(struct(ccos, −c_id, …)) runs with map-side
-      // partials and no per-key sort (ties break to the smallest c_id,
-      // matching the oracle's ORDER BY ccos DESC, c_id)
-      val assigned = qe.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          FixedPointDot(col("qv"), col("cqv")).cast("double")
-            / (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_c"), col("qv"))).as("m"))
-        .select((-col("m.neg_c")).as("c_id"), col("m.qv").as("qv"))
+      // nearest-centroid assignment, fused and exchange-free (ties break
+      // to the smallest c_id via the ranked struct sort, matching the
+      // oracle's ORDER BY ccos DESC, c_id)
+      val assigned = assignRanked(qe, cents)
+        .select(expr("ranked[0].id").as("c_id"), col("qv"))
+      // element-wise sums as 64 codegen'd sum() columns in ONE hash agg
+      // (map-side partials over k=8 groups; the old posexplode →
+      // groupBy(c_id, pos) → collect_list chain was two exchanges plus a
+      // 64×n row explode per iteration, and Lloyd's per-stage overhead —
+      // not the arithmetic — dominated the IVF queries). The floor-mean
+      // per element is unchanged: same exact long sums, same
+      // (s − pmod(s, n)) div n, so centroids stay bit-identical to the
+      // oracle's list(s // n ORDER BY pos).
+      val dimSums = (0 until 64).map(i => sum(col("qv")(i)).as(s"s$i"))
       cents = assigned
-        .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("mv", expr("(s - pmod(s, n)) div n"))
         .groupBy(col("c_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mv")))),
-          x => x.getField("mv")).as("cqv"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .select(col("c_id"),
+          array((0 until 64).map(i => expr(s"(s$i - pmod(s$i, n)) div n")): _*).as("cqv"))
         .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
+        // EAGER lineage truncation on the k-row frame, one per round (the
+        // star-contraction doctrine, Dedup.scala): without it every later
+        // broadcast(centsRow(…)) job replays the whole preceding Lloyd
+        // chain — iteration i executes iters-i+1 times and the query
+        // spends its time in nested re-executed broadcast jobs, not math
+        .localCheckpoint()
     }
     cents
   }
@@ -193,11 +230,9 @@ object Similarity {
          |SELECT query_id, vec_id, label, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
     }) { (s, d) =>
       val qe = quantized(s, d)
-      val bits = planes.zipWithIndex.map { case (w, p) =>
-        when(graft.functions.FixedPointDot(col("qv"), typedLit(w.toArray)) > 0,
-          1 << p).otherwise(0)
-      }.reduce(_ + _)
-      val bucketed = qe.withColumn("bucket", bits)
+      // all 8 plane signs in one fused pass; same value as the CASE sum
+      val bucketed = qe.withColumn("bucket",
+        graft.functions.PlaneSignMask(col("qv"), 8).cast("int"))
       val scored = bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") % 50 === 0 &&
@@ -235,12 +270,9 @@ object Similarity {
          |  CAST(COUNT(*) AS BIGINT) AS n_vectors
          |FROM bucketed GROUP BY 1""".stripMargin
     }) { (s, d) =>
-      val bits = planes.zipWithIndex.map { case (w, p) =>
-        when(graft.functions.FixedPointDot(col("qv"), typedLit(w.toArray)) > 0,
-          1 << p).otherwise(0)
-      }.reduce(_ + _)
       quantized(s, d)
-        .select(col("vec_id"), bits.cast("long").as("bucket"))
+        .select(col("vec_id"),
+          graft.functions.PlaneSignMask(col("qv"), 8).as("bucket"))
         .groupBy(col("bucket"))
         .agg(min(col("vec_id")).as("rep_vec_id"),
           count(lit(1)).as("n_vectors"))
@@ -279,27 +311,23 @@ object Similarity {
       // localCheckpoint (GC-scoped), not cache: see Dedup.minhashPairs
       val qe = quantized(s, d).localCheckpoint(eager = false)
       val cents = lloydCentroids(qe, CentroidK, CentroidIters)
-      val cells = qe.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          FixedPointDot(col("qv"), col("cqv")).cast("double")
-            / (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
-        .withColumn("cr", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-        .filter(col("cr") <= 3)
-        .select(col("vec_id"), col("c_id").as("cell"))
-      val cand = cells.as("x")
+      // top-3 probe cells map-side from the fused ranking — no window —
+      // with qv/norm2 carried along so verification runs inline on the
+      // cell join's output (same doctrine as dedup_embedding_lsh: no
+      // candidate-id distinct, no lookup joins; dedup the verified pairs)
+      val cells = assignRanked(qe, cents)
+        .select(col("vec_id"), col("qv"), col("norm2"),
+          explode(expr("slice(ranked, 1, 3)")).as("r"))
+        .select(col("vec_id"), col("qv"), col("norm2"), col("r.id").as("cell"))
+      cells.as("x")
         .join(cells.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-        .distinct()
-      cand
-        .join(qe.as("a"), col("v1") === col("a.vec_id"))
-        .join(qe.as("b"), col("v2") === col("b.vec_id"))
-        .select(col("v1"), col("v2"),
-          (dot("a.qv", "b.qv").cast("double")
-            / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+          (dot("x.qv", "y.qv").cast("double")
+            / (sqrt(col("x.norm2").cast("double")) * sqrt(col("y.norm2").cast("double"))))
             .as("cosine"))
         .filter(col("cosine") >= 0.4)
+        .distinct()
     }
 
   /** Bucketed embedding threshold-dedup — the scale twin of
@@ -364,58 +392,65 @@ object Similarity {
          |  FROM cand JOIN qn a ON v1 = a.vec_id JOIN qn b ON v2 = b.vec_id)
          |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin
     }) { (s, d) =>
-      // qe feeds the band explode + both verify sides: materialize the small
-      // frame once (localCheckpoint — GC-scoped, no CacheManager entry)
-      val qe = quantized(s, d).localCheckpoint(eager = false)
+      val qe = quantized(s, d)
+      // ONE fused pass over qv for all 24 plane signs; band keys are bit
+      // slices of the mask — value-identical to the 24 per-plane dots
       val bandCols = (0 until DedupBands).map { t =>
-        val key = (0 until DedupBits).map { r =>
-          when(graft.functions.FixedPointDot(col("qv"),
-            typedLit(dedupPlanes(t * DedupBits + r).toArray)) > 0, 1 << r).otherwise(0)
-        }.reduce(_ + _)
-        struct(lit(t).as("band"), key.as("key"))
+        struct(lit(t).as("band"),
+          shiftright(col("mask"), t * DedupBits).bitwiseAND(lit((1 << DedupBits) - 1))
+            .cast("int").as("key"))
       }
       val bands = qe
-        .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .withColumn("mask",
+          graft.functions.PlaneSignMask(col("qv"), DedupBands * DedupBits))
+        .select(col("vec_id"), col("qv"), col("norm2"),
+          explode(array(bandCols: _*)).as("bk"))
+        .select(col("vec_id"), col("qv"), col("norm2"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
       // multi-probe: the exact key plus its 3 one-bit flips; hamming ≤ 1
       // between two keys ⟺ the exact key of one is in the probe set of
       // the other, so probing one side of the (v1 < v2)-ordered join
       // covers every ≤1-bit pair
       val probes = bands
-        .select(col("vec_id"), col("band"), col("key"),
+        .select(col("vec_id"), col("qv"), col("norm2"), col("band"), col("key"),
           explode(array(lit(0), lit(1), lit(2), lit(4))).as("flip"))
-        .select(col("vec_id"), col("band"),
+        .select(col("vec_id"), col("qv"), col("norm2"), col("band"),
           col("key").bitwiseXOR(col("flip")).as("key"))
-      val cand = probes.as("x")
+      // VERIFY INLINE on the streamed join output, dedup only the true
+      // pairs. At this τ regime the bands barely prune (profiled sf0.1:
+      // 8M joined rows → 1.88M distinct candidates of ~2M possible pairs),
+      // so the old candidate-id DISTINCT was an 8M-row exchange followed
+      // by two lookup joins — the dominant cost of the whole query. With
+      // qv/norm2 carried through the bucket join, the exact dot runs in
+      // the same codegen stage as the join probe (no exchange at all on
+      // the joined rows; a pair costs one extra dot per extra matching
+      // band) and the final distinct sees only verified pairs (~1e3).
+      // Same shape at 100 TB: payload-through-bucket-join trades
+      // shuffle(candidate ids) + point lookups for zero post-join
+      // exchanges; with a sane τ (≥0.7) the bands prune hard and both
+      // shapes are cheap, but this one never materializes candidates.
+      probes.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-        .distinct()
-      cand
-        .join(qe.as("a"), col("v1") === col("a.vec_id"))
-        .join(qe.as("b"), col("v2") === col("b.vec_id"))
-        .select(col("v1"), col("v2"),
-          (dot("a.qv", "b.qv").cast("double")
-            / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+          (dot("x.qv", "y.qv").cast("double")
+            / (sqrt(col("x.norm2").cast("double")) * sqrt(col("y.norm2").cast("double"))))
             .as("cosine"))
         .filter(col("cosine") >= 0.4)
+        .distinct()
     }
 
-  /** Deterministic hyperplanes (dim 64, integer weights in [-500, 500)),
-    * derived from the same Knuth-hash uniform as [[graft.meter.MeterGen.u]]
-    * — literal-embedded into both the Spark plan and the oracle SQL. */
-  private def mkPlanes(n: Int): Seq[IndexedSeq[Long]] = {
-    def u(x: Long): Double = (x % 2147483648L) * 2654435761L % 2147483648L / 2147483648.0
-    (0 until n).map(p => (0 until 64).map(i => Math.round((u(p * 101L + i * 7L + 13L) - 0.5) * 1000)))
-  }
-
-  /** The 8 planes the ANN bucketing uses. */
-  lazy val planes: Seq[IndexedSeq[Long]] = mkPlanes(8)
+  /** The 8 planes the ANN bucketing uses (deterministic, dim 64, integer
+    * weights in [-500, 500); generated by
+    * [[graft.functions.PlaneSignMask]], which also evaluates all their
+    * sign bits in one codegen'd pass — the Spark plans use the fused mask,
+    * the oracle SQL embeds these same weights as literals). */
+  lazy val planes: Seq[IndexedSeq[Long]] = graft.functions.PlaneSignMask.planes8
 
   /** 24 planes for the banded threshold-dedup (8 bands × 3 bits; the first
     * 8 coincide with [[planes]] — same index formula). */
-  lazy val dedupPlanes: Seq[IndexedSeq[Long]] = mkPlanes(24)
+  lazy val dedupPlanes: Seq[IndexedSeq[Long]] = graft.functions.PlaneSignMask.planes24
 
   /** IVF coarse-quantized ANN with TRAINED centroids: [[lloydCentroids]]
     * runs [[CentroidIters]] Lloyd iterations (seeded on the k smallest
@@ -451,16 +486,10 @@ object Similarity {
       (s, d) =>
         val qe = quantized(s, d).localCheckpoint(eager = false) // feeds centroids + assignment + probe
         val cents = lloydCentroids(qe, CentroidK, CentroidIters)
-        // same hash-aggregate argmax as the Lloyd assignment (no window)
-        val assigned = qe.crossJoin(broadcast(cents))
-          .withColumn("ccos",
-            FixedPointDot(col("qv"), col("cqv")).cast("double")
-              / (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_c"),
-            col("label"), col("qv"), col("norm2"))).as("m"))
-          .select(col("vec_id"), col("m.label").as("label"), col("m.qv").as("qv"),
-            col("m.norm2").as("norm2"), (-col("m.neg_c")).as("cell"))
+        // same fused map-side assignment as the Lloyd steps (no exchange)
+        val assigned = assignRanked(qe, cents)
+          .select(col("vec_id"), col("label"), col("qv"), col("norm2"),
+            expr("ranked[0].id").as("cell"))
         val scored = assigned.as("a")
           .join(assigned.as("b"),
             col("a.cell") === col("b.cell") && col("a.vec_id") % 50 === 0 &&

@@ -47,6 +47,17 @@ object Tables {
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** `embeddings` spread across all cores — same doctrine as
+    * [[documentsParallel]]: the test corpus is one small parquet file ⇒
+    * one input partition, which would run every map-side vector kernel
+    * (quantization, plane-sign banding, centroid assignment) AND any join
+    * that streams a band/cell frame derived from it on a single thread.
+    * The 2K-row shuffle is free next to the 64-wide dot work; on a real
+    * many-file 100 TB corpus this repartition is unnecessary and the
+    * plain reader should be used. */
+  def embeddingsParallel(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** Money columns in the corpus are doubles carrying exactly 2 decimals.
     * `cents(c)` maps them to exact BIGINT hundredths: long sums are exact and
     * associative, so aggregates are bit-identical regardless of partitioning /

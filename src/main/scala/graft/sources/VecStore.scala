@@ -28,13 +28,11 @@ object VecStore {
   private def bucketed(embeddings: DataFrame): DataFrame = {
     val qv = expr(
       s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${graft.llm.Similarity.Q}) AS BIGINT))")
-    val bits = graft.llm.Similarity.planes.zipWithIndex.map { case (w, p) =>
-      when(graft.functions.FixedPointDot(col("qv"), typedLit(w.toArray)) > 0,
-        1 << p).otherwise(0)
-    }.reduce(_ + _)
     embeddings
       .withColumn("qv", qv)
-      .withColumn("bucket", bits.cast("long"))
+      // all 8 plane sign bits in one fused pass (same value as the
+      // per-plane CASE sum; agrees bit-for-bit with the in-memory LSH)
+      .withColumn("bucket", graft.functions.PlaneSignMask(col("qv"), 8))
   }
 
   /** Append `embeddings` (vec_id, embedding, …) into the bucket-partitioned
