@@ -29,7 +29,7 @@ object PlanReport {
     "quality_suite_dims" ->
       "All three conditional-count checks on meters compile into ONE aggregate (a single scan/Range per table, not one per check); unique and referential keep their own shapes; six check types total.",
     "dedup_embedding_lsh" ->
-      "Threshold-dedup without an all-pairs join: band keys are narrow FixedPointDot sign projections, candidates come from the (band, key) bucket self-join only, then exact verification joins by vec_id.",
+      "Threshold-dedup without an all-pairs join: all 24 band-key bits come from ONE fused PlaneSignMask projection; qv rides through the (band, key) bucket self-join so the exact-cosine verify runs inside the join's codegen stage — no candidate-id exchange, the only distinct sees verified pairs.",
     "pack_sequences" ->
       "Two-level distributed prefix sum: per-chunk token totals (tiny frame) take the only global window; the per-row cumulative sum is partitioned by chunk — no global single-partition window over the corpus.",
     "scd2_asof_orders" ->
@@ -43,7 +43,7 @@ object PlanReport {
     "mm_decode_stats" ->
       "Codec-backed decode is a partition-preserving MapPartitions (no shuffle until the per-modality aggregate); payload generation and parse fuse into one narrow stage.",
     "dedup_embedding_ivf" ->
-      "Trained-IVF threshold dedup: each Lloyd iteration is broadcast-assign + posexplode partial-agg (corpus only ever crosses a k-row broadcast); candidates come from the 3-probe cell bucket join, then exact verification.",
+      "Trained-IVF threshold dedup: each Lloyd iteration broadcasts the codebook as ONE row, assignment is a map-side fused multi-dot + array ranking (no exchange), the centroid update is a single 64-column sum agg with map-side partials; probe cells slice the ranked array, and verification runs inline in the cell join.",
     "dedup_clusters_star" ->
       "Large-star/small-star connected components: per round, each star operation is one groupBy (neighborhood min) + one join — no windows, no driver graph; converged star edges become the labels directly.",
     "chunk_documents" ->
@@ -81,7 +81,17 @@ object PlanReport {
     "search_bm25_topk" ->
       "Ranked retrieval: the broadcast term filter prunes postings before the tf aggregate; df/avgdl are tiny broadcast aggregates; the head is TakeOrderedAndProject — no global sort, no window.",
     "dedup_edit_distance" ->
-      "Lossless q-gram count filter: candidates from one shingle-hash equi-join + count bound; the exact levenshtein evaluates only on the few hundred survivors.")
+      "Lossless q-gram count filter: candidates from one shingle-hash equi-join + count bound, plus the short-doc length-band equi-join (no nested loop); the exact levenshtein evaluates only on the few hundred survivors.",
+    "q21_suppliers_who_kept_orders_waiting" ->
+      "The classic EXISTS/NOT-EXISTS self-decorrelation: lineitem joins F-orders once, the per-order supplier profile is a two-level agg on the order key, and both correlated predicates collapse to n_supp/n_late_supp comparisons — the fact is scanned once per role, nation broadcasts, the head is TakeOrderedAndProject.",
+    "q2_min_cost_supplier" ->
+      "Correlated scalar-MIN decorrelated as argmin-join-back: the region-scoped offer book is computed once, its per-part minimum re-aggregates from it (≪ fact) and joins back on (part, cost); dims broadcast, bounded top-k.",
+    "q9_product_profit" ->
+      "Star profit rollup: every join key is the fact's own FK (no re-shuffle between joins under AQE), dims are column-pruned before joining, only the fixed 25-row nation is hint-broadcast, and the profit metric is exact-integer so the final two-key agg is partial+final with no precision hazard.",
+    "vecstore_probe_topk" ->
+      "The on-disk ANN index driven end-to-end: the index scan's PartitionFilters carries a dynamicpruning expression on the bucket partition column (fed by the broadcast query set), so only probed bucket DIRECTORIES are listed/read — at 100 TB the un-probed fraction of the corpus costs nothing. Ranking windows run per query id only.",
+    "bpe_tokenize" ->
+      "BPE learn+apply: ONE corpus-wide pass (the word-frequency agg); every unrolled round then folds over the vocab-sized frame with a 1-row broadcast merge rule — localCheckpoint truncates round lineage, so the plan shown is the final round's short chain, not rounds 1..K replayed.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

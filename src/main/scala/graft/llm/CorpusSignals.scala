@@ -33,6 +33,9 @@ object CorpusSignals {
   /** DSIR weight scale (per-bucket target/corpus ratio in millionths). */
   private val DsirScale = 1000000L
 
+  /** Fully-unrolled BPE learn+apply rounds for `bpe_tokenize`. */
+  private val BpeRounds = 6
+
   /** Keep threshold for [[DsirScale]]-scaled per-token scores: a document
     * whose average token weight exceeds the *overall* target share is
     * "more target-like than the corpus average". The overall share is
@@ -365,6 +368,89 @@ object CorpusSignals {
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
+    },
+
+    // ---- BPE learn+apply (Sennrich et al. 2016, arXiv:1508.07909): the
+    // tokenizer a training pipeline actually runs, completing
+    // [[graft.llm.TextPolicy]]'s `bpe_first_merges` round-1 statistic.
+    // BpeRounds fully-unrolled rounds; each round (a) counts adjacent
+    // token pairs weighted by word frequency, (b) picks the argmax pair
+    // (deterministic (n DESC, a, b) tie-break), (c) APPLIES it to every
+    // word greedy-leftmost via a string-fold `aggregate` (the accumulator
+    // is the token list joined on chr(31); "last token == a" is an exact
+    // endswith check, and merging appends b separator-free so a fresh
+    // merge can't chain onto its own output — byte-equal to the oracle's
+    // `list_reduce`). Output per round: the merge rule, its pre-apply
+    // pair count, and the corpus token total AFTER applying it — the
+    // total differs from count subtraction exactly when greedy overlap
+    // skips merges, so it verifies apply semantics, not just counting.
+    //
+    // Scale shape: classic BPE runs on the word-FREQUENCY table, not the
+    // corpus — the one corpus-wide pass is the `wf` aggregate; every
+    // round after that folds over |vocab| rows with a 1-row broadcast
+    // rule, and `localCheckpoint` truncates the per-round lineage (the
+    // Lloyd-iteration doctrine, [[Similarity]]) so round r executes once
+    // instead of replaying rounds 1..r-1 per downstream aggregate.
+    q("bpe_tokenize", {
+      val sb = new StringBuilder(
+        """WITH wf AS (
+          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE w <> '' GROUP BY w),
+          |t0 AS (SELECT w, f,
+          |  list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS t
+          |  FROM wf)""".stripMargin)
+      for (r <- 1 to BpeRounds) {
+        sb.append(s""",
+           |p$r AS (
+           |  SELECT t[i] AS pa, t[i+1] AS pb, CAST(SUM(f) AS BIGINT) AS n
+           |  FROM (SELECT f, t, unnest(generate_series(1, len(t)-1)) AS i
+           |        FROM t${r - 1} WHERE len(t) >= 2)
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
+           |t$r AS (
+           |  SELECT w, f, string_split(list_reduce(t, (acc, x) ->
+           |    CASE WHEN x = m$r.pb AND (acc = m$r.pa OR ends_with(acc, chr(31) || m$r.pa))
+           |         THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS t
+           |  FROM t${r - 1}, m$r)""".stripMargin)
+      }
+      val tail = (1 to BpeRounds).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, pa AS a, pb AS b, n AS pair_n,
+           |  (SELECT CAST(SUM(f * len(t)) AS BIGINT) FROM t$r) AS corpus_tokens_after
+           |FROM m$r""".stripMargin).mkString("\nUNION ALL\n")
+      sb.append("\n").append(tail).toString
+    }) { (s, d) =>
+      val wf = Tables.documentsParallel(s, d)
+        .select(explode(TextAnalysis.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      var toks = wf
+        .withColumn("t", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .localCheckpoint()
+      val rounds = (1 to BpeRounds).map { r =>
+        val m = toks.filter(size(col("t")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS pa, t[i] AS pb))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(sum(col("f")).as("n"))
+          .orderBy(col("n").desc, col("pa"), col("pb"))
+          .limit(1)
+          .localCheckpoint()
+        toks = toks
+          .crossJoin(broadcast(m.select(col("pa").as("ma"), col("pb").as("mb"))))
+          .withColumn("t", expr(
+            """split(aggregate(t, CAST(NULL AS STRING), (acc, x) ->
+              |  CASE WHEN acc IS NULL THEN x
+              |       WHEN x = mb AND (acc = ma OR endswith(acc, chr(31) || ma))
+              |       THEN acc || x ELSE acc || chr(31) || x END), chr(31))""".stripMargin))
+          .drop("ma", "mb")
+          .localCheckpoint()
+        val after = toks.agg(sum(col("f") * size(col("t"))).as("corpus_tokens_after"))
+        m.select(lit(r).cast("long").as("round"), col("pa").as("a"),
+            col("pb").as("b"), col("n").as("pair_n"))
+          .crossJoin(broadcast(after))
+      }
+      rounds.reduce(_ union _)
     }
   )
 }

@@ -482,6 +482,155 @@ object Relational {
         .select(col("s_suppkey"), col("s_name"), col("total_cc"))
     },
 
+    // ---- TPC-H Q2 shape: correlated scalar-MIN subquery over a dim chain
+    // (supplier → nation → region), decorrelated as argmin-join-back. This
+    // corpus has no partsupp, so the "offer book" is derived from the fact
+    // once: per (part, supplier) the minimum observed unit price. The
+    // region-scoped offers are computed ONCE and reused for both the
+    // per-part minimum and the winning rows (one fact pass per role); the
+    // correlated form survives verbatim in the oracle. Integer unit cost:
+    // cents div whole-unit quantity (both engines truncate identically on
+    // positive operands).
+    q("q2_min_cost_supplier",
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(MIN(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      // CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS unit_cost_cc
+        |  FROM lineitem GROUP BY 1, 2),
+        |asia AS (
+        |  SELECT o.l_partkey AS partkey, o.l_suppkey AS suppkey, o.unit_cost_cc,
+        |         s.s_name, s.s_acctbal, n.n_name
+        |  FROM offers o JOIN supplier s ON s.s_suppkey = o.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'ASIA')
+        |SELECT CAST(round(a.s_acctbal*100) AS BIGINT) AS s_acctbal_cents, a.s_name, a.n_name,
+        |  p.p_partkey, p.p_name, a.unit_cost_cc
+        |FROM part p JOIN asia a ON a.partkey = p.p_partkey
+        |WHERE p.p_size BETWEEN 10 AND 20
+        |  AND a.unit_cost_cc = (SELECT MIN(a2.unit_cost_cc) FROM asia a2
+        |                        WHERE a2.partkey = p.p_partkey)
+        |ORDER BY s_acctbal_cents DESC, a.n_name, a.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val offers = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice")).as("ep_cc"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr("ep_cc div qty")).as("unit_cost_cc"))
+      val asia = offers
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("l_partkey").as("partkey"), col("unit_cost_cc"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+      val minPerPart = asia.groupBy(col("partkey").as("mk"))
+        .agg(min(col("unit_cost_cc")).as("min_cost_cc"))
+      asia
+        .join(minPerPart,
+          col("partkey") === col("mk") && col("unit_cost_cc") === col("min_cost_cc"))
+        .join(Tables.part(s, d).filter(col("p_size").between(10, 20)),
+          col("partkey") === col("p_partkey"))
+        .select(cents(col("s_acctbal")).as("s_acctbal_cents"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("p_name"), col("unit_cost_cc"))
+        .orderBy(col("s_acctbal_cents").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // ---- TPC-H Q9 shape: multi-dim profit rollup by supplier nation and
+    // order year across the full star (part filtered by name infix). No
+    // partsupp/supplycost in this corpus, so cost = 80% of retail per
+    // unit — the metric stays exact-integer end to end (cents × integer
+    // quantities; no division anywhere), so sums are bit-stable under any
+    // partitioning. Only the fixed 25-row nation dim is hint-broadcast.
+    q("q9_product_profit",
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |    - CAST(round(p_retailprice*100) AS BIGINT)
+        |      * CAST(round(l_quantity) AS BIGINT) * 80) AS BIGINT) AS profit_u
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val profitU = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) -
+        cents(col("p_retailprice")) * round(col("l_quantity")).cast("long") * lit(80L)
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("red"))
+            .select(col("p_partkey"), col("p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profitU).as("profit_u"))
+    },
+
+    // ---- TPC-H Q21 shape: the hardest classic decorrelation — EXISTS
+    // (another supplier contributed to the same order) AND NOT EXISTS (no
+    // OTHER supplier was late on it), both correlated self-references to
+    // the same fact slice. Decorrelated into ONE per-order supplier
+    // profile: tag each lineitem with its order's lateness ("late" =
+    // shipped >90 days after order date — this corpus has no
+    // commit/receipt dates, same convention as q4), roll up per
+    // (order, supplier), then per order count suppliers and late
+    // suppliers. For a late row of supplier s: EXISTS-other-supplier ⟺
+    // n_supp ≥ 2, NOT-EXISTS-other-late ⟺ n_late_supp = 1 (s itself).
+    // The fact is scanned once per role (profile build + waiting rows),
+    // every join key is o_orderkey until the final broadcast dims, and
+    // the top-k is a bounded TakeOrderedAndProject. The oracle keeps the
+    // textbook correlated EXISTS/NOT EXISTS form.
+    q("q21_suppliers_who_kept_orders_waiting",
+      """WITH lo AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F')
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lo l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE l1.late
+        |  AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY")).as("late"))
+      // two-level distinct (a2 doctrine): per-(order, supplier) rollup,
+      // then the per-order profile — no Expand for multi count-distinct
+      val perSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("supp_late"))
+      val prof = perSupp.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supp"),
+          count(when(col("supp_late"), lit(1))).as("n_late_supp"))
+      lo.filter(col("late"))
+        .join(prof, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
     // ---- TPC-H Q22 shape: scalar-average gate + NOT EXISTS, decorrelated.
     // The avg-of-positive-balances comparison is kept in exact integers
     // (cents × count > total-cents — no division, no float ulps); the

@@ -1,7 +1,11 @@
 package graft.sources
 
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Persisted ANN index layout: embeddings PHYSICALLY partitioned by their
   * sign-LSH bucket, so a similarity probe reads exactly one bucket
@@ -36,17 +40,105 @@ object VecStore {
   }
 
   /** Append `embeddings` (vec_id, embedding, …) into the bucket-partitioned
-    * index at `dir`. */
-  def append(embeddings: DataFrame, dir: String): Unit =
+    * index at `dir`. Clustered on the partition key first, so each append
+    * writes ONE file per touched bucket instead of one per (task × bucket)
+    * — at scale the unclustered form is the classic small-files explosion
+    * (tasks × 256 objects per append), and the shuffle this spends is tiny
+    * against the write it saves. */
+  def append(embeddings: DataFrame, dir: String): Unit = {
+    // pinned partition count: an un-numbered repartition lets AQE coalesce
+    // the tiny shuffle to ONE task, which then creates every bucket's
+    // parquet file serially — writer setup, not data volume, is the cost
+    val n = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     bucketed(embeddings)
       .drop("qv")
+      .repartition(n, col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(dir)
+  }
 
   /** Vectors in the probe bucket of `queryEmbedding` — a partition-pruned
     * scan (the filter binds to the partition column, so only
     * `dir/bucket=K` is listed/read). */
   def probe(spark: SparkSession, dir: String, queryBucket: Long): DataFrame =
     spark.read.parquet(dir).filter(col("bucket") === queryBucket)
+
+  /** The on-disk index driven end-to-end as a registered query: build the
+    * bucket-partitioned index in a scratch dir, then answer a top-k probe
+    * set THROUGH the disk layout — queries quantize from the live table,
+    * candidates come back off the parquet index, and the bucket equi-join
+    * against the broadcast query set triggers DYNAMIC PARTITION PRUNING
+    * on the index's partition column (the scan lists only the probed
+    * bucket directories — the retrieval regime; at 100 TB the non-probed
+    * 1 − |Q|/256 of the corpus is never read). Exact fixed-point cosine +
+    * per-query rank inside the bucket; `n_cands` records each probe's
+    * candidate-set size — the pruning evidence in the result itself. The
+    * oracle computes the identical buckets arithmetically, proving
+    * on-disk ≡ in-memory (the contract [[VecStoreSpec]] asserts
+    * file-level). */
+  lazy val probeQuery: GraftQuery = q("vecstore_probe_topk", {
+    val bitsSql = graft.llm.Similarity.planes.zipWithIndex.map { case (w, p) =>
+      val lit = w.mkString("[", ", ", "]")
+      s"(CASE WHEN CAST(list_sum(list_transform(list_zip(qv, $lit), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH qe AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${graft.llm.Similarity.Q}) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qn AS (
+       |  SELECT vec_id, label, qv,
+       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
+       |  FROM qe),
+       |bucketed AS (SELECT vec_id, label, qv, norm2, $bitsSql AS bucket FROM qn),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS label,
+       |    CAST(a.bucket AS BIGINT) AS bucket,
+       |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+       |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+       |    AND a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, label, bucket, cosine,
+       |    CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cands,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, label, bucket, n_cands, cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }) { (s, d) =>
+    val dir = s"/tmp/graft_vecstore_idx/${new java.io.File(d).getName}"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    append(Tables.embeddingsParallel(s, d), dir)
+    val quant = expr(
+      s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${graft.llm.Similarity.Q}) AS BIGINT))")
+    def qn(df: DataFrame): DataFrame = df
+      .withColumn("qv", quant)
+      .withColumn("norm2", graft.functions.FixedPointDot(col("qv"), col("qv")))
+    val queries = qn(Tables.embeddingsParallel(s, d))
+      .filter(col("vec_id") % 50 === 0)
+      .withColumn("bucket", graft.functions.PlaneSignMask(col("qv"), 8).cast("int"))
+      .select(col("vec_id"), col("qv"), col("norm2"), col("bucket"))
+    // the index side re-quantizes off the stored floats (bit-identical
+    // parquet round trip); its `bucket` is the read-back PARTITION column,
+    // so the join's pruning binds to directory listing, not row filtering
+    val index = qn(s.read.parquet(dir))
+    val scored = index.as("b")
+      .join(broadcast(queries.as("a")),
+        col("a.bucket") === col("b.bucket") && col("b.vec_id") =!= col("a.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        col("b.label").as("label"), col("a.bucket").cast("long").as("bucket"),
+        (graft.functions.FixedPointDot(col("a.qv"), col("b.qv")).cast("double")
+          / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+          .as("cosine"))
+    scored
+      .withColumn("n_cands",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("label"), col("bucket"),
+        col("n_cands"), col("cosine"), col("rank"))
+  }
 
   /** The bucket a raw float-array embedding hashes to (driver-side helper
     * for single-query probes; the arithmetic mirrors [[bucketed]]). */
