@@ -69,6 +69,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warm the calibration loop before the first timed sample — its own
+    // JIT costs ~40% of a sample and would always read as "steal"
+    calibrate()
     val calibs = scala.collection.mutable.ArrayBuffer(calibrate())
     val pass1 = ordered.map { case (n, f) => n -> rep(n, f) }.toMap
     calibs += calibrate()

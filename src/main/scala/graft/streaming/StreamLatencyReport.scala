@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.meter.MeterGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import java.nio.file.{Files, Paths}
+
+/** Writes STREAMING_LATENCY.md: measured per-batch latency vs input rate
+  * for the streaming consumer path — the evidence artifact grounding the
+  * ST12 observability claims the way SCALING.md grounds batch claims.
+  *
+  * Two pipelines, swept across input rates bracketing the reference's
+  * published numbers (~10 K rec/s per consumer, 40 K/s aggregate as
+  * shipped, 160 K/s claimed at 16 consumers — README.md:119-122):
+  *
+  *  - `ingest`: rate source → JSON wire encode → [[Ingest.parseAndValidate]]
+  *    (decode + validation) → [[Ingest.streamingDeltas]] (per-meter
+  *    stateful delta) → noop sink. The consumer CPU path.
+  *  - `ingest+mart`: the same, plus the watermarked hourly grid-load
+  *    windowed aggregation ([[StreamingMarts.hourlyGridLoad]]) with its
+  *    broadcast dim joins — the longest stateful chain in the engine.
+  *
+  * Sustainability verdict per (pipeline, rate): the run is KEEPING UP if
+  * the source backlog (latestOffset − endOffset, the Kafka-lag analogue
+  * [[IngestMonitor]] computes) does not grow across the second half of
+  * the run and the mean processing rate ≥ the input rate. Batch-duration
+  * percentiles come from `triggerExecution` — trigger-to-finish wall
+  * time, the per-batch latency a consumer SLO would bound.
+  *
+  * Regenerate with `sbt "runMain graft.streaming.StreamLatencyReport"`.
+  */
+object StreamLatencyReport {
+
+  /** Accumulates every progress event (IngestMonitor keeps only the last
+    * one — a latency sweep needs the full series for percentiles). */
+  private final class SeriesListener extends StreamingQueryListener {
+    case class P(rows: Long, triggerMs: Long, processedRps: Double, behind: Long)
+    val series = new java.util.concurrent.ConcurrentLinkedQueue[P]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val behind = p.sources.toSeq.flatMap { sp =>
+        for {
+          latest <- Option(sp.latestOffset).flatMap(IngestMonitor.offsetTotal)
+          end <- Option(sp.endOffset).flatMap(IngestMonitor.offsetTotal)
+        } yield math.max(0L, latest - end)
+      }.sum
+      series.add(P(p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L),
+        p.processedRowsPerSecond, behind))
+    }
+  }
+
+  case class RunResult(pipeline: String, rate: Long, batches: Int,
+      totalRows: Long, medMs: Long, p95Ms: Long, maxMs: Long,
+      meanProcessedRps: Double, endBehind: Long, midBehind: Long) {
+    def keepingUp: Boolean = endBehind <= math.max(midBehind, rate) &&
+      meanProcessedRps >= rate * 0.95
+  }
+
+  private def pct(xs: Seq[Long], p: Double): Long =
+    if (xs.isEmpty) 0L else xs.sorted.apply(math.min(xs.size - 1, (xs.size * p).toInt))
+
+  private def run(spark: SparkSession, pipeline: String, rate: Long,
+      seconds: Int): RunResult = {
+    import spark.implicits._
+    // continuous(meterCount, intervalSeconds=1, …) emits meterCount rows/s
+    val wire = RateSimulator.toWire(
+      RateSimulator.continuous(spark, meterCount = rate, intervalSeconds = 1,
+        nIntervals = 1000000L))
+    val deltas = Ingest.streamingDeltas(
+      Ingest.parseAndValidate(wire).as[Ingest.WireReading])
+    val out = pipeline match {
+      case "ingest" => deltas.toDF()
+      case "ingest+mart" => StreamingMarts.hourlyGridLoad(
+        deltas.toDF(), MeterGen.metersDim(spark, rate), MeterGen.gridZones(spark))
+    }
+    val listener = new SeriesListener
+    spark.streams.addListener(listener)
+    val ckpt = Files.createTempDirectory("stream_latency_").toString
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    // sample-count-driven: run until enough batches for stable percentiles
+    // (slow pipelines complete few batches per second — a fixed wall-clock
+    // window would leave their rows dominated by the 2 warm-up batches),
+    // bounded by a hard cap so an unsustainable rate still terminates
+    try {
+      val deadline = System.nanoTime() + seconds * 2L * 1000000000L
+      while (listener.series.size < 12 && System.nanoTime() < deadline)
+        Thread.sleep(1000L)
+    } finally {
+      q.stop(); spark.streams.removeListener(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    // drop the first two batches: stream start pays state-store opening,
+    // codegen, and the initial offset catch-up — not steady-state latency.
+    // At rates the engine can't sustain, batches run many seconds and few
+    // complete in the window — keep all but the first so the row still
+    // reports the measured ceiling instead of an empty sample.
+    val all = listener.series.asScala.toVector
+    val s = if (all.size >= 6) all.drop(2) else all.drop(1)
+    val durs = s.map(_.triggerMs)
+    RunResult(pipeline, rate, s.size, s.map(_.rows).sum,
+      pct(durs, 0.5), pct(durs, 0.95), if (durs.isEmpty) 0 else durs.max,
+      if (s.isEmpty) 0.0 else s.map(_.processedRps).sum / s.size,
+      s.lastOption.map(_.behind).getOrElse(0L),
+      s.lift(s.size / 2).map(_.behind).getOrElse(0L))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-latency")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "25").toInt
+    val runs =
+      Seq(10000L, 40000L, 160000L, 640000L).map(("ingest", _)) ++
+        Seq(40000L, 160000L, 640000L).map(("ingest+mart", _))
+    // warm-up: one short throwaway run pays JIT/codegen for both shapes
+    run(spark, "ingest+mart", 10000L, 6)
+
+    val results = runs.map { case (p, r) => run(spark, p, r, secs) }
+
+    val sb = new StringBuilder
+    sb.append("# STREAMING_LATENCY — per-batch latency vs input rate\n\n")
+    sb.append(s"Generated by `graft.streaming.StreamLatencyReport` (local[$cpus], ")
+    sb.append(s"1 s trigger; each run collects up to 12 batches bounded by ")
+    sb.append(s"${secs * 2} s wall, first 2 batches dropped as warm-up — stream\n")
+    sb.append("start pays state-store opening, dim broadcast, and codegen).\n\n")
+    sb.append("Pipelines: `ingest` = rate→JSON wire→parse+validate→per-meter stateful\n")
+    sb.append("delta (flatMapGroupsWithState)→noop; `ingest+mart` adds the watermarked\n")
+    sb.append("hourly grid-load window + broadcast dim joins. `behind` is the\n")
+    sb.append("Kafka-lag analogue, source latestOffset − batch endOffset, in the\n")
+    sb.append("source's offset unit (SECONDS of backlog for the rate source; 0 =\n")
+    sb.append("every batch drained the source completely).\n\n")
+    sb.append("Reference anchors (README.md:119-122): ~10 K rec/s per consumer,\n")
+    sb.append("40 K/s aggregate as shipped, 160 K/s claimed at 16 consumers.\n\n")
+    sb.append("| pipeline | input rows/s | batches | rows | batch p50 ms | p95 ms | max ms | processed rows/s | behind@mid | behind@end | keeping up |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|---|---|\n")
+    results.foreach { r =>
+      sb.append(s"| ${r.pipeline} | ${r.rate} | ${r.batches} | ${r.totalRows} | ")
+      sb.append(s"${r.medMs} | ${r.p95Ms} | ${r.maxMs} | ${r.meanProcessedRps.round} | ")
+      sb.append(s"${r.midBehind} | ${r.endBehind} | ${if (r.keepingUp) "YES" else "NO"} |\n")
+    }
+    sb.append("\nReading: a row is sustainable when `behind` is flat across the second\n")
+    sb.append("half of the run and processed ≥ input rate; p50/p95 batch duration is\n")
+    sb.append("the event-to-sink latency floor a consumer SLO would bound. At cluster\n")
+    sb.append("scale the same pipeline shards by meter_id across executors — the\n")
+    sb.append("stateful operators are already keyed, so rates scale with cores until\n")
+    sb.append("a single key's traffic exceeds one core (not possible here: one\n")
+    sb.append("reading per meter per interval).\n")
+    Files.writeString(Paths.get("STREAMING_LATENCY.md"), sb.toString)
+    println(sb.toString)
+    spark.stop()
+  }
+}
