@@ -119,13 +119,15 @@ object Bench {
       "a1_daily_user_agg", "a2_two_level_agg", "a7_count_distinct", "a_median_p90",
       "a_salted_skew_agg", "corpus_assembly", "decontaminate", "dedup_clusters",
       "dedup_embedding_ivf", "dedup_embedding_lsh", "dedup_exact", "dedup_minhash_lsh",
-      "dedup_ngram_jaccard", "dedup_simhash_pairs", "dsir_importance",
+      "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_span_exact",
+      "dsir_importance",
       "e14_json_decode", "graph_pagerank",
       "meter_billing_daily", "meter_grid_hourly", "meter_stg_readings",
       "mm_decode_stats", "mm_image_dhash", "mm_video_framehash_overlap",
       "pack_sequences", "pii_redact", "q1_pricing_summary", "q3_topk_order_revenue",
       "q5_nation_revenue", "quality_suite_dims", "range_join_bucketed",
-      "scd2_asof_orders", "sessionize_events", "sim_bruteforce_topk", "sim_ivf_topk",
+      "scd2_asof_orders", "search_hybrid_rrf", "sessionize_events",
+      "sim_bruteforce_topk", "sim_ivf_topk",
       "sim_lsh_topk", "st_ingest_960k_readings", "text_df_novelty",
       "text_fingerprint", "text_lang_id", "text_quality_score", "text_token_counts",
       "topk_customers_by_balance", "ts_gapfill", "w1_lag_delta", "w4_moving_window",

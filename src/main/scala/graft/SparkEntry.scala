@@ -16,7 +16,7 @@ object SparkEntry {
     ops.Relational.all ++ ops.TimeSeries.all ++ ops.TimeSeriesExt.all ++
       ops.SqlSurface.all ++ ops.Scd.all ++ meter.MeterPipeline.all ++
       llm.TextAnalysis.all ++ llm.TextPolicy.all ++ llm.TypedDocs.all ++
-      llm.Dedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
+      llm.Dedup.all ++ llm.SpanDedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
       llm.TrainingPipeline.all ++ llm.CorpusSignals.all ++
       llm.Search.all ++ graph.GraphOps.all ++
       streaming.IngestBench.all :+ sources.VecStore.probeQuery

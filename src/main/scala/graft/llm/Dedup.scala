@@ -105,6 +105,41 @@ object Dedup {
   /** Edit-distance threshold for [[all]]'s `dedup_edit_distance`. */
   private val EditK = 10
 
+  /** Min-label propagation over the undirected pair graph → (node, label):
+    * every node of the pair graph labeled with its connected component's
+    * min doc_id. Shared by `dedup_clusters` and the keeper-selection query;
+    * see the `dedup_clusters` commentary for the convergence-control and
+    * lineage-truncation rationale. */
+  private[llm] def clusterLabels(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // localCheckpoint (not cache): each round's logical plan would
+    // otherwise still carry the whole MinHash lineage + every earlier
+    // round — re-analyzed and re-optimized per round on the driver.
+    // Truncating the lineage keeps round N's plan a constant 3 nodes.
+    val edges = pairs
+      .union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst")
+      .localCheckpoint(eager = false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = false)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbors = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = false)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   val all: Seq[GraftQuery] = Seq(
     // ---- edit-distance near-dup pairs: the STRING-METRIC verifier of the
     // dedup family (Jaccard/MinHash see bags of shingles; Levenshtein sees
@@ -319,33 +354,8 @@ object Dedup {
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_keeper) AS BIGINT) AS cluster_size,
          |  doc_id <> cluster_keeper AS is_duplicate
          |FROM labeled""".stripMargin) { (s, d) =>
-      val pairs = minhashPairs(Tables.documentsParallel(s, d))
-        .select(col("d1"), col("d2"))
-      // localCheckpoint (not cache): each round's logical plan would
-      // otherwise still carry the whole MinHash lineage + every earlier
-      // round — re-analyzed and re-optimized per round on the driver.
-      // Truncating the lineage keeps round N's plan a constant 3 nodes.
-      val edges = pairs
-        .union(pairs.select(col("d2"), col("d1")))
-        .toDF("src", "dst")
-        .localCheckpoint(eager = false)
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint(eager = false)
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 20) {
-        val viaNeighbors = edges.join(labels, col("dst") === col("node"))
-          .select(col("src").as("node"), col("label"))
-        val next = labels.unionByName(viaNeighbors)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .localCheckpoint(eager = false)
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.node") === col("o.node"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        labels = next
-        rounds += 1
-      }
+      val labels = clusterLabels(
+        minhashPairs(Tables.documentsParallel(s, d)).select(col("d1"), col("d2")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_keeper"))
       labels
         .select(col("node").as("doc_id"), col("label").as("cluster_keeper"))
@@ -425,6 +435,52 @@ object Dedup {
       labels.select(col("doc_id"), col("cluster_keeper"),
         count(lit(1)).over(w).as("cluster_size"),
         (col("doc_id") =!= col("cluster_keeper")).as("is_duplicate"))
+    },
+
+    // ---- keeper SELECTION POLICY: min-doc_id keeps an arbitrary cluster
+    // member; a curation pipeline keeps the BEST one. Same connected
+    // components as `dedup_clusters`, then per cluster the representative
+    // with the highest corpus quality score ([[TextAnalysis.qualityScore]]
+    // — the one shared definition), doc_id-ascending on exact ties. The
+    // quality join is doc-keyed (narrow vs the corpus), the argmax window
+    // is per cluster — state bounded by cluster size, never corpus size.
+    q("dedup_keep_best_quality",
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         |labeled AS (
+         |  SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |qual AS (
+         |  SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality_score
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT l.doc_id, l.cluster_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY q.quality_score DESC, l.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+         |  FROM labeled l JOIN qual q ON l.doc_id = q.doc_id)
+         |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  doc_id AS keeper_doc_id, quality_score AS keeper_quality
+         |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documentsParallel(s, d)
+      val labels = clusterLabels(minhashPairs(docs).select(col("d1"), col("d2")))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val qual = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      labels.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(
+          byCluster.orderBy(col("quality_score").desc, col("doc_id"))))
+        .withColumn("cluster_size", count(lit(1)).over(byCluster))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("cluster_size"),
+          col("doc_id").as("keeper_doc_id"), col("quality_score").as("keeper_quality"))
     },
 
     // ---- SimHash banded hamming join: candidates from 4×8-bit block

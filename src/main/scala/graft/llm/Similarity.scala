@@ -32,13 +32,13 @@ object Similarity {
   private val DedupBits = 3
 
   /** Quantized vector + its self-dot (squared norm), reused by every query. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private[llm] def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddingsParallel(s, d).select(
       col("vec_id"), col("label"),
       expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q) AS BIGINT))").as("qv"))
       .withColumn("norm2", FixedPointDot(col("qv"), col("qv")))
 
-  private val quantizedSql: String =
+  private[llm] val quantizedSql: String =
     s"""qe AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
@@ -51,7 +51,7 @@ object Similarity {
   /** Codegen'd tight-loop dot ([[graft.functions.FixedPointDot]]) — the
     * HOF `aggregate(zip_with(…))` form it replaces evaluates interpreted
     * per element and dominated the similarity-join runtime. */
-  private def dot(a: String, b: String): Column =
+  private[llm] def dot(a: String, b: String): Column =
     graft.functions.FixedPointDot(col(a), col(b))
 
   /** K-means centroids trained with [[CentroidIters]] Lloyd iterations, in

@@ -1,0 +1,135 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT SUBSTRING span dedup — the span-level complement of the document-
+  * level near-dup family ([[Dedup]]): find runs of text that are duplicated
+  * VERBATIM across different documents and report, per document, the maximal
+  * duplicated spans (count, word mass, ratio). This is the operator behind
+  * "remove any substring repeated across the corpus" training-data curation
+  * (suffix-array substring dedup, re-expressed relationally): document-level
+  * dedup misses boilerplate — headers, license blocks, navigation chrome —
+  * pasted into otherwise-unique documents; span dedup is what catches it.
+  *
+  * Relational re-expression (no suffix array; Spark-first):
+  *   1. positional word n-grams: one row per (doc, pos), keyed by the 60-bit
+  *      md5 hash of the n-gram text ([[TextHash.h64]]) — grams never travel
+  *      as strings, so the shuffled relation is 16 bytes/row regardless of
+  *      n-gram width;
+  *   2. cross-doc filter: gram hashes seen in ≥ 2 distinct documents (one
+  *      hash-partitioned aggregate — THE shuffle of the operator);
+  *   3. island merge per document: overlapping/adjacent hit intervals
+  *      [pos, pos+n−1] merge into maximal spans via the classic
+  *      running-max-end window — keyed by doc_id, so span assembly is
+  *      embarrassingly parallel.
+  *
+  * At 100 TB: step 2 partitions by gram hash (uniform by construction);
+  * nothing ever joins the corpus against itself row-by-row — a doc's
+  * positions meet only the tiny duplicated-hash set (semi join). The
+  * window in step 3 is per-document state, bounded by document length.
+  * A true suffix automaton finds arbitrary-length duplicates; the n-gram
+  * relaxation finds every duplicate of length ≥ [[SpanDedup.SpanN]] words
+  * (shorter ones are below the boilerplate floor by construction).
+  */
+object SpanDedup {
+  import TextHash.h64Sql
+
+  /** Span resolution: the minimum duplicated run, in words. 8 words ≈ 45
+    * chars of this corpus — long enough that chance n-gram collisions
+    * across synthetic docs are meaningful duplication, short enough to
+    * catch one pasted sentence. */
+  val SpanN = 8
+
+  /** The operator over any (doc_id, text) frame — the registered query
+    * binds it to the driver corpus; specs feed planted documents. */
+  private[llm] def spanReport(docsRaw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = docsRaw
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+    // size(ws) >= SpanN BEFORE sequence(): Spark's sequence(1, 0) steps
+    // DOWN to [1, 0] (the ANSI out-of-bounds trap), it is not empty
+    val posGrams = docs
+      .filter(size(col("ws")) >= SpanN)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (SpanN - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        TextHash.h64(array_join(slice(col("ws"), col("pos"), lit(SpanN)), " ")).as("gh"))
+    val dupGrams = posGrams
+      .groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val hits = posGrams
+      .join(dupGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + (SpanN - 1)).as("end_pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("end_pos"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = hits.withColumn("new_span",
+      when(col("pos") > coalesce(prevMaxEnd, lit(-1L)) + 1, 1).otherwise(0))
+    val spans = flagged
+      .withColumn("span_id", sum(col("new_span"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), max(col("end_pos")).as("e"))
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_words"))
+    docs
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        (coalesce(col("dup_words"), lit(0L)) * 1.0 / col("n_words")).as("dup_ratio"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- per-doc duplicated-span report. Docs shorter than SpanN words
+    // cannot host a span and report zeros (LEFT join from the corpus).
+    // Island rule: a hit at pos extends the current span when it overlaps
+    // it or touches it (pos ≤ prev_max_end + 1) — merged spans are maximal
+    // contiguous duplicated regions, so dup_words is the exact word mass
+    // a span-removal pass would cut.
+    q("dedup_span_exact", {
+      val g = h64Sql(s"array_to_string(list_slice(ws, i, i + ${SpanN - 1}), ' ')")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |pg AS (
+         |  SELECT doc_id, i AS pos, $g AS gh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${SpanN - 1})) AS i
+         |        FROM t WHERE len(ws) >= $SpanN)),
+         |dup AS (SELECT gh FROM pg GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (
+         |  SELECT doc_id, pos, pos + ${SpanN - 1} AS end_pos
+         |  FROM pg JOIN dup USING (gh)),
+         |flagged AS (
+         |  SELECT doc_id, pos, end_pos,
+         |    CASE WHEN pos > COALESCE(MAX(end_pos) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |      THEN 1 ELSE 0 END AS new_span
+         |  FROM hits),
+         |islands AS (
+         |  SELECT doc_id, pos, end_pos,
+         |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |  FROM flagged),
+         |spans AS (
+         |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(end_pos) AS e
+         |  FROM islands GROUP BY 1, 2),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+         |  FROM spans GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |  COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(dup_words, 0) AS dup_words,
+         |  COALESCE(dup_words, 0) * 1.0 / len(ws) AS dup_ratio
+         |FROM t LEFT JOIN per_doc USING (doc_id)""".stripMargin
+    }) { (s, d) => spanReport(Tables.documentsParallel(s, d)) })
+}

@@ -32,6 +32,23 @@ object TextAnalysis {
     s"len(list_filter(string_split($e, ' '), w -> w IN ($list)))"
   }
 
+  /** The corpus quality score (length / stopword / word-shape mix) as one
+    * reusable column — `text_quality_score`'s formula verbatim, shared with
+    * the dedup keeper-selection query so "quality" means one thing. */
+  private[llm] def qualityScore(text: Column): Column = {
+    val nw = size(words(text))
+    val mwl = length(regexp_replace(text, " ", "")) * 1.0 / nw
+    val stopRatio = countIn(text, stopwords) * 1.0 / nw
+    lit(0.4) * least(nw / 100.0, lit(1.0)) +
+      lit(0.4) * (lit(1.0) - stopRatio) +
+      lit(0.2) * least(mwl / 8.0, lit(1.0))
+  }
+
+  private[llm] def qualityScoreSql(e: String): String =
+    s"""0.4 * least(len(string_split($e, ' ')) / 100.0, 1.0)
+       |    + 0.4 * (1.0 - ${countInSql(e, stopwords)} * 1.0 / len(string_split($e, ' ')))
+       |    + 0.2 * least(len(replace($e, ' ', '')) * 1.0 / len(string_split($e, ' ')) / 8.0, 1.0)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     // ---- quality scoring: length / stopword / word-shape heuristics
     q("text_quality_score",
@@ -40,9 +57,7 @@ object TextAnalysis {
          |  len(replace(text, ' ', '')) AS n_chars_nospace,
          |  len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS mean_word_len,
          |  ${countInSql("text", stopwords)} * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
-         |  0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
-         |    + 0.4 * (1.0 - ${countInSql("text", stopwords)} * 1.0 / len(string_split(text, ' ')))
-         |    + 0.2 * least(len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0)
+         |  ${qualityScoreSql("text")}
          |    AS quality_score
          |FROM documents""".stripMargin) { (s, d) =>
       val nw = size(words(col("text")))
@@ -55,9 +70,7 @@ object TextAnalysis {
         nc.as("n_chars_nospace"),
         mwl.as("mean_word_len"),
         stopRatio.as("stopword_ratio"),
-        (lit(0.4) * least(nw / 100.0, lit(1.0))
-          + lit(0.4) * (lit(1.0) - stopRatio)
-          + lit(0.2) * least(mwl / 8.0, lit(1.0))).as("quality_score"))
+        qualityScore(col("text")).as("quality_score"))
     },
 
     // ---- language-ID heuristic: per-language marker-word hit counts,

@@ -164,6 +164,56 @@ object TrainingPipeline {
         .filter(col("rn") <= 15).drop("rn")
     },
 
+    // ---- systematic sampling PROPORTIONAL TO SIZE (PPS): K = 50 evenly
+    // spaced token positions over the corpus prefix-sum line; a doc is
+    // drawn once per sample point inside its cumulative-token interval,
+    // so inclusion probability is exactly proportional to its token count
+    // and a doc longer than the step draws multiple times (n_hits ≥ 2) —
+    // the weighted-without-replacement workhorse (Madow 1949), all in
+    // exact BIGINT floor arithmetic (no transcendental priority keys, so
+    // the whole draw — not a statistic of it — is oracle-checkable).
+    // Spark side reuses pack_sequences' two-level prefix sum: per-chunk
+    // totals + a tiny offset window, then a per-chunk window — no global
+    // single-task ORDER BY window at any scale. The oracle states the
+    // same prefix sum as the plain global window DuckDB can afford.
+    q("sample_weighted_systematic",
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) // 50 AS step FROM t)
+        |SELECT doc_id, n AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+        |  CAST(cum // step - (cum - n) // step AS BIGINT) AS n_hits
+        |FROM c CROSS JOIN s
+        |WHERE cum // step > (cum - n) // step""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("n"),
+          expr(s"doc_id div $ChunkSize").as("chunk"))
+      val chunkTotals = toks.groupBy(col("chunk"))
+        .agg(sum(col("n")).as("chunk_tokens"))
+        .withColumn("chunk_end", sum(col("chunk_tokens")).over(
+          Window.partitionBy(pmod(col("chunk"), lit(1))).orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("chunk"), (col("chunk_end") - col("chunk_tokens")).as("offset"))
+      // integer div, not /-then-cast: exact at any corpus size
+      val step = toks.agg(expr("sum(n) div 50").as("step"))
+      val wChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .join(broadcast(chunkTotals), Seq("chunk"))
+        .withColumn("cum", sum(col("n")).over(wChunk) + col("offset"))
+        .crossJoin(broadcast(step))
+        .filter(expr("cum div step > (cum - n) div step"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("cum").as("cum_tokens"),
+          expr("cum div step - (cum - n) div step").as("n_hits"))
+    },
+
     // ---- domain mixing: resample sources toward target mix weights.
     // Unlike [[sample_stratified]]'s fixed fractions, the keep-fraction is
     // DERIVED FROM THE DATA: frac(source) = min(1, target_share · N_total

@@ -1,0 +1,118 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Planted-data and invariant tests for the round-6 curation operators:
+  * exact substring span dedup, hybrid RRF retrieval, best-quality keeper
+  * selection, and systematic PPS sampling. The DuckDB hash check proves
+  * engine agreement; these prove the SEMANTICS (span boundaries, fusion
+  * arithmetic, argmax-by-quality, draw accounting) on inputs built to
+  * exercise each edge. */
+class SpanDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  private def w(n: Int, tag: String): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  test("span dedup: a pasted 10-word run is one maximal span in both docs") {
+    val shared = w(10, "s") // 10 shared words => 3 overlapping 8-gram hits
+    val docs = Seq(
+      (1L, s"${w(20, "a")} $shared ${w(20, "b")}"),
+      (2L, s"${w(5, "c")} $shared ${w(30, "d")}"),
+      (3L, w(40, "e"))).toDF("doc_id", "text")
+    val out = SpanDedup.spanReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // overlapping hits merged: exactly ONE span of exactly the 10 words
+    assert(out(1L) === ((1L, 10L)))
+    assert(out(2L) === ((1L, 10L)))
+    assert(out(3L) === ((0L, 0L)))
+  }
+
+  test("span dedup: two separated pasted runs stay two spans; short docs report zeros") {
+    val s1 = w(8, "x")
+    val s2 = w(8, "y")
+    val docs = Seq(
+      (1L, s"$s1 ${w(12, "a")} $s2"),
+      (2L, s"$s1 ${w(40, "b")} $s2"),
+      (3L, w(7, "z")), // < SpanN words: cannot host a span
+      (4L, w(7, "z"))).toDF("doc_id", "text")
+    val out = SpanDedup.spanReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 16L)))
+    assert(out(2L) === ((2L, 16L)))
+    assert(out(3L) === ((0L, 0L)))
+    assert(out(4L) === ((0L, 0L)))
+  }
+
+  test("span dedup: adjacent hit intervals merge into one contiguous span") {
+    // 16 shared words => hits at pos 1..9 all overlap/touch => one span
+    val shared = w(16, "s")
+    val docs = Seq(
+      (1L, s"$shared ${w(10, "a")}"),
+      (2L, s"${w(10, "b")} $shared")).toDF("doc_id", "text")
+    val out = SpanDedup.spanReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((1L, 16L)))
+    assert(out(2L) === ((1L, 16L)))
+  }
+
+  test("hybrid RRF: fusion is exactly the floor-sum of the leg reciprocals") {
+    val rows = run("search_hybrid_rrf").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (bm, cs, rrf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val expected = (if (bm > 0) 1000000L / (60 + bm) else 0L) +
+        (if (cs > 0) 1000000L / (60 + cs) else 0L)
+      assert(rrf === expected, s"doc ${r.getLong(0)}")
+      assert(bm >= 0 && bm <= 20 && cs >= 0 && cs <= 20)
+      assert(bm > 0 || cs > 0)
+    }
+    // ranked output: descending rrf, doc_id tie-break
+    val scores = rows.map(r => (r.getLong(3), r.getLong(0)))
+    assert(scores.sortBy { case (s, id) => (-s, id) }.toSeq === scores.toSeq)
+  }
+
+  test("keeper selection: every keeper is its cluster's quality argmax") {
+    // cross-query consistency: membership from dedup_clusters, quality
+    // from text_quality_score, keeper must be the (quality desc, doc_id)
+    // head of its cluster — and cluster sets must agree exactly
+    val clusters = run("dedup_clusters")
+      .select(col("doc_id"), col("cluster_keeper").as("cluster_id"))
+    val quality = run("text_quality_score").select(col("doc_id"), col("quality_score"))
+    val best = clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"))
+    val got = run("dedup_keep_best_quality")
+      .select(col("cluster_id"), col("keeper_doc_id"))
+    assert(got.count() > 0)
+    assert(got.except(best).count() === 0)
+    assert(best.except(got).count() === 0)
+  }
+
+  test("systematic PPS: exactly 50 draws, each doc's interval holds its hits") {
+    val out = run("sample_weighted_systematic").collect()
+    assert(out.map(_.getLong(3)).sum === 50)
+    // recompute the draw from first principles on the collected corpus
+    val toks = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = toks.map(_._2).sum
+    val step = total / 50
+    var cum = 0L
+    val expected = toks.flatMap { case (id, n) =>
+      val before = cum; cum += n
+      val hits = cum / step - before / step
+      if (hits > 0) Some((id, n, cum, hits)) else None
+    }
+    val gotSorted = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(gotSorted.toSeq === expected.toSeq)
+  }
+}
