@@ -50,6 +50,25 @@ object GraphOps {
     s"CAST('0x' || substr(md5(($src) || '-' || ($k)), 1, 15) AS BIGINT) " +
       s"% (SELECT n FROM n)"
 
+  /** The derived directed edge list over a nodes frame (see class doc):
+    * dst_k = h64(src "-" k) mod N, k = 1..[[OutDeg]]. `nRow` is the
+    * broadcast 1-row count aggregate. */
+  private def edgesOf(nodes: DataFrame, nRow: DataFrame): DataFrame =
+    nodes
+      .crossJoin(nRow)
+      .select(col("doc_id").as("src"),
+        explode(expr(s"sequence(1, $OutDeg)")).as("k"), col("n"))
+      .select(col("src"),
+        (graft.functions.Md5Prefix64(
+          concat(col("src").cast("string"), lit("-"), col("k").cast("string")))
+          % col("n")).as("dst"))
+
+  /** Oracle CTE twin of [[edgesOf]] (expects CTEs `n` and `nodes`). */
+  private val edgesSqlCte: String =
+    s"""edges AS (
+       |  SELECT doc_id AS src, ${edgeDstSql("doc_id", "k")} AS dst
+       |  FROM nodes CROSS JOIN (SELECT unnest(generate_series(1, $OutDeg)) AS k))""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     q("graph_pagerank", {
       val base = s"(15 * ($Scale // (SELECT n FROM n))) // 100"
@@ -64,9 +83,7 @@ object GraphOps {
       }.mkString(",\n")
       s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
          |nodes AS (SELECT doc_id FROM documents),
-         |edges AS (
-         |  SELECT doc_id AS src, ${edgeDstSql("doc_id", "k")} AS dst
-         |  FROM nodes CROSS JOIN (SELECT unnest(generate_series(1, $OutDeg)) AS k)),
+         |$edgesSqlCte,
          |pr0 AS (SELECT doc_id, $Scale // (SELECT n FROM n) AS pr FROM nodes),
          |$iterCtes
          |SELECT doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM pr$Iters""".stripMargin
@@ -75,14 +92,7 @@ object GraphOps {
       val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
       // edge list: explode k=1..OutDeg, dst arithmetic over the dense id
       // space; N rides in via the broadcast 1-row aggregate (no collect)
-      val edges = nodes
-        .crossJoin(nRow)
-        .select(col("doc_id").as("src"),
-          explode(expr(s"sequence(1, $OutDeg)")).as("k"), col("n"))
-        .select(col("src"),
-          (graft.functions.Md5Prefix64(
-            concat(col("src").cast("string"), lit("-"), col("k").cast("string")))
-            % col("n")).as("dst"))
+      val edges = edgesOf(nodes, nRow)
       val pr0 = nodes.crossJoin(nRow)
         .select(col("doc_id"), expr(s"$Scale div n").as("pr"))
       val baseCol = expr(s"15 * ($Scale div n) div 100")
@@ -96,6 +106,78 @@ object GraphOps {
             (baseCol + expr(s"$DampPct * coalesce(insum, 0L) div 100")).as("pr"))
       }
       ranks.select(col("doc_id"), col("pr").as("pr_scaled"))
+    },
+
+    // ---- per-node TRIANGLE counts over the same derived link graph —
+    // the clustering-coefficient numerator (spam/community structure
+    // signal in crawl curation). Algorithm: degree-ordered node-iterator
+    // (Suri & Vassilvitskii, WWW 2011 / Cohen's MapReduce form): orient
+    // every undirected edge from its lower-(degree, id) endpoint to the
+    // higher one — out-degrees are then O(√m)-bounded, so the wedge
+    // self-join cannot blow up on hubs (the id-oriented variant would put
+    // a hub's whole neighborhood on one side). A wedge (a→b, a→c), b<c,
+    // closes iff {b,c} is an edge — checked against the u<v undirected
+    // set with a pure EQUI-join (no OR-of-orientations theta join). Every
+    // join key is a node id or id pair: hash-partitionable, no window, no
+    // driver state. Each triangle is found exactly once (from its unique
+    // lowest-ordered vertex) and credited to all three corners.
+    q("graph_triangles", {
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |$edgesSqlCte,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |deg AS (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+         |  GROUP BY 1),
+         |ori AS (
+         |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+         |           THEN u ELSE v END AS a,
+         |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+         |           THEN v ELSE u END AS b
+         |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN und e3 ON e3.u = e1.b AND e3.v = e2.b),
+         |corners AS (
+         |  SELECT x AS doc_id FROM tri
+         |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |FROM corners GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      val edges = edgesOf(nodes, nRow)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        // feeds deg, ori (via two joins), and the closing-edge join —
+        // truncate the shared lineage once instead of recomputing 4×
+        .localCheckpoint(eager = false)
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+      val ori = und
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+          when(lower, col("v")).otherwise(col("u")).as("b"))
+      val tri = ori.as("e1")
+        .join(ori.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .join(und.as("e3"),
+          col("e3.u") === col("e1.b") && col("e3.v") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      tri.select(col("x").as("doc_id"))
+        .unionAll(tri.select(col("y").as("doc_id")))
+        .unionAll(tri.select(col("z").as("doc_id")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_triangles"))
     }
   )
 }

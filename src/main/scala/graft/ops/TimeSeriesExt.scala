@@ -626,6 +626,180 @@ object TimeSeriesExt {
           last(col("raw_cons"), ignoreNulls = true).over(w).as("cons_filled"))
     },
 
+    // ---- LINEAR gap interpolation: the counter-correct repair for
+    // `ts_gapfill`'s forward-fill (a carried-forward cumulative counter
+    // assigns the whole gap's energy to the first interval after it;
+    // interpolation spreads it evenly). Exact BIGINT arithmetic:
+    //   filled = (prev·(t_next − t) + next·(t − t_prev)) div (t_next − t_prev)
+    // — counter values and time spans are non-negative, so truncating and
+    // flooring division agree between the engines by construction. Edge
+    // rows fall back to the one known neighbor. Same grid/thinning as
+    // ts_gapfill; the windows are per-meter (keyed, parallel at any scale).
+    q("ts_interpolate_linear", {
+      s"""WITH ${graft.meter.MeterSql.readingsCtes(50, 96)},
+         |thinned AS (
+         |  SELECT * FROM readings
+         |  WHERE ${graft.meter.MeterGen.uSql(
+        "(meter_id * 131 + CAST(epoch_ms(reading_timestamp) / 900000 AS BIGINT))")} < 0.9),
+         |grid AS (
+         |  SELECT CAST(meter_id AS INTEGER) AS meter_id,
+         |    TIMESTAMP '${graft.meter.MeterGen.Epoch}'
+         |      + CAST(i * 15 AS INTEGER) * INTERVAL 1 MINUTE AS reading_timestamp
+         |  FROM gen),
+         |joined AS (
+         |  SELECT g.meter_id, g.reading_timestamp,
+         |    epoch_ms(g.reading_timestamp) AS t,
+         |    th.reading_consumption_milliwatts AS raw_cons,
+         |    th.reading_consumption_milliwatts IS NULL AS is_gap
+         |  FROM grid g LEFT JOIN thinned th
+         |    ON g.meter_id = th.meter_id AND g.reading_timestamp = th.reading_timestamp),
+         |bounded AS (
+         |  SELECT meter_id, reading_timestamp, t, is_gap,
+         |    last_value(raw_cons IGNORE NULLS) OVER (
+         |      PARTITION BY meter_id ORDER BY reading_timestamp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN raw_cons IS NOT NULL THEN t END IGNORE NULLS) OVER (
+         |      PARTITION BY meter_id ORDER BY reading_timestamp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |    first_value(raw_cons IGNORE NULLS) OVER (
+         |      PARTITION BY meter_id ORDER BY reading_timestamp
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN raw_cons IS NOT NULL THEN t END IGNORE NULLS) OVER (
+         |      PARTITION BY meter_id ORDER BY reading_timestamp
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM joined)
+         |SELECT meter_id, reading_timestamp, is_gap,
+         |  CAST(CASE WHEN pv IS NULL THEN nv
+         |            WHEN nv IS NULL THEN pv
+         |            WHEN nt = pt THEN pv
+         |            ELSE (pv * (nt - t) + nv * (t - pt)) // (nt - pt)
+         |       END AS BIGINT) AS cons_interp
+         |FROM bounded""".stripMargin
+    }) { (s, _) =>
+      import graft.meter.MeterGen
+      val readings = MeterGen.readings(s, 50, 96)
+      val slot = (unix_millis(col("reading_timestamp")) / 900000L).cast("long")
+      val thinned = readings
+        .filter(MeterGen.u(col("meter_id") * 131 + slot) < 0.9)
+        .select(col("meter_id"), col("reading_timestamp"),
+          col("reading_consumption_milliwatts").as("raw_cons"))
+      val grid = s.range(0, 50L * 96)
+        .select(
+          expr("id div 96 + 1").cast("int").as("meter_id"),
+          expr(s"timestamp '${MeterGen.Epoch}' " +
+            "+ make_interval(0, 0, 0, 0, 0, cast((id % 96) * 15 as int), 0)")
+            .as("reading_timestamp"))
+      val wPrev = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val tms = unix_millis(col("reading_timestamp"))
+      grid
+        .join(thinned, Seq("meter_id", "reading_timestamp"), "left")
+        .select(col("meter_id"), col("reading_timestamp"), tms.as("t"),
+          col("raw_cons"), col("raw_cons").isNull.as("is_gap"))
+        .withColumn("pv", last(col("raw_cons"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("raw_cons").isNotNull, col("t")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("raw_cons"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(when(col("raw_cons").isNotNull, col("t")),
+          ignoreNulls = true).over(wNext))
+        .select(col("meter_id"), col("reading_timestamp"), col("is_gap"),
+          when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("nt") === col("pt"), col("pv"))
+            .otherwise(expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)"))
+            .cast("long").as("cons_interp"))
+    },
+
+    // ---- trailing exponential smoothing (EWMA) per meter over interval
+    // deltas, in EXACT scaled-integer arithmetic: α = 1/4, the 8-term
+    // truncated expansion Σ_{k=0..7} 3^k·4^(7−k)·x_{t−k} emitted at scale
+    // 4^8 = 65536 — binary-rational coefficients so no engine ever
+    // rounds. Missing lags at a meter's head contribute 0 (the standard
+    // zero-prior warm-up). One per-meter window, 8 LAG taps — map-side
+    // after the one per-key sort; the 100 TB form is identical.
+    q("w12_ewma_trailing", {
+      val coeffs = (0 until 8).map(k =>
+        (k, BigInt(3).pow(k).toLong * BigInt(4).pow(7 - k).toLong))
+      val lagTerms = coeffs.map { case (k, c) =>
+        if (k == 0) s"$c * delta"
+        else s"$c * COALESCE(lag(delta, $k) OVER (PARTITION BY meter_id ORDER BY reading_timestamp), 0)"
+      }.mkString("\n    + ")
+      s"""WITH ${graft.meter.MeterSql.readingsCtes(50, 96)},
+         |deltas AS (
+         |  SELECT meter_id, reading_timestamp,
+         |    reading_consumption_milliwatts
+         |      - lag(reading_consumption_milliwatts) OVER (
+         |          PARTITION BY meter_id ORDER BY reading_timestamp) AS delta
+         |  FROM readings),
+         |known AS (SELECT * FROM deltas WHERE delta IS NOT NULL)
+         |SELECT meter_id, reading_timestamp, CAST(delta AS BIGINT) AS delta,
+         |  CAST($lagTerms AS BIGINT) AS ewma_scaled
+         |FROM known""".stripMargin
+    }) { (s, _) =>
+      import graft.meter.MeterGen
+      val byMeter = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      val deltas = MeterGen.readings(s, 50, 96)
+        .select(col("meter_id"), col("reading_timestamp"),
+          (col("reading_consumption_milliwatts")
+            - lag(col("reading_consumption_milliwatts"), 1).over(byMeter)).as("delta"))
+        .filter(col("delta").isNotNull)
+      val ewma = (0 until 8).map { k =>
+        val c = BigInt(3).pow(k).toLong * BigInt(4).pow(7 - k).toLong
+        if (k == 0) lit(c) * col("delta")
+        else lit(c) * coalesce(lag(col("delta"), k).over(byMeter), lit(0L))
+      }.reduce(_ + _)
+      deltas.select(col("meter_id"), col("reading_timestamp"),
+        col("delta").cast("long").as("delta"),
+        ewma.cast("long").as("ewma_scaled"))
+    },
+
+    // ---- seasonal-baseline deviation: each interval's consumption delta
+    // vs the SAME METER, SAME TIME-OF-DAY average across days — the
+    // "unusual for 3 PM on this meter" detector (w9's global z-score
+    // cannot see daily shape). Corpus-aggregated-once shape: one
+    // (meter, slot) mean, equi-joined back on the same key; emits only
+    // the flagged rows (>1.5× or <0.5× of baseline). Both the mean and
+    // the ratio are double-exact from integer inputs.
+    q("w13_seasonal_baseline", {
+      s"""WITH ${graft.meter.MeterSql.readingsCtes(50, 480)},
+         |deltas AS (
+         |  SELECT meter_id, reading_timestamp,
+         |    CAST(epoch_ms(reading_timestamp) / 900000 AS BIGINT) % 96 AS slot,
+         |    reading_consumption_milliwatts
+         |      - lag(reading_consumption_milliwatts) OVER (
+         |          PARTITION BY meter_id ORDER BY reading_timestamp) AS delta
+         |  FROM readings),
+         |known AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
+         |baseline AS (
+         |  SELECT meter_id, slot,
+         |    SUM(delta) * 1.0 / COUNT(*) AS baseline_avg
+         |  FROM known GROUP BY 1, 2)
+         |SELECT k.meter_id, k.reading_timestamp, CAST(k.delta AS BIGINT) AS delta,
+         |  b.baseline_avg, k.delta / b.baseline_avg AS dev_ratio
+         |FROM known k JOIN baseline b
+         |  ON k.meter_id = b.meter_id AND k.slot = b.slot
+         |WHERE k.delta / b.baseline_avg > 1.5 OR k.delta / b.baseline_avg < 0.5""".stripMargin
+    }) { (s, _) =>
+      import graft.meter.MeterGen
+      val byMeter = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      val known = MeterGen.readings(s, 50, 480)
+        .select(col("meter_id"), col("reading_timestamp"),
+          ((unix_millis(col("reading_timestamp")) / 900000L).cast("long") % 96).as("slot"),
+          (col("reading_consumption_milliwatts")
+            - lag(col("reading_consumption_milliwatts"), 1).over(byMeter)).as("delta"))
+        .filter(col("delta").isNotNull)
+      val baseline = known.groupBy(col("meter_id"), col("slot"))
+        .agg((sum(col("delta")) * 1.0 / count(lit(1))).as("baseline_avg"))
+      val ratio = col("delta") / col("baseline_avg")
+      known.join(baseline, Seq("meter_id", "slot"))
+        .filter(ratio > 1.5 || ratio < 0.5)
+        .select(col("meter_id"), col("reading_timestamp"),
+          col("delta").cast("long").as("delta"),
+          col("baseline_avg"), ratio.as("dev_ratio"))
+    },
+
     // ---- A8: the init-time verification counts
     // (02_populate_dimensions.sql:97-125 DO block)
     q("a8_dim_verification", {

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic postconditions for the round-6 graph and time-series operators
+  * (triangle counting, linear gap interpolation, integer EWMA, seasonal
+  * baseline) — brute-force recomputation and physical-invariant checks on
+  * top of the DuckDB engine-agreement hash. */
+class GraphTsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("triangle counts match a brute-force enumeration of the derived graph") {
+    // rebuild the graph exactly as GraphOps derives it (h64(src-k) mod N)
+    val n = ops.Tables.documents(spark, sf0001).count()
+    val edges = ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("src"),
+        explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"),
+        (functions.Md5Prefix64(concat(col("src").cast("string"), lit("-"),
+          col("k").cast("string"))) % n).as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val perNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    for {
+      Seq(a, b, c) <- verts.combinations(3)
+      if und(a -> b) && und(a -> c) && und(b -> c)
+    } { perNode(a) += 1; perNode(b) += 1; perNode(c) += 1 }
+    val got = run("graph_triangles").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === perNode.toMap)
+    assert(got.values.sum % 3 === 0) // every triangle credited to 3 corners
+  }
+
+  test("linear interpolation: exact on known rows, bounded by neighbors in gaps") {
+    val rows = run("ts_interpolate_linear")
+      .orderBy(col("meter_id"), col("reading_timestamp")).collect()
+    assert(rows.length === 50 * 96)
+    // counters are non-decreasing per meter, so every interpolated value
+    // must sit between its neighbors; known rows carry the raw counter
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val vals = rs.map(r => (r.getBoolean(2), r.getLong(3)))
+      vals.sliding(2).foreach {
+        case Array((_, a), (_, b)) => assert(a <= b, "counter must not decrease")
+        case _ =>
+      }
+    }
+    val gaps = rows.count(_.getBoolean(2))
+    assert(gaps > 0 && gaps < rows.length / 5, s"~10% thinning expected, got $gaps")
+  }
+
+  test("EWMA: scaled weights recompute exactly for one meter") {
+    val rows = run("w12_ewma_trailing")
+      .filter(col("meter_id") === 7)
+      .orderBy(col("reading_timestamp")).collect()
+    val deltas = rows.map(_.getLong(2))
+    val coeffs = (0 until 8).map(k =>
+      BigInt(3).pow(k).toLong * BigInt(4).pow(7 - k).toLong)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val expected = coeffs.zipWithIndex.map { case (c, k) =>
+        if (i - k >= 0) c * deltas(i - k) else 0L
+      }.sum
+      assert(r.getLong(3) === expected, s"row $i")
+    }
+  }
+
+  test("seasonal baseline emits only rows outside the [0.5, 1.5] band") {
+    val rows = run("w13_seasonal_baseline").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getDouble(4)
+      assert(ratio > 1.5 || ratio < 0.5, s"ratio $ratio inside the band")
+      // ratio is delta/baseline recomputed
+      assert(math.abs(ratio - r.getLong(2) / r.getDouble(3)) < 1e-12)
+    }
+  }
+}
