@@ -172,6 +172,50 @@ object TextAnalysis {
           size(col("hsa")).cast("long").as("n_shingles"))
     },
 
+    // ---- WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    // SIGMOD 2003 — the MOSS algorithm): from the positional rolling-hash
+    // sequence, keep the MINIMUM hash of every 8-hash window (leftmost on
+    // ties). Guarantees: any shared run of ≥ ShingleLen+7 chars yields a
+    // shared fingerprint (detection threshold), density ≈ 2/(W+1) — the
+    // robust, position-stable sketch `text_fingerprint`'s global min can't
+    // give. Fully map-side: nested array HOFs per document, the only
+    // exchange is the caller's (e.g. a group-by-fingerprint join, which
+    // would partition by the 60-bit hash exactly like [[SpanDedup]]).
+    q("text_winnow_fingerprints", {
+      val k = ShingleLen
+      val h = s"CAST('0x' || substr(md5(substr(text, i, $k)), 1, 15) AS BIGINT)"
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(text) - ${k - 1}), i -> $h) AS ha
+         |  FROM documents WHERE len(text) >= ${k + 7}),
+         |wins AS (
+         |  SELECT doc_id, ha, unnest(generate_series(1, len(ha) - 7)) AS j
+         |  FROM hs),
+         |sel AS (
+         |  SELECT doc_id,
+         |    list_min(ha[j : j + 7]) AS fp_hash,
+         |    j - 1 + list_position(ha[j : j + 7], list_min(ha[j : j + 7])) AS p
+         |  FROM wins)
+         |SELECT DISTINCT doc_id, fp_hash, CAST(p AS BIGINT) AS pos
+         |FROM sel""".stripMargin
+    }) { (s, d) =>
+      val k = ShingleLen
+      // positional (NOT distinct) rolling hashes — the winnow needs the
+      // in-order sequence, so shingleHashArray's set form does not apply
+      val ha = transform(
+        sequence(lit(1), length(col("text")) - (k - 1)),
+        i => h64(substring(col("text"), i, lit(k))))
+      val sel = expr(
+        """transform(sequence(1, size(ha) - 7), j -> struct(
+          |  array_min(slice(ha, j, 8)) AS fp_hash,
+          |  CAST(j - 1 + array_position(slice(ha, j, 8), array_min(slice(ha, j, 8))) AS BIGINT) AS pos))""".stripMargin)
+      Tables.documentsParallel(s, d)
+        .filter(length(col("text")) >= k + 7)
+        .select(col("doc_id"), ha.as("ha"))
+        .select(col("doc_id"), explode(array_distinct(sel)).as("fp"))
+        .select(col("doc_id"), col("fp.fp_hash").as("fp_hash"), col("fp.pos").as("pos"))
+    },
+
     // ---- intra-document repetition: duplicate-word mass and the
     // most-repeated word's share — the quality signal that catches
     // keyword-stuffed / boilerplate-looped documents dedup can't (they

@@ -121,4 +121,24 @@ object Marts {
           / col("total_reading_count").cast("double") * 100)
         .otherwise(0.0).as("data_quality_pct"))
   }
+
+  /** Daily per-meter TIME-OF-USE billing: interval deltas priced by the
+    * hour-of-day rate schedule ([[MeterGen.touRates]], broadcast — 24
+    * rows at any corpus size), next to the flat 28¢ charge for
+    * comparison. Charges accumulate as exact BIGINT mwh·cents and divide
+    * once at the end, so the mart is bit-stable under any partitioning —
+    * same doctrine as the flat-rate mart. */
+  def factBillingTouDaily(stg: DataFrame, rates: DataFrame): DataFrame =
+    stg
+      .join(broadcast(rates), hour(col("reading_timestamp")) === col("hour_of_day"))
+      .groupBy(to_date(col("reading_timestamp")).as("billing_date"), col("meter_id"))
+      .agg(
+        (sum(when(col("rate_c") === 35, col("consumption_delta_mwh")).otherwise(0L))
+          / 1000000.0).as("peak_kwh"),
+        (sum(when(col("rate_c") === 28, col("consumption_delta_mwh")).otherwise(0L))
+          / 1000000.0).as("shoulder_kwh"),
+        (sum(when(col("rate_c") === 18, col("consumption_delta_mwh")).otherwise(0L))
+          / 1000000.0).as("offpeak_kwh"),
+        (sum(col("consumption_delta_mwh") * col("rate_c")) / 100000000.0).as("tou_charge"),
+        (sum(col("consumption_delta_mwh")) * 28 / 100000000.0).as("flat_charge"))
 }

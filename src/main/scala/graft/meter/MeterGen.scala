@@ -57,6 +57,18 @@ object MeterGen {
       .select(col("tariff_id"), col("rate_str").cast("decimal(6,4)").as("base_rate_per_kwh"))
   }
 
+  /** Time-of-use rate schedule as DATA (one row per hour-of-day, cents
+    * per kWh): peak 07-09 & 17-22 = 35¢, off-peak 22-06 = 18¢, shoulder
+    * else = 28¢ — the flat reference tariff bracketed ±25%. A schedule
+    * table (not a CASE in the mart) is the shape that lets ops change
+    * rates without a deploy; it broadcasts everywhere. */
+  def touRates(spark: SparkSession): DataFrame =
+    spark.range(0, 24).select(
+      col("id").cast("int").as("hour_of_day"),
+      when((col("id") >= 7 && col("id") < 9) || (col("id") >= 17 && col("id") < 22), 35)
+        .when(col("id") >= 22 || col("id") < 6, 18)
+        .otherwise(28).as("rate_c"))
+
   /** dim_customers (02_populate_dimensions.sql:48-58). */
   def customers(spark: SparkSession, n: Long): DataFrame =
     spark.range(1, n + 1).select(

@@ -59,6 +59,14 @@ object MeterPipeline {
         MeterGen.tariffRates(s))
     },
 
+    // time-of-use twin of the billing mart: rates join in as a broadcast
+    // 24-row schedule table instead of a constant — see Marts.factBillingTouDaily
+    q("meter_billing_tou", MeterSql.billingTouSql(NMeters, NIntervals)) { (s, _) =>
+      Marts.factBillingTouDaily(
+        Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals)),
+        MeterGen.touRates(s))
+    },
+
     q("meter_grid_hourly", MeterSql.gridSql(NMeters, NIntervals)) { (s, _) =>
       Marts.factGridLoadHourly(
         Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals)),

@@ -218,4 +218,25 @@ object MeterSql {
        |       THEN CAST(valid_reading_count AS DOUBLE) / CAST(total_reading_count AS DOUBLE) * 100
        |       ELSE 0 END AS data_quality_pct
        |FROM zone""".stripMargin
+
+  /** fact_billing_tou_daily: the TOU twin of [[billingSql]]. */
+  def billingTouSql(nMeters: Long, nIntervals: Long): String =
+    s"""WITH ${stagingCtes(nMeters, nIntervals)},
+       |rates AS (
+       |  SELECT h AS hour_of_day,
+       |    CASE WHEN (h >= 7 AND h < 9) OR (h >= 17 AND h < 22) THEN 35
+       |         WHEN h >= 22 OR h < 6 THEN 18 ELSE 28 END AS rate_c
+       |  FROM generate_series(0, 23) AS tg(h))
+       |SELECT CAST(date_trunc('day', reading_timestamp) AS DATE) AS billing_date,
+       |  meter_id,
+       |  CAST(SUM(CASE WHEN r.rate_c = 35 THEN consumption_delta_mwh ELSE 0 END) AS BIGINT)
+       |    / 1000000.0 AS peak_kwh,
+       |  CAST(SUM(CASE WHEN r.rate_c = 28 THEN consumption_delta_mwh ELSE 0 END) AS BIGINT)
+       |    / 1000000.0 AS shoulder_kwh,
+       |  CAST(SUM(CASE WHEN r.rate_c = 18 THEN consumption_delta_mwh ELSE 0 END) AS BIGINT)
+       |    / 1000000.0 AS offpeak_kwh,
+       |  CAST(SUM(consumption_delta_mwh * r.rate_c) AS BIGINT) / 100000000.0 AS tou_charge,
+       |  CAST(SUM(consumption_delta_mwh) * 28 AS BIGINT) / 100000000.0 AS flat_charge
+       |FROM stg JOIN rates r ON date_part('hour', stg.reading_timestamp) = r.hour_of_day
+       |GROUP BY 1, 2""".stripMargin
 }

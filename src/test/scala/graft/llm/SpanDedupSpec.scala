@@ -115,4 +115,43 @@ class SpanDedupSpec extends SparkSpec {
       .sortBy(_._1)
     assert(gotSorted.toSeq === expected.toSeq)
   }
+
+  test("winnowing: a shared long run yields a shared fingerprint; density holds") {
+    val shared = "zqv wxj kpt mnb hgf dse rty uio plm okn" // 39 chars >= k+7
+    val docs = Seq(
+      (1L, s"${w(12, "aa")} $shared ${w(12, "ab")}"),
+      (2L, s"${w(12, "ba")} $shared ${w(12, "bb")}"),
+      (3L, w(24, "cc"))).toDF("doc_id", "text")
+    // reuse the registered query's plan on planted rows via a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_winnow_fingerprints")(spark, dir).cache()
+    try {
+      val fp1 = out.filter(col("doc_id") === 1).select("fp_hash")
+        .collect().map(_.getLong(0)).toSet
+      val fp2 = out.filter(col("doc_id") === 2).select("fp_hash")
+        .collect().map(_.getLong(0)).toSet
+      assert((fp1 & fp2).nonEmpty,
+        "guarantee: a shared run of >= k+w-1 chars must share a fingerprint")
+      // winnowing density: fingerprints per doc between n/w and 2n/(w+1)+1
+      val n1 = out.filter(col("doc_id") === 1).count()
+      val hashes1 = docs.filter(col("doc_id") === 1)
+        .select(length(col("text"))).head.getInt(0) - 13
+      assert(n1 >= hashes1 / 8 && n1 <= 2 * hashes1 / 9 + 2,
+        s"density out of range: $n1 fingerprints over $hashes1 hashes")
+    } finally { out.unpersist() }
+  }
+
+  test("TOU billing: charge decomposes exactly into band kWh x rates") {
+    val rows = run("meter_billing_tou").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (peak, shoulder, off) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val tou = r.getDouble(5); val flat = r.getDouble(6)
+      assert(math.abs(tou - (peak * 0.35 + shoulder * 0.28 + off * 0.18)) < 1e-9)
+      assert(math.abs(flat - (peak + shoulder + off) * 0.28) < 1e-9)
+      // rate schedule brackets the flat rate
+      assert(tou >= flat * 0.18 / 0.28 - 1e-9 && tou <= flat * 0.35 / 0.28 + 1e-9)
+    }
+  }
 }
