@@ -164,27 +164,31 @@ object Search {
          |        ORDER BY cosine DESC, vec_id) AS cos_rank
          |    FROM cos_scored) WHERE cos_rank <= $K),
          |fused AS (
-         |  SELECT doc_id,
-         |    COALESCE(bm25_rank, 0) AS bm25_rank,
-         |    COALESCE(cos_rank, 0) AS cos_rank,
+         |  SELECT doc_id, bm25_rank AS bm_r, cos_rank AS cos_r,
          |    (CASE WHEN bm25_rank IS NULL THEN 0 ELSE 1000000 // (60 + bm25_rank) END
          |     + CASE WHEN cos_rank IS NULL THEN 0 ELSE 1000000 // (60 + cos_rank) END)
          |      AS rrf_scaled
          |  FROM bm FULL OUTER JOIN vs USING (doc_id))
-         |SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
-         |  CAST(cos_rank AS BIGINT) AS cos_rank,
+         |SELECT doc_id, CAST(COALESCE(bm_r, 0) AS BIGINT) AS bm25_rank,
+         |  CAST(COALESCE(cos_r, 0) AS BIGINT) AS cos_rank,
          |  CAST(rrf_scaled AS BIGINT) AS rrf_scaled
          |FROM fused ORDER BY rrf_scaled DESC, doc_id LIMIT 10""".stripMargin
     }) { (s, d) =>
       val K = 20
-      // single-candidate-list windows: % 1 is the repo's non-foldable
-      // constant partition key (a literal would fold back to the warned
-      // empty partition spec); both frames are ≤ corpus-independent K·c
+      // Each leg is cut to its top-K FIRST with orderBy().limit(K) — a
+      // distributed TakeOrderedAndProject (per-partition heads merged on
+      // the driver), the same shape search_bm25_topk ships — and only the
+      // K-row result gets a rank-assignment window, so the window input is
+      // corpus-independent by construction. pmod(id, 1) is the repo's
+      // non-foldable constant partition key for a deliberately-global
+      // window over a tiny frame (a literal would fold back to the warned
+      // empty partition spec).
       val bmW = Window.partitionBy(pmod(col("doc_id"), lit(1)))
         .orderBy(col("score_scaled").desc, col("doc_id"))
       val bm = bm25Scored(s, d)
+        .orderBy(col("score_scaled").desc, col("doc_id"))
+        .limit(K)
         .withColumn("bm25_rank", row_number().over(bmW).cast("long"))
-        .filter(col("bm25_rank") <= K)
         .select(col("doc_id"), col("bm25_rank"))
       val qe = Similarity.quantized(s, d)
       val cosW = Window.partitionBy(pmod(col("vec_id"), lit(1)))
@@ -195,8 +199,9 @@ object Search {
           (Similarity.dot("a.qv", "b.qv").cast("double")
             / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
             .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(K)
         .withColumn("cos_rank", row_number().over(cosW).cast("long"))
-        .filter(col("cos_rank") <= K)
         .select(col("vec_id").as("doc_id"), col("cos_rank"))
       bm.join(vs, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),

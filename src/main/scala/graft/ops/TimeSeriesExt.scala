@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.GraftQuery
 import graft.GraftQuery.q
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -17,6 +18,23 @@ import org.apache.spark.sql.expressions.Window
   * window formulation in DuckDB.
   */
 object TimeSeriesExt {
+
+  /** Seasonal-baseline deviation core shared by `w13_seasonal_baseline` and
+    * its planted-fixture spec: per-(meter_id, slot) mean of `delta`,
+    * equi-joined back, rows outside the [0.5, 1.5] band flagged. E12 guard:
+    * a zero baseline makes the ratio undefined → the row is excluded (the
+    * oracle's `WHERE baseline_avg <> 0` twin excludes identically; without
+    * it Spark's x/0.0 → NULL drops while DuckDB's ±inf flags). */
+  def seasonalDeviation(known: DataFrame): DataFrame = {
+    val baseline = known.groupBy(col("meter_id"), col("slot"))
+      .agg((sum(col("delta")) * 1.0 / count(lit(1))).as("baseline_avg"))
+    val ratio = col("delta") / col("baseline_avg")
+    known.join(baseline, Seq("meter_id", "slot"))
+      .filter(col("baseline_avg") =!= 0 && (ratio > 1.5 || ratio < 0.5))
+      .select(col("meter_id"), col("reading_timestamp"),
+        col("delta").cast("long").as("delta"),
+        col("baseline_avg"), ratio.as("dev_ratio"))
+  }
   import Tables.cents
 
   val all: Seq[GraftQuery] = Seq(
@@ -761,7 +779,11 @@ object TimeSeriesExt {
     // cannot see daily shape). Corpus-aggregated-once shape: one
     // (meter, slot) mean, equi-joined back on the same key; emits only
     // the flagged rows (>1.5× or <0.5× of baseline). Both the mean and
-    // the ratio are double-exact from integer inputs.
+    // the ratio are double-exact from integer inputs. E12 ratio-with-guard
+    // doctrine: an all-zero (meter, slot) baseline makes the deviation
+    // ratio undefined — such rows are EXCLUDED in both engines (without
+    // the guard Spark's x/0.0 → NULL silently drops while DuckDB's ±inf
+    // passes the > 1.5 branch — a latent oracle divergence).
     q("w13_seasonal_baseline", {
       s"""WITH ${graft.meter.MeterSql.readingsCtes(50, 480)},
          |deltas AS (
@@ -780,7 +802,8 @@ object TimeSeriesExt {
          |  b.baseline_avg, k.delta / b.baseline_avg AS dev_ratio
          |FROM known k JOIN baseline b
          |  ON k.meter_id = b.meter_id AND k.slot = b.slot
-         |WHERE k.delta / b.baseline_avg > 1.5 OR k.delta / b.baseline_avg < 0.5""".stripMargin
+         |WHERE b.baseline_avg <> 0
+         |  AND (k.delta / b.baseline_avg > 1.5 OR k.delta / b.baseline_avg < 0.5)""".stripMargin
     }) { (s, _) =>
       import graft.meter.MeterGen
       val byMeter = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
@@ -790,14 +813,7 @@ object TimeSeriesExt {
           (col("reading_consumption_milliwatts")
             - lag(col("reading_consumption_milliwatts"), 1).over(byMeter)).as("delta"))
         .filter(col("delta").isNotNull)
-      val baseline = known.groupBy(col("meter_id"), col("slot"))
-        .agg((sum(col("delta")) * 1.0 / count(lit(1))).as("baseline_avg"))
-      val ratio = col("delta") / col("baseline_avg")
-      known.join(baseline, Seq("meter_id", "slot"))
-        .filter(ratio > 1.5 || ratio < 0.5)
-        .select(col("meter_id"), col("reading_timestamp"),
-          col("delta").cast("long").as("delta"),
-          col("baseline_avg"), ratio.as("dev_ratio"))
+      seasonalDeviation(known)
     },
 
     // ---- A8: the init-time verification counts

@@ -104,10 +104,16 @@ object VecStore {
        |SELECT query_id, vec_id, label, bucket, n_cands, cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
   }) { (s, d) =>
-    val dir = s"/tmp/graft_vecstore_idx/${new java.io.File(d).getName}"
+    // per-invocation unique scratch dir: a fixed per-dataset path races
+    // delete-against-scan when bench reps overlap a test run. The index is
+    // built fresh each call — the timed figure is deliberately BUILD+PROBE
+    // end-to-end (the incremental-crawl unit of work) — and the scratch
+    // tree is removed at JVM exit.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_vecstore_idx/" +
+      s"${new java.io.File(d).getName}-${java.util.UUID.randomUUID()}"
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
+    fs.deleteOnExit(path)
     append(Tables.embeddingsParallel(s, d), dir)
     val quant = expr(
       s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${graft.llm.Similarity.Q}) AS BIGINT))")

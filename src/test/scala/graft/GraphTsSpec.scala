@@ -76,4 +76,31 @@ class GraphTsSpec extends SparkSpec {
       assert(math.abs(ratio - r.getLong(2) / r.getDouble(3)) < 1e-12)
     }
   }
+
+  test("seasonal baseline excludes an all-zero (meter, slot) group in both engines") {
+    // Planted fixture the generator cannot produce: meter 1 slot 0 has
+    // deltas {0, 0, 0} → baseline_avg = 0 → ratio undefined. The E12 guard
+    // (baseline_avg ≠ 0, mirrored verbatim in the oracle's WHERE) must
+    // EXCLUDE those rows — without it Spark's 0/0.0 → NULL silently drops
+    // while DuckDB's CASE-free x/0.0 → ±inf passes the > 1.5 branch, the
+    // exact latent divergence this fixture pins down. Meter 2 slot 0 is a
+    // live control group (deltas {30, 50, 100}, baseline 60: ratios 0.5
+    // and 0.8333 stay inside the band, only 100/60 = 1.6667 flags).
+    import spark.implicits._
+    val known = Seq(
+      (1, "2024-01-01T00:00:00", 0L, 0L),
+      (1, "2024-01-02T00:00:00", 0L, 0L),
+      (1, "2024-01-03T00:00:00", 0L, 0L),
+      (2, "2024-01-01T00:00:00", 0L, 30L),
+      (2, "2024-01-02T00:00:00", 0L, 50L),
+      (2, "2024-01-03T00:00:00", 0L, 100L))
+      .toDF("meter_id", "ts", "slot", "delta")
+      .select(col("meter_id"), to_timestamp(col("ts")).as("reading_timestamp"),
+        col("slot"), col("delta"))
+    val out = ops.TimeSeriesExt.seasonalDeviation(known).collect()
+    assert(!out.exists(_.getInt(0) == 1), "all-zero baseline group must be excluded")
+    val flagged = out.filter(_.getInt(0) == 2)
+    assert(flagged.length === 1 && flagged.head.getLong(2) === 100L)
+    assert(math.abs(flagged.head.getDouble(4) - 100.0 / 60.0) < 1e-12)
+  }
 }
