@@ -44,20 +44,45 @@ object SpanDedup {
     * catch one pasted sentence. */
   val SpanN = 8
 
-  /** The operator over any (doc_id, text) frame — the registered query
-    * binds it to the driver corpus; specs feed planted documents. */
-  private[llm] def spanReport(docsRaw: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val docs = docsRaw
-      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+  /** Per-doc word arrays (split on ' ', the shared tokenizer). */
+  private def docWords(docsRaw: org.apache.spark.sql.DataFrame) =
+    docsRaw.select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+
+  /** Positional [[SpanN]]-gram hashes: one 16-byte (doc_id, pos, gh) row
+    * per gram — the relation every span operator shuffles. */
+  private def posGramsOf(docs: org.apache.spark.sql.DataFrame) =
     // size(ws) >= SpanN BEFORE sequence(): Spark's sequence(1, 0) steps
     // DOWN to [1, 0] (the ANSI out-of-bounds trap), it is not empty
-    val posGrams = docs
+    docs
       .filter(size(col("ws")) >= SpanN)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - (SpanN - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
         TextHash.h64(array_join(slice(col("ws"), col("pos"), lit(SpanN)), " ")).as("gh"))
+
+  /** Island merge: maximal contiguous spans (doc_id, span_id, s, e) from
+    * hit intervals (doc_id, pos, end_pos) — the classic running-max-end
+    * window, per-document state only. */
+  private def islandsOf(hits: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("end_pos"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_span",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-1L)) + 1, 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), max(col("end_pos")).as("e"))
+  }
+
+  /** The operator over any (doc_id, text) frame — the registered query
+    * binds it to the driver corpus; specs feed planted documents. */
+  private[llm] def spanReport(docsRaw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = docWords(docsRaw)
+    val posGrams = posGramsOf(docs)
     val dupGrams = posGrams
       .groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -66,16 +91,7 @@ object SpanDedup {
     val hits = posGrams
       .join(dupGrams, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + (SpanN - 1)).as("end_pos"))
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val prevMaxEnd = max(col("end_pos"))
-      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
-    val flagged = hits.withColumn("new_span",
-      when(col("pos") > coalesce(prevMaxEnd, lit(-1L)) + 1, 1).otherwise(0))
-    val spans = flagged
-      .withColumn("span_id", sum(col("new_span"))
-        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(min(col("pos")).as("s"), max(col("end_pos")).as("e"))
+    val spans = islandsOf(hits)
     val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_words"))
@@ -86,6 +102,45 @@ object SpanDedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_words"), lit(0L)).as("dup_words"),
         (coalesce(col("dup_words"), lit(0L)) * 1.0 / col("n_words")).as("dup_ratio"))
+  }
+
+  /** Span REMOVAL — the curation step after [[spanReport]]: emit the
+    * CLEANED corpus with every cross-doc duplicated span cut, keeping the
+    * first occurrence corpus-wide. "First" is per gram: the smallest
+    * doc_id holding the gram keeps it; any later doc's occurrence is a cut
+    * hit. Hits island-merge exactly as the report does, then the cut is a
+    * map-side array filter against each doc's (small) span list — the
+    * corpus never joins itself row-by-row, and reassembly is per-doc local
+    * (same 100 TB shape as the report: one gram-hash shuffle + doc-keyed
+    * windows). */
+  private[llm] def spanRemove(docsRaw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = docWords(docsRaw)
+    val posGrams = posGramsOf(docs)
+    val dupKeep = posGrams
+      .groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"), col("keeper"))
+    val hits = posGrams
+      .join(dupKeep, Seq("gh"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (SpanN - 1)).as("end_pos"))
+    // removal spans are disjoint maximal islands, so each position is cut
+    // at most once and kept_words = n_words − Σ(e − s + 1) by construction
+    val perDocSpans = islandsOf(hits)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs
+      .join(perDocSpans, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """filter(zip_with(ws, sequence(1, size(ws)), (w, i) -> named_struct('w', w, 'i', i)),
+          |  p -> spans IS NULL OR NOT exists(spans, sp -> p.i >= sp.s AND p.i <= sp.e))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("removed_words"),
+        size(col("kept")).cast("long").as("kept_words"),
+        array_join(expr("transform(kept, p -> p.w)"), " ").as("cleaned_text"))
   }
 
   val all: Seq[GraftQuery] = Seq(
@@ -131,5 +186,58 @@ object SpanDedup {
          |  COALESCE(dup_words, 0) AS dup_words,
          |  COALESCE(dup_words, 0) * 1.0 / len(ws) AS dup_ratio
          |FROM t LEFT JOIN per_doc USING (doc_id)""".stripMargin
-    }) { (s, d) => spanReport(Tables.documentsParallel(s, d)) })
+    }) { (s, d) => spanReport(Tables.documentsParallel(s, d)) },
+
+    // ---- span REMOVAL: the cleaned corpus itself. Keeper rule: per gram,
+    // the smallest doc_id keeps its occurrence; later docs' hits merge
+    // into removal islands and are cut. The oracle rebuilds cleaned text
+    // by position anti-join + ordered string_agg — same word sequence as
+    // the engine's map-side array filter, compared verbatim (so the hash
+    // gate covers the reassembled TEXT, not just the counts).
+    q("dedup_span_remove", {
+      val g = h64Sql(s"array_to_string(list_slice(ws, i, i + ${SpanN - 1}), ' ')")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |pg AS (
+         |  SELECT doc_id, i AS pos, $g AS gh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${SpanN - 1})) AS i
+         |        FROM t WHERE len(ws) >= $SpanN)),
+         |dup AS (
+         |  SELECT gh, MIN(doc_id) AS keeper FROM pg
+         |  GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (
+         |  SELECT pg.doc_id, pos, pos + ${SpanN - 1} AS end_pos
+         |  FROM pg JOIN dup USING (gh) WHERE pg.doc_id <> dup.keeper),
+         |flagged AS (
+         |  SELECT doc_id, pos, end_pos,
+         |    CASE WHEN pos > COALESCE(MAX(end_pos) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |      THEN 1 ELSE 0 END AS new_span
+         |  FROM hits),
+         |islands AS (
+         |  SELECT doc_id, pos, end_pos,
+         |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |  FROM flagged),
+         |spans AS (
+         |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(end_pos) AS e
+         |  FROM islands GROUP BY 1, 2),
+         |posw AS (
+         |  SELECT doc_id, i AS pos, ws[i] AS w
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM t)),
+         |cut AS (
+         |  SELECT p.doc_id, p.pos FROM posw p
+         |  JOIN spans sp ON p.doc_id = sp.doc_id AND p.pos BETWEEN sp.s AND sp.e),
+         |kept AS (SELECT p.* FROM posw p ANTI JOIN cut c USING (doc_id, pos)),
+         |cleaned AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_words,
+         |    string_agg(w, ' ' ORDER BY pos) AS cleaned_text
+         |  FROM kept GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(len(ws) AS BIGINT) - COALESCE(kept_words, 0) AS removed_words,
+         |  COALESCE(kept_words, 0) AS kept_words,
+         |  COALESCE(cleaned_text, '') AS cleaned_text
+         |FROM t LEFT JOIN cleaned USING (doc_id)""".stripMargin
+    }) { (s, d) => spanRemove(Tables.documentsParallel(s, d)) })
 }

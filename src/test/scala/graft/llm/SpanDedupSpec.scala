@@ -60,6 +60,25 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2L) === ((1L, 16L)))
   }
 
+  test("span removal: keeper doc keeps its text, later docs lose exactly the span") {
+    val shared = w(10, "s")
+    val docs = Seq(
+      (1L, s"${w(20, "a")} $shared ${w(20, "b")}"), // keeper (smallest doc_id)
+      (2L, s"${w(5, "c")} $shared ${w(30, "d")}"),
+      (3L, w(40, "e"))).toDF("doc_id", "text")
+    val out = SpanDedup.spanRemove(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1 holds every shared gram first -> untouched
+    assert(out(1L) === ((0L, 50L, s"${w(20, "a")} $shared ${w(20, "b")}")))
+    // doc 2 loses exactly the 10 pasted words, prefix+suffix survive intact
+    assert(out(2L) === ((10L, 35L, s"${w(5, "c")} ${w(30, "d")}")))
+    assert(out(3L) === ((0L, 40L, w(40, "e"))))
+    // the cleaned corpus is span-free: re-running the report finds nothing
+    val clean = Seq(
+      (1L, out(1L)._3), (2L, out(2L)._3), (3L, out(3L)._3)).toDF("doc_id", "text")
+    assert(SpanDedup.spanReport(clean).agg(sum(col("n_spans"))).head.getLong(0) === 0L)
+  }
+
   test("hybrid RRF: fusion is exactly the floor-sum of the leg reciprocals") {
     val rows = run("search_hybrid_rrf").collect()
     assert(rows.length === 10)
