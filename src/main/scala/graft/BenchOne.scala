@@ -21,6 +21,10 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_EXPLAIN=1 prints the formatted physical plan once before
+    // timing — the plan-diff companion to the timings
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()

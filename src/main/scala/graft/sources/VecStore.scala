@@ -69,17 +69,27 @@ object VecStore {
     * against the broadcast query set triggers DYNAMIC PARTITION PRUNING
     * on the index's partition column (the scan lists only the probed
     * bucket directories — the retrieval regime; at 100 TB the non-probed
-    * 1 − |Q|/256 of the corpus is never read). Exact fixed-point cosine +
-    * per-query rank inside the bucket; `n_cands` records each probe's
-    * candidate-set size — the pruning evidence in the result itself. The
-    * oracle computes the identical buckets arithmetically, proving
-    * on-disk ≡ in-memory (the contract [[VecStoreSpec]] asserts
-    * file-level). */
+    * fraction of the corpus is never read). MULTI-PROBE (Lv et al., VLDB
+    * 2007 — the same 1-bit-flip discipline the in-memory banded dedup
+    * ships): each query probes its own bucket plus the 8 one-bit-flip
+    * neighbors, 9 of 256 directories, ≥96% of the corpus still pruned.
+    * A single sign-bucket probe is structurally low-recall for top-k
+    * (P[all 8 sign bits agree] = p⁸ ≈ 0.29 even at cosine 0.9; measured
+    * 0.01 recall@5 on this corpus's hard cosine-0.32-0.49 neighbor
+    * regime, vs 0.13 with the flips — full measured curve in SCALING.md,
+    * floor asserted in VecStoreSpec). A candidate's bucket matches exactly
+    * one probe key, so the probe join needs no distinct. Exact fixed-point
+    * cosine + per-query rank over the probed candidates; `n_cands`
+    * records each probe's candidate-set size — the pruning evidence in
+    * the result itself. The oracle computes the identical buckets
+    * arithmetically, proving on-disk ≡ in-memory (the contract
+    * [[VecStoreSpec]] asserts file-level). */
   lazy val probeQuery: GraftQuery = q("vecstore_probe_topk", {
     val bitsSql = graft.llm.Similarity.planes.zipWithIndex.map { case (w, p) =>
       val lit = w.mkString("[", ", ", "]")
       s"(CASE WHEN CAST(list_sum(list_transform(list_zip(qv, $lit), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+    val flips = (Seq(0) ++ (0 until 8).map(1 << _)).mkString("[", ", ", "]")
     s"""WITH qe AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${graft.llm.Similarity.Q}) AS BIGINT)) AS qv
@@ -89,13 +99,17 @@ object VecStore {
        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
        |  FROM qe),
        |bucketed AS (SELECT vec_id, label, qv, norm2, $bitsSql AS bucket FROM qn),
+       |probes AS (
+       |  SELECT vec_id, qv, norm2, bucket, xor(bucket, f.flip) AS probe_bucket
+       |  FROM bucketed, (SELECT unnest($flips) AS flip) f
+       |  WHERE vec_id % 50 = 0),
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS label,
        |    CAST(a.bucket AS BIGINT) AS bucket,
        |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
        |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
-       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
-       |    AND a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+       |  FROM probes a JOIN bucketed b ON a.probe_bucket = b.bucket
+       |    AND b.vec_id <> a.vec_id),
        |ranked AS (
        |  SELECT query_id, vec_id, label, bucket, cosine,
        |    CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cands,
@@ -120,17 +134,23 @@ object VecStore {
     def qn(df: DataFrame): DataFrame = df
       .withColumn("qv", quant)
       .withColumn("norm2", graft.functions.FixedPointDot(col("qv"), col("qv")))
-    val queries = qn(Tables.embeddingsParallel(s, d))
+    // multi-probe query set: own bucket + the 8 one-bit flips (a 9× row
+    // explode of the tiny broadcast side only — the index side is still
+    // directory-pruned to the probed buckets)
+    val queries = qn(Tables.embeddings(s, d))
       .filter(col("vec_id") % 50 === 0)
       .withColumn("bucket", graft.functions.PlaneSignMask(col("qv"), 8).cast("int"))
-      .select(col("vec_id"), col("qv"), col("norm2"), col("bucket"))
+      .select(col("vec_id"), col("qv"), col("norm2"), col("bucket"),
+        explode(array((Seq(0) ++ (0 until 8).map(1 << _)).map(lit): _*)).as("flip"))
+      .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
+      .select(col("vec_id"), col("qv"), col("norm2"), col("bucket"), col("probe_bucket"))
     // the index side re-quantizes off the stored floats (bit-identical
     // parquet round trip); its `bucket` is the read-back PARTITION column,
     // so the join's pruning binds to directory listing, not row filtering
     val index = qn(s.read.parquet(dir))
     val scored = index.as("b")
       .join(broadcast(queries.as("a")),
-        col("a.bucket") === col("b.bucket") && col("b.vec_id") =!= col("a.vec_id"))
+        col("a.probe_bucket") === col("b.bucket") && col("b.vec_id") =!= col("a.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
         col("b.label").as("label"), col("a.bucket").cast("long").as("bucket"),
         (graft.functions.FixedPointDot(col("a.qv"), col("b.qv")).cast("double")
