@@ -32,4 +32,33 @@ class PipelineSpec extends SparkSpec {
     // grid mart invariant: per-hour zone rows bounded by zones × hours
     assert(grid.select(col("grid_zone_id")).distinct().count() <= 20)
   }
+
+  test("incremental billing mart: day-2 delta rebuild equals full refresh, day-1 files untouched") {
+    val dir = Files.createTempDirectory("mart_inc_e2e").toString + "/m"
+    MeterPipeline.billingIncrementalInit(spark, dir)
+    def mtimes(day: String) = Files.walk(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && p.contains(s"billing_date=$day"))
+      .sorted.map(p => Files.getLastModifiedTime(Paths.get(p)).toMillis).toSeq
+    val day1Before = mtimes("2026-01-01")
+    assert(day1Before.nonEmpty, "init must land the day-1 partition")
+    assert(mtimes("2026-01-02").isEmpty, "stale state must not have day 2 yet")
+    Thread.sleep(1100) // distinguishable mtimes
+
+    MeterPipeline.billingIncrementalDelta(spark, dir)
+    assert(mtimes("2026-01-01") == day1Before,
+      "a day-2 delta must not rewrite the day-1 mart chunk")
+    assert(mtimes("2026-01-02").nonEmpty)
+
+    // incremental state ≡ full refresh (the registered query's hash gate
+    // proves this vs DuckDB; here vs the direct Spark computation)
+    val got = spark.read.parquet(dir)
+    val full = Marts.factCustomerBillingDaily(
+      Staging.stgMeterReadings(MeterGen.readings(spark, 200, 192)),
+      MeterGen.metersDim(spark, 200), MeterGen.customers(spark, 200),
+      MeterGen.tariffRates(spark))
+    val cols = full.columns.sorted.toIndexedSeq
+    assert(got.count() == full.count())
+    assert(got.selectExpr(cols: _*).except(full.selectExpr(cols: _*)).count() == 0)
+    assert(full.selectExpr(cols: _*).except(got.selectExpr(cols: _*)).count() == 0)
+  }
 }
