@@ -46,7 +46,15 @@ object Bench {
     // masquerade as a plan regression (BENCH_r05 misread three queries by
     // 4-8x that way); with ~90 s between a query's reps, a burst can
     // pollute at most one of them and the min survives.
-    def rep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // per-rep (wall, process-cpu) pair: cpu is whole-JVM CPU time from the
+    // OS bean, so cpu/wall exposes which reps a steal burst hit — a burst
+    // inflates wall while the process's cpu stays flat, so the polluted
+    // rep's ratio collapses vs the query's other reps (the per-query
+    // diagnostic the run-level calibration sentinel can't localize)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def rep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -54,7 +62,8 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       spark.catalog.clearCache() // release per-query cached frames
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      else (-1.0, -1.0)
     }
     // contention sentinel: a fixed single-thread integer workload whose
     // steady time is machine-constant — timed before/between/after the
@@ -80,15 +89,18 @@ object Bench {
     // third sweep only over queries still >= 1 s — the slow tail is where a
     // polluted rep costs the most headline seconds
     val slow = ordered.filter { case (n, _) =>
-      val ts = Seq(pass1(n), pass2(n)).filter(_ >= 0)
+      val ts = Seq(pass1(n)._1, pass2(n)._1).filter(_ >= 0)
       ts.nonEmpty && ts.min >= 1.0
     }
     val pass3 = slow.map { case (n, f) => n -> rep(n, f) }.toMap
-    calibs += calibrate()
-    val results = ordered.map { case (name, _) =>
-      val ts = (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).filter(_ >= 0)
-      name -> (if (ts.nonEmpty) ts.min else -1.0)
+    // reported time = min wall across reps; reported cpu = that same rep's
+    // process-cpu (pairs stay together so cpu/wall is meaningful per entry)
+    val picked = ordered.map { case (name, _) =>
+      val ts = (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).filter(_._1 >= 0)
+      name -> (if (ts.nonEmpty) ts.minBy(_._1) else (-1.0, -1.0))
     }
+    calibs += calibrate()
+    val results = picked.map { case (n, (w, _)) => n -> w }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON ({"value":40,800,...})
     def fmt(v: Double): String =
@@ -105,8 +117,12 @@ object Bench {
       // bounded-stdout headline subset (value/nq always cover ALL queries)
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nq_shown":${rs.size},"calib_sec":$calibStr,"steal_ratio":$steal,"queries":$qs,"sf":"$sfDir"}"""
     }
-    // full per-query map → file (always complete)
-    val full = jsonLine(results)
+    // full per-query map → file (always complete), with the min-wall rep's
+    // process-cpu seconds alongside each wall time (queries_cpu) — the
+    // per-query steal diagnostic; stdout keeps the bounded headline shape
+    val cpuMap = picked.map { case (k, (_, c)) => "\"" + k + "\":" + fmt(c) }
+      .mkString("{", ",", "}")
+    val full = jsonLine(results).dropRight(1) + s""","queries_cpu":$cpuMap}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver captures only a BOUNDED TAIL of stdout (~2000 chars) and
@@ -120,6 +136,7 @@ object Bench {
       "a_salted_skew_agg", "corpus_assembly", "decontaminate", "dedup_clusters",
       "dedup_embedding_ivf", "dedup_embedding_lsh", "dedup_exact", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_span_exact",
+      "dedup_span_remove", "meter_billing_daily_incremental", "vecstore_probe_topk",
       "dsir_importance",
       "e14_json_decode", "graph_pagerank",
       "meter_billing_daily", "meter_grid_hourly", "meter_stg_readings",
