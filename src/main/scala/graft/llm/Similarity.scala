@@ -62,13 +62,14 @@ object Similarity {
   /** K-means centroids trained with [[CentroidIters]] Lloyd iterations, in
     * DataFrames: seed = the k smallest vec_ids, assign = broadcast
     * centroids + map-side nearest-by-cosine, update = exact element-wise
-    * floor-mean of the fixed-point vectors (posexplode → per-(cell, dim)
-    * SUM → floor division → re-assemble). Floor division — not Spark's
-    * truncating `div` — because DuckDB's `//` floors and the sums can be
-    * negative; `(s − pmod(s, n)) div n` is exact floor on BIGINTs, keeping
-    * the trained centroids bit-identical to the oracle. Cells that lose
-    * every member drop out on both engines identically. The corpus only
-    * ever crosses a BROADCAST of k rows — the 100 TB k-means shape. */
+    * TRUNCATED mean of the fixed-point vectors. Truncation — Spark's
+    * native `div` — because DuckDB's integer `//` also truncates toward
+    * zero (measured: -7 // 2 = -3; an earlier pmod-floor formulation here
+    * assumed `//` floors and silently disagreed by 1 on every
+    * negative-sum dimension — masked only because ±1 centroid ulps never
+    * flipped an assignment at test scale). Cells that lose every member
+    * drop out on both engines identically. The corpus only ever crosses a
+    * BROADCAST of k rows — the 100 TB k-means shape. */
   /** The centroid frame packed into ONE broadcastable row of parallel
     * arrays (cids, cqvs, cnorms), sorted by c_id — the "codebook" the
     * fused assignment reads. The collect/sort runs on k≈8 rows. */
@@ -114,16 +115,16 @@ object Similarity {
       // (map-side partials over k=8 groups; the old posexplode →
       // groupBy(c_id, pos) → collect_list chain was two exchanges plus a
       // 64×n row explode per iteration, and Lloyd's per-stage overhead —
-      // not the arithmetic — dominated the IVF queries). The floor-mean
-      // per element is unchanged: same exact long sums, same
-      // (s − pmod(s, n)) div n, so centroids stay bit-identical to the
-      // oracle's list(s // n ORDER BY pos).
+      // not the arithmetic — dominated the IVF queries). The truncated
+      // mean per element: same exact long sums, Spark `div` ≡ DuckDB `//`
+      // (both truncate toward zero), so centroids are bit-identical to
+      // the oracle's list(s // n ORDER BY pos).
       val dimSums = (0 until 64).map(i => sum(col("qv")(i)).as(s"s$i"))
       cents = assigned
         .groupBy(col("c_id"))
         .agg(count(lit(1)).as("n"), dimSums: _*)
         .select(col("c_id"),
-          array((0 until 64).map(i => expr(s"(s$i - pmod(s$i, n)) div n")): _*).as("cqv"))
+          array((0 until 64).map(i => expr(s"s$i div n")): _*).as("cqv"))
         .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
         // LAZY lineage truncation on the k-row frame, one per round (the
         // star-contraction doctrine, Dedup.scala): without any checkpoint
@@ -259,7 +260,53 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
         .filter(col("rank") <= 5)
     }
-  ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery
+  ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+ centroidOutlierQuery
+
+  /** Embedding-space OUTLIER filter: each vector's cosine to its own
+    * label's centroid, flagged when it falls below threshold — the "drop
+    * docs far from their cluster center" curation op (mislabeled /
+    * off-distribution detection). Shape: ONE 64-column map-side-combinable
+    * aggregate builds the per-label centroids (exact integer truncated
+    * means, the Lloyd-update arithmetic without the iteration), which
+    * broadcast
+    * back for a map-side cosine — the corpus is scanned twice and shuffled
+    * never (the centroid agg moves \|labels\|×64 longs). */
+  lazy val centroidOutlierQuery: GraftQuery =
+    q("emb_centroid_outliers",
+      s"""WITH $quantizedSql,
+         |m AS (
+         |  SELECT label, t.i AS pos, CAST(SUM(qv[t.i + 1]) AS BIGINT) AS sv, COUNT(*) AS n
+         |  FROM qn, range(0, 64) AS t(i) GROUP BY label, t.i),
+         |cents AS (
+         |  SELECT label, cqv,
+         |    CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnorm2
+         |  FROM (SELECT label, list(sv // n ORDER BY pos) AS cqv FROM m GROUP BY label)),
+         |scored AS (
+         |  SELECT q.vec_id, q.label,
+         |    CAST(list_sum(list_transform(list_zip(q.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.cnorm2 AS DOUBLE))) AS cosine_centroid
+         |  FROM qn q JOIN cents c USING (label))
+         |SELECT vec_id, label, cosine_centroid,
+         |  cosine_centroid < 0.0 AS is_outlier
+         |FROM scored""".stripMargin) { (s, d) =>
+      val qe = quantized(s, d)
+      // element-wise integer sums as 64 codegen'd columns in one hash agg
+      // (the lloydCentroids update shape); Spark `div` ≡ DuckDB `//`
+      // (both truncate toward zero — negative sums included)
+      val dimSums = (0 until 64).map(i => sum(col("qv")(i)).as(s"s$i"))
+      val cents = qe
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .select(col("label"),
+          array((0 until 64).map(i => expr(s"s$i div n")): _*).as("cqv"))
+        .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
+      qe.join(broadcast(cents), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          (FixedPointDot(col("qv"), col("cqv")).cast("double")
+            / (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+            .as("cosine_centroid"))
+        .withColumn("is_outlier", col("cosine_centroid") < 0.0)
+    }
 
   /** Diversity (coreset) sampling: ONE representative per sign-LSH bucket
     * — the cheap distributed stand-in for k-center selection when curating

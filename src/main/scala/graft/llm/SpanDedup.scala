@@ -44,21 +44,27 @@ object SpanDedup {
     * catch one pasted sentence. */
   val SpanN = 8
 
+  /** Intra-document repetition resolution, in words: the within-doc twin
+    * operates at trigram grain (Gopher-style repetition filters bound
+    * 2-4-gram repeats) — a doc repeating itself is a much lower-floor
+    * signal than cross-doc boilerplate. */
+  val IntraN = 3
+
   /** Per-doc word arrays (split on ' ', the shared tokenizer). */
   private def docWords(docsRaw: org.apache.spark.sql.DataFrame) =
     docsRaw.select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
 
-  /** Positional [[SpanN]]-gram hashes: one 16-byte (doc_id, pos, gh) row
-    * per gram — the relation every span operator shuffles. */
-  private def posGramsOf(docs: org.apache.spark.sql.DataFrame) =
-    // size(ws) >= SpanN BEFORE sequence(): Spark's sequence(1, 0) steps
+  /** Positional `n`-gram hashes: one 16-byte (doc_id, pos, gh) row per
+    * gram — the relation every span operator shuffles. */
+  private def posGramsOf(docs: org.apache.spark.sql.DataFrame, n: Int) =
+    // size(ws) >= n BEFORE sequence(): Spark's sequence(1, 0) steps
     // DOWN to [1, 0] (the ANSI out-of-bounds trap), it is not empty
     docs
-      .filter(size(col("ws")) >= SpanN)
+      .filter(size(col("ws")) >= n)
       .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(1), size(col("ws")) - (SpanN - 1))).as("pos"))
+        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
-        TextHash.h64(array_join(slice(col("ws"), col("pos"), lit(SpanN)), " ")).as("gh"))
+        TextHash.h64(array_join(slice(col("ws"), col("pos"), lit(n)), " ")).as("gh"))
 
   /** Island merge: maximal contiguous spans (doc_id, span_id, s, e) from
     * hit intervals (doc_id, pos, end_pos) — the classic running-max-end
@@ -82,7 +88,7 @@ object SpanDedup {
   private[llm] def spanReport(docsRaw: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val docs = docWords(docsRaw)
-    val posGrams = posGramsOf(docs)
+    val posGrams = posGramsOf(docs, SpanN)
     val dupGrams = posGrams
       .groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -116,7 +122,7 @@ object SpanDedup {
   private[llm] def spanRemove(docsRaw: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val docs = docWords(docsRaw)
-    val posGrams = posGramsOf(docs)
+    val posGrams = posGramsOf(docs, SpanN)
     val dupKeep = posGrams
       .groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
@@ -126,9 +132,16 @@ object SpanDedup {
       .join(dupKeep, Seq("gh"))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("pos"), (col("pos") + (SpanN - 1)).as("end_pos"))
-    // removal spans are disjoint maximal islands, so each position is cut
-    // at most once and kept_words = n_words − Σ(e − s + 1) by construction
-    val perDocSpans = islandsOf(hits)
+    cutAndEmit(docs, islandsOf(hits))
+  }
+
+  /** Cut the (disjoint, island-merged) removal spans out of each doc and
+    * emit counts + reassembled text. Map-side: each doc meets only its own
+    * small span list (broadcast-size per row), positions are cut at most
+    * once, so kept_words = n_words − Σ(e − s + 1) by construction. */
+  private def cutAndEmit(docs: org.apache.spark.sql.DataFrame,
+      spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perDocSpans = spans
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
     docs
@@ -141,6 +154,72 @@ object SpanDedup {
         (size(col("ws")) - size(col("kept"))).cast("long").as("removed_words"),
         size(col("kept")).cast("long").as("kept_words"),
         array_join(expr("transform(kept, p -> p.w)"), " ").as("cleaned_text"))
+  }
+
+  /** INTRA-document repetition removal — the within-doc twin of
+    * [[spanRemove]] (Gopher-style repetition curation): a position is a
+    * cut hit when its [[IntraN]]-gram already occurred EARLIER in the same
+    * document (the first occurrence keeps). Everything is doc-keyed — the
+    * (doc, gram) first-occurrence window and the island merge both
+    * partition by document, so the operator needs NO corpus-wide shuffle
+    * key at all: at 100 TB it repartitions by doc_id once and every later
+    * stage is partition-local. */
+  private[llm] def spanIntradoc(docsRaw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = docWords(docsRaw)
+    val posGrams = posGramsOf(docs, IntraN)
+    val byDocGram = Window.partitionBy(col("doc_id"), col("gh"))
+    val hits = posGrams
+      .withColumn("minpos", min(col("pos")).over(byDocGram))
+      .filter(col("pos") > col("minpos"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (IntraN - 1)).as("end_pos"))
+    cutAndEmit(docs, islandsOf(hits))
+  }
+
+  /** Oracle CTE tail shared by both removal queries: island merge of a
+    * `hits(doc_id, pos, end_pos)` CTE, position anti-join reassembly over
+    * `t(doc_id, ws)`, final per-doc counts + cleaned text. */
+  private val removalSqlTail: String =
+    s"""flagged AS (
+       |  SELECT doc_id, pos, end_pos,
+       |    CASE WHEN pos > COALESCE(MAX(end_pos) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS new_span
+       |  FROM hits),
+       |islands AS (
+       |  SELECT doc_id, pos, end_pos,
+       |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM flagged),
+       |spans AS (
+       |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(end_pos) AS e
+       |  FROM islands GROUP BY 1, 2),
+       |posw AS (
+       |  SELECT doc_id, i AS pos, ws[i] AS w
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM t)),
+       |cut AS (
+       |  SELECT p.doc_id, p.pos FROM posw p
+       |  JOIN spans sp ON p.doc_id = sp.doc_id AND p.pos BETWEEN sp.s AND sp.e),
+       |kept AS (SELECT p.* FROM posw p ANTI JOIN cut c USING (doc_id, pos)),
+       |cleaned AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_words,
+       |    string_agg(w, ' ' ORDER BY pos) AS cleaned_text
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(ws) AS BIGINT) - COALESCE(kept_words, 0) AS removed_words,
+       |  COALESCE(kept_words, 0) AS kept_words,
+       |  COALESCE(cleaned_text, '') AS cleaned_text
+       |FROM t LEFT JOIN cleaned USING (doc_id)""".stripMargin
+
+  private def posGramsSql(n: Int): String = {
+    val g = h64Sql(s"array_to_string(list_slice(ws, i, i + ${n - 1}), ' ')")
+    s"""t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |pg AS (
+       |  SELECT doc_id, i AS pos, $g AS gh
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS i
+       |        FROM t WHERE len(ws) >= $n))""".stripMargin
   }
 
   val all: Seq[GraftQuery] = Seq(
@@ -194,50 +273,28 @@ object SpanDedup {
     // by position anti-join + ordered string_agg — same word sequence as
     // the engine's map-side array filter, compared verbatim (so the hash
     // gate covers the reassembled TEXT, not just the counts).
-    q("dedup_span_remove", {
-      val g = h64Sql(s"array_to_string(list_slice(ws, i, i + ${SpanN - 1}), ' ')")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |pg AS (
-         |  SELECT doc_id, i AS pos, $g AS gh
-         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${SpanN - 1})) AS i
-         |        FROM t WHERE len(ws) >= $SpanN)),
+    q("dedup_span_remove",
+      s"""WITH ${posGramsSql(SpanN)},
          |dup AS (
          |  SELECT gh, MIN(doc_id) AS keeper FROM pg
          |  GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
          |hits AS (
          |  SELECT pg.doc_id, pos, pos + ${SpanN - 1} AS end_pos
          |  FROM pg JOIN dup USING (gh) WHERE pg.doc_id <> dup.keeper),
-         |flagged AS (
-         |  SELECT doc_id, pos, end_pos,
-         |    CASE WHEN pos > COALESCE(MAX(end_pos) OVER (
-         |        PARTITION BY doc_id ORDER BY pos
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-         |      THEN 1 ELSE 0 END AS new_span
-         |  FROM hits),
-         |islands AS (
-         |  SELECT doc_id, pos, end_pos,
-         |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-         |  FROM flagged),
-         |spans AS (
-         |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(end_pos) AS e
-         |  FROM islands GROUP BY 1, 2),
-         |posw AS (
-         |  SELECT doc_id, i AS pos, ws[i] AS w
-         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM t)),
-         |cut AS (
-         |  SELECT p.doc_id, p.pos FROM posw p
-         |  JOIN spans sp ON p.doc_id = sp.doc_id AND p.pos BETWEEN sp.s AND sp.e),
-         |kept AS (SELECT p.* FROM posw p ANTI JOIN cut c USING (doc_id, pos)),
-         |cleaned AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_words,
-         |    string_agg(w, ' ' ORDER BY pos) AS cleaned_text
-         |  FROM kept GROUP BY 1)
-         |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-         |  CAST(len(ws) AS BIGINT) - COALESCE(kept_words, 0) AS removed_words,
-         |  COALESCE(kept_words, 0) AS kept_words,
-         |  COALESCE(cleaned_text, '') AS cleaned_text
-         |FROM t LEFT JOIN cleaned USING (doc_id)""".stripMargin
-    }) { (s, d) => spanRemove(Tables.documentsParallel(s, d)) })
+         |$removalSqlTail""".stripMargin
+    ) { (s, d) => spanRemove(Tables.documentsParallel(s, d)) },
+
+    // ---- INTRA-doc repetition removal (Gopher-style): cut every later
+    // occurrence of a trigram already seen in the same document, then
+    // island-merge and reassemble — the within-doc twin of
+    // dedup_span_remove, entirely doc-keyed (no corpus-wide shuffle key).
+    q("dedup_span_intradoc",
+      s"""WITH ${posGramsSql(IntraN)},
+         |firsts AS (
+         |  SELECT doc_id, gh, MIN(pos) AS minpos FROM pg GROUP BY 1, 2),
+         |hits AS (
+         |  SELECT pg.doc_id, pos, pos + ${IntraN - 1} AS end_pos
+         |  FROM pg JOIN firsts USING (doc_id, gh) WHERE pos > minpos),
+         |$removalSqlTail""".stripMargin
+    ) { (s, d) => spanIntradoc(Tables.documentsParallel(s, d)) })
 }

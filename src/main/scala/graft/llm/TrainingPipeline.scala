@@ -164,6 +164,43 @@ object TrainingPipeline {
         .filter(col("rn") <= 15).drop("rn")
     },
 
+    // ---- CONSISTENT-HASH sampling: each doc flips a deterministic coin
+    // (hash of its identity) against its source's keep-rate — the
+    // shuffle-free sampling workhorse of repeated pipeline runs: verdicts
+    // are stable across runs/partitionings/machines, a rate change only
+    // flips docs whose coin sits between old and new rate (no global
+    // reshuffle of the sample), and the filter is pure map-side (the
+    // per-source rate table is a tiny agg broadcast back). Contrast with
+    // sample_cap_per_source's per-source ranking window, which must
+    // shuffle by source; this op touches no corpus-wide key at all.
+    q("sample_consistent_hash",
+      s"""WITH rates AS (
+         |  SELECT source,
+         |    ${TextHash.h64Sql("source || ':rate:v1'")} % 500001 + 100000 AS keep_ppm
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |coins AS (
+         |  SELECT doc_id, source,
+         |    ${TextHash.h64Sql("CAST(doc_id AS VARCHAR) || ':' || source")} % 1000000 AS coin
+         |  FROM documents)
+         |SELECT c.doc_id, c.source, CAST(r.keep_ppm AS BIGINT) AS keep_ppm,
+         |  CAST(c.coin AS BIGINT) AS coin
+         |FROM coins c JOIN rates r USING (source)
+         |WHERE c.coin < r.keep_ppm""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      // per-source keep rates in [100000, 600000] ppm, themselves derived
+      // by hash so the query is self-contained and fully deterministic
+      val rates = docs.select(col("source")).distinct()
+        .withColumn("keep_ppm",
+          pmod(TextHash.h64(concat(col("source"), lit(":rate:v1"))), lit(500001L)) + 100000L)
+      docs
+        .withColumn("coin",
+          pmod(TextHash.h64(concat(col("doc_id").cast("string"), lit(":"), col("source"))),
+            lit(1000000L)))
+        .join(broadcast(rates), Seq("source"))
+        .filter(col("coin") < col("keep_ppm"))
+        .select(col("doc_id"), col("source"), col("keep_ppm"), col("coin"))
+    },
+
     // ---- systematic sampling PROPORTIONAL TO SIZE (PPS): K = 50 evenly
     // spaced token positions over the corpus prefix-sum line; a doc is
     // drawn once per sample point inside its cumulative-token interval,

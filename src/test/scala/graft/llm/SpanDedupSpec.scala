@@ -79,6 +79,31 @@ class SpanDedupSpec extends SparkSpec {
     assert(SpanDedup.spanReport(clean).agg(sum(col("n_spans"))).head.getLong(0) === 0L)
   }
 
+  test("intra-doc removal: later trigram repeats are cut, overlapping chatter merges") {
+    val docs = Seq(
+      (1L, "a b c x y z a b c q"), // "a b c" repeats at pos 7 -> cut [7,9]
+      (2L, "a a a a a"),           // trigram "a a a" at 1,2,3 -> cut [2,5]
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val out = SpanDedup.spanIntradoc(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((3L, 7L, "a b c x y z q")))
+    assert(out(2L) === ((4L, 1L, "a")))
+    assert(out(3L) === ((0L, 8L, "p q r s t u v w")))
+  }
+
+  test("centroid outliers: flag recomputes from cosine; every vector scored once") {
+    val rows = run("emb_centroid_outliers").collect()
+    val n = graft.ops.Tables.embeddings(spark, sf0001).count()
+    assert(rows.length.toLong === n, "one row per vector")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) === (r.getDouble(2) < 0.0))
+      assert(r.getDouble(2) >= -1.0 - 1e-12 && r.getDouble(2) <= 1.0 + 1e-12)
+    }
+    // sanity: most vectors sit near their own label's centroid
+    val outliers = rows.count(_.getBoolean(3))
+    assert(outliers < rows.length / 2, s"$outliers of ${rows.length} flagged")
+  }
+
   test("hybrid RRF: fusion is exactly the floor-sum of the leg reciprocals") {
     val rows = run("search_hybrid_rrf").collect()
     assert(rows.length === 10)
