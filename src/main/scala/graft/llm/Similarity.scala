@@ -260,7 +260,46 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
         .filter(col("rank") <= 5)
     }
-  ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+ centroidOutlierQuery
+  ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+
+    centroidOutlierQuery :+ semanticKeepQuery
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication end-to-end —
+    * embedding near-dup PAIRS (the banded multi-probe LSH, [[lshPairs]])
+    * resolved into connected components ([[Dedup.clusterLabels]] min-label
+    * propagation — same machinery as the text-side cluster queries), one
+    * keeper per semantic cluster (the min vec_id), singletons keep
+    * themselves. This is the operator that turns a pair list into an
+    * actionable keep/drop verdict per vector; at 100 TB the pair graph is
+    * ≪ corpus (only verified ≥τ pairs), so the iterative label frame the
+    * rounds shuffle is tiny even when the corpus is not. */
+  lazy val semanticKeepQuery: GraftQuery =
+    q("dedup_semantic_keep",
+      s"""WITH RECURSIVE $lshPairsSqlCtes,
+         |edges AS (
+         |  SELECT v1 AS src, v2 AS dst FROM epairs
+         |  UNION ALL SELECT v2, v1 FROM epairs),
+         |reach(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         |labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+         |labeled AS (
+         |  SELECT q.vec_id, COALESCE(l.label, q.vec_id) AS cluster_keeper
+         |  FROM qn q LEFT JOIN labels l ON q.vec_id = l.node)
+         |SELECT vec_id, CAST(cluster_keeper AS BIGINT) AS cluster_keeper,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_keeper) AS BIGINT) AS cluster_size,
+         |  vec_id = cluster_keeper AS keep
+         |FROM labeled""".stripMargin) { (s, d) =>
+      val pairs = lshPairs(s, d).select(col("v1").as("d1"), col("v2").as("d2"))
+      val labels = Dedup.clusterLabels(pairs)
+      val w = Window.partitionBy(col("cluster_keeper"))
+      quantized(s, d).select(col("vec_id"))
+        .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_keeper"))
+        .select(col("vec_id"), col("cluster_keeper"),
+          count(lit(1)).over(w).cast("long").as("cluster_size"),
+          (col("vec_id") === col("cluster_keeper")).as("keep"))
+    }
 
   /** Embedding-space OUTLIER filter: each vector's cosine to its own
     * label's centroid, flagged when it falls below threshold — the "drop
@@ -425,32 +464,47 @@ object Similarity {
     * 5-key multi-probe — steady-state runtime unchanged (~2.3 s sf0.1;
     * the 5× probe rows offset the 2× smaller buckets) and recall lost a
     * pair at sf0.01 (59 → 58). The 8×3-bit / 4-probe geometry stands. */
+  /** Oracle CTE chain ending in `epairs(v1, v2)` — the verified ≥0.4-cosine
+    * near-dup pair set of the banded multi-probe LSH (shared by
+    * `dedup_embedding_lsh` and the SemDeDup cluster query). */
+  private lazy val lshPairsSqlCtes: String = {
+    val bandSelects = (0 until DedupBands).map { t =>
+      val keySql = (0 until DedupBits).map { r =>
+        val lit = dedupPlanes(t * DedupBits + r).mkString("[", ", ", "]")
+        s"(CASE WHEN CAST(list_sum(list_transform(list_zip(qv, $lit), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS band, $keySql AS key FROM qn"
+    }.mkString("\n  UNION ALL ")
+    s"""$quantizedSql,
+       |bands AS (
+       |  $bandSelects),
+       |probes AS (
+       |  SELECT vec_id, band, xor(key, f.flip) AS key
+       |  FROM bands, (SELECT unnest([0, 1, 2, 4]) AS flip) f),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+       |  FROM probes x JOIN bands y ON x.band = y.band AND x.key = y.key
+       |    AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT v1, v2,
+       |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+       |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+       |  FROM cand JOIN qn a ON v1 = a.vec_id JOIN qn b ON v2 = b.vec_id),
+       |epairs AS (SELECT v1, v2 FROM pairs WHERE cosine >= 0.4)""".stripMargin
+  }
+
   val dedupLshQuery: GraftQuery =
-    q("dedup_embedding_lsh", {
-      val bandSelects = (0 until DedupBands).map { t =>
-        val keySql = (0 until DedupBits).map { r =>
-          val lit = dedupPlanes(t * DedupBits + r).mkString("[", ", ", "]")
-          s"(CASE WHEN CAST(list_sum(list_transform(list_zip(qv, $lit), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1 << r} ELSE 0 END)"
-        }.mkString(" + ")
-        s"SELECT vec_id, $t AS band, $keySql AS key FROM qn"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $quantizedSql,
-         |bands AS (
-         |  $bandSelects),
-         |probes AS (
-         |  SELECT vec_id, band, xor(key, f.flip) AS key
-         |  FROM bands, (SELECT unnest([0, 1, 2, 4]) AS flip) f),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
-         |  FROM probes x JOIN bands y ON x.band = y.band AND x.key = y.key
-         |    AND x.vec_id < y.vec_id),
-         |pairs AS (
-         |  SELECT v1, v2,
-         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
-         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
-         |  FROM cand JOIN qn a ON v1 = a.vec_id JOIN qn b ON v2 = b.vec_id)
-         |SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin
-    }) { (s, d) =>
+    q("dedup_embedding_lsh",
+      s"""WITH $lshPairsSqlCtes,
+         |out AS (
+         |  SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.4)
+         |SELECT v1, v2, cosine FROM out""".stripMargin
+    ) { (s, d) => lshPairs(s, d) }
+
+  /** The verified ≥0.4-cosine near-dup pairs (v1, v2, cosine) of the banded
+    * multi-probe LSH — the Spark twin of [[lshPairsSqlCtes]], shared by
+    * `dedup_embedding_lsh` and the SemDeDup cluster query. */
+  private[llm] def lshPairs(s: SparkSession, d: String): DataFrame = {
       val qe = quantized(s, d)
       // ONE fused pass over qv for all 24 plane signs; band keys are bit
       // slices of the mask — value-identical to the 24 per-plane dots
