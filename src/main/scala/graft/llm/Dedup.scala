@@ -318,6 +318,56 @@ object Dedup {
         .filter(col("jaccard") >= 0.8)
     },
 
+    // ---- CONTAINMENT near-dup pairs: the ASYMMETRIC set metric
+    // C(A→B) = |A∩B| / |A| — sub-document duplication Jaccard cannot see
+    // (a doc pasted inside a much larger one scores high containment but
+    // low Jaccard because the union is dominated by B). Candidates use the
+    // A-side prefix filter only (containment ≥ τ needs ≥ ⌈τ|A|⌉ shared
+    // tokens, so A's (|A| − ⌈τ|A|⌉ + 1)-token rarest-first prefix must hit
+    // B — lossless; there is deliberately NO length filter, B may be any
+    // size). Verification is the codegen'd sorted-merge intersection.
+    q("dedup_containment", {
+      val tau = 0.7
+      s"""WITH sh AS (${shinglesSql()}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS d_src, y.doc_id AS d_dst, COUNT(*) AS n_common
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+         |  GROUP BY 1, 2),
+         |cont AS (
+         |  SELECT d_src, d_dst, n_common * 1.0 / s.n AS containment
+         |  FROM inter JOIN sizes s ON d_src = s.doc_id)
+         |SELECT d_src, d_dst, containment FROM cont WHERE containment >= $tau""".stripMargin
+    }) { (s, d) =>
+      val tau = 0.7
+      val ds = Tables.documentsParallel(s, d)
+        .select(col("doc_id"),
+          sort_array(shingleHashArray(col("text"))).as("hs"))
+        .withColumn("n", size(col("hs")))
+        .localCheckpoint(eager = false)
+      val hs = ds.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      val freq = hs.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      val prefixA = hs
+        .join(freq, "h")
+        .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("f"), col("h"))))
+        .filter(col("r") <= col("n") - ceil(col("n") * tau) + 1)
+        .select(col("doc_id"), col("h"))
+      val cand = prefixA.as("x")
+        .join(hs.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("d_src"), col("y.doc_id").as("d_dst"))
+        .distinct()
+      cand
+        .join(ds.as("s1"), col("d_src") === col("s1.doc_id"))
+        .join(ds.as("s2"), col("d_dst") === col("s2.doc_id"))
+        .select(col("d_src"), col("d_dst"),
+          (graft.functions.SortedIntersectCount(col("s1.hs"), col("s2.hs")) * 1.0
+            / col("s1.n")).as("containment"))
+        .filter(col("containment") >= tau)
+    },
+
     // ---- MinHash + LSH: 32 signatures, 8 bands × 4 rows; candidates come
     // ONLY from band-bucket equality joins (the 100 TB path), then are
     // scored by signature agreement. The signature frame is cached — it

@@ -889,6 +889,33 @@ object Relational {
         .distinct()
     },
 
+    // ---- market-basket co-occurrence: part pairs bought together in the
+    // same order, with support counts — the classic association-mining
+    // primitive. Scale shape: the pair explosion is bounded per order key
+    // (an order has ≤ 7 lines, so ≤ 21 pairs), the self-join is
+    // co-partitioned on l_orderkey (ONE shuffle key end-to-end), and the
+    // support count is a map-side-combinable aggregate on the pair key —
+    // no unbounded fanout anywhere, which is what survives 100×.
+    q("j_market_basket_pairs",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS support
+        |FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      items.as("a")
+        .join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+    },
+
     // ---- P1/P5: projection + rename + predicate (pushed to parquet scan)
     q("p1_projection_filter",
       """SELECT p_partkey AS part_id, upper(p_brand) AS brand_uc, p_type, p_size, p_retailprice

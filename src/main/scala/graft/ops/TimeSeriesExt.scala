@@ -816,6 +816,67 @@ object TimeSeriesExt {
       seasonalDeviation(known)
     },
 
+    // ---- robust (median/MAD) anomaly detection: flag deltas more than
+    // 3 scaled-MAD from their meter's MEDIAN — w9's z-score family breaks
+    // when the anomalies themselves inflate the mean/stddev; median and
+    // MAD have a 50% breakdown point (the robust-statistics workhorse).
+    // Shape: two per-meter aggregates (median, then median of absolute
+    // deviations), each a tiny frame joined back on meter_id — no window
+    // over the corpus, exact-integer deltas, double arithmetic identical
+    // in both engines (quantile_cont interpolation over exactly
+    // representable longs). E12 guard: mad = 0 (a constant-delta meter)
+    // makes the score undefined — excluded in both engines.
+    q("w14_mad_anomaly", {
+      s"""WITH ${graft.meter.MeterSql.readingsCtes(50, 480)},
+         |deltas AS (
+         |  SELECT meter_id, reading_timestamp,
+         |    reading_consumption_milliwatts
+         |      - lag(reading_consumption_milliwatts) OVER (
+         |          PARTITION BY meter_id ORDER BY reading_timestamp) AS delta
+         |  FROM readings),
+         |known AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
+         |med AS (
+         |  SELECT meter_id, quantile_cont(delta, 0.5) AS med
+         |  FROM known GROUP BY 1),
+         |dev AS (
+         |  SELECT k.meter_id, k.reading_timestamp, k.delta, m.med,
+         |    ABS(k.delta - m.med) AS absdev
+         |  FROM known k JOIN med m USING (meter_id)),
+         |mad AS (
+         |  SELECT meter_id, quantile_cont(absdev, 0.5) AS mad
+         |  FROM dev GROUP BY 1)
+         |SELECT d.meter_id, d.reading_timestamp, CAST(d.delta AS BIGINT) AS delta,
+         |  d.med, md.mad,
+         |  d.absdev / (CAST(1.4826 AS DOUBLE) * md.mad) AS robust_score,
+         |  d.absdev > CAST(4.4478 AS DOUBLE) * md.mad AS is_anomaly
+         |FROM dev d JOIN mad md USING (meter_id)
+         |WHERE md.mad > 0""".stripMargin
+    }) { (s, _) =>
+      import graft.meter.MeterGen
+      val byMeter = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      val known = MeterGen.readings(s, 50, 480)
+        .select(col("meter_id"), col("reading_timestamp"),
+          (col("reading_consumption_milliwatts")
+            - lag(col("reading_consumption_milliwatts"), 1).over(byMeter)).as("delta"))
+        .filter(col("delta").isNotNull)
+      val med = known.groupBy(col("meter_id"))
+        .agg(median(col("delta")).as("med"))
+      val dev = known.join(med, Seq("meter_id"))
+        .withColumn("absdev", abs(col("delta") - col("med")))
+      val mad = dev.groupBy(col("meter_id"))
+        .agg(median(col("absdev")).as("mad"))
+      dev.join(mad, Seq("meter_id"))
+        // every scored row is emitted with its flag (w9's convention — the
+        // detector's score surface, not just the alarms); 4.4478 = 3 ×
+        // 1.4826 (the normal-consistency MAD scale), stated as ONE double
+        // literal in both engines so the products agree ulp-exact
+        .filter(col("mad") > 0)
+        .select(col("meter_id"), col("reading_timestamp"),
+          col("delta").cast("long").as("delta"), col("med"), col("mad"),
+          (col("absdev") / (lit(1.4826) * col("mad"))).as("robust_score"),
+          (col("absdev") > lit(4.4478) * col("mad")).as("is_anomaly"))
+    },
+
     // ---- A8: the init-time verification counts
     // (02_populate_dimensions.sql:97-125 DO block)
     q("a8_dim_verification", {
