@@ -89,7 +89,27 @@ object PlanReport {
     "q9_product_profit" ->
       "Star profit rollup: every join key is the fact's own FK (no re-shuffle between joins under AQE), dims are column-pruned before joining, only the fixed 25-row nation is hint-broadcast, and the profit metric is exact-integer so the final two-key agg is partial+final with no precision hazard.",
     "vecstore_probe_topk" ->
-      "The on-disk ANN index driven end-to-end: the index scan's PartitionFilters carries a dynamicpruning expression on the bucket partition column (fed by the broadcast query set), so only probed bucket DIRECTORIES are listed/read — at 100 TB the un-probed fraction of the corpus costs nothing. Ranking windows run per query id only.",
+      "The on-disk ANN index driven end-to-end with 1-bit MULTI-PROBE: the index scan's PartitionFilters carries a dynamicpruning expression on the bucket partition column (fed by the broadcast 9-probe-per-query set), so only probed bucket DIRECTORIES — 9 of 256 per query — are listed/read. Ranking windows run per query id only.",
+    "search_hybrid_rrf" ->
+      "Hybrid RRF after the r7 fix: BOTH retrieval legs cut to top-K through TakeOrderedAndProject (distributed per-partition heads) BEFORE any rank window — the windows now see only the two K-row candidate lists, and no Window node anywhere reads a corpus-sized frame.",
+    "dedup_span_remove" ->
+      "Span removal: ONE corpus shuffle (the gram-hash keeper aggregate); island merge is a per-doc window; the cut itself is a map-side array filter against each doc's collected span list — reassembly never joins the corpus against itself.",
+    "dedup_span_intradoc" ->
+      "Intra-doc repetition removal: every exchange is doc-keyed — the (doc, gram) first-occurrence window and the island window share the doc_id partitioning; no corpus-wide key exists in the plan at all.",
+    "emb_centroid_outliers" ->
+      "Centroid outlier filter: one 64-column map-side-combinable aggregate builds the per-label centroids, which BROADCAST back for the map-side cosine — the corpus never shuffles.",
+    "sample_consistent_hash" ->
+      "Consistent-hash sampling: the per-source rate table is a tiny distinct-aggregate broadcast back; the keep decision is a pure map-side hash comparison — zero corpus-wide shuffle, verdicts independent of partitioning.",
+    "dedup_semantic_keep" ->
+      "SemDeDup: the banded LSH pair graph (≪ corpus — verified pairs only) feeds min-label propagation whose per-round frames are label-sized; the corpus appears once, in the final left join attaching verdicts.",
+    "dedup_containment" ->
+      "Asymmetric containment: A-side rarest-first prefix filter only (no length filter — the container may be any size), candidates from one hash equi-join, codegen'd sorted-merge verification.",
+    "w14_mad_anomaly" ->
+      "Median/MAD robust scoring: two per-meter aggregates joined back on meter_id — no window over the corpus; the score and flag evaluate in the final projection's codegen stage.",
+    "j_market_basket_pairs" ->
+      "Market basket: pair generation bounded per order key (≤21 pairs/order), the self-join co-partitioned on l_orderkey, support a map-side-combinable count on the pair key.",
+    "meter_billing_daily_incremental" ->
+      "Incremental mart maintenance: the day-2 rebuild aggregates ONLY the delta slice (staging filtered by date) and dynamic partition overwrite rewrites exactly one billing_date directory — the read-back plan scans both partitions as a plain pruned parquet scan.",
     "bpe_tokenize" ->
       "BPE learn+apply: ONE corpus-wide pass (the word-frequency agg); every unrolled round then folds over the vocab-sized frame with a 1-row broadcast merge rule — localCheckpoint truncates round lineage, so the plan shown is the final round's short chain, not rounds 1..K replayed.")
 
