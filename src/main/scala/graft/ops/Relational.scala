@@ -916,6 +916,62 @@ object Relational {
         .filter(col("support") >= 2)
     },
 
+    // ---- Pareto / ABC classification: parts ranked by revenue with their
+    // CUMULATIVE revenue share, classed A (top 80%), B (to 95%), C (rest).
+    // The global running sum is computed WITHOUT a global single-task
+    // window: parts bucket into revenue BANDS (value div (max/32), a 1-row
+    // broadcast max — deterministic, unlike sampled range partitioning),
+    // each band runs its own ordered window, and the 33-row band-total
+    // frame supplies cross-band offsets — the banded two-level prefix sum,
+    // the same discipline as the PPS sampler's chunked prefix. All BIGINT:
+    // cumulative share is ppm floor division, so the class boundaries are
+    // exact in both engines.
+    q("a_pareto_abc",
+      """WITH rev AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total FROM rev),
+        |c AS (
+        |  SELECT l_partkey, revenue_cents,
+        |    SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev)
+        |SELECT l_partkey, revenue_cents,
+        |  CAST(cum * 1000000 // total AS BIGINT) AS cum_share_ppm,
+        |  CASE WHEN cum * 1000000 // total <= 800000 THEN 'A'
+        |       WHEN cum * 1000000 // total <= 950000 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(Tables.cents(col("l_extendedprice"))).as("revenue_cents"))
+      val stats = rev.agg(sum(col("revenue_cents")).as("total"),
+        max(col("revenue_cents")).as("maxrev"))
+      // deterministic band = revenue div ceil(max/32): band 0 holds the
+      // largest revenues; within-band windows order by (revenue desc, key)
+      val banded = rev.crossJoin(broadcast(stats))
+        .withColumn("band", expr("32 - (revenue_cents div ((maxrev + 31) div 32))"))
+      val inBand = Window.partitionBy(col("band"))
+        .orderBy(col("revenue_cents").desc, col("l_partkey"))
+      val bandTotals = banded.groupBy(col("band"))
+        .agg(sum(col("revenue_cents")).as("band_sum"))
+      val offsets = bandTotals
+        .withColumn("offset",
+          coalesce(sum(col("band_sum")).over(
+            Window.partitionBy(pmod(col("band"), lit(1))).orderBy(col("band"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("band"), col("offset"))
+      banded
+        .withColumn("local_cum", sum(col("revenue_cents")).over(inBand))
+        .join(broadcast(offsets), Seq("band"))
+        .withColumn("cum", col("local_cum") + col("offset"))
+        .withColumn("cum_share_ppm", expr("cum * 1000000 div total"))
+        .select(col("l_partkey"), col("revenue_cents"), col("cum_share_ppm"),
+          when(col("cum_share_ppm") <= 800000, "A")
+            .when(col("cum_share_ppm") <= 950000, "B")
+            .otherwise("C").as("abc_class"))
+    },
+
     // ---- P1/P5: projection + rename + predicate (pushed to parquet scan)
     q("p1_projection_filter",
       """SELECT p_partkey AS part_id, upper(p_brand) AS brand_uc, p_type, p_size, p_retailprice
