@@ -212,17 +212,36 @@ object Dedup {
       // (band width K+1 ⇒ |len diff| ≤ K pairs are in adjacent bands; the
       // probe side explodes to 3 band keys, each pair matches exactly once
       // against the build side's own band)
+      // each short doc also carries its SORTED char-code array: the q=1
+      // twin of the shingle count filter (lev ≤ K ⇒ shared char
+      // OCCURRENCES ≥ max(len1, len2) − K — one edit disturbs one
+      // occurrence), evaluated as the same codegen'd merge walk. The band
+      // join enumerates ~100K pairs; this lossless bound kills almost all
+      // of them before the O(n²) DP ever runs.
       val short = sizes.filter(col("n") <= kq)
-        .join(docs.select(col("doc_id"), length(col("text")).as("ln")), Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("text"), length(col("text")).as("ln")), Seq("doc_id"))
         .withColumn("band", expr(s"ln div ${EditK + 1}"))
+        .withColumn("ca", expr(
+          "sort_array(transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)))"))
       val shortPairs = short
-        .select(col("doc_id").as("d1"), col("ln").as("ln1"),
+        .select(col("doc_id").as("d1"), col("ln").as("ln1"), col("ca").as("ca1"),
           explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-        .join(short.select(col("doc_id").as("d2"), col("ln").as("ln2"), col("band")),
-          Seq("band"))
-        .filter(col("d1") < col("d2") && abs(col("ln1") - col("ln2")) <= EditK)
+        .join(short.select(col("doc_id").as("d2"), col("ln").as("ln2"),
+          col("ca").as("ca2"), col("band")), Seq("band"))
+        .filter(col("d1") < col("d2") && abs(col("ln1") - col("ln2")) <= EditK &&
+          graft.functions.SortedIntersectCount(col("ca1"), col("ca2"))
+            >= greatest(col("ln1"), col("ln2")) - EditK)
         .select(col("d1"), col("d2"))
+      // RE-WIDEN before the DP: the distinct's output is ~2 MB of id
+      // pairs, which AQE (correctly, by size) coalesces to one partition —
+      // but each row then costs an O(|s1|·|s2|) levenshtein, so the whole
+      // verification stage ran on ONE core (measured: 61 cpu-s at 3.2
+      // cores busy = 19 s; re-widened: the same cpu across all cores).
+      // Size-based coalescing is blind to compute-heavy projections — the
+      // explicit repartition re-states the parallelism for pennies (one
+      // tiny shuffle of id pairs).
       cand.union(shortPairs).distinct()
+        .repartition(s.sparkContext.defaultParallelism)
         .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
         .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
         .select(col("d1"), col("d2"),
