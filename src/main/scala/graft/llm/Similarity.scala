@@ -261,7 +261,54 @@ object Similarity {
         .filter(col("rank") <= 5)
     }
   ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+
-    centroidOutlierQuery :+ semanticKeepQuery
+    centroidOutlierQuery :+ semanticKeepQuery :+ lshRecallEvalQuery
+
+  /** Retrieval-quality EVALUATION as a first-class query: the banded
+    * multi-probe LSH pair set scored against the exact all-pairs ground
+    * truth — one row of exact-integer counts and ppm precision/recall.
+    * The quality numbers the spec suite asserts become part of the
+    * oracle-checked surface itself (both engines must agree on the exact
+    * confusion counts, not just on the pair lists). LSH is verified
+    * (precision 1.0 by construction — every reported pair passed the
+    * exact cosine) so n_lsh = n_common always; the query still computes
+    * both sides from first principles rather than assuming it. */
+  lazy val lshRecallEvalQuery: GraftQuery =
+    q("dedup_lsh_recall_eval",
+      s"""WITH $lshPairsSqlCtes,
+         |truth AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+         |  WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.4),
+         |m AS (
+         |  SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM epairs) AS n_lsh,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM epairs e
+         |       JOIN truth t ON e.v1 = t.v1 AND e.v2 = t.v2) AS n_common)
+         |SELECT n_truth, n_lsh, n_common,
+         |  n_common * 1000000 // n_truth AS recall_ppm,
+         |  n_common * 1000000 // n_lsh AS precision_ppm
+         |FROM m""".stripMargin) { (s, d) =>
+      val qe = quantized(s, d)
+      val truth = qe.as("a")
+        .join(broadcast(qe.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .filter((dot("a.qv", "b.qv").cast("double")
+          / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+          >= 0.4)
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .localCheckpoint(eager = false)
+      val lsh = lshPairs(s, d).select(col("v1"), col("v2"))
+        .localCheckpoint(eager = false)
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nCommon = lsh.join(truth, Seq("v1", "v2"))
+        .agg(count(lit(1)).as("n_common"))
+      nTruth.crossJoin(broadcast(nLsh)).crossJoin(broadcast(nCommon))
+        .select(col("n_truth"), col("n_lsh"), col("n_common"),
+          expr("n_common * 1000000 div n_truth").as("recall_ppm"),
+          expr("n_common * 1000000 div n_lsh").as("precision_ppm"))
+    }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication end-to-end —
     * embedding near-dup PAIRS (the banded multi-probe LSH, [[lshPairs]])
