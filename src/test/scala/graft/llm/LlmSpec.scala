@@ -23,6 +23,31 @@ class LlmSpec extends SparkSpec {
     assert(out.filter(col("is_dup")).select("doc_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("containment finds a doc pasted inside a 4x larger one; Jaccard cannot") {
+    // A's every 14-char shingle is a substring of B (A appears verbatim),
+    // so containment(A→B) = 1.0; the union is dominated by B, so
+    // jaccard(A,B) ≈ |A|/|B| ≪ 0.8 — the asymmetric metric's whole point
+    val a = "the quick brown fox jumps over the lazy dog while it rains"
+    val filler1 = (1 to 12).map(i => s"pad$i").mkString(" ")
+    val filler2 = (1 to 12).map(i => s"tail$i").mkString(" ")
+    val docs = Seq(
+      (1L, a),
+      (2L, s"$filler1 $a $filler2"),
+      (3L, "completely unrelated content with no shared runs at all here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (s, d2, c) => s == 1L && d2 == 2L && c == 1.0 },
+      s"expected (1 contained-in 2) at 1.0, got ${out.mkString(", ")}")
+    assert(!out.exists { case (s, d2, _) => s == 2L && d2 == 1L },
+      "the large doc must NOT count as contained in the small one")
+    val jac = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect()
+    assert(jac.isEmpty, "symmetric Jaccard >= 0.8 must not fire on this pair")
+  }
+
   test("minhash-LSH candidates cover all high-Jaccard pairs (recall vs ground truth)") {
     val lsh = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, sf0001)
       .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
