@@ -81,7 +81,7 @@ object PlanReport {
     "search_bm25_topk" ->
       "Ranked retrieval: the broadcast term filter prunes postings before the tf aggregate; df/avgdl are tiny broadcast aggregates; the head is TakeOrderedAndProject — no global sort, no window.",
     "dedup_edit_distance" ->
-      "Lossless q-gram count filter: candidates from one shingle-hash equi-join + count bound, plus the short-doc length-band equi-join (no nested loop); the exact levenshtein evaluates only on the few hundred survivors.",
+      "Lossless q-gram count filter: candidates from one shingle-hash equi-join + count bound, plus the short-doc length-band equi-join with a q=1 char-count prune (no nested loop). Note the explicit round-robin Exchange before the verification joins: AQE's size-based coalescing would fold the ~2 MB id-pair frame to ONE partition and serialize the O(n²) levenshtein — the repartition re-states parallelism where the projection, not the data, is the cost.",
     "q21_suppliers_who_kept_orders_waiting" ->
       "The classic EXISTS/NOT-EXISTS self-decorrelation: lineitem joins F-orders once, the per-order supplier profile is a two-level agg on the order key, and both correlated predicates collapse to n_supp/n_late_supp comparisons — the fact is scanned once per role, nation broadcasts, the head is TakeOrderedAndProject.",
     "q2_min_cost_supplier" ->

@@ -140,6 +140,57 @@ object Dedup {
     labels
   }
 
+  /** Large-star/small-star connected components (Kiveris et al., SoCC
+    * 2014) → (node, label): the O(log n)-round contraction that replaces
+    * [[clusterLabels]]' O(diameter) min-label rounds on high-diameter
+    * graphs (the 0.4-threshold embedding pair graph measures diameter 16
+    * at sf0.1 — propagation pays 16 rounds, the stars ~5). Every node of
+    * the pair graph is labeled with its component min; each operation is
+    * one groupBy + one join, no windows, no driver-side graph. Shared by
+    * `dedup_clusters_star` and the SemDeDup query. */
+  private[llm] def clusterLabelsStar(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // symmetric neighbor lists with u's component-min candidate
+    def withMin(e: org.apache.spark.sql.DataFrame) = {
+      val sym = e.filter(col("u") =!= col("v"))
+        .union(e.filter(col("u") =!= col("v")).select(col("v"), col("u")))
+        .distinct()
+      sym.join(
+        sym.groupBy(col("u")).agg(min(col("v")).as("mv")), "u")
+        .withColumn("m", least(col("mv"), col("u")))
+    }
+    // large-star: (v, m) for every neighbor v > u
+    def largeStar(e: org.apache.spark.sql.DataFrame) =
+      withMin(e).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    // small-star: m over the ≤-neighborhood; (v, m) for those v plus u
+    def smallStar(e: org.apache.spark.sql.DataFrame) = {
+      val sym = e.filter(col("u") =!= col("v"))
+        .union(e.filter(col("u") =!= col("v")).select(col("v"), col("u")))
+        .distinct()
+      val small = sym.filter(col("v") < col("u"))
+      val m = small.groupBy(col("u")).agg(min(col("v")).as("m"))
+      small.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m")))
+        .distinct()
+    }
+    var edges = pairs.toDF("u", "v").localCheckpoint(eager = false)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      changed = next.except(edges).count() + edges.except(next).count()
+      edges = next
+      rounds += 1
+    }
+    // converged: edges are (node → component-min) stars; roots self-label
+    edges.select(col("u").as("node"), col("v").as("label"))
+      .union(edges.select(col("v"), col("v")).distinct())
+      .distinct()
+  }
+
   val all: Seq[GraftQuery] = Seq(
     // ---- edit-distance near-dup pairs: the STRING-METRIC verifier of the
     // dedup family (Jaccard/MinHash see bags of shingles; Levenshtein sees
@@ -459,51 +510,14 @@ object Dedup {
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_keeper) AS BIGINT) AS cluster_size,
          |  doc_id <> cluster_keeper AS is_duplicate
          |FROM labeled""".stripMargin) { (s, d) =>
-      val pairs = minhashPairs(Tables.documentsParallel(s, d))
-        .select(col("d1"), col("d2"))
-      // symmetric neighbor lists with u's component-min candidate
-      def withMin(e: org.apache.spark.sql.DataFrame) = {
-        val sym = e.filter(col("u") =!= col("v"))
-          .union(e.filter(col("u") =!= col("v")).select(col("v"), col("u")))
-          .distinct()
-        sym.join(
-          sym.groupBy(col("u")).agg(min(col("v")).as("mv")), "u")
-          .withColumn("m", least(col("mv"), col("u")))
-      }
-      // large-star: (v, m) for every neighbor v > u
-      def largeStar(e: org.apache.spark.sql.DataFrame) =
-        withMin(e).filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .distinct()
-      // small-star: m over the ≤-neighborhood; (v, m) for those v plus u
-      def smallStar(e: org.apache.spark.sql.DataFrame) = {
-        val sym = e.filter(col("u") =!= col("v"))
-          .union(e.filter(col("u") =!= col("v")).select(col("v"), col("u")))
-          .distinct()
-        val small = sym.filter(col("v") < col("u"))
-        val m = small.groupBy(col("u")).agg(min(col("v")).as("m"))
-        small.join(m, "u")
-          .select(col("v").as("u"), col("m").as("v"))
-          .union(m.select(col("u"), col("m")))
-          .distinct()
-      }
-      var edges = pairs.select(col("d1").as("u"), col("d2").as("v")).localCheckpoint(eager = false)
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 30) {
-        val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
-        changed = next.except(edges).count() + edges.except(next).count()
-        edges = next
-        rounds += 1
-      }
-      // converged: edges are (node → component-min) stars; roots self-label
-      val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_keeper"))
-        .union(edges.select(col("v"), col("v")).distinct())
-        .distinct()
+      val labels = clusterLabelsStar(
+        minhashPairs(Tables.documentsParallel(s, d)).select(col("d1"), col("d2")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_keeper"))
-      labels.select(col("doc_id"), col("cluster_keeper"),
-        count(lit(1)).over(w).as("cluster_size"),
-        (col("doc_id") =!= col("cluster_keeper")).as("is_duplicate"))
+      labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_keeper"))
+        .select(col("doc_id"), col("cluster_keeper"),
+          count(lit(1)).over(w).as("cluster_size"),
+          (col("doc_id") =!= col("cluster_keeper")).as("is_duplicate"))
     },
 
     // ---- keeper SELECTION POLICY: min-doc_id keeps an arbitrary cluster
