@@ -261,7 +261,34 @@ object Similarity {
         .filter(col("rank") <= 5)
     }
   ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+
-    centroidOutlierQuery :+ semanticKeepQuery :+ lshRecallEvalQuery
+    centroidOutlierQuery :+ semanticKeepQuery :+ lshRecallEvalQuery :+
+    cosineHistogramQuery
+
+  /** Threshold-sensitivity evidence: the all-pairs cosine distribution in
+    * 0.05-wide bins — the table a curator reads before picking τ (how many
+    * pairs a given dedup threshold sweeps in, and how sharply the tail
+    * decays). Verification-scale all-pairs (the same broadcast-bounded
+    * BNLJ as the exact ground truth); the histogram itself is a tiny
+    * map-side-combinable aggregate. */
+  lazy val cosineHistogramQuery: GraftQuery =
+    q("emb_cosine_histogram",
+      s"""WITH $quantizedSql,
+         |pairs AS (
+         |  SELECT CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+         |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id)
+         |SELECT CAST(floor(cosine * 20) AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pairs GROUP BY 1""".stripMargin) { (s, d) =>
+      val qe = quantized(s, d)
+      qe.as("a").join(broadcast(qe.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select((dot("a.qv", "b.qv").cast("double")
+          / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+          .as("cosine"))
+        .select(floor(col("cosine") * 20).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }
 
   /** Retrieval-quality EVALUATION as a first-class query: the banded
     * multi-probe LSH pair set scored against the exact all-pairs ground

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 /** Streaming version of the hourly grid-load mart (SURVEY.md §2.8 ST7
   * extension): instead of the reference's full-refresh batch rebuild
@@ -168,4 +169,46 @@ object StreamingMarts {
             / col("total_reading_count").cast("double") * 100)
           .otherwise(0.0).as("data_quality_pct"))
   }
+
+  /** The production loop CLOSED ON DISK: exactly-once bronze landing
+    * ([[Ingest.idempotentAppend]]) plus PARTITION-SCOPED gold refresh in
+    * the same micro-batch — after each batch lands, only the billing_date
+    * partitions that batch touched are rebuilt from the accumulated
+    * bronze and dynamically overwritten
+    * ([[graft.sources.Store.refreshMartPartitions]]). Staging runs over
+    * the full bronze history so cross-day LAG deltas stay exact; the mart
+    * aggregation itself only ever scans the touched dates' staging slice.
+    * Batch replay is idempotent end to end: the bronze append writes zero
+    * rows and the partition rebuild recomputes the same content. This is
+    * the streaming twin of `meter_billing_daily_incremental` — the
+    * windowed [[dailyBilling]] keeps closed-window state in the engine;
+    * this variant keeps the MART ITSELF current on disk, the shape a
+    * 100 TB daily-gold pipeline runs continuously. */
+  def startIngestWithMartRefresh(
+      jsonLines: DataFrame, meters: DataFrame, customers: DataFrame,
+      tariff: DataFrame, bronzeDir: String, martDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    Ingest.parseAndValidate(jsonLines).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        Ingest.idempotentAppend(df, bronzeDir)
+        val spark = df.sparkSession
+        val touched = df
+          .select(to_date(col("reading_timestamp")).as("billing_date")).distinct()
+        val bronze = spark.read.parquet(bronzeDir).select(
+          col("reading_timestamp"), col("meter_id"),
+          col("reading_consumption_milliwatts"),
+          col("reading_production_milliwatts"), col("status"))
+        val sliceInput = graft.meter.Staging.stgMeterReadings(bronze)
+          .join(broadcast(touched),
+            to_date(col("reading_timestamp")) === col("billing_date"), "left_semi")
+        graft.sources.Store.refreshMartPartitions(
+          graft.meter.Marts.factCustomerBillingDaily(
+            sliceInput, meters, customers, tariff),
+          martDir, "billing_date")
+      }
+      .start()
 }

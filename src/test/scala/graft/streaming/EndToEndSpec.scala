@@ -64,4 +64,57 @@ class EndToEndSpec extends SparkSpec {
     assert(streamedMart.selectExpr(cols: _*).except(batchMart.selectExpr(cols: _*)).count() == 0)
     assert(batchMart.selectExpr(cols: _*).except(streamedMart.selectExpr(cols: _*)).count() == 0)
   }
+
+  test("streaming mart refresh on disk: day-2 batch rebuilds only the day-2 partition") {
+    val nMeters = 10L
+    val nIntervals = 192L // 2 days
+    val dir = Files.createTempDirectory("e2e_mart").toString
+
+    val readings = MeterGen.readings(spark, nMeters, nIntervals)
+    def wireOf(f: org.apache.spark.sql.DataFrame) = f
+      .select(to_json(struct(
+        col("meter_id"),
+        date_format(col("reading_timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("reading_timestamp"),
+        col("reading_consumption_milliwatts"),
+        col("reading_production_milliwatts"),
+        col("status"))).as("value"))
+      .as[String].collect().toSeq
+    val day2 = col("reading_timestamp") >= lit("2026-01-02").cast("timestamp")
+    val (w1, w2) = (wireOf(readings.filter(!day2)), wireOf(readings.filter(day2)))
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingMarts.startIngestWithMartRefresh(
+      mem.toDF(), MeterGen.metersDim(spark, nMeters), MeterGen.customers(spark, nMeters),
+      MeterGen.tariffRates(spark), s"$dir/bronze", s"$dir/mart", s"$dir/ckpt",
+      Trigger.ProcessingTime("1 second"))
+    try {
+      mem.addData(w1)
+      q.processAllAvailable()
+      def mtimes(day: String) =
+        Files.walk(java.nio.file.Paths.get(s"$dir/mart")).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && p.contains(s"billing_date=$day"))
+          .sorted.map(p => Files.getLastModifiedTime(java.nio.file.Paths.get(p)).toMillis).toSeq
+      val day1After1 = mtimes("2026-01-01")
+      assert(day1After1.nonEmpty && mtimes("2026-01-02").isEmpty)
+      Thread.sleep(1100)
+
+      mem.addData(w2)
+      q.processAllAvailable()
+      assert(mtimes("2026-01-01") == day1After1,
+        "a day-2 micro-batch must not rewrite the day-1 mart partition")
+      assert(mtimes("2026-01-02").nonEmpty)
+    } finally q.stop()
+
+    // the disk mart equals the pure-batch full refresh
+    val got = spark.read.parquet(s"$dir/mart")
+    val full = Marts.factCustomerBillingDaily(
+      Staging.stgMeterReadings(readings),
+      MeterGen.metersDim(spark, nMeters), MeterGen.customers(spark, nMeters),
+      MeterGen.tariffRates(spark))
+    val cols = full.columns.sorted.toIndexedSeq
+    assert(got.count() == full.count())
+    assert(got.selectExpr(cols: _*).except(full.selectExpr(cols: _*)).count() == 0)
+    assert(full.selectExpr(cols: _*).except(got.selectExpr(cols: _*)).count() == 0)
+  }
 }
