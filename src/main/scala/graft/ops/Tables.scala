@@ -23,17 +23,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. We read it as a raw ns BIGINT (legacy conf), keep it as
-    * `ts_ns` — window orderings on it match DuckDB's ns ordering *exactly*,
-    * no tie-break ambiguity — and derive a µs `ts` for date_trunc/grouping
-    * (truncation can't move an event across an hour/day boundary).
+  /** Normalized events loader. Every downstream query sees the same two
+    * columns regardless of how the corpus file stores time: `ts` — a µs
+    * TIMESTAMP for date_trunc/grouping — and `ts_ns` — an epoch-ns BIGINT
+    * whose window orderings match DuckDB's timestamp ordering exactly (no
+    * tie-break ambiguity). The corpus has shipped `ts` two ways: parquet
+    * TIMESTAMP(NANOS) (which Spark 4 only reads as a raw ns BIGINT, legacy
+    * conf) and plain timestamp[us] (read as TIMESTAMP_NTZ); both schemas
+    * are handled, so the registry is insulated from regeneration.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // timestamp[us] (NTZ or LTZ): the session TZ is UTC, so the
+        // NTZ→LTZ cast preserves the stored micros bit-for-bit — ts and
+        // ts_ns carry the same instants DuckDB reads from the same file.
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
 
