@@ -40,6 +40,11 @@ object GraphOps {
   private val Iters = 8
   /** Damping 0.85 as an integer percentage. */
   private val DampPct = 85L
+  /** HITS: score scale (units of 1e-6) and mutual-reinforcement rounds. */
+  private val HitsScale = 1000000L
+  private val HitsIters = 4
+  /** BFS: fixed relaxation depth. */
+  private val BfsMaxHops = 4
 
   /** Synthetic out-links of one node over a dense 0..N-1 id space:
     * dst_k = md5-hash64("src-k") mod N for k = 1..OutDeg. The hash (not
@@ -178,6 +183,127 @@ object GraphOps {
         .unionAll(tri.select(col("z").as("doc_id")))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_triangles"))
+    },
+
+    // ---- HITS hubs & authorities (Kleinberg, JACM 1999) over the same
+    // derived link graph — the second classic centrality, ranking PAGES
+    // (authorities) separately from LINK HUBS; in crawl curation the hub
+    // score prioritizes frontier expansion while the authority score is a
+    // quality prior, complementing PageRank's single blended score.
+    // Fixed [[HitsIters]] mutual-reinforcement rounds in SCALED-INTEGER
+    // arithmetic (units of 1e-6, the PageRank doctrine): each round
+    // re-normalizes both vectors by their MAX via a broadcast 1-row
+    // aggregate + floor division — exact, associative, bit-identical to
+    // the oracle's unrolled CTEs regardless of partitioning. Per round:
+    // two edge⋈score equi-joins + two map-side-combinable groupBys + two
+    // 1-row max aggregates; no windows, no driver state. At 100 TB the
+    // edge list and score vector are both id-keyed — pre-bucketed on id
+    // the joins reuse partitioning round over round. (Caveat recorded:
+    // the a*1e6 rescale bounds at indeg_max*1e12, safe in BIGINT up to
+    // ~1e6 in-degree; beyond that normalize by sum-shifted arithmetic.)
+    q("graph_hits", {
+      // each CTE references its predecessor exactly ONCE (normalization
+      // via MAX() OVER (), not a scalar subquery): DuckDB inlines CTEs,
+      // so a double reference doubles the expanded plan per round —
+      // exponential in rounds. Single references keep the chain linear.
+      val iterCtes = (1 to HitsIters).map { i =>
+        s"""a$i AS (
+           |  SELECT nodes.doc_id, COALESCE(s.asum, 0) AS a
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS doc_id, SUM(h.h) AS asum
+           |    FROM edges e JOIN hn${i - 1} h ON e.src = h.doc_id GROUP BY 1) s
+           |  USING (doc_id)),
+           |an$i AS (
+           |  SELECT doc_id, (a * $HitsScale) // MAX(a) OVER () AS a FROM a$i),
+           |h$i AS (
+           |  SELECT e.src AS doc_id, SUM(an.a) AS hsum
+           |  FROM edges e JOIN an$i an ON e.dst = an.doc_id GROUP BY 1),
+           |hn$i AS (
+           |  SELECT doc_id, (hsum * $HitsScale) // MAX(hsum) OVER () AS h FROM h$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |$edgesSqlCte,
+         |hn0 AS (SELECT doc_id, $HitsScale AS h FROM nodes),
+         |$iterCtes
+         |SELECT nodes.doc_id,
+         |  CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_scaled,
+         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_scaled
+         |FROM nodes
+         |LEFT JOIN an$HitsIters a USING (doc_id)
+         |LEFT JOIN hn$HitsIters h USING (doc_id)""".stripMargin
+    }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      val edges = edgesOf(nodes, nRow)
+      val h0 = nodes.select(col("doc_id"), lit(HitsScale).as("h"))
+      val (aFin, hFin) = (1 to HitsIters).foldLeft((h0, h0)) { case ((_, h), _) =>
+        val asum = edges.join(h, edges("src") === h("doc_id"))
+          .groupBy(col("dst").as("doc_id")).agg(sum(col("h")).as("asum"))
+        val aAll = nodes.join(asum, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("asum"), lit(0L)).as("a"))
+        val aN = aAll
+          .crossJoin(broadcast(aAll.agg(max(col("a")).as("amax"))))
+          .select(col("doc_id"), expr(s"a * $HitsScale div amax").as("a"))
+        val hsum = edges.join(aN, edges("dst") === aN("doc_id"))
+          .groupBy(col("src").as("doc_id")).agg(sum(col("a")).as("hsum"))
+        val hN = hsum
+          .crossJoin(broadcast(hsum.agg(max(col("hsum")).as("hmax"))))
+          .select(col("doc_id"), expr(s"hsum * $HitsScale div hmax").as("h"))
+        (aN, hN)
+      }
+      nodes
+        .join(aFin.withColumnRenamed("a", "auth"), Seq("doc_id"), "left")
+        .join(hFin.withColumnRenamed("h", "hub"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("auth"), lit(0L)).as("auth_scaled"),
+          coalesce(col("hub"), lit(0L)).as("hub_scaled"))
+    },
+
+    // ---- multi-source BFS hop distance over the derived link graph —
+    // the frontier/recrawl-depth operator (how many hops from the seed
+    // set is each document?). Seeds: doc_id % 97 = 0. Fixed [[BfsMaxHops]]
+    // relaxation rounds, each ONE edge⋈dist equi-join + one min-groupBy —
+    // the standard MapReduce BFS; a round only ever shuffles the reached
+    // frontier, never the corpus. Unreached nodes are absent from the
+    // output (no sentinel ∞ row to keep engines trivially identical).
+    // The oracle unrolls the identical rounds as chained CTEs, so both
+    // engines relax exactly [[BfsMaxHops]] times.
+    q("graph_bfs_hops", {
+      // relaxation over a SELF-LOOP-augmented weighted edge list (w=0 on
+      // the loop, 1 otherwise): min(keep-old, via-neighbor) becomes ONE
+      // join, so each round references its predecessor CTE exactly once —
+      // DuckDB inlines CTEs, and a round that read d(i-1) twice would
+      // expand the plan 2^rounds-fold (same doctrine as graph_hits).
+      val iterCtes = (1 to BfsMaxHops).map { i =>
+        s"""d$i AS (
+           |  SELECT e.dst AS node, MIN(p.dist + e.w) AS dist
+           |  FROM eplus e JOIN d${i - 1} p ON e.src = p.node
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |$edgesSqlCte,
+         |eplus AS (
+         |  SELECT src, dst, 1 AS w FROM edges
+         |  UNION ALL SELECT doc_id, doc_id, 0 FROM nodes),
+         |d0 AS (SELECT doc_id AS node, 0 AS dist FROM nodes WHERE doc_id % 97 = 0),
+         |$iterCtes
+         |SELECT node AS doc_id, CAST(dist AS BIGINT) AS hops
+         |FROM d$BfsMaxHops""".stripMargin
+    }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      val edges = edgesOf(nodes, nRow)
+      val d0 = nodes.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("node"), lit(0L).as("dist"))
+      val dFin = (1 to BfsMaxHops).foldLeft(d0) { (dist, _) =>
+        val relaxed = edges.join(dist, edges("src") === dist("node"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      }
+      dFin.select(col("node").as("doc_id"), col("dist").as("hops"))
     }
   )
 }

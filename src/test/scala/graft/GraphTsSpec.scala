@@ -103,4 +103,49 @@ class GraphTsSpec extends SparkSpec {
     assert(flagged.length === 1 && flagged.head.getLong(2) === 100L)
     assert(math.abs(flagged.head.getDouble(4) - 100.0 / 60.0) < 1e-12)
   }
+
+  test("HITS: scores bounded by the scale, max-normalized, mutually consistent") {
+    val rows = run("graph_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = ops.Tables.documents(spark, sf0001).count()
+    assert(rows.length === n, "one row per node")
+    assert(rows.forall { case (_, a, h) => a >= 0 && a <= 1000000 && h >= 0 && h <= 1000000 })
+    // max-normalization: at least one node sits AT the scale on each axis
+    assert(rows.map(_._2).max === 1000000, "some authority at the scale")
+    assert(rows.map(_._3).max === 1000000, "some hub at the scale")
+    // authorities concentrate on high in-degree nodes: the top authority
+    // must have strictly more in-links than the bottom one
+    val edges = ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("src"), explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"),
+        (functions.Md5Prefix64(concat(col("src").cast("string"), lit("-"),
+          col("k").cast("string"))) % n).as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val indeg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val topAuth = rows.maxBy(_._2)._1
+    val zeroAuth = rows.filter(_._2 == 0).map(_._1)
+    assert(indeg(topAuth) > 0)
+    assert(zeroAuth.forall(v => indeg(v) == 0), "auth 0 iff unreferenced")
+  }
+
+  test("BFS hops match a driver-side Dijkstra-free BFS over the derived graph") {
+    val n = ops.Tables.documents(spark, sf0001).count()
+    val edges = ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("src"), explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"),
+        (functions.Md5Prefix64(concat(col("src").cast("string"), lit("-"),
+          col("k").cast("string"))) % n).as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] = edges.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap.withDefaultValue(Seq.empty[Long])
+    var dist = (0L until n).filter(_ % 97 == 0).map(_ -> 0L).toMap
+    for (hop <- 1 to 4) {
+      val reached = dist.filter(_._2 == hop - 1).keys.toSeq
+        .flatMap(adj(_)).filterNot(v => dist.contains(v))
+      dist = dist ++ reached.map(_ -> hop.toLong)
+    }
+    val got = run("graph_bfs_hops").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+  }
 }
