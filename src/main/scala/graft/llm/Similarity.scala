@@ -262,7 +262,202 @@ object Similarity {
     }
   ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+
     centroidOutlierQuery :+ semanticKeepQuery :+ lshRecallEvalQuery :+
-    cosineHistogramQuery
+    cosineHistogramQuery :+ pqTopkQuery
+
+  // ---- Product Quantization geometry (Jégou, Douze, Schmid: "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011)
+  private val PqM = 8        // subspaces
+  private val PqSubDim = 8   // dims per subspace (8 × 8 = 64)
+  private val PqK = 32       // centroids per sub-codebook (5-bit codes)
+  private val PqShortlist = 50
+  private val PqTopK = 5
+
+  /** PQ-compressed ANN top-k, the memory-bounded scale path the IVF/LSH
+    * family lacks: at billions of vectors neither the raw corpus (256 B+
+    * per vector) nor a flat bucket index fits executor memory, but PQ
+    * codes do — [[PqM]] single-byte codes per vector (64× smaller), with
+    * all distance arithmetic done against a broadcast codebook.
+    *
+    * Shape (all exact BIGINT fixed-point, bit-identical to the oracle):
+    * 1. TRAIN: each 64-dim vector splits into [[PqM]] 16-dim sub-vectors;
+    *    per subspace a [[PqK]]-cell codebook is Lloyd-trained (1 round,
+    *    seeds = the k smallest vec_ids — the [[lloydCentroids]] doctrine,
+    *    truncated-mean updates, `div` ≡ DuckDB `//`). Assignment metric is
+    *    squared L2 via the monotone surrogate ‖c‖² − 2·x·c (x's own norm
+    *    is constant per x), argmin tie-broken to the smallest c_id.
+    * 2. ENCODE: one map-side pass — the packed per-subspace codebook
+    *    crossJoins in as a PqM-row broadcast, [[FixedPointDotMulti]] gives
+    *    all k dots at once, the code is array arithmetic; codes regroup to
+    *    one row per vector (the one corpus shuffle, 4 longs per row).
+    * 3. ADC SCORE: each query precomputes a k-entry lookup table per
+    *    subspace (again vs the broadcast codebook); approximate distance
+    *    is 4 table lookups + adds per corpus vector — no vector arithmetic
+    *    touches the corpus at query time. Lookups go through
+    *    array_position on the c_id-sorted codebook row, so a Lloyd cell
+    *    that loses every member (possible only with duplicate seed
+    *    vectors) cannot misalign code→table-slot.
+    * 4. RERANK: the top-[[PqShortlist]] ADC candidates per query join back
+    *    their full vectors for EXACT squared-L2 scoring; final rank keeps
+    *    [[PqTopK]]. This two-stage retrieve-then-rerank is the production
+    *    PQ serving shape: exact arithmetic on a per-query-constant row
+    *    count, approximate on the corpus.
+    *
+    * Per-query ranking windows partition by query_id (the
+    * [[sim_bruteforce_topk]] shape): distributed across queries, never a
+    * global single-task sort. */
+  lazy val pqTopkQuery: GraftQuery = {
+    val dotSql = "CAST(list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2])) AS BIGINT)"
+    val codeCases = (0 until PqM).map(m =>
+      if (m < PqM - 1) s"WHEN $m THEN c.code$m" else s"ELSE c.code$m").mkString(" ")
+    val codeCols = (0 until PqM).map(m =>
+      s"MAX(CASE WHEN m = $m THEN c_id END) AS code$m").mkString(",\n    ")
+    q("sim_pq_topk",
+      s"""WITH $quantizedSql,
+         |subs AS (
+         |  SELECT vec_id, label, t.m AS m,
+         |    qv[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim] AS sv
+         |  FROM qn, range(0, $PqM) AS t(m)),
+         |cb0 AS (
+         |  SELECT m, vec_id AS c_id, sv AS cqv,
+         |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS cnorm2
+         |  FROM subs WHERE vec_id < $PqK),
+         |a1 AS (
+         |  SELECT s.vec_id, s.m, s.sv, cb.c_id, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.m
+         |    ORDER BY cb.cnorm2 - 2 * ${dotSql.format("s.sv", "cb.cqv")}, cb.c_id) AS cr
+         |  FROM subs s JOIN cb0 cb USING (m)),
+         |cb1 AS (
+         |  SELECT m, c_id, list(s // n ORDER BY pos) AS cqv
+         |  FROM (SELECT m, c_id, t.i AS pos, CAST(SUM(sv[t.i + 1]) AS BIGINT) AS s,
+         |          COUNT(*) AS n
+         |        FROM a1, range(0, $PqSubDim) AS t(i) WHERE cr = 1 GROUP BY m, c_id, t.i)
+         |  GROUP BY m, c_id),
+         |cbn AS (
+         |  SELECT m, c_id, cqv,
+         |    CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnorm2
+         |  FROM cb1),
+         |enc AS (
+         |  SELECT s.vec_id, s.label, s.m, cb.c_id, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.m
+         |    ORDER BY cb.cnorm2 - 2 * ${dotSql.format("s.sv", "cb.cqv")}, cb.c_id) AS cr
+         |  FROM subs s JOIN cbn cb USING (m)),
+         |codes AS (
+         |  SELECT vec_id, MIN(label) AS label,
+         |    $codeCols
+         |  FROM enc WHERE cr = 1 GROUP BY vec_id),
+         |tabs AS (
+         |  SELECT s.vec_id AS query_id, s.m,
+         |    list(cb.c_id ORDER BY cb.c_id) AS cids,
+         |    list(cb.cnorm2 - 2 * ${dotSql.format("s.sv", "cb.cqv")} ORDER BY cb.c_id) AS tvals
+         |  FROM subs s JOIN cbn cb USING (m)
+         |  WHERE s.vec_id % 50 = 0 GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT t.query_id, c.vec_id, c.label,
+         |    CAST(SUM(t.tvals[list_position(t.cids,
+         |      CASE t.m $codeCases END)]) AS BIGINT) AS adc_dist
+         |  FROM codes c, tabs t WHERE c.vec_id <> t.query_id
+         |  GROUP BY 1, 2, 3),
+         |short AS (
+         |  SELECT query_id, vec_id, label, adc_dist, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, vec_id) AS arank
+         |  FROM scored),
+         |rer AS (
+         |  SELECT sh.query_id, sh.vec_id, sh.label, sh.adc_dist,
+         |    q.norm2 - 2 * ${dotSql.format("q.qv", "c.qv")} + c.norm2 AS l2_dist
+         |  FROM short sh
+         |  JOIN qn q ON q.vec_id = sh.query_id
+         |  JOIN qn c ON c.vec_id = sh.vec_id
+         |  WHERE sh.arank <= $PqShortlist),
+         |ranked AS (
+         |  SELECT query_id, vec_id, label, adc_dist, CAST(l2_dist AS BIGINT) AS l2_dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rank
+         |  FROM rer)
+         |SELECT query_id, vec_id, label, adc_dist, l2_dist, rank
+         |FROM ranked WHERE rank <= $PqTopK""".stripMargin) { (s, d) =>
+      val qe = quantized(s, d).localCheckpoint(eager = false)
+      // 1. sub-vectors: (vec_id, label, m, sv) — a narrow 4× explode
+      val subs = qe
+        .select(col("vec_id"), col("label"),
+          explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("qv"))
+        .select(col("vec_id"), col("label"), col("m"),
+          expr(s"slice(qv, m * $PqSubDim + 1, $PqSubDim)").as("sv"))
+      // per-subspace codebook packed into 4 broadcastable rows of parallel
+      // arrays sorted by c_id (the centsRow doctrine, keyed by m)
+      def packed(cb: DataFrame): DataFrame =
+        cb.groupBy(col("m"))
+          .agg(array_sort(collect_list(struct(col("c_id"), col("cqv"), col("cnorm2")))).as("cs"))
+          .select(col("m"),
+            expr("transform(cs, c -> c.c_id)").as("cids"),
+            expr("transform(cs, c -> c.cqv)").as("cqvs"),
+            expr("transform(cs, c -> c.cnorm2)").as("cnorms"))
+      // map-side assignment: all k sub-dots in ONE FixedPointDotMulti
+      // pass; argmin of ‖c‖² − 2·x·c with ties to the smallest c_id
+      def assigned(cbRow: DataFrame): DataFrame =
+        subs.join(broadcast(cbRow), "m")
+          .withColumn("dots", graft.functions.FixedPointDotMulti(col("sv"), col("cqvs")))
+          .withColumn("best", expr(
+            """array_sort(zip_with(
+              |  zip_with(cnorms, dots, (cn, dd) -> cn - 2 * dd),
+              |  cids, (sc, id) -> named_struct('sc', sc, 'id', id)))[0]""".stripMargin))
+      // 2. one Lloyd round: truncated-mean update per (m, c_id)
+      val cb0 = subs.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cqv"))
+        .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
+      val dimSums = (0 until PqSubDim).map(i => sum(col("sv")(i)).as(s"s$i"))
+      val cbn = assigned(packed(cb0))
+        .select(col("m"), expr("best.id").as("c_id"), col("sv"))
+        .groupBy(col("m"), col("c_id"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .select(col("m"), col("c_id"),
+          array((0 until PqSubDim).map(i => expr(s"s$i div n")): _*).as("cqv"))
+        .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
+        .localCheckpoint(eager = false) // feeds encode + query tables
+      val cbRow = packed(cbn)
+      // 3. encode: map-side codes, then the ONE corpus shuffle regrouping
+      // 4 narrow (vec_id, m, code) rows into a codes row per vector
+      val codeCols2 = (0 until PqM).map(m =>
+        max(when(col("m") === m, col("code"))).as(s"code$m"))
+      val codes = assigned(cbRow)
+        .select(col("vec_id"), col("label"), col("m"), expr("best.id").as("code"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("label")).as("label"), codeCols2: _*)
+      // 4. per-query ADC lookup tables vs the same broadcast codebook
+      val tabCols = (0 until PqM).flatMap(m => Seq(
+        max(when(col("m") === m, col("cids"))).as(s"cids$m"),
+        max(when(col("m") === m, col("tvals"))).as(s"tvals$m")))
+      val qtabs = subs.filter(col("vec_id") % 50 === 0)
+        .join(broadcast(cbRow), "m")
+        .withColumn("dots", graft.functions.FixedPointDotMulti(col("sv"), col("cqvs")))
+        .withColumn("tvals", expr("zip_with(cnorms, dots, (cn, dd) -> cn - 2 * dd)"))
+        .groupBy(col("vec_id").as("query_id"))
+        .agg(tabCols.head, tabCols.tail: _*)
+      // 5. ADC scoring: 4 table lookups per (query, vector) — map-side
+      // against the broadcast query tables; shortlist per query
+      val adcExpr = (0 until PqM).map(m =>
+        expr(s"element_at(tvals$m, CAST(array_position(cids$m, code$m) AS INT))"))
+        .reduce(_ + _)
+      val scored = codes
+        .join(broadcast(qtabs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"), adcExpr.as("adc_dist"))
+      val short = scored
+        .withColumn("arank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
+        .filter(col("arank") <= PqShortlist)
+      // 6. exact rerank of the per-query-constant shortlist
+      val qvecs = qe.select(col("vec_id").as("query_id"),
+        col("qv").as("qqv"), col("norm2").as("qnorm2"))
+      val cvecs = qe.select(col("vec_id"), col("qv").as("cqv2"), col("norm2").as("cnorm2c"))
+      short
+        .join(broadcast(qvecs), "query_id")
+        .join(cvecs, "vec_id")
+        .select(col("query_id"), col("vec_id"), col("label"), col("adc_dist"),
+          (col("qnorm2") - lit(2) * FixedPointDot(col("qqv"), col("cqv2")) + col("cnorm2c"))
+            .as("l2_dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("vec_id"))))
+        .filter(col("rank") <= PqTopK)
+    }
+  }
 
   /** Threshold-sensitivity evidence: the all-pairs cosine distribution in
     * 0.05-wide bins — the table a curator reads before picking τ (how many

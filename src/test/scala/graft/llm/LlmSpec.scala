@@ -149,6 +149,34 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("l.cosine") =!= col("b.cosine")).count() == 0)
   }
 
+  test("PQ ANN: reported l2 distances are exact; shortlist rerank recalls the true top-5") {
+    // driver-side ground truth: exact squared-L2 in the same 2^20
+    // fixed-point quantization the engine uses
+    val vecs = graft.ops.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = vecs.keys.filter(_ % 50 == 0)
+    val truth = queries.map { qid =>
+      qid -> vecs.toSeq.filter(_._1 != qid)
+        .map { case (v, qv) => (l2(vecs(qid), qv), v) }.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val got = graft.SparkEntry.queries("sim_pq_topk")(spark, sf0001)
+      .select(col("query_id"), col("vec_id"), col("l2_dist"))
+      .as[(Long, Long, Long)].collect()
+    // 1. every reported distance is the exact quantized squared-L2
+    got.foreach { case (q, v, d) =>
+      assert(d === l2(vecs(q), vecs(v)), s"l2 mismatch for ($q, $v)")
+    }
+    // 2. recall@5 of the ADC-shortlist + exact rerank vs true top-5
+    val hits = got.count { case (q, v, _) => truth(q)(v) }
+    val recall = hits.toDouble / (truth.size * 5)
+    info(s"PQ recall@5 = $recall ($hits/${truth.size * 5})")
+    assert(recall >= 0.7, s"recall@5 $recall below floor")
+  }
+
   test("edit-distance dedup finds both-short pairs that share zero shingles") {
     // two 10-char docs at lev=1: each has exactly ONE 14-char shingle (its
     // whole text) and they differ, so the shingle equi-join never pairs them
