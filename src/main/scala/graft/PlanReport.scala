@@ -111,7 +111,13 @@ object PlanReport {
     "meter_billing_daily_incremental" ->
       "Incremental mart maintenance: the day-2 rebuild aggregates ONLY the delta slice (staging filtered by date) and dynamic partition overwrite rewrites exactly one billing_date directory — the read-back plan scans both partitions as a plain pruned parquet scan.",
     "bpe_tokenize" ->
-      "BPE learn+apply: ONE corpus-wide pass (the word-frequency agg); every unrolled round then folds over the vocab-sized frame with a 1-row broadcast merge rule — localCheckpoint truncates round lineage, so the plan shown is the final round's short chain, not rounds 1..K replayed.")
+      "BPE learn+apply: ONE corpus-wide pass (the word-frequency agg); every unrolled round then folds over the vocab-sized frame with a 1-row broadcast merge rule — localCheckpoint truncates round lineage, so the plan shown is the final round's short chain, not rounds 1..K replayed.",
+    "sim_pq_topk" ->
+      "Product quantization: training, encoding and ADC scoring all read the codebook as a BROADCAST (BroadcastHashJoin on m / BroadcastNestedLoopJoin on the query tables) — the one corpus Exchange regroups 8 narrow code rows per vector; the exact rerank joins only the per-query-constant shortlist back to the vectors.",
+    "graph_hits" ->
+      "HITS: 4 unrolled mutual-reinforcement rounds — every join is an id-keyed equi-join, every normalization a broadcast 1-row max; no Window over a corpus-sized frame anywhere in the chain.",
+    "graph_bfs_hops" ->
+      "Multi-source BFS: fixed-depth relaxation; each round's Exchange carries only the reached frontier (node, dist) pairs, never the corpus.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

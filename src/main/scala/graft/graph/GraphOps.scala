@@ -185,6 +185,62 @@ object GraphOps {
         .agg(count(lit(1)).as("n_triangles"))
     },
 
+    // ---- PERSONALIZED PageRank (random walk with restart) over the same
+    // derived link graph: teleport mass returns only to the doc_id % 97
+    // seed set (the BFS query's crawl seeds), so scores measure relevance
+    // TO THAT SEED CRAWL rather than global centrality — the "expand this
+    // topical crawl" priority, and the graph-side complement of the
+    // seed-hop distances. Identical fixed-round scaled-integer shape as
+    // graph_pagerank (one edge⋈rank equi-join + one map-side-combinable
+    // groupBy + one dangling left join per round, [[Iters]] unrolled
+    // rounds, floor division throughout); only the restart vector
+    // changes. Non-seed nodes unreachable from any seed converge to
+    // exactly 0 in both engines.
+    q("graph_ppr", {
+      val base = s"CASE WHEN nodes.doc_id % 97 = 0 " +
+        s"THEN (15 * ($Scale // (SELECT ns FROM ns))) // 100 ELSE 0 END"
+      val iterCtes = (1 to Iters).map { i =>
+        s"""pp$i AS (
+           |  SELECT nodes.doc_id,
+           |    $base + ($DampPct * COALESCE(s.insum, 0)) // 100 AS pr
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS doc_id, SUM(p.pr // $OutDeg) AS insum
+           |    FROM edges e JOIN pp${i - 1} p ON e.src = p.doc_id GROUP BY 1) s
+           |  USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM documents WHERE doc_id % 97 = 0),
+         |nodes AS (SELECT doc_id FROM documents),
+         |$edgesSqlCte,
+         |pp0 AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 97 = 0
+         |    THEN $Scale // (SELECT ns FROM ns) ELSE 0 END AS pr
+         |  FROM nodes),
+         |$iterCtes
+         |SELECT doc_id, CAST(pr AS BIGINT) AS ppr_scaled FROM pp$Iters""".stripMargin
+    }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      val nsRow = broadcast(
+        nodes.filter(col("doc_id") % 97 === 0).agg(count(lit(1)).as("ns")))
+      val edges = edgesOf(nodes, nRow)
+      val seed = col("doc_id") % 97 === 0
+      val pp0 = nodes.crossJoin(nsRow)
+        .select(col("doc_id"),
+          when(seed, expr(s"$Scale div ns")).otherwise(lit(0L)).as("pr"))
+      val baseCol = when(seed, expr(s"(15 * ($Scale div ns)) div 100")).otherwise(lit(0L))
+      val ranks = (1 to Iters).foldLeft(pp0) { (pr, _) =>
+        val insum = edges.join(pr, edges("src") === pr("doc_id"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(sum(expr(s"pr div $OutDeg")).as("insum"))
+        nodes.join(insum, Seq("doc_id"), "left")
+          .crossJoin(nsRow)
+          .select(col("doc_id"),
+            (baseCol + expr(s"$DampPct * coalesce(insum, 0L) div 100")).as("pr"))
+      }
+      ranks.select(col("doc_id"), col("pr").as("ppr_scaled"))
+    },
+
     // ---- HITS hubs & authorities (Kleinberg, JACM 1999) over the same
     // derived link graph — the second classic centrality, ranking PAGES
     // (authorities) separately from LINK HUBS; in crawl curation the hub

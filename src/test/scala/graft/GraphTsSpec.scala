@@ -128,6 +128,32 @@ class GraphTsSpec extends SparkSpec {
     assert(zeroAuth.forall(v => indeg(v) == 0), "auth 0 iff unreferenced")
   }
 
+  test("personalized PageRank: mass stays on the seed neighborhood") {
+    val rows = run("graph_ppr").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = ops.Tables.documents(spark, sf0001).count()
+    assert(rows.size === n)
+    assert(rows.values.forall(_ >= 0L))
+    val seeds = (0L until n).filter(_ % 97 == 0).toSet
+    val base = (15L * (1000000000000L / seeds.size)) / 100
+    // every seed keeps at least its restart mass; total stays within the
+    // injected mass (floor division only leaks downward)
+    assert(seeds.forall(s => rows(s) >= base))
+    assert(rows.values.sum <= 1000000000000L)
+    // positive rank only within 8 hops of a seed (8 damped rounds)
+    val edges = ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("src"), explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"),
+        (functions.Md5Prefix64(concat(col("src").cast("string"), lit("-"),
+          col("k").cast("string"))) % n).as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] = edges.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap.withDefaultValue(Seq.empty[Long])
+    var reach = seeds
+    for (_ <- 1 to 8) reach = reach ++ reach.toSeq.flatMap(adj(_))
+    assert(rows.filter(_._2 > 0).keySet.subsetOf(reach),
+      "rank mass must not appear outside the seed neighborhood")
+  }
+
   test("BFS hops match a driver-side Dijkstra-free BFS over the derived graph") {
     val n = ops.Tables.documents(spark, sf0001).count()
     val edges = ops.Tables.documents(spark, sf0001)
