@@ -262,7 +262,7 @@ object Similarity {
     }
   ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+
     centroidOutlierQuery :+ semanticKeepQuery :+ lshRecallEvalQuery :+
-    cosineHistogramQuery :+ pqTopkQuery
+    cosineHistogramQuery :+ pqTopkQuery :+ ivfPqTopkQuery
 
   // ---- Product Quantization geometry (Jégou, Douze, Schmid: "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011)
@@ -271,6 +271,53 @@ object Similarity {
   private val PqK = 32       // centroids per sub-codebook (5-bit codes)
   private val PqShortlist = 50
   private val PqTopK = 5
+
+  /** Sub-vector explode shared by the PQ queries: each `keep`-keyed row of
+    * `vecCol` becomes [[PqM]] narrow (m, sv) rows. */
+  private def pqSplit(df: DataFrame, vecCol: String, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+ explode(expr(s"sequence(0, ${PqM - 1})")).as("m")
+        :+ col(vecCol).as("fullv"): _*)
+      .select(keep.map(col) :+ col("m")
+        :+ expr(s"slice(fullv, m * $PqSubDim + 1, $PqSubDim)").as("sv"): _*)
+
+  /** Per-subspace codebook packed into [[PqM]] broadcastable rows of
+    * parallel arrays sorted by c_id (the centsRow doctrine, keyed by m). */
+  private def pqPacked(cb: DataFrame): DataFrame =
+    cb.groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cqv"), col("cnorm2")))).as("cs"))
+      .select(col("m"),
+        expr("transform(cs, c -> c.c_id)").as("cids"),
+        expr("transform(cs, c -> c.cqv)").as("cqvs"),
+        expr("transform(cs, c -> c.cnorm2)").as("cnorms"))
+
+  /** Map-side sub-quantizer assignment: all k sub-dots in ONE
+    * [[FixedPointDotMulti]] pass; argmin of ‖c‖² − 2·x·c (the monotone
+    * L2 surrogate) with ties to the smallest c_id, as `best.id`. */
+  private def pqAssign(subs: DataFrame, cbRow: DataFrame): DataFrame =
+    subs.join(broadcast(cbRow), "m")
+      .withColumn("dots", graft.functions.FixedPointDotMulti(col("sv"), col("cqvs")))
+      .withColumn("best", expr(
+        """array_sort(zip_with(
+          |  zip_with(cnorms, dots, (cn, dd) -> cn - 2 * dd),
+          |  cids, (sc, id) -> named_struct('sc', sc, 'id', id)))[0]""".stripMargin))
+
+  /** One Lloyd round per subspace over exploded sub-vectors: seeds are the
+    * [[PqK]] smallest vec_ids, update is the exact truncated mean per
+    * dimension (`div` ≡ DuckDB `//`). Returns (m, c_id, cqv, cnorm2). */
+  private def pqTrain(subs: DataFrame): DataFrame = {
+    val cb0 = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cqv"))
+      .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
+    val dimSums = (0 until PqSubDim).map(i => sum(col("sv")(i)).as(s"s$i"))
+    pqAssign(subs, pqPacked(cb0))
+      .select(col("m"), expr("best.id").as("c_id"), col("sv"))
+      .groupBy(col("m"), col("c_id"))
+      .agg(count(lit(1)).as("n"), dimSums: _*)
+      .select(col("m"), col("c_id"),
+        array((0 until PqSubDim).map(i => expr(s"s$i div n")): _*).as("cqv"))
+      .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
+      .localCheckpoint(eager = false) // feeds encode + query tables
+  }
 
   /** PQ-compressed ANN top-k, the memory-bounded scale path the IVF/LSH
     * family lacks: at billions of vectors neither the raw corpus (256 B+
@@ -375,49 +422,16 @@ object Similarity {
          |SELECT query_id, vec_id, label, adc_dist, l2_dist, rank
          |FROM ranked WHERE rank <= $PqTopK""".stripMargin) { (s, d) =>
       val qe = quantized(s, d).localCheckpoint(eager = false)
-      // 1. sub-vectors: (vec_id, label, m, sv) — a narrow 4× explode
-      val subs = qe
-        .select(col("vec_id"), col("label"),
-          explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("qv"))
-        .select(col("vec_id"), col("label"), col("m"),
-          expr(s"slice(qv, m * $PqSubDim + 1, $PqSubDim)").as("sv"))
-      // per-subspace codebook packed into 4 broadcastable rows of parallel
-      // arrays sorted by c_id (the centsRow doctrine, keyed by m)
-      def packed(cb: DataFrame): DataFrame =
-        cb.groupBy(col("m"))
-          .agg(array_sort(collect_list(struct(col("c_id"), col("cqv"), col("cnorm2")))).as("cs"))
-          .select(col("m"),
-            expr("transform(cs, c -> c.c_id)").as("cids"),
-            expr("transform(cs, c -> c.cqv)").as("cqvs"),
-            expr("transform(cs, c -> c.cnorm2)").as("cnorms"))
-      // map-side assignment: all k sub-dots in ONE FixedPointDotMulti
-      // pass; argmin of ‖c‖² − 2·x·c with ties to the smallest c_id
-      def assigned(cbRow: DataFrame): DataFrame =
-        subs.join(broadcast(cbRow), "m")
-          .withColumn("dots", graft.functions.FixedPointDotMulti(col("sv"), col("cqvs")))
-          .withColumn("best", expr(
-            """array_sort(zip_with(
-              |  zip_with(cnorms, dots, (cn, dd) -> cn - 2 * dd),
-              |  cids, (sc, id) -> named_struct('sc', sc, 'id', id)))[0]""".stripMargin))
-      // 2. one Lloyd round: truncated-mean update per (m, c_id)
-      val cb0 = subs.filter(col("vec_id") < PqK)
-        .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cqv"))
-        .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
-      val dimSums = (0 until PqSubDim).map(i => sum(col("sv")(i)).as(s"s$i"))
-      val cbn = assigned(packed(cb0))
-        .select(col("m"), expr("best.id").as("c_id"), col("sv"))
-        .groupBy(col("m"), col("c_id"))
-        .agg(count(lit(1)).as("n"), dimSums: _*)
-        .select(col("m"), col("c_id"),
-          array((0 until PqSubDim).map(i => expr(s"s$i div n")): _*).as("cqv"))
-        .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
-        .localCheckpoint(eager = false) // feeds encode + query tables
-      val cbRow = packed(cbn)
+      // 1. sub-vectors: (vec_id, label, m, sv) — a narrow PqM× explode
+      val subs = pqSplit(qe, "qv", Seq("vec_id", "label"))
+      // 2. one Lloyd round per subspace → packed broadcast codebook
+      val cbn = pqTrain(subs)
+      val cbRow = pqPacked(cbn)
       // 3. encode: map-side codes, then the ONE corpus shuffle regrouping
-      // 4 narrow (vec_id, m, code) rows into a codes row per vector
+      // PqM narrow (vec_id, m, code) rows into a codes row per vector
       val codeCols2 = (0 until PqM).map(m =>
         max(when(col("m") === m, col("code"))).as(s"code$m"))
-      val codes = assigned(cbRow)
+      val codes = pqAssign(subs, cbRow)
         .select(col("vec_id"), col("label"), col("m"), expr("best.id").as("code"))
         .groupBy(col("vec_id"))
         .agg(min(col("label")).as("label"), codeCols2: _*)
@@ -425,9 +439,7 @@ object Similarity {
       val tabCols = (0 until PqM).flatMap(m => Seq(
         max(when(col("m") === m, col("cids"))).as(s"cids$m"),
         max(when(col("m") === m, col("tvals"))).as(s"tvals$m")))
-      val qtabs = subs.filter(col("vec_id") % 50 === 0)
-        .join(broadcast(cbRow), "m")
-        .withColumn("dots", graft.functions.FixedPointDotMulti(col("sv"), col("cqvs")))
+      val qtabs = pqAssign(subs.filter(col("vec_id") % 50 === 0), cbRow)
         .withColumn("tvals", expr("zip_with(cnorms, dots, (cn, dd) -> cn - 2 * dd)"))
         .groupBy(col("vec_id").as("query_id"))
         .agg(tabCols.head, tabCols.tail: _*)
@@ -444,6 +456,189 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
         .filter(col("arank") <= PqShortlist)
       // 6. exact rerank of the per-query-constant shortlist
+      val qvecs = qe.select(col("vec_id").as("query_id"),
+        col("qv").as("qqv"), col("norm2").as("qnorm2"))
+      val cvecs = qe.select(col("vec_id"), col("qv").as("cqv2"), col("norm2").as("cnorm2c"))
+      short
+        .join(broadcast(qvecs), "query_id")
+        .join(cvecs, "vec_id")
+        .select(col("query_id"), col("vec_id"), col("label"), col("adc_dist"),
+          (col("qnorm2") - lit(2) * FixedPointDot(col("qqv"), col("cqv2")) + col("cnorm2c"))
+            .as("l2_dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("vec_id"))))
+        .filter(col("rank") <= PqTopK)
+    }
+  }
+
+  /** IVF-PQ (the IVFADC index of Jégou et al., TPAMI 2011 §IV): the
+    * billion-scale composition of the two index families this engine
+    * already carries separately — coarse IVF cells prune WHICH vectors a
+    * query touches, PQ codes on the RESIDUAL (vector − its cell centroid)
+    * compress HOW each touched vector is scored. Residual encoding is what
+    * makes the composition worth having: residuals concentrate near zero,
+    * so the same 40-bit budget quantizes far finer than raw-vector PQ.
+    *
+    * Pipeline (all exact integers, bit-identical to the oracle):
+    * coarse = the [[lloydCentroids]] cosine k-means the IVF queries use
+    * (2 rounds, k=8, broadcast assignment); residual = one map-side
+    * zip_with subtraction; sub-codebooks = [[pqTrain]] on residual
+    * sub-vectors; queries probe their top-3 coarse cells (the
+    * dedup_embedding_ivf multi-probe discipline) and build one ADC table
+    * per (query, probed cell) from the per-cell query residual — the
+    * per-subspace ‖qrₘ‖² term rides inside the table entries so ADC
+    * distances stay comparable ACROSS cells. Scoring joins codes to
+    * tables on the cell id — the index's own partition key, so at 100 TB
+    * the probe never touches un-probed cells (dedup-IVF/VecStore
+    * directory-pruning discipline) and per-vector work is [[PqM]] lookups.
+    * Shortlist + exact full-vector rerank as in [[pqTopkQuery]]. */
+  lazy val ivfPqTopkQuery: GraftQuery = {
+    val dotSql = "CAST(list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2])) AS BIGINT)"
+    val codeCases = (0 until PqM).map(m =>
+      if (m < PqM - 1) s"WHEN $m THEN c.code$m" else s"ELSE c.code$m").mkString(" ")
+    val codeCols = (0 until PqM).map(m =>
+      s"MAX(CASE WHEN m = $m THEN c_id END) AS code$m").mkString(",\n    ")
+    q("sim_ivfpq_topk",
+      s"""WITH $quantizedSql,
+         |${lloydCtes(CentroidIters)},
+         |cents AS (SELECT c_id, cqv, cnorm2 FROM c$CentroidIters),
+         |ca AS (
+         |  SELECT vec_id, label, qv, c_id, cqv AS ccqv, row_number() OVER (
+         |    PARTITION BY vec_id
+         |    ORDER BY ${dotSql.format("qv", "cqv")}
+         |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
+         |  FROM qn, cents),
+         |rvs AS (
+         |  SELECT vec_id, label, c_id AS cell,
+         |    list_transform(list_zip(qv, ccqv), p -> p[1] - p[2]) AS rv
+         |  FROM ca WHERE cr = 1),
+         |subs AS (
+         |  SELECT vec_id, label, cell, t.m AS m,
+         |    rv[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim] AS sv
+         |  FROM rvs, range(0, $PqM) AS t(m)),
+         |cb0 AS (
+         |  SELECT m, vec_id AS c_id, sv AS cqv,
+         |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS cnorm2
+         |  FROM subs WHERE vec_id < $PqK),
+         |pqa1 AS (
+         |  SELECT s.vec_id, s.m, s.sv, cb.c_id, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.m
+         |    ORDER BY cb.cnorm2 - 2 * ${dotSql.format("s.sv", "cb.cqv")}, cb.c_id) AS cr
+         |  FROM subs s JOIN cb0 cb USING (m)),
+         |cb1 AS (
+         |  SELECT m, c_id, list(s // n ORDER BY pos) AS cqv
+         |  FROM (SELECT m, c_id, t.i AS pos, CAST(SUM(sv[t.i + 1]) AS BIGINT) AS s,
+         |          COUNT(*) AS n
+         |        FROM pqa1, range(0, $PqSubDim) AS t(i) WHERE cr = 1 GROUP BY m, c_id, t.i)
+         |  GROUP BY m, c_id),
+         |cbn AS (
+         |  SELECT m, c_id, cqv,
+         |    CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnorm2
+         |  FROM cb1),
+         |enc AS (
+         |  SELECT s.vec_id, s.label, s.cell, s.m, cb.c_id, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.m
+         |    ORDER BY cb.cnorm2 - 2 * ${dotSql.format("s.sv", "cb.cqv")}, cb.c_id) AS cr
+         |  FROM subs s JOIN cbn cb USING (m)),
+         |codes AS (
+         |  SELECT vec_id, MIN(label) AS label, MIN(cell) AS cell,
+         |    $codeCols
+         |  FROM enc WHERE cr = 1 GROUP BY vec_id),
+         |qp AS (
+         |  SELECT vec_id, qv, c_id, cqv AS ccqv, row_number() OVER (
+         |    PARTITION BY vec_id
+         |    ORDER BY ${dotSql.format("qv", "cqv")}
+         |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
+         |  FROM qn, cents WHERE vec_id % 50 = 0),
+         |qrs AS (
+         |  SELECT vec_id AS query_id, c_id AS pcell,
+         |    list_transform(list_zip(qv, ccqv), p -> p[1] - p[2]) AS rv
+         |  FROM qp WHERE cr <= 3),
+         |qsubs AS (
+         |  SELECT query_id, pcell, t.m AS m,
+         |    rv[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim] AS sv
+         |  FROM qrs, range(0, $PqM) AS t(m)),
+         |tabs AS (
+         |  SELECT q.query_id, q.pcell, q.m,
+         |    list(cb.c_id ORDER BY cb.c_id) AS cids,
+         |    list(cb.cnorm2 - 2 * ${dotSql.format("q.sv", "cb.cqv")}
+         |         + CAST(list_sum(list_transform(q.sv, x -> x * x)) AS BIGINT)
+         |         ORDER BY cb.c_id) AS tvals
+         |  FROM qsubs q JOIN cbn cb USING (m) GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT t.query_id, c.vec_id, c.label,
+         |    CAST(SUM(t.tvals[list_position(t.cids,
+         |      CASE t.m $codeCases END)]) AS BIGINT) AS adc_dist
+         |  FROM codes c JOIN tabs t ON t.pcell = c.cell AND c.vec_id <> t.query_id
+         |  GROUP BY 1, 2, 3),
+         |short AS (
+         |  SELECT query_id, vec_id, label, adc_dist, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, vec_id) AS arank
+         |  FROM scored),
+         |rer AS (
+         |  SELECT sh.query_id, sh.vec_id, sh.label, sh.adc_dist,
+         |    q.norm2 - 2 * ${dotSql.format("q.qv", "c.qv")} + c.norm2 AS l2_dist
+         |  FROM short sh
+         |  JOIN qn q ON q.vec_id = sh.query_id
+         |  JOIN qn c ON c.vec_id = sh.vec_id
+         |  WHERE sh.arank <= $PqShortlist),
+         |ranked AS (
+         |  SELECT query_id, vec_id, label, adc_dist, CAST(l2_dist AS BIGINT) AS l2_dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rank
+         |  FROM rer)
+         |SELECT query_id, vec_id, label, adc_dist, l2_dist, rank
+         |FROM ranked WHERE rank <= $PqTopK""".stripMargin) { (s, d) =>
+      val qe = quantized(s, d).localCheckpoint(eager = false)
+      // coarse cells: the IVF family's cosine Lloyd, assignment map-side
+      val cents = lloydCentroids(qe, CentroidK, CentroidIters)
+      val centPick = "cqvs[CAST(array_position(cids, ranked[0].id) AS INT) - 1]"
+      val resid = assignRanked(qe, cents)
+        .select(col("vec_id"), col("label"),
+          expr("ranked[0].id").as("cell"),
+          expr(s"zip_with(qv, $centPick, (x, c) -> x - c)").as("rv"))
+        .localCheckpoint(eager = false) // feeds sub-codebook train + encode
+      val subs = pqSplit(resid, "rv", Seq("vec_id", "label", "cell"))
+      val cbn = pqTrain(subs)
+      val cbRow = pqPacked(cbn)
+      // encode: map-side residual codes + the cell id, one narrow regroup
+      val codeCols2 = (0 until PqM).map(m =>
+        max(when(col("m") === m, col("code"))).as(s"code$m"))
+      val codes = pqAssign(subs, cbRow)
+        .select(col("vec_id"), col("label"), col("cell"), col("m"),
+          expr("best.id").as("code"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("label")).as("label"), (min(col("cell")).as("cell") +: codeCols2): _*)
+      // queries: top-3 probed cells, one residual per probed cell
+      val qprobe = assignRanked(qe.filter(col("vec_id") % 50 === 0), cents)
+        .select(col("vec_id").as("query_id"), col("qv"), col("cids"), col("cqvs"),
+          explode(expr("slice(ranked, 1, 3)")).as("pr"))
+        .select(col("query_id"), col("pr.id").as("pcell"),
+          expr("zip_with(qv, cqvs[CAST(array_position(cids, pr.id) AS INT) - 1], (x, c) -> x - c)")
+            .as("rv"))
+      val qsubs = pqSplit(qprobe, "rv", Seq("query_id", "pcell"))
+      // ADC tables per (query, probed cell); the per-subspace ‖qrₘ‖² term
+      // keeps distances comparable across cells
+      val tabCols = (0 until PqM).flatMap(m => Seq(
+        max(when(col("m") === m, col("cids"))).as(s"cids$m"),
+        max(when(col("m") === m, col("tvals"))).as(s"tvals$m")))
+      val qtabs = qsubs.join(broadcast(cbRow), "m")
+        .withColumn("dots", graft.functions.FixedPointDotMulti(col("sv"), col("cqvs")))
+        .withColumn("srm", FixedPointDot(col("sv"), col("sv")))
+        .withColumn("tvals", expr("zip_with(cnorms, dots, (cn, dd) -> cn - 2 * dd + srm)"))
+        .groupBy(col("query_id"), col("pcell"))
+        .agg(tabCols.head, tabCols.tail: _*)
+      // scoring: codes ⋈ tables ON THE CELL ID — un-probed cells never join
+      val adcExpr = (0 until PqM).map(m =>
+        expr(s"element_at(tvals$m, CAST(array_position(cids$m, code$m) AS INT))"))
+        .reduce(_ + _)
+      val scored = codes
+        .join(broadcast(qtabs),
+          col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"), adcExpr.as("adc_dist"))
+      val short = scored
+        .withColumn("arank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
+        .filter(col("arank") <= PqShortlist)
       val qvecs = qe.select(col("vec_id").as("query_id"),
         col("qv").as("qqv"), col("norm2").as("qnorm2"))
       val cvecs = qe.select(col("vec_id"), col("qv").as("cqv2"), col("norm2").as("cnorm2c"))

@@ -177,6 +177,30 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@5 $recall below floor")
   }
 
+  test("IVF-PQ ANN: exact reported distances; residual codes + cell probes recall the true top-5") {
+    val vecs = graft.ops.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = vecs.keys.filter(_ % 50 == 0)
+    val truth = queries.map { qid =>
+      qid -> vecs.toSeq.filter(_._1 != qid)
+        .map { case (v, qv) => (l2(vecs(qid), qv), v) }.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val got = graft.SparkEntry.queries("sim_ivfpq_topk")(spark, sf0001)
+      .select(col("query_id"), col("vec_id"), col("l2_dist"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (q, v, d) =>
+      assert(d === l2(vecs(q), vecs(v)), s"l2 mismatch for ($q, $v)")
+    }
+    val hits = got.count { case (q, v, _) => truth(q)(v) }
+    val recall = hits.toDouble / (truth.size * 5)
+    info(s"IVF-PQ recall@5 = $recall ($hits/${truth.size * 5})")
+    assert(recall >= 0.5, s"recall@5 $recall below floor")
+  }
+
   test("edit-distance dedup finds both-short pairs that share zero shingles") {
     // two 10-char docs at lev=1: each has exactly ONE 14-char shingle (its
     // whole text) and they differ, so the shingle equi-join never pairs them
