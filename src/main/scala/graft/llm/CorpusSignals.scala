@@ -3,6 +3,7 @@ package graft.llm
 import graft.GraftQuery
 import graft.GraftQuery.q
 import graft.ops.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -35,6 +36,68 @@ object CorpusSignals {
 
   /** Fully-unrolled BPE learn+apply rounds for `bpe_tokenize`. */
   private val BpeRounds = 6
+
+  /** Oracle CTE chain `wf, t0 … t$BpeRounds` learning and applying the
+    * [[BpeRounds]] merge rules on the word-frequency table — shared by
+    * `bpe_tokenize` (per-round merge statistics) and
+    * `bpe_compression_rate` (per-doc tokens under the final vocab). */
+  private def bpeLearnCtes: String = {
+    val sb = new StringBuilder(
+      """WITH wf AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |t0 AS (SELECT w, f,
+        |  list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS t
+        |  FROM wf)""".stripMargin)
+    for (r <- 1 to BpeRounds) {
+      sb.append(s""",
+         |p$r AS (
+         |  SELECT t[i] AS pa, t[i+1] AS pb, CAST(SUM(f) AS BIGINT) AS n
+         |  FROM (SELECT f, t, unnest(generate_series(1, len(t)-1)) AS i
+         |        FROM t${r - 1} WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
+         |t$r AS (
+         |  SELECT w, f, string_split(list_reduce(t, (acc, x) ->
+         |    CASE WHEN x = m$r.pb AND (acc = m$r.pa OR ends_with(acc, chr(31) || m$r.pa))
+         |         THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS t
+         |  FROM t${r - 1}, m$r)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** The final BPE word→tokens frame (w, f, t) after [[BpeRounds]] learned
+    * merges — the Spark twin of [[bpeLearnCtes]]' `t$BpeRounds`. */
+  private def bpeLearnedToks(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documentsParallel(s, d)
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var toks = wf
+      .withColumn("t", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .localCheckpoint()
+    for (_ <- 1 to BpeRounds) {
+      val m = toks.filter(size(col("t")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS pa, t[i] AS pb))")).as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(1)
+        .localCheckpoint()
+      toks = toks
+        .crossJoin(broadcast(m.select(col("pa").as("ma"), col("pb").as("mb"))))
+        .withColumn("t", expr(
+          """split(aggregate(t, CAST(NULL AS STRING), (acc, x) ->
+            |  CASE WHEN acc IS NULL THEN x
+            |       WHEN x = mb AND (acc = ma OR endswith(acc, chr(31) || ma))
+            |       THEN acc || x ELSE acc || chr(31) || x END), chr(31))""".stripMargin))
+        .drop("ma", "mb")
+        .localCheckpoint()
+    }
+    toks
+  }
 
   /** Keep threshold for [[DsirScale]]-scaled per-token scores: a document
     * whose average token weight exceeds the *overall* target share is
@@ -392,28 +455,7 @@ object CorpusSignals {
     // Lloyd-iteration doctrine, [[Similarity]]) so round r executes once
     // instead of replaying rounds 1..r-1 per downstream aggregate.
     q("bpe_tokenize", {
-      val sb = new StringBuilder(
-        """WITH wf AS (
-          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-          |  WHERE w <> '' GROUP BY w),
-          |t0 AS (SELECT w, f,
-          |  list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS t
-          |  FROM wf)""".stripMargin)
-      for (r <- 1 to BpeRounds) {
-        sb.append(s""",
-           |p$r AS (
-           |  SELECT t[i] AS pa, t[i+1] AS pb, CAST(SUM(f) AS BIGINT) AS n
-           |  FROM (SELECT f, t, unnest(generate_series(1, len(t)-1)) AS i
-           |        FROM t${r - 1} WHERE len(t) >= 2)
-           |  GROUP BY 1, 2),
-           |m$r AS (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
-           |t$r AS (
-           |  SELECT w, f, string_split(list_reduce(t, (acc, x) ->
-           |    CASE WHEN x = m$r.pb AND (acc = m$r.pa OR ends_with(acc, chr(31) || m$r.pa))
-           |         THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS t
-           |  FROM t${r - 1}, m$r)""".stripMargin)
-      }
+      val sb = new StringBuilder(bpeLearnCtes)
       val tail = (1 to BpeRounds).map(r =>
         s"""SELECT CAST($r AS BIGINT) AS round, pa AS a, pb AS b, n AS pair_n,
            |  (SELECT CAST(SUM(f * len(t)) AS BIGINT) FROM t$r) AS corpus_tokens_after
@@ -451,6 +493,44 @@ object CorpusSignals {
           .crossJoin(broadcast(after))
       }
       rounds.reduce(_ union _)
+    },
+
+    // ---- per-document COMPRESSION RATE under the learned BPE vocabulary:
+    // chars-per-token in ppm — the tokenizer-based quality proxy real
+    // curation pipelines use alongside perplexity (text that BPE fragments
+    // into near-character tokens compresses poorly: non-language strings,
+    // boilerplate soup, wrong-script content; unusually HIGH compression
+    // flags repetitive filler). Shape: the same one corpus pass → word
+    // frequency table as `bpe_tokenize`; the learned |vocab|-row word→
+    // token-count map then joins back to the per-doc word explode on the
+    // word key — corpus-sized rows cross ONE narrow token-keyed join, all
+    // arithmetic integer (ppm floor division).
+    q("bpe_compression_rate",
+      s"""$bpeLearnCtes,
+         |wtok AS (SELECT w, CAST(len(t) AS BIGINT) AS ntok FROM t$BpeRounds),
+         |dw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |agg AS (
+         |  SELECT d.doc_id,
+         |    CAST(SUM(len(d.w)) AS BIGINT) AS n_word_chars,
+         |    CAST(SUM(wt.ntok) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw d JOIN wtok wt USING (w) GROUP BY 1)
+         |SELECT doc_id, n_word_chars, n_bpe_tokens,
+         |  (n_word_chars * 1000000) // n_bpe_tokens AS chars_per_token_ppm
+         |FROM agg""".stripMargin) { (s, d) =>
+      val wtok = bpeLearnedToks(s, d)
+        .select(col("w"), size(col("t")).cast("long").as("ntok"))
+      val dw = Tables.documentsParallel(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      dw.join(wtok, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(length(col("w"))).cast("long").as("n_word_chars"),
+          sum(col("ntok")).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_word_chars"), col("n_bpe_tokens"),
+          expr("n_word_chars * 1000000 div n_bpe_tokens").as("chars_per_token_ppm"))
     }
   )
 }

@@ -262,7 +262,7 @@ object Similarity {
     }
   ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+
     centroidOutlierQuery :+ semanticKeepQuery :+ lshRecallEvalQuery :+
-    cosineHistogramQuery :+ pqTopkQuery :+ ivfPqTopkQuery
+    cosineHistogramQuery :+ pqTopkQuery :+ ivfPqTopkQuery :+ decontEmbQuery
 
   // ---- Product Quantization geometry (Jégou, Douze, Schmid: "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011)
@@ -470,6 +470,36 @@ object Similarity {
         .filter(col("rank") <= PqTopK)
     }
   }
+
+  /** Embedding-level benchmark DECONTAMINATION: the semantic twin of the
+    * shingle-overlap `decontaminate` query ([[TrainingPipeline]]) —
+    * paraphrased or reformatted eval leakage shares no 14-char shingles
+    * but still sits at high embedding cosine. The vec_id % 7 slice
+    * stands in for the benchmark set; any ≥0.4-cosine train↔bench pair
+    * flags the TRAIN vector with its neighbor count and worst cosine.
+    * Candidates come from the banded multi-probe LSH ([[lshPairs]] — the
+    * exact pair machinery the dedup query verifies), so the cross-set
+    * check rides the same bucket joins: no new corpus-scale shape, and at
+    * 100 TB the bench side is a vanishing fraction of every bucket. */
+  lazy val decontEmbQuery: GraftQuery =
+    q("decontaminate_embeddings",
+      s"""WITH $lshPairsSqlCtes,
+         |xpairs AS (
+         |  SELECT CASE WHEN v1 % 7 = 0 THEN v2 ELSE v1 END AS vec_id,
+         |         cosine
+         |  FROM pairs
+         |  WHERE cosine >= 0.4 AND ((v1 % 7 = 0) <> (v2 % 7 = 0)))
+         |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_neighbors,
+         |  MAX(cosine) AS max_cosine
+         |FROM xpairs GROUP BY 1""".stripMargin) { (s, d) =>
+      val isB1 = col("v1") % 7 === 0
+      val isB2 = col("v2") % 7 === 0
+      lshPairs(s, d)
+        .filter(isB1 =!= isB2)
+        .select(when(isB1, col("v2")).otherwise(col("v1")).as("vec_id"), col("cosine"))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_bench_neighbors"), max(col("cosine")).as("max_cosine"))
+    }
 
   /** IVF-PQ (the IVFADC index of Jégou et al., TPAMI 2011 §IV): the
     * billion-scale composition of the two index families this engine

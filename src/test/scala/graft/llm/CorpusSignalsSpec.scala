@@ -93,4 +93,24 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(n == spark.read.parquet(s"$sf0001/documents.parquet").count())
     out.unpersist()
   }
+
+  test("BPE compression rate: >= 1 char per token, token count bounded by chars, every wordful doc scored") {
+    val out = graft.SparkEntry.queries("bpe_compression_rate")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(out.length.toLong == nDocs, "every doc with words gets a rate")
+    out.foreach { case (id, chars, toks, ppm) =>
+      assert(toks >= 1 && toks <= chars, s"doc $id: tokens $toks vs chars $chars")
+      // merges only ever shrink token counts, never below 1 char/token
+      assert(ppm >= 1000000L, s"doc $id: $ppm ppm under 1 char/token")
+      assert(ppm == chars * 1000000L / toks)
+    }
+    // the learned merges must actually compress: corpus-wide mean above
+    // 1.1 chars/token (6 merges on this corpus measure ~1.165)
+    val totChars = out.map(_._2).sum
+    val totToks = out.map(_._3).sum
+    assert(totChars * 10 >= totToks * 11,
+      s"corpus compression ${totChars.toDouble / totToks} too weak")
+  }
 }

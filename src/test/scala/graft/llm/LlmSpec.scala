@@ -201,6 +201,22 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 $recall below floor")
   }
 
+  test("embedding decontamination flags exactly the train side of cross-set LSH pairs") {
+    val pairs = graft.SparkEntry.queries("dedup_embedding_lsh")(spark, sf0001)
+      .select(col("v1"), col("v2"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs
+      .filter { case (a, b, _) => (a % 7 == 0) != (b % 7 == 0) }
+      .map { case (a, b, c) => (if (a % 7 == 0) b else a, c) }
+      .groupBy(_._1).view.mapValues(cs => (cs.length.toLong, cs.map(_._2).max)).toMap
+    val got = graft.SparkEntry.queries("decontaminate_embeddings")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expected)
+    // every flagged vector is on the train side, never the bench slice
+    assert(got.keys.forall(_ % 7 != 0))
+    assert(got.values.forall { case (n, c) => n >= 1 && c >= 0.4 })
+  }
+
   test("edit-distance dedup finds both-short pairs that share zero shingles") {
     // two 10-char docs at lev=1: each has exactly ONE 14-char shingle (its
     // whole text) and they differ, so the shingle equi-join never pairs them
