@@ -148,7 +148,8 @@ object Bench {
       "sim_lsh_topk", "st_ingest_960k_readings", "text_df_novelty",
       "text_fingerprint", "text_lang_id", "text_quality_score", "text_token_counts",
       "topk_customers_by_balance", "ts_gapfill", "w1_lag_delta", "w4_moving_window",
-      "w5_topk_per_key_native", "w9_zscore_anomaly"
+      "w5_topk_per_key_native", "w9_zscore_anomaly",
+      "sim_pq_topk", "sim_ivfpq_topk", "graph_hits", "dedup_semantic_keep"
     ).toSet
     val registered = results.map(_._1).toSet
     val orphans = headline -- registered

@@ -114,10 +114,16 @@ object PlanReport {
       "BPE learn+apply: ONE corpus-wide pass (the word-frequency agg); every unrolled round then folds over the vocab-sized frame with a 1-row broadcast merge rule — localCheckpoint truncates round lineage, so the plan shown is the final round's short chain, not rounds 1..K replayed.",
     "sim_pq_topk" ->
       "Product quantization: training, encoding and ADC scoring all read the codebook as a BROADCAST (BroadcastHashJoin on m / BroadcastNestedLoopJoin on the query tables) — the one corpus Exchange regroups 8 narrow code rows per vector; the exact rerank joins only the per-query-constant shortlist back to the vectors.",
-    "graph_hits" ->
-      "HITS: 4 unrolled mutual-reinforcement rounds — every join is an id-keyed equi-join, every normalization a broadcast 1-row max; no Window over a corpus-sized frame anywhere in the chain.",
+    // graph_hits is deliberately NOT printed: 4 unrolled rounds × two
+    // broadcast-max normalizations make the FORMATTED tree ~116K lines —
+    // the shape statement (id-keyed equi-joins + broadcast 1-row maxes,
+    // no corpus Window) lives in its Scaladoc and GraphTsSpec instead.
     "graph_bfs_hops" ->
-      "Multi-source BFS: fixed-depth relaxation; each round's Exchange carries only the reached frontier (node, dist) pairs, never the corpus.")
+      "Multi-source BFS: fixed-depth relaxation; each round's Exchange carries only the reached frontier (node, dist) pairs, never the corpus.",
+    "sim_ivfpq_topk" ->
+      "IVF-PQ: coarse Lloyd + residual sub-codebooks all arrive as broadcasts; ADC scoring joins codes to per-(query, cell) tables ON THE CELL ID, so un-probed cells never enter the join — the index's partition key is the join key.",
+    "decontaminate_embeddings" ->
+      "Embedding decontamination: identical bucket-join shape as dedup_embedding_lsh (the pair machinery is shared) with one extra map-side cross-set filter — no new corpus-scale exchange.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

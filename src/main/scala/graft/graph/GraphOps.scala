@@ -293,19 +293,28 @@ object GraphOps {
       val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
       val edges = edgesOf(nodes, nRow)
       val h0 = nodes.select(col("doc_id"), lit(HitsScale).as("h"))
+      // localCheckpoint (lazy) on every frame a round references TWICE
+      // (score + its own max): without it the logical plan doubles per
+      // reference — 2^(2·rounds) analysis blowup, measured 59 s of pure
+      // Catalyst time at sf0.01 — the Spark-side twin of the oracle's
+      // reference-once CTE discipline (a round's frames are n rows, so
+      // the truncation itself is cheap; the clusterLabels doctrine).
       val (aFin, hFin) = (1 to HitsIters).foldLeft((h0, h0)) { case ((_, h), _) =>
         val asum = edges.join(h, edges("src") === h("doc_id"))
           .groupBy(col("dst").as("doc_id")).agg(sum(col("h")).as("asum"))
         val aAll = nodes.join(asum, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("asum"), lit(0L)).as("a"))
+          .localCheckpoint(eager = false)
         val aN = aAll
           .crossJoin(broadcast(aAll.agg(max(col("a")).as("amax"))))
           .select(col("doc_id"), expr(s"a * $HitsScale div amax").as("a"))
+          .localCheckpoint(eager = false)
         val hsum = edges.join(aN, edges("dst") === aN("doc_id"))
           .groupBy(col("src").as("doc_id")).agg(sum(col("a")).as("hsum"))
         val hN = hsum
           .crossJoin(broadcast(hsum.agg(max(col("hsum")).as("hmax"))))
           .select(col("doc_id"), expr(s"hsum * $HitsScale div hmax").as("h"))
+          .localCheckpoint(eager = false)
         (aN, hN)
       }
       nodes
@@ -353,10 +362,14 @@ object GraphOps {
       val edges = edgesOf(nodes, nRow)
       val d0 = nodes.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("node"), lit(0L).as("dist"))
+      // lazy lineage truncation per round: each round references dist
+      // twice (keep-old + relax), which would double the logical plan per
+      // round without it (the graph_hits lesson)
       val dFin = (1 to BfsMaxHops).foldLeft(d0) { (dist, _) =>
-        val relaxed = edges.join(dist, edges("src") === dist("node"))
+        val d = dist.localCheckpoint(eager = false)
+        val relaxed = edges.join(d, edges("src") === d("node"))
           .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-        dist.unionByName(relaxed)
+        d.unionByName(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       }
       dFin.select(col("node").as("doc_id"), col("dist").as("hops"))
