@@ -464,6 +464,52 @@ object TimeSeriesExt {
         .unionByName(total)
     },
 
+    // ---- COUNT-MIN sketch (Cormode & Muthukrishnan, J.Alg 2005): the
+    // classic mergeable FREQUENCY sketch, completing the sketch family
+    // (Misra-Gries candidates, HLL distincts, t-digest quantiles). d=4
+    // hash rows × w=64 buckets built in ONE map-side-combinable aggregate
+    // over a 4× narrow explode — the sketch is 256 rows total, mergeable
+    // by bucket-wise addition across any partitioning/time-slicing, which
+    // is the warehouse point: frequencies become additive like sums. The
+    // estimate (min over the 4 rows' buckets) is probed here for the
+    // exact top-10 keys and carries CMS's one-sided guarantee
+    // cms_n ≥ exact_n, spec-asserted; hash = the deterministic
+    // md5-prefix60 both engines share, so estimates are bit-identical.
+    q("a_countmin_sketch",
+      """WITH ev AS (SELECT user_id FROM events),
+        |cells AS (
+        |  SELECT j.j AS j,
+        |    CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+        |  FROM ev, (SELECT unnest(generate_series(0, 3)) AS j) j),
+        |tab AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+        |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM ev GROUP BY 1),
+        |top AS (SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 10),
+        |probes AS (
+        |  SELECT t.user_id, t.exact_n, j.j AS j,
+        |    CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(t.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+        |  FROM top t, (SELECT unnest(generate_series(0, 3)) AS j) j)
+        |SELECT p.user_id, p.exact_n, CAST(MIN(tb.n) AS BIGINT) AS cms_n
+        |FROM probes p JOIN tab tb ON p.j = tb.j AND p.b = tb.b
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      def bucket(j: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        graft.functions.Md5Prefix64(
+          concat(j.cast("string"), lit("-"), key.cast("string"))) % 64
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val tab = ev
+        .select(col("user_id"), explode(expr("sequence(0, 3)")).as("j"))
+        .select(col("j"), bucket(col("j"), col("user_id")).as("b"))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("n"))
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      top
+        .select(col("user_id"), col("exact_n"), explode(expr("sequence(0, 3)")).as("j"))
+        .select(col("user_id"), col("exact_n"), col("j"),
+          bucket(col("j"), col("user_id")).as("b"))
+        .join(broadcast(tab), Seq("j", "b"))
+        .groupBy(col("user_id"), col("exact_n"))
+        .agg(min(col("n")).as("cms_n"))
+    },
+
     // ---- correlated scalar subquery (SQL entry point; decorrelated by
     // Catalyst into an aggregate + join)
     q("subquery_scalar_latest_order",

@@ -62,6 +62,22 @@ class OpsR7Spec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("count-min sketch: one-sided guarantee holds and the probe set is the exact top-10") {
+    val rows = run("a_countmin_sketch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 10)
+    // CMS never underestimates: collisions only ADD counts
+    rows.foreach { case (u, exact, cms) =>
+      assert(cms >= exact, s"user $u: cms $cms under exact $exact")
+    }
+    // probes are the true top-10 by exact frequency (tie-break user_id)
+    val allExact = graft.ops.Tables.events(spark, sf0001)
+      .groupBy(col("user_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = allExact.sortBy { case (u, n) => (-n, u) }.take(10).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === expected)
+  }
+
   test("MAD scoring: robust_score and flag recompute from med/mad on every row") {
     val rows = run("w14_mad_anomaly").collect()
     assert(rows.nonEmpty)
