@@ -131,17 +131,31 @@ object Dedup {
       l.unionByName(viaNeighbors)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
     }
+    // pointer jump: every node shortcuts to its label's label (labels
+    // always point inside the node's own component, so the jump stays
+    // in-component, is monotone decreasing, and compresses long chains
+    // the way plain hops cannot — hop+jump converges in O(log diameter)
+    // rounds vs O(diameter) for hops alone). The self-join runs on the
+    // label frame only, never the edge list.
+    def jump(l: org.apache.spark.sql.DataFrame) = {
+      val lc = l.localCheckpoint(eager = false) // referenced twice below
+      val ptr = lc.select(col("node").as("pnode"), col("label").as("plabel"))
+      lc.join(ptr, col("label") === col("pnode"))
+        .select(col("node"), col("plabel").as("label"))
+    }
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 12) {
-      // TWO hops per scheduled round: the iteration is latency-bound
-      // (sequential driver jobs over tiny label frames, not shuffle
-      // volume — measured diameter 16 on the sf0.1 embedding pair graph),
-      // so fusing two hops into one action halves the job count for the
-      // same total shuffle work. Convergence on the fused step is sound:
-      // labels only decrease, so next == labels forces hop(labels) ==
-      // labels (the one-hop fixpoint, which is the component min).
-      val next = hop(hop(labels)).localCheckpoint(eager = false)
+      // hop → jump → hop → jump per scheduled round: the iteration is
+      // latency-bound (sequential driver jobs over tiny label frames,
+      // not shuffle volume — measured diameter 16 on the sf0.1 embedding
+      // pair graph), so fusing the whole compound step into one action
+      // cuts the job count; the jumps make effective reach grow
+      // geometrically. Convergence on the fused step is sound: labels
+      // only decrease and every intermediate label is an in-component
+      // node id, so next == labels forces hop(labels) == labels (the
+      // one-hop fixpoint, which is the component min).
+      val next = jump(hop(jump(hop(labels)))).localCheckpoint(eager = false)
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label")).count()
