@@ -251,6 +251,56 @@ object TrainingPipeline {
           expr("cum div step - (cum - n) div step").as("n_hits"))
     },
 
+    // ---- IMPORTANCE-WEIGHTED resampling: systematic PPS where the size
+    // measure is the corpus QUALITY SCORE ([[TextAnalysis.qualityScore]]
+    // — the one shared definition keeper-selection and the Gopher gate
+    // already use) instead of token count: inclusion probability becomes
+    // proportional to quality, the "sample the training set toward the
+    // good documents" curation op (the deterministic-integer cousin of
+    // DSIR-style importance resampling). The per-doc double quantizes to
+    // ppm BIGINT first, so every prefix sum and every draw is exact
+    // integer arithmetic — the whole SAMPLE, not a statistic of it, is
+    // the oracle check. Spark side reuses the two-level prefix sum (per-
+    // chunk totals + tiny offset window): no global single-task window.
+    q("sample_quality_pps",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(round((${TextAnalysis.qualityScoreSql("text")}) * 1000000) AS BIGINT) AS w
+         |  FROM documents WHERE n_chars > 0),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    SUM(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |s AS (SELECT CAST(SUM(w) AS BIGINT) // 40 AS step FROM t)
+         |SELECT doc_id, w AS weight_ppm, CAST(cum AS BIGINT) AS cum_weight,
+         |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_hits
+         |FROM c CROSS JOIN s
+         |WHERE cum // step > (cum - w) // step""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")) * 1000000).cast("long").as("w"),
+          expr(s"doc_id div $ChunkSize").as("chunk"))
+      val chunkTotals = toks.groupBy(col("chunk"))
+        .agg(sum(col("w")).as("chunk_w"))
+        .withColumn("chunk_end", sum(col("chunk_w")).over(
+          Window.partitionBy(pmod(col("chunk"), lit(1))).orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("chunk"), (col("chunk_end") - col("chunk_w")).as("offset"))
+      val step = toks.agg(expr("sum(w) div 40").as("step"))
+      val wChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .join(broadcast(chunkTotals), Seq("chunk"))
+        .withColumn("cum", sum(col("w")).over(wChunk) + col("offset"))
+        .crossJoin(broadcast(step))
+        .filter(expr("cum div step > (cum - w) div step"))
+        .select(col("doc_id"), col("w").as("weight_ppm"),
+          col("cum").as("cum_weight"),
+          expr("cum div step - (cum - w) div step").as("n_hits"))
+    },
+
     // ---- domain mixing: resample sources toward target mix weights.
     // Unlike [[sample_stratified]]'s fixed fractions, the keep-fraction is
     // DERIVED FROM THE DATA: frac(source) = min(1, target_share · N_total

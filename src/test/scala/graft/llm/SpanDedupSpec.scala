@@ -160,6 +160,23 @@ class SpanDedupSpec extends SparkSpec {
     assert(gotSorted.toSeq === expected.toSeq)
   }
 
+  test("quality-weighted PPS: exactly 40 draws, sampled mean quality above corpus mean") {
+    val out = run("sample_quality_pps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.map(_._3).sum === 40, "systematic PPS draws exactly K points")
+    // inclusion ∝ quality: the hit-weighted mean quality must exceed the
+    // corpus mean (that is the whole point of importance resampling)
+    val all = graft.ops.Tables.documents(spark, sf0001)
+      .filter(col("n_chars") > 0)
+      .select(round(graft.llm.TextAnalysis.qualityScore(col("text")) * 1000000)
+        .cast("long"))
+      .collect().map(_.getLong(0))
+    val corpusMean = all.sum.toDouble / all.length
+    val sampledMean = out.map(r => r._2 * r._3).sum.toDouble / out.map(_._3).sum
+    assert(sampledMean > corpusMean,
+      s"sampled mean $sampledMean should exceed corpus mean $corpusMean")
+  }
+
   test("winnowing: a shared long run yields a shared fingerprint; density holds") {
     val shared = "zqv wxj kpt mnb hgf dse rty uio plm okn" // 39 chars >= k+7
     val docs = Seq(
