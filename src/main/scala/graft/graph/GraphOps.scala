@@ -45,6 +45,10 @@ object GraphOps {
   private val HitsIters = 4
   /** BFS: fixed relaxation depth. */
   private val BfsMaxHops = 4
+  /** k-core: degree threshold and peel rounds (fixed-point verified by
+    * GraphR7Spec: one extra round changes nothing at sf0.01/sf0.1). */
+  private val KCoreK = 4
+  private val KCoreRounds = 6
 
   /** Synthetic out-links of one node over a dense 0..N-1 id space:
     * dst_k = md5-hash64("src-k") mod N for k = 1..OutDeg. The hash (not
@@ -373,6 +377,73 @@ object GraphOps {
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       }
       dFin.select(col("node").as("doc_id"), col("dist").as("hops"))
+    },
+
+    // ---- k-CORE decomposition (Seidman, Social Networks 1983) over the
+    // undirected form of the derived link graph — the density/cohesion
+    // filter of crawl curation: the k-core is the maximal subgraph where
+    // every member keeps ≥ k neighbors INSIDE the subgraph, so it strips
+    // tendrils and link-farms that raw degree misses. Distributed peel:
+    // A_{i+1} = { u : |adj(u) ∩ A_i| ≥ k }. No "u ∈ A_i" conjunct is
+    // needed — once u leaves at round j because deg_{A_{j-1}}(u) < k, the
+    // alive set only shrinks (A_i ⊆ A_{j-1} by induction), so u's alive
+    // degree stays < k forever: dead nodes cannot resurrect. That makes
+    // each round reference its predecessor exactly ONCE — one edge⋈alive
+    // equi-join + one map-side-combinable HAVING count — which keeps the
+    // oracle's CTE chain linear under DuckDB inlining (the graph_hits
+    // doctrine) and the Spark plan one join per round. At 100 TB both
+    // sides are id-keyed: pre-bucketed on node id the join reuses its
+    // partitioning every round, and a round only shuffles the surviving
+    // frontier's edges. Output: core members with their within-core degree
+    // (≥ k at the verified fixed point).
+    q("graph_kcore", {
+      val iterCtes = (1 to KCoreRounds).map { i =>
+        s"""a$i AS (
+           |  SELECT s.src AS node FROM sym s JOIN a${i - 1} a ON s.dst = a.node
+           |  GROUP BY s.src HAVING COUNT(*) >= $KCoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |$edgesSqlCte,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |sym AS (SELECT u AS src, v AS dst FROM und
+         |        UNION ALL SELECT v AS src, u AS dst FROM und),
+         |a0 AS (SELECT doc_id AS node FROM nodes),
+         |$iterCtes
+         |SELECT s.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM sym s
+         |JOIN a$KCoreRounds m1 ON s.src = m1.node
+         |JOIN a$KCoreRounds m2 ON s.dst = m2.node
+         |GROUP BY s.src""".stripMargin
+    }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      val edges = edgesOf(nodes, nRow)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      // referenced every round (and twice in the final degree count) —
+      // truncate the shared md5-edge lineage once
+      val sym = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(eager = false)
+      val a0 = nodes.select(col("doc_id").as("node"))
+      val core = (1 to KCoreRounds).foldLeft(a0) { (alive, _) =>
+        // lazy per-round lineage truncation: the alive frame shrinks
+        // monotonically, so the checkpoint is at most node-count rows
+        val a = alive.localCheckpoint(eager = false)
+        sym.join(a, sym("dst") === a("node"))
+          .groupBy(sym("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KCoreK)
+          .select(col("src").as("node"))
+      }.localCheckpoint(eager = false) // read twice below (src + dst side)
+      sym.join(core.select(col("node").as("m1")), sym("src") === col("m1"))
+        .join(core.select(col("node").as("m2")), sym("dst") === col("m2"))
+        .groupBy(sym("src").as("doc_id"))
+        .agg(count(lit(1)).as("core_degree"))
     }
   )
 }

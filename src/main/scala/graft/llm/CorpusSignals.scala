@@ -531,6 +531,57 @@ object CorpusSignals {
           sum(col("ntok")).as("n_bpe_tokens"))
         .select(col("doc_id"), col("n_word_chars"), col("n_bpe_tokens"),
           expr("n_word_chars * 1000000 div n_bpe_tokens").as("chars_per_token_ppm"))
+    },
+
+    // ---- pairwise SOURCE VOCABULARY OVERLAP: exact Jaccard similarity of
+    // the distinct-token vocabularies of every source pair — the
+    // corpus-mixing diagnostic (which sources are near-redundant? which
+    // contribute novel vocabulary?) that sits beside mix_domains /
+    // source_drift_tv when composing a training mixture. Scale shape: the
+    // corpus collapses to distinct (source, token) in ONE shuffle (map-side
+    // combine first), and the pair join runs on that deduped frame keyed by
+    // token — each token matches at most |sources| rows per side, so the
+    // join output per key is bounded by |sources|² regardless of how many
+    // billions of times a stopword occurs; no skew blowup by construction.
+    // Union sizes come from inclusion-exclusion (|A|+|B|−|A∩B|), so only
+    // intersections are ever joined. Jaccard in exact integer ppm.
+    q("text_source_overlap",
+      """WITH st AS (
+        |  SELECT DISTINCT source, token FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)),
+        |vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM st GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, i.n_inter,
+        |  va.vocab + vb.vocab - i.n_inter AS n_union,
+        |  (i.n_inter * 1000000) // (va.vocab + vb.vocab - i.n_inter) AS jaccard_ppm
+        |FROM inter i
+        |JOIN vs va ON va.source = i.source_a
+        |JOIN vs vb ON vb.source = i.source_b""".stripMargin) { (s, d) =>
+      // feeds the per-source vocab counts and BOTH sides of the pair join —
+      // truncate the explode+distinct lineage once
+      val st = Tables.documentsParallel(s, d)
+        .select(col("source"), explode(TextAnalysis.words(col("text"))).as("token"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val vs = st.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+      val inter = st.as("a")
+        .join(st.as("b"),
+          col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(vs.select(col("source").as("source_a"), col("vocab").as("va"))),
+          Seq("source_a"))
+        .join(broadcast(vs.select(col("source").as("source_b"), col("vocab").as("vb"))),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_inter"),
+          (col("va") + col("vb") - col("n_inter")).as("n_union"),
+          expr("n_inter * 1000000 div (va + vb - n_inter)").as("jaccard_ppm"))
     }
   )
 }

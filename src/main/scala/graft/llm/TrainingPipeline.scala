@@ -23,6 +23,16 @@ object TrainingPipeline {
   /** Tokens per context window for [[packSequences]]. */
   private val PackBudget = 2048L
 
+  /** Bloom decontamination geometry: [[BloomWords]]×63-bit bitmap (64 KiB
+    * broadcast regardless of bench size), [[BloomProbes]] probes/shingle —
+    * ~2-4% false positives at the sf0.1 fill rate, all removed by the
+    * exact verify join. */
+  private val BloomWords = 8192
+  private val BloomProbes = 3
+
+  /** k-anonymity class-size floor (the conventional k=5 audit bar). */
+  private val KAnonThreshold = 5L
+
   // sliding-window segmentation geometry shared by chunk_documents and
   // dedup_chunks_cross_doc — ONE definition (Scala + SQL twins below) so
   // the two queries cannot silently disagree about what a "chunk" is
@@ -574,6 +584,118 @@ object TrainingPipeline {
         .agg(
           countDistinct(col("sh")).as("n_shared_shingles"),
           countDistinct(col("bench_doc_id")).as("n_bench_docs"))
+    },
+
+    // ---- Bloom-prefiltered decontamination (Bloom, CACM 1970): the
+    // benchmark's shingle set is folded into a CONSTANT-SIZE bitmap
+    // ([[BloomWords]]×63 bits; 63, not 64 — a shift into the BIGINT sign
+    // bit overflows in the oracle engine), and the corpus probes that
+    // broadcast bitmap instead of the bench set itself. Membership is
+    // all-[[BloomProbes]]-bits-set; survivors (true hits + a few % false
+    // positives at ~30% fill) then hit the EXACT bench-set join, so the
+    // output is exactly `decontaminate`'s doc set — the bloom only prunes.
+    // Why it matters at 100 TB: `decontaminate` broadcasts the whole bench
+    // shingle set to every probe task, which for a full eval-suite (many
+    // GBs of shingles) stops fitting; the bitmap is O(1) (64 KiB here
+    // regardless of bench size), the per-shingle probe cost is 3 hashes
+    // against it map-side, and the expensive exact join now touches only
+    // the bloom-surviving sliver of the corpus. All hash/bit arithmetic is
+    // deterministic md5 + exact BIGINT ops, identical in both engines.
+    // Output per contaminated-candidate doc: bloom-candidate vs
+    // exact-confirmed shingle counts (the gap IS the measured FP rate).
+    q("decontaminate_bloom", {
+      val M = BloomWords * 63
+      val probeK = s"CROSS JOIN (SELECT unnest(generate_series(1, $BloomProbes)) AS k)"
+      val posSql = TextHash.h64Sql("CAST(sh AS VARCHAR) || '-' || CAST(k AS VARCHAR)") + s" % $M"
+      s"""WITH shs AS (${TextHash.shinglesSql()}),
+         |sh AS (SELECT doc_id, ${TextHash.h64Sql("sh")} AS sh FROM shs),
+         |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |bpos AS (SELECT $posSql AS pos FROM bsh $probeK),
+         |bloom AS (
+         |  SELECT pos // 63 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+         |  FROM bpos GROUP BY 1),
+         |probes AS (
+         |  SELECT doc_id, sh, $posSql AS pos
+         |  FROM (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0) $probeK),
+         |hits AS (
+         |  SELECT p.doc_id, p.sh,
+         |    MIN(CASE WHEN (COALESCE(b.bits, 0) &
+         |          (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT))) <> 0
+         |        THEN 1 ELSE 0 END) AS all_hit
+         |  FROM probes p LEFT JOIN bloom b ON b.word = p.pos // 63
+         |  GROUP BY p.doc_id, p.sh),
+         |cand AS (SELECT doc_id, sh FROM hits WHERE all_hit = 1)
+         |SELECT c.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bloom_candidates,
+         |  CAST(SUM(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_confirmed_shingles
+         |FROM cand c LEFT JOIN bsh b ON c.sh = b.sh
+         |GROUP BY c.doc_id""".stripMargin
+    }) { (s, d) =>
+      val M = BloomWords * 63L
+      val pos = (TextHash.h64(concat(col("sh").cast("string"), lit("-"),
+        col("k").cast("string"))) % M).as("pos")
+      val sh = Tables.documentsParallel(s, d)
+        .select(col("doc_id"),
+          explode(TextHash.shingleHashArray(col("text"))).as("sh"))
+      // bench shingle set: feeds the bloom build AND the exact verify —
+      // truncate once; both consumers broadcast it
+      val bsh = sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()
+        .localCheckpoint(eager = false)
+      val bloom = bsh
+        .select(col("sh"), explode(expr(s"sequence(1, $BloomProbes)")).as("k"))
+        .select(pos)
+        .select(expr("pos div 63").as("word"),
+          expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))").as("mask"))
+        .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+      val probes = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("sh"),
+          explode(expr(s"sequence(1, $BloomProbes)")).as("k"))
+        .select(col("doc_id"), col("sh"), pos)
+      val cand = probes
+        .join(broadcast(bloom), expr("pos div 63") === col("word"), "left")
+        .select(col("doc_id"), col("sh"),
+          when(expr("coalesce(bits, cast(0 as bigint)) & " +
+            "shiftleft(cast(1 as bigint), cast(pos % 63 as int))") =!= 0, 1)
+            .otherwise(0).as("hit"))
+        .groupBy(col("doc_id"), col("sh")).agg(min(col("hit")).as("all_hit"))
+        .filter(col("all_hit") === 1)
+        .select(col("doc_id"), col("sh"))
+      cand
+        .join(broadcast(bsh.select(col("sh").as("bsh"))),
+          col("sh") === col("bsh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bloom_candidates"),
+          sum(when(col("bsh").isNull, 0L).otherwise(1L)).as("n_confirmed_shingles"))
+    },
+
+    // ---- k-ANONYMITY audit (Sweeney, IJUFKS 2002) — the privacy
+    // governance twin of pii_redact: before user-derived tables feed a
+    // training corpus, every quasi-identifier equivalence class must hold
+    // at least k individuals, or its rows re-identify people by linkage.
+    // QIDs here: (nation, market segment, account balance generalized to
+    // $500 bands — the standard generalization step). Output: one row per
+    // equivalence class with its size and an at_risk flag (class smaller
+    // than k ⇒ those rows need suppression or coarser generalization).
+    // Scale shape: ONE map-side-combinable groupBy on the QID tuple — the
+    // cheapest possible plan, and the class-size histogram it produces is
+    // exactly what a 100 TB anonymization sweep computes per table.
+    q("privacy_k_anonymity",
+      s"""SELECT c_nationkey, c_mktsegment,
+         |  CAST(FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / 50000.0) AS BIGINT)
+         |    AS bal_band,
+         |  CAST(COUNT(*) AS BIGINT) AS class_size,
+         |  CAST(CASE WHEN COUNT(*) < $KAnonThreshold THEN 1 ELSE 0 END AS BIGINT)
+         |    AS at_risk
+         |FROM customer
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(Tables.cents(col("c_acctbal")) / 50000.0).as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+          col("class_size"),
+          when(col("class_size") < KAnonThreshold, 1L).otherwise(0L).as("at_risk"))
     }
   )
 }

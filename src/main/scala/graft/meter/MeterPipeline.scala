@@ -123,6 +123,52 @@ object MeterPipeline {
       billingIncrementalInit(s, dir)
       billingIncrementalDelta(s, dir)
       s.read.parquet(dir)
+    },
+
+    // ---- run-length encoding of the per-meter status channel — the
+    // query-level form of the reference's native columnar compression
+    // (SURVEY §2.1 S12 segmentby/orderby: runs only exist because rows are
+    // clustered by meter and ordered by time, which is exactly the layout
+    // Store.writeChunks enforces on disk). Classic gaps-and-islands: a
+    // null-safe change flag (first row of a meter opens run 1), a keyed
+    // running sum to number runs, one aggregate to emit (run_start, value,
+    // length) triples — the lossless encoded form a telemetry archiver
+    // ships. Every window is PARTITION BY meter_id: state per task is one
+    // meter's history, nothing global, so the plan is unchanged at 100 TB
+    // over meter-bucketed input.
+    q("meter_rle_status", {
+      s"""WITH ${MeterSql.readingsCtes(NMeters, NIntervals)},
+         |flag AS (
+         |  SELECT meter_id, reading_timestamp, status,
+         |    CASE WHEN lag(status) OVER (PARTITION BY meter_id
+         |        ORDER BY reading_timestamp) IS DISTINCT FROM status
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM readings),
+         |runs AS (
+         |  SELECT meter_id, reading_timestamp, status,
+         |    SUM(brk) OVER (PARTITION BY meter_id ORDER BY reading_timestamp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+         |  FROM flag)
+         |SELECT meter_id, CAST(run_id AS BIGINT) AS run_id,
+         |  MIN(reading_timestamp) AS run_start,
+         |  MIN(status) AS status,
+         |  CAST(COUNT(*) AS BIGINT) AS run_len
+         |FROM runs GROUP BY meter_id, run_id""".stripMargin
+    }) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      MeterGen.readings(s, NMeters, NIntervals)
+        .select(col("meter_id"), col("reading_timestamp"), col("status"))
+        // null-safe change test: the first row's lag is NULL, which must
+        // open a run (NULL <=> x is false), hence <=> not =!=
+        .withColumn("brk",
+          when(lag(col("status"), 1).over(w) <=> col("status"), 0L).otherwise(1L))
+        .withColumn("run_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("meter_id"), col("run_id"))
+        .agg(min(col("reading_timestamp")).as("run_start"),
+          min(col("status")).as("status"),
+          count(lit(1)).as("run_len"))
     }
   )
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic postconditions for the round-7b operators: k-core peel, Bloom
+  * decontamination, k-anonymity audit, source-vocabulary overlap, and the
+  * status-channel RLE. The DuckDB hash gate proves engine agreement; these
+  * prove the SEMANTICS by independent (mostly driver-side brute-force)
+  * recompute at sf0.001.
+  */
+class OpsR7bSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("k-core: fixed-round peel equals the fully-converged core and its degrees") {
+    // rebuild the derived undirected graph exactly as GraphOps does
+    val docs = ops.Tables.documents(spark, sf0001).select(col("doc_id"))
+    val n = docs.count()
+    val und = docs
+      .select(col("doc_id").as("src"), explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"),
+        (graft.functions.Md5Prefix64(concat(col("src").cast("string"), lit("-"),
+          col("k").cast("string"))) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .as[(Long, Long)].collect()
+    val adj = und.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // peel to FULL convergence (no round bound) — the operator's 6 rounds
+    // must land on this exact fixed point or the round count is too low
+    var alive = docs.as[Long].collect().toSet
+    var changed = true
+    while (changed) {
+      val next = alive.filter(u => adj.getOrElse(u, Set.empty[Long]).count(alive) >= 4)
+      changed = next != alive
+      alive = next
+    }
+    val expected = alive.map(u => u -> adj(u).count(alive).toLong).toMap
+    val got = run("graph_kcore").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.values.forall(_ >= 4), "every core member keeps >= k in-core neighbors")
+  }
+
+  test("bloom decontamination: candidates cover, and confirmations equal, the exact check") {
+    val exact = run("decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> n_shared_shingles
+    val bloom = run("decontaminate_bloom").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val confirmed = bloom.filter(_._3 > 0).map(b => b._1 -> b._3).toMap
+    // no false negatives (a Bloom filter can't drop a true member) and no
+    // phantom confirmations: confirmed set == the exact operator's output
+    assert(confirmed === exact)
+    bloom.foreach { case (doc, cand, conf) =>
+      assert(cand >= conf, s"doc $doc: candidates $cand < confirmed $conf")
+      assert(cand > 0, "rows exist only for docs with at least one bloom hit")
+    }
+  }
+
+  test("k-anonymity: classes partition the table and at_risk flags k<5 exactly") {
+    val rows = run("privacy_k_anonymity").collect()
+      .map(r => ((r.getInt(0), r.getString(1), r.getLong(2)), r.getLong(3), r.getLong(4)))
+    val customers = ops.Tables.customer(spark, sf0001)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(ops.Tables.cents(col("c_acctbal")) / 50000.0).as("band"))
+      .as[(Int, String, Long)].collect()
+    val expected = customers.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === expected)
+    assert(rows.map(_._2).sum === customers.length.toLong, "classes partition the table")
+    rows.foreach { case (qid, size, risk) =>
+      assert(risk === (if (size < 5) 1L else 0L), s"class $qid flag")
+    }
+  }
+
+  test("source overlap: pairwise vocabulary Jaccard matches a brute-force recompute") {
+    val docs = ops.Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ", -1)).toSet).toMap
+    val expected = (for {
+      a <- vocab.keys; b <- vocab.keys if a < b
+      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
+      union = (vocab(a) | vocab(b)).size.toLong
+    } yield (a, b) -> (inter, union, inter * 1000000L / union)).toMap
+    val got = run("text_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === expected)
+  }
+
+  test("RLE status: runs losslessly reconstruct the channel, per meter") {
+    val raw = SparkEntry.queries("meter_gen_readings")(spark, sf0001)
+      .select(col("meter_id"), col("reading_timestamp").cast("long"), col("status"))
+      .as[(Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val runs = run("meter_rle_status").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(runs.keySet === raw.keySet)
+    runs.foreach { case (m, rs) =>
+      // run ids are contiguous from 1, adjacent runs change value, and the
+      // expansion reproduces the raw sequence exactly (losslessness)
+      assert(rs.map(_._2).toSeq === (1L to rs.length).toSeq, s"meter $m run ids")
+      rs.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 != b._3, s"meter $m: unmerged adjacent runs")
+        case _         =>
+      }
+      val expanded = rs.flatMap(r => Seq.fill(r._4.toInt)(r._3)).toSeq
+      assert(expanded === raw(m), s"meter $m reconstruction")
+    }
+  }
+}
