@@ -149,7 +149,8 @@ object Bench {
       "text_fingerprint", "text_lang_id", "text_quality_score", "text_token_counts",
       "topk_customers_by_balance", "ts_gapfill", "w1_lag_delta", "w4_moving_window",
       "w5_topk_per_key_native", "w9_zscore_anomaly",
-      "sim_pq_topk", "sim_ivfpq_topk", "graph_hits", "dedup_semantic_keep"
+      "sim_pq_topk", "sim_ivfpq_topk", "graph_hits", "dedup_semantic_keep",
+      "graph_kcore", "decontaminate_bloom"
     ).toSet
     val registered = results.map(_._1).toSet
     val orphans = headline -- registered

@@ -123,7 +123,15 @@ object PlanReport {
     "sim_ivfpq_topk" ->
       "IVF-PQ: coarse Lloyd + residual sub-codebooks all arrive as broadcasts; ADC scoring joins codes to per-(query, cell) tables ON THE CELL ID, so un-probed cells never enter the join — the index's partition key is the join key.",
     "decontaminate_embeddings" ->
-      "Embedding decontamination: identical bucket-join shape as dedup_embedding_lsh (the pair machinery is shared) with one extra map-side cross-set filter — no new corpus-scale exchange.")
+      "Embedding decontamination: identical bucket-join shape as dedup_embedding_lsh (the pair machinery is shared) with one extra map-side cross-set filter — no new corpus-scale exchange.",
+    "graph_kcore" ->
+      "k-core peel: each round is ONE sym-edges⋈alive equi-join + a map-side-combinable HAVING count — single-reference rounds (dead nodes provably cannot resurrect), so plan depth is linear in rounds; the final degree count joins the converged core on both edge endpoints.",
+    "decontaminate_bloom" ->
+      "Bloom decontamination: the bitmap build is one bit_or aggregate over the bench probes; the corpus side joins the ≤8192-row bitmap as a BROADCAST (never the bench shingle set), and only bloom-surviving (doc, shingle) pairs reach the exact-verify broadcast join.",
+    "text_source_overlap" ->
+      "Source overlap: the corpus collapses to distinct (source, token) in one exchange; the pair self-join is keyed on token with per-key fan-out bounded by |sources| — a stopword matches ≤|sources| rows per side, so no skew blowup; unions come from inclusion-exclusion, not a second join.",
+    "src_csv_roundtrip" ->
+      "Format hop: write is a narrow scan→sink; read-back carries the EXPLICIT schema (no inference job in the plan) and feeds one partial→final hash agg — the checksum (bit_xor of the text hash) evaluates map-side in the same codegen span.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

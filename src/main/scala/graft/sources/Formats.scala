@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.llm.TextHash
+import graft.ops.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink FORMAT breadth: the engine's ingest surface beyond parquet —
+  * ORC, CSV, and JSON-lines (the three interchange formats a lake ingests
+  * from upstream producers; the reference's wire format is JSON, `consumer/
+  * meter_consumer.py` parses line-delimited JSON messages). Each query
+  * round-trips `documents` through one format and aggregates the read-back
+  * side; the oracle computes the same aggregate straight off the parquet,
+  * so hash equality IS the losslessness proof for the hop.
+  *
+  * Scale doctrine: the read side always passes an EXPLICIT schema — schema
+  * inference is a full extra scan of the data at 100 TB (and a correctness
+  * hazard: CSV/JSON inference can narrow types on a sample). The checksum
+  * is bit_xor of the 60-bit text hash: order-independent (commutative),
+  * overflow-free (unlike SUM), and sensitive to any corrupted byte.
+  */
+object Formats {
+
+  /** Per-invocation scratch dir (the VecStore doctrine: fixed paths race
+    * delete-against-scan when bench reps overlap a test run). */
+  private def scratch(s: SparkSession, d: String, fmt: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_fmt/" +
+      s"$fmt-${new java.io.File(d).getName}-${java.util.UUID.randomUUID()}"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+    dir
+  }
+
+  /** The post-hop aggregate (Spark side). */
+  private def summarize(df: DataFrame): DataFrame =
+    df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(h)").as("text_checksum"))
+
+  private def withHash(df: DataFrame): DataFrame =
+    df.withColumn("h", TextHash.h64(col("text")))
+
+  /** Oracle twin: same aggregate, straight off the parquet table. */
+  private val summarySql: String =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  bit_xor(${TextHash.h64Sql("text")}) AS text_checksum
+       |FROM documents GROUP BY source""".stripMargin
+
+  private val docSchema =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  val all: Seq[GraftQuery] = Seq(
+    // ORC: the columnar sibling — full type fidelity, zero options needed.
+    q("src_orc_roundtrip", summarySql) { (s, d) =>
+      val dir = scratch(s, d, "orc")
+      Tables.documentsParallel(s, d).write.orc(dir)
+      summarize(withHash(s.read.schema(docSchema).orc(dir)))
+    },
+
+    // CSV: quoted/escaped text fields with embedded quotes, commas, or
+    // newlines survive only if writer and reader agree on the dialect —
+    // both sides pin it explicitly (never rely on defaults-of-the-day),
+    // and multiLine lets a quoted field span lines.
+    q("src_csv_roundtrip", summarySql) { (s, d) =>
+      val dir = scratch(s, d, "csv")
+      val opts = Map("header" -> "true", "quote" -> "\"", "escape" -> "\"",
+        "multiLine" -> "true")
+      Tables.documentsParallel(s, d).write.options(opts).csv(dir)
+      summarize(withHash(s.read.options(opts).schema(docSchema).csv(dir)))
+    },
+
+    // JSON lines: the reference's own wire format, as a file hop.
+    q("src_jsonl_roundtrip", summarySql) { (s, d) =>
+      val dir = scratch(s, d, "jsonl")
+      Tables.documentsParallel(s, d).write.json(dir)
+      summarize(withHash(s.read.schema(docSchema).json(dir)))
+    }
+  )
+}

@@ -119,4 +119,21 @@ class FormatsSpec extends SparkSpec {
     assert(back.count() == src.count())
     assert(back.except(src).count() == 0 && src.except(back).count() == 0)
   }
+
+  test("src_*_roundtrip queries are lossless and mutually identical (oracle surface)") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val expected = Tables.documents(spark, sf0001)
+      .withColumn("h", graft.llm.TextHash.h64(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+        expr("bit_xor(h)").as("ck"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows("src_orc_roundtrip") === expected)
+    assert(rows("src_csv_roundtrip") === expected)
+    assert(rows("src_jsonl_roundtrip") === expected)
+  }
 }
