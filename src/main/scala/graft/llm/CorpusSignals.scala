@@ -582,6 +582,80 @@ object CorpusSignals {
         .select(col("source_a"), col("source_b"), col("n_inter"),
           (col("va") + col("vb") - col("n_inter")).as("n_union"),
           expr("n_inter * 1000000 div (va + vb - n_inter)").as("jaccard_ppm"))
+    },
+
+    // ---- cross-source QUANTILE NORMALIZATION of the quality score
+    // (Bolstad et al., Bioinformatics 2003, the batch-effect corrector —
+    // here: heterogeneous sources score on incomparable scales, so
+    // curation thresholds must compare CALIBRATED scores): each document
+    // maps from its within-source quantile position (2r−1)/(2n_s) onto the
+    // GLOBAL score distribution, taking the score found at the matching
+    // global rank. All arithmetic is exact BIGINT (scores scaled to 1e9,
+    // floor-divided index mapping), so both engines agree bit-for-bit.
+    // Scale shape: the oracle ranks globally with one window, but the
+    // Spark side computes global ranks with the BANDED two-level prefix
+    // sum (the a_pareto_abc / PPS discipline): score bands from a 1-row
+    // broadcast max, per-band row_numbers (keyed windows), 33-row offset
+    // frame — no single-task corpus window; the rank→score lookup is one
+    // equi-join on the integer rank. Per-source windows are keyed by
+    // construction. (Caveat recorded: the (2r−1)·N index product bounds at
+    // 2N²  — exact in BIGINT to ~2·10⁹ documents; beyond that, map through
+    // per-source ppm quantiles first so the product never exceeds 10⁶·N.)
+    q("score_quantile_normalize", {
+      val qSql = s"CAST(round((${TextAnalysis.qualityScoreSql("text")}\n) * 1000000000) AS BIGINT)"
+      s"""WITH s AS (
+         |  SELECT doc_id, source, $qSql AS q FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+         |r AS (
+         |  SELECT doc_id, source, q,
+         |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY source) AS ns
+         |  FROM s),
+         |g AS (
+         |  SELECT doc_id, source, q,
+         |    least(greatest(((2*r - 1) * (SELECT n FROM n)) // (2 * ns) + 1, 1),
+         |          (SELECT n FROM n)) AS gidx
+         |  FROM r),
+         |gl AS (
+         |  SELECT q AS norm_scaled, row_number() OVER (ORDER BY q, doc_id) AS gr
+         |  FROM s)
+         |SELECT g.doc_id, g.source, g.q AS score_scaled, gl.norm_scaled
+         |FROM g JOIN gl ON g.gidx = gl.gr""".stripMargin
+    }) { (s, d) =>
+      // score once, truncate lineage: the regex-heavy score feeds the
+      // per-source ranking AND the global rank table
+      val sc = Tables.documentsParallel(s, d)
+        .select(col("doc_id"), col("source"),
+          round(TextAnalysis.qualityScore(col("text")) * 1e9).cast("long").as("q"))
+        .localCheckpoint(eager = false)
+      val stats = broadcast(sc.agg(count(lit(1)).as("n"), max(col("q")).as("maxq")))
+      // global ranks WITHOUT a global window: monotone score bands (band
+      // boundaries respect score order, ties share a band), keyed
+      // row_number within band, cross-band offsets from the tiny band
+      // frame — global_rank = offset + local rank, exactly the oracle's
+      // row_number() OVER (ORDER BY q, doc_id)
+      val banded = sc.crossJoin(stats)
+        .withColumn("band", expr("q div ((maxq div 32) + 1)"))
+      val inBand = Window.partitionBy(col("band")).orderBy(col("q"), col("doc_id"))
+      val offsets = banded.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+        .withColumn("offset",
+          coalesce(sum(col("bn")).over(
+            Window.partitionBy(pmod(col("band"), lit(1))).orderBy(col("band"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("band"), col("offset"))
+      val glob = banded
+        .withColumn("lr", row_number().over(inBand))
+        .join(broadcast(offsets), Seq("band"))
+        .select((col("offset") + col("lr")).as("gr"), col("q").as("norm_scaled"))
+      val perSource = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+      val target = sc.crossJoin(stats)
+        .withColumn("r", row_number().over(perSource).cast("long"))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("gidx",
+          least(greatest(expr("((2*r - 1) * n) div (2 * ns) + 1"), lit(1L)), col("n")))
+      target.join(glob, target("gidx") === glob("gr"))
+        .select(col("doc_id"), col("source"), col("q").as("score_scaled"),
+          col("norm_scaled"))
     }
   )
 }

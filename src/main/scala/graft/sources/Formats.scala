@@ -78,6 +78,29 @@ object Formats {
       val dir = scratch(s, d, "jsonl")
       Tables.documentsParallel(s, d).write.json(dir)
       summarize(withHash(s.read.schema(docSchema).json(dir)))
+    },
+
+    // Avro: the row-oriented interchange format (the engine already ships
+    // the Avro WIRE codec for streaming, Ingest.parseAndValidateAvro; this
+    // is the FILE path). The shortName("avro") registration is absent in
+    // this offline build, so the format is addressed by provider class —
+    // same DataSource V1 path, same result.
+    q("src_avro_roundtrip", summarySql) { (s, d) =>
+      val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val dir = scratch(s, d, "avro")
+      Tables.documentsParallel(s, d).write.format(fmt).save(dir)
+      summarize(withHash(s.read.schema(docSchema).format(fmt).load(dir)))
+    },
+
+    // XML: Spark 4's native XmlFileFormat — element-per-row with explicit
+    // rowTag and read schema (XML inference is doubly costly: a full scan
+    // AND ambiguous typing).
+    q("src_xml_roundtrip", summarySql) { (s, d) =>
+      val dir = scratch(s, d, "xml")
+      Tables.documentsParallel(s, d).write
+        .option("rootTag", "docs").option("rowTag", "doc").xml(dir)
+      summarize(withHash(
+        s.read.option("rowTag", "doc").schema(docSchema).xml(dir)))
     }
   )
 }

@@ -89,6 +89,31 @@ class OpsR7bSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("quantile normalization: banded global ranks equal the brute-force mapping") {
+    // recompute from the registered quality-score query (same shared
+    // definition), then derive the expected mapping driver-side
+    val qs = SparkEntry.queries("text_quality_score")(spark, sf0001)
+      .select(col("doc_id"), round(col("quality_score") * 1e9).cast("long").as("q"))
+      .as[(Long, Long)].collect().toMap
+    val srcs = ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    val n = qs.size.toLong
+    val globalSorted = qs.toSeq.map { case (id, q) => (q, id) }.sorted
+    val bySource = srcs.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val expected = bySource.flatMap { case (src, ids) =>
+      val ranked = ids.map(id => (qs(id), id)).sorted.zipWithIndex
+      val ns = ids.size.toLong
+      ranked.map { case ((q, id), i) =>
+        val r = i + 1L
+        val gidx = math.min(math.max((2 * r - 1) * n / (2 * ns) + 1, 1L), n)
+        id -> (src, q, globalSorted((gidx - 1).toInt)._1)
+      }
+    }
+    val got = run("score_quantile_normalize").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+  }
+
   test("RLE status: runs losslessly reconstruct the channel, per meter") {
     val raw = SparkEntry.queries("meter_gen_readings")(spark, sf0001)
       .select(col("meter_id"), col("reading_timestamp").cast("long"), col("status"))

@@ -135,5 +135,7 @@ class FormatsSpec extends SparkSpec {
     assert(rows("src_orc_roundtrip") === expected)
     assert(rows("src_csv_roundtrip") === expected)
     assert(rows("src_jsonl_roundtrip") === expected)
+    assert(rows("src_avro_roundtrip") === expected)
+    assert(rows("src_xml_roundtrip") === expected)
   }
 }
