@@ -101,6 +101,35 @@ object Formats {
         .option("rootTag", "docs").option("rowTag", "doc").xml(dir)
       summarize(withHash(
         s.read.option("rowTag", "doc").schema(docSchema).xml(dir)))
+    },
+
+    // SCHEMA EVOLUTION on read: a producer starts emitting an extra column
+    // mid-stream (the routine lake event — batch 1 lands without
+    // `extra_score`, batch 2 with it), and the reader must see ONE merged
+    // schema with NULLs where the old files are silent. mergeSchema=true
+    // is the explicit opt-in (at 100 TB footer-merging every file is a
+    // cost you pay knowingly, once, not a default). The aggregate counts
+    // and sums through the NULL-backfilled column; the oracle recomputes
+    // from the parquet source — agreement proves old files surface as
+    // NULLs, not dropped rows or wrong values.
+    q("src_schema_evolution",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN (doc_id * 37) % 1000 ELSE 0 END) AS BIGINT)
+        |    AS sum_extra
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      val dir = scratch(s, d, "evo")
+      val docs = Tables.documentsParallel(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("append").parquet(dir)
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("extra_score", (col("doc_id") * 37) % 1000)
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("extra_score")).as("n_scored"),
+          sum(coalesce(col("extra_score"), lit(0L))).as("sum_extra"))
     }
   )
 }
