@@ -597,16 +597,20 @@ object TrainingPipeline {
     // Why it matters at 100 TB: `decontaminate` broadcasts the whole bench
     // shingle set to every probe task, which for a full eval-suite (many
     // GBs of shingles) stops fitting; the bitmap is O(1) (64 KiB here
-    // regardless of bench size), the per-shingle probe cost is 3 hashes
-    // against it map-side, and the expensive exact join now touches only
-    // the bloom-surviving sliver of the corpus. All hash/bit arithmetic is
-    // deterministic md5 + exact BIGINT ops, identical in both engines.
-    // Output per contaminated-candidate doc: bloom-candidate vs
-    // exact-confirmed shingle counts (the gap IS the measured FP rate).
+    // regardless of bench size), and the expensive exact join now touches
+    // only the bloom-surviving sliver of the corpus. Probe positions use
+    // Kirsch-Mitzenmacher double hashing (ESA 2006): pos_j = (h1 + j·h2)
+    // mod M with h1/h2 the two halves of the ALREADY-computed 60-bit
+    // shingle hash — zero additional digests per probe (md5 cost dominates
+    // a bloom pass at corpus scale; K-M is the published fix, and the
+    // asymptotic FP rate is unchanged). h2 is forced odd so its stride
+    // cycles the full table. All arithmetic is exact BIGINT, identical in
+    // both engines. Output per contaminated-candidate doc: bloom-candidate
+    // vs exact-confirmed shingle counts (the gap IS the measured FP rate).
     q("decontaminate_bloom", {
       val M = BloomWords * 63
       val probeK = s"CROSS JOIN (SELECT unnest(generate_series(1, $BloomProbes)) AS k)"
-      val posSql = TextHash.h64Sql("CAST(sh AS VARCHAR) || '-' || CAST(k AS VARCHAR)") + s" % $M"
+      val posSql = s"((sh // 1073741824) + k * (2 * (sh % 1073741824) + 1)) % $M"
       s"""WITH shs AS (${TextHash.shinglesSql()}),
          |sh AS (SELECT doc_id, ${TextHash.h64Sql("sh")} AS sh FROM shs),
          |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
@@ -633,8 +637,10 @@ object TrainingPipeline {
          |GROUP BY c.doc_id""".stripMargin
     }) { (s, d) =>
       val M = BloomWords * 63L
-      val pos = (TextHash.h64(concat(col("sh").cast("string"), lit("-"),
-        col("k").cast("string"))) % M).as("pos")
+      // K-M double hashing off the existing shingle hash: h1 = top 30
+      // bits, h2 = odd stride from the low 30 bits — no md5 here
+      val pos = (expr("(sh div 1073741824) + k * (2 * (sh % 1073741824) + 1)") % M)
+        .as("pos")
       val sh = Tables.documentsParallel(s, d)
         .select(col("doc_id"),
           explode(TextHash.shingleHashArray(col("text"))).as("sh"))
@@ -648,19 +654,27 @@ object TrainingPipeline {
         .select(expr("pos div 63").as("word"),
           expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))").as("mask"))
         .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
-      val probes = sh.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), col("sh"),
-          explode(expr(s"sequence(1, $BloomProbes)")).as("k"))
-        .select(col("doc_id"), col("sh"), pos)
-      val cand = probes
-        .join(broadcast(bloom), expr("pos div 63") === col("word"), "left")
-        .select(col("doc_id"), col("sh"),
-          when(expr("coalesce(bits, cast(0 as bigint)) & " +
-            "shiftleft(cast(1 as bigint), cast(pos % 63 as int))") =!= 0, 1)
-            .otherwise(0).as("hit"))
-        .groupBy(col("doc_id"), col("sh")).agg(min(col("hit")).as("all_hit"))
-        .filter(col("all_hit") === 1)
-        .select(col("doc_id"), col("sh"))
+      // probe side: NO row inflation and NO (doc, sh) re-aggregate — each
+      // of the 3 probe positions is its own column, membership is 3
+      // narrow BROADCAST lookups + one conjunctive filter, all map-side
+      // (the explode→groupBy formulation paid a corpus-scale exchange to
+      // reassemble the per-shingle verdict; this shape never takes the
+      // shingle rows apart)
+      def posJ(j: Int) =
+        expr(s"((sh div 1073741824) + $j * (2 * (sh % 1073741824) + 1)) % $M")
+      val withPos = (1 to BloomProbes).foldLeft(
+        sh.filter(col("doc_id") % 97 =!= 0)) { (df, j) =>
+        df.withColumn(s"p$j", posJ(j))
+      }
+      val joined = (1 to BloomProbes).foldLeft(withPos) { (df, j) =>
+        df.join(broadcast(bloom.select(col("word").as(s"w$j"), col("bits").as(s"b$j"))),
+          expr(s"p$j div 63") === col(s"w$j"), "left")
+      }
+      val allHit = (1 to BloomProbes).map(j =>
+        expr(s"coalesce(b$j, cast(0 as bigint)) & " +
+          s"shiftleft(cast(1 as bigint), cast(p$j % 63 as int))") =!= 0)
+        .reduce(_ && _)
+      val cand = joined.filter(allHit).select(col("doc_id"), col("sh"))
       cand
         .join(broadcast(bsh.select(col("sh").as("bsh"))),
           col("sh") === col("bsh"), "left")
