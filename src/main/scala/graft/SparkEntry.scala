@@ -14,6 +14,7 @@ object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
     ops.Relational.all ++ ops.TimeSeries.all ++ ops.TimeSeriesExt.all ++
+      ops.TimeSeriesTk.all ++
       ops.SqlSurface.all ++ ops.Scd.all ++ meter.MeterPipeline.all ++
       llm.TextAnalysis.all ++ llm.TextPolicy.all ++ llm.TypedDocs.all ++
       llm.Dedup.all ++ llm.SpanDedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++

@@ -1,0 +1,251 @@
+package graft.ops
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.meter.{MeterGen, MeterSql}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series "toolkit" hyperfunctions — the analytics layer a
+  * TimescaleDB deployment gets from the timescaledb_toolkit extension,
+  * re-expressed as Spark plans over the same hypertable-shaped data the
+  * reference stores (`database/init_scripts/01_create_schema.sql:98`
+  * creates the `raw_meter_readings` hypertable these operators would run
+  * on; the reference itself stops at plain aggregates, so this file is
+  * engine capability beyond it, in the reference's own domain):
+  *
+  *   - `time_weight('LOCF')`  → [[ts_time_weighted_avg]]
+  *   - `counter_agg` deltas   → [[ts_counter_resets]]
+  *   - M4 / `lttb`-class downsampling → [[ts_downsample_m4]]
+  *   - hopping (sliding) time windows → [[w15_hopping_windows]]
+  *   - `stats_agg` per-key linear regression → [[a_trend_slope_per_meter]]
+  *
+  * Arithmetic doctrine (repo-wide): every accumulation is exact BIGINT —
+  * milliwatt·millisecond products, cross-multiplied regression moments —
+  * and any division either has provably non-negative operands (so DuckDB's
+  * floor `//` and Spark's truncating `div` agree) or is deferred to one
+  * final IEEE-double divide of exactly-equal integer operands. Every
+  * window is keyed by meter_id; every aggregate is map-side combinable.
+  * At 100 TB each operator is one keyed sort (already the layout the
+  * hypertable's segmentby=meter_id/orderby=timestamp compression implies)
+  * plus one combinable aggregate — no global windows, no driver state.
+  */
+object TimeSeriesTk {
+
+  /** Counter wrap modulus for [[ts_counter_resets]]: small enough that the
+    * 50×96 generated day wraps several times per meter, large enough that
+    * one 15-min increment (≤ ~1.6e6 mW) can never wrap twice. */
+  private val WrapM = 20000000L
+
+  /** Thinned (gappy) readings: the ts_gapfill thinning — deterministic
+    * ~10% drops keyed on (meter, interval) — reused here to make the
+    * spacing irregular, which is the regime time-weighted averaging
+    * exists for (on a perfect grid TWA degenerates to the plain mean). */
+  private def thinnedSql(nMeters: Long, nIntervals: Long): String =
+    s"""${MeterSql.readingsCtes(nMeters, nIntervals)},
+       |thinned AS (
+       |  SELECT * FROM readings
+       |  WHERE ${MeterGen.uSql(
+      "(meter_id * 131 + CAST(epoch_ms(reading_timestamp) / 900000 AS BIGINT))")} < 0.9)""".stripMargin
+
+  private def thinned(s: org.apache.spark.sql.SparkSession,
+                      nMeters: Long, nIntervals: Long): DataFrame = {
+    val slot = (unix_millis(col("reading_timestamp")) / 900000L).cast("long")
+    MeterGen.readings(s, nMeters, nIntervals)
+      .filter(MeterGen.u(col("meter_id") * 131 + slot) < 0.9)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- LOCF time-weighted average (timescaledb_toolkit
+    // `average(time_weight('LOCF', ts, value))`): each observation holds
+    // until the next one, so its weight is the gap it covers — the honest
+    // mean of an irregularly-sampled gauge (the plain AVG over-weights
+    // densely-sampled stretches). Exact form: Σ v·Δt_ms and ΣΔt_ms as
+    // BIGNTs (v ≤ ~1.5e8 mW, Δt ≤ a day in ms ⇒ products ≤ ~1e16, sums
+    // well inside int64), one floor division of non-negative operands at
+    // the end. The last point per meter has no successor and carries no
+    // weight (the toolkit's LOCF integral stops at the last sample).
+    // Shape: one per-meter lead() window + one combinable aggregate.
+    q("ts_time_weighted_avg",
+      s"""WITH ${thinnedSql(50, 96)},
+         |spans AS (
+         |  SELECT meter_id, reading_consumption_milliwatts AS v,
+         |    epoch_ms(lead(reading_timestamp) OVER (
+         |        PARTITION BY meter_id ORDER BY reading_timestamp))
+         |      - epoch_ms(reading_timestamp) AS dur_ms
+         |  FROM thinned)
+         |SELECT CAST(meter_id AS BIGINT) AS meter_id,
+         |  CAST(SUM(v * dur_ms) AS BIGINT) AS twa_num,
+         |  CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms,
+         |  CAST(SUM(v * dur_ms) // SUM(dur_ms) AS BIGINT) AS twa_milliwatts
+         |FROM spans WHERE dur_ms IS NOT NULL
+         |GROUP BY 1""".stripMargin) { (s, _) =>
+      val byMeter = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      thinned(s, 50, 96)
+        .select(col("meter_id"), col("reading_timestamp"),
+          col("reading_consumption_milliwatts").as("v"))
+        .withColumn("dur_ms",
+          unix_millis(lead(col("reading_timestamp"), 1).over(byMeter))
+            - unix_millis(col("reading_timestamp")))
+        .filter(col("dur_ms").isNotNull)
+        .groupBy(col("meter_id").cast("long").as("meter_id"))
+        .agg(sum(col("v") * col("dur_ms")).as("twa_num"),
+          sum(col("dur_ms")).as("total_dur_ms"))
+        .select(col("meter_id"), col("twa_num"), col("total_dur_ms"),
+          expr("twa_num div total_dur_ms").as("twa_milliwatts"))
+    },
+
+    // ---- counter-reset accounting (timescaledb_toolkit `counter_agg` →
+    // `delta`/`num_resets`): meters report a bounded register that wraps —
+    // here the true cumulative counter observed modulo WrapM, so resets
+    // are DERIVED, deterministic, and oracle-checkable. counter_agg
+    // semantics: a negative step means the counter restarted, and the
+    // post-reset observation itself is the delta (the energy between the
+    // pre-wrap residue and the restart is unknowable to the operator —
+    // the deliberate, documented undercount counter_agg also accepts).
+    // One increment can never span two wraps (max step ~1.6e6 << WrapM),
+    // so wrap==reset detection is exact. Shape: one per-meter lag()
+    // window + one combinable aggregate.
+    q("ts_counter_resets",
+      s"""WITH ${MeterSql.readingsCtes(50, 96)},
+         |wrapped AS (
+         |  SELECT meter_id, reading_timestamp,
+         |    reading_consumption_milliwatts % $WrapM AS w
+         |  FROM readings),
+         |steps AS (
+         |  SELECT meter_id,
+         |    w - lag(w) OVER (PARTITION BY meter_id ORDER BY reading_timestamp) AS d,
+         |    w FROM wrapped)
+         |SELECT CAST(meter_id AS BIGINT) AS meter_id,
+         |  CAST(SUM(CASE WHEN d < 0 THEN w ELSE d END) AS BIGINT) AS total_delta,
+         |  CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+         |FROM steps WHERE d IS NOT NULL
+         |GROUP BY 1""".stripMargin) { (s, _) =>
+      val byMeter = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      MeterGen.readings(s, 50, 96)
+        .select(col("meter_id"),
+          (col("reading_consumption_milliwatts") % WrapM).as("w"),
+          col("reading_timestamp"))
+        .withColumn("d", col("w") - lag(col("w"), 1).over(byMeter))
+        .filter(col("d").isNotNull)
+        .groupBy(col("meter_id").cast("long").as("meter_id"))
+        .agg(sum(when(col("d") < 0, col("w")).otherwise(col("d"))).as("total_delta"),
+          sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_resets"))
+    },
+
+    // ---- M4 downsampling (Jugel et al., VLDB 2014): per (meter, hour)
+    // bucket keep min, max, first (open) and last (close) of the interval
+    // delta — the four points that make a downsampled line chart
+    // pixel-exact, and the bucket summary TimescaleDB ships as
+    // `candlestick_agg`/OHLC. open/close are argmin/argmax over the
+    // in-bucket timestamp (unique per meter ⇒ deterministic), via native
+    // min_by/max_by — ONE map-side-combinable aggregate, no window
+    // beyond the delta staging the pipeline already pays.
+    q("ts_downsample_m4",
+      s"""WITH ${MeterSql.readingsCtes(50, 96)},
+         |deltas AS (
+         |  SELECT meter_id, reading_timestamp,
+         |    reading_consumption_milliwatts - lag(reading_consumption_milliwatts)
+         |      OVER (PARTITION BY meter_id ORDER BY reading_timestamp) AS d
+         |  FROM readings)
+         |SELECT CAST(meter_id AS BIGINT) AS meter_id,
+         |  CAST(epoch_ms(date_trunc('hour', reading_timestamp)) AS BIGINT) AS bucket_ms,
+         |  CAST(arg_min(d, reading_timestamp) AS BIGINT) AS v_open,
+         |  CAST(arg_max(d, reading_timestamp) AS BIGINT) AS v_close,
+         |  CAST(MIN(d) AS BIGINT) AS v_min,
+         |  CAST(MAX(d) AS BIGINT) AS v_max,
+         |  COUNT(*) AS n
+         |FROM deltas WHERE d IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin) { (s, _) =>
+      val byMeter = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      MeterGen.readings(s, 50, 96)
+        .select(col("meter_id"), col("reading_timestamp"),
+          (col("reading_consumption_milliwatts")
+            - lag(col("reading_consumption_milliwatts"), 1).over(byMeter)).as("d"))
+        .filter(col("d").isNotNull)
+        .groupBy(col("meter_id").cast("long").as("meter_id"),
+          unix_millis(date_trunc("hour", col("reading_timestamp"))).as("bucket_ms"))
+        .agg(min_by(col("d"), col("reading_timestamp")).as("v_open"),
+          max_by(col("d"), col("reading_timestamp")).as("v_close"),
+          min(col("d")).as("v_min"),
+          max(col("d")).as("v_max"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- hopping (sliding) windows over the event stream: 1-hour
+    // windows advancing every 15 minutes, via Spark's NATIVE sliding
+    // `window()` — the TimeWindow Expand operator emits each row into
+    // exactly size/slide = 4 windows map-side, then one combinable
+    // aggregate; no self-join, no per-window rescan (the naive form joins
+    // the stream against a window table — size/slide × corpus). The
+    // oracle states the portable equivalent: explode k = 0..3 window
+    // memberships arithmetically (start = (⌊t/slide⌋ − k)·slide, all in
+    // exact epoch µs). Batch twin of the streaming hopping aggregation;
+    // same plan shape at any scale — windows are (start)-keyed.
+    q("w15_hopping_windows",
+      """WITH hops AS (
+        |  SELECT ((epoch_us(ts) // 900000000) - k) * 900000 AS window_start_ms,
+        |    value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT CAST(window_start_ms AS BIGINT) AS window_start_ms,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM hops GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Tables.cents(col("value"))).as("sum_cents"))
+        .select(unix_millis(col("w.start")).as("window_start_ms"),
+          col("n_events"), col("sum_cents"))
+    },
+
+    // ---- per-meter trend fitting (timescaledb_toolkit `stats_agg` →
+    // `slope`/`intercept`): ordinary least squares of daily consumption
+    // against day index, entirely inside ONE combinable aggregate per
+    // meter — the grouped-model-fitting shape (n·Σxy − Σx·Σy over
+    // n·Σx² − (Σx)²) that fits a model per key in a single pass at any
+    // scale. The numerator can be negative, so NO integer division
+    // happens: the exact BIGINT numerator/denominator are emitted, plus
+    // one IEEE divide of bit-equal operands (both < 2^53 ⇒ the int→double
+    // conversions are exact on both engines). Daily consumption is
+    // max−min of the monotone counter — no window at all.
+    q("a_trend_slope_per_meter", {
+      s"""WITH ${MeterSql.readingsCtes(50, 480)},
+         |daily AS (
+         |  SELECT meter_id,
+         |    (epoch_ms(reading_timestamp)
+         |      - epoch_ms(TIMESTAMP '${MeterGen.Epoch}')) // 86400000 AS x,
+         |    MAX(reading_consumption_milliwatts)
+         |      - MIN(reading_consumption_milliwatts) AS y
+         |  FROM readings GROUP BY 1, 2),
+         |moments AS (
+         |  SELECT meter_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+         |  FROM daily GROUP BY 1)
+         |SELECT CAST(meter_id AS BIGINT) AS meter_id,
+         |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+         |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+         |  CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+         |    AS slope_mw_per_day
+         |FROM moments""".stripMargin
+    }) { (s, _) =>
+      val daily = MeterGen.readings(s, 50, 480)
+        .withColumn("x", expr(
+          s"(unix_millis(reading_timestamp) - unix_millis(timestamp '${MeterGen.Epoch}'))" +
+            " div 86400000"))
+        .groupBy(col("meter_id"), col("x"))
+        .agg((max(col("reading_consumption_milliwatts"))
+          - min(col("reading_consumption_milliwatts"))).as("y"))
+      daily
+        .groupBy(col("meter_id").cast("long").as("meter_id"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("meter_id"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .withColumn("slope_mw_per_day",
+          col("slope_num").cast("double") / col("slope_den"))
+    })
+}
