@@ -49,6 +49,8 @@ object GraphOps {
     * GraphR7Spec: one extra round changes nothing at sf0.01/sf0.1). */
   private val KCoreK = 4
   private val KCoreRounds = 6
+  /** Label propagation: synchronous rounds (fixed-point checked by spec). */
+  private val LpaRounds = 4
 
   /** Synthetic out-links of one node over a dense 0..N-1 id space:
     * dst_k = md5-hash64("src-k") mod N for k = 1..OutDeg. The hash (not
@@ -444,6 +446,74 @@ object GraphOps {
         .join(core.select(col("node").as("m2")), sym("dst") === col("m2"))
         .groupBy(sym("src").as("doc_id"))
         .agg(count(lit(1)).as("core_degree"))
+    },
+
+    // ---- LABEL-PROPAGATION community detection (Raghavan et al., Phys.
+    // Rev. E 2007) over the derived undirected graph — the near-linear
+    // community finder crawl curation uses to group mutually-linked site
+    // clusters (mirror farms, forums, link rings) before per-community
+    // sampling caps. DETERMINISTIC synchronous variant: every round each
+    // node adopts the most frequent label among its neighbors, ties
+    // broken by MIN label (the async/random classic is unreproducible
+    // by construction; synchronous + total tie order makes the fixed
+    // rounds bit-identical on both engines). Per round: one adjacency ⋈
+    // labels equi-join, one map-side-combinable (node, label) count, and
+    // one per-NODE window whose frame is the node's distinct neighbor
+    // labels — bounded by degree, never corpus-sized. Isolated nodes
+    // keep their own label via the left join. Lazy localCheckpoint per
+    // round (the labels frame is read by both the join and the coalesce
+    // fallback — the clusterLabels lineage doctrine). [[LpaRounds]]
+    // unrolled rounds ⇒ constant plan depth; label frames never exceed
+    // |V| rows at any scale.
+    q("graph_label_propagation", {
+      val iterCtes = (1 to LpaRounds).map { i =>
+        s"""cnt$i AS (
+           |  SELECT adj.a, l.lab, COUNT(*) AS c
+           |  FROM adj JOIN lab${i - 1} l ON l.doc_id = adj.b GROUP BY 1, 2),
+           |pick$i AS (
+           |  SELECT a, lab FROM (
+           |    SELECT a, lab, ROW_NUMBER() OVER (
+           |      PARTITION BY a ORDER BY c DESC, lab) AS rn FROM cnt$i)
+           |  WHERE rn = 1),
+           |lab$i AS (
+           |  SELECT l.doc_id, COALESCE(p.lab, l.lab) AS lab
+           |  FROM lab${i - 1} l LEFT JOIN pick$i p ON p.a = l.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |$edgesSqlCte,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |adj AS (SELECT u AS a, v AS b FROM und
+         |        UNION ALL SELECT v AS a, u AS b FROM und),
+         |lab0 AS (SELECT doc_id, doc_id AS lab FROM nodes),
+         |$iterCtes
+         |SELECT doc_id, CAST(lab AS BIGINT) AS community FROM lab$LpaRounds""".stripMargin
+    }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      val und = edgesOf(nodes, nRow).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val adj = und.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(eager = false) // reused every round
+      val perNode = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a")).orderBy(col("c").desc, col("lab"))
+      val lab0 = nodes.select(col("doc_id"), col("doc_id").as("lab"))
+      val labels = (1 to LpaRounds).foldLeft(lab0) { (lab, _) =>
+        val l = lab.localCheckpoint(eager = false) // read twice this round
+        val pick = adj.join(l, l("doc_id") === adj("b"))
+          .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(perNode))
+          .filter(col("rn") === 1)
+          .select(col("a"), col("lab").as("newlab"))
+        l.join(pick, l("doc_id") === pick("a"), "left")
+          .select(l("doc_id"), coalesce(col("newlab"), l("lab")).as("lab"))
+      }
+      labels.select(col("doc_id"), col("lab").as("community"))
     }
   )
 }

@@ -458,6 +458,61 @@ object SqlSurface {
           size(filter(col("qv"), _ > 0L)).cast("long").as("n_pos"),
           aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0L), (acc, x) => acc + x)
             .as("norm2"))
+    },
+
+    // ---- SKYLINE (Pareto frontier) query (Börzsönyi et al., ICDE 2001):
+    // the parts no other part beats on BOTH dimensions — cheaper-or-equal
+    // price AND larger-or-equal size with one strict. The ORACLE states
+    // the definitional NOT EXISTS (quadratic — fine at oracle scale);
+    // the Spark plan is the scale shape: a part is on the frontier iff
+    // its size equals its price group's max AND strictly exceeds the max
+    // size over all strictly-cheaper rows. That prefix-max over cheaper
+    // rows is computed WITHOUT a global window, via the banded two-level
+    // prefix pattern (score_quantile_normalize's discipline): per-row
+    // in-band prefix max (window KEYED by price band, RANGE frame
+    // excludes equal prices) + a cross-band running max on the ~41-row
+    // band frame, combined with greatest(). Equal-(price, size) ties
+    // don't dominate each other and all survive. Every corpus-sized stage
+    // is either a keyed groupBy or a band-keyed window; only the band
+    // summary (domain-bounded, never corpus-sized) crosses partitions.
+    q("skyline_pareto_frontier",
+      """SELECT p.p_partkey,
+        |  CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE round(q.p_retailprice * 100) <= round(p.p_retailprice * 100)
+        |    AND q.p_size >= p.p_size
+        |    AND (round(q.p_retailprice * 100) < round(p.p_retailprice * 100)
+        |         OR q.p_size > p.p_size))""".stripMargin) { (s, d) =>
+      val BandW = 500L // cents per band: |bands| = price-domain / 500
+      val rows = Tables.part(s, d)
+        .select(col("p_partkey"), Tables.cents(col("p_retailprice")).as("pc"),
+          col("p_size").cast("long").as("size"))
+        .withColumn("band", expr(s"pc div $BandW"))
+      // per-price max: dominated-by-equal-price check (keyed groupBy)
+      val eqMax = rows.groupBy(col("pc").as("pc_g")).agg(max(col("size")).as("eq_max"))
+      // in-band prefix max over STRICTLY cheaper rows (band-keyed window;
+      // RANGE .. -1 on integer cents excludes the current price)
+      val inBand = Window.partitionBy(col("band")).orderBy(col("pc"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      // cross-band running max over strictly earlier bands (tiny frame)
+      val bandFrame = Window.orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bandPrev = rows.groupBy(col("band")).agg(max(col("size")).as("band_max"))
+        .withColumn("prev_band_max", max(col("band_max")).over(bandFrame))
+        .select(col("band").as("band_g"), col("prev_band_max"))
+      val strictMax = greatest(
+        coalesce(max(col("size")).over(inBand), lit(Long.MinValue)),
+        coalesce(col("prev_band_max"), lit(Long.MinValue)))
+      rows
+        .join(broadcast(bandPrev), col("band") === col("band_g"))
+        .withColumn("strict_max", strictMax)
+        .join(eqMax, col("pc") === col("pc_g"))
+        .filter(col("size") === col("eq_max") && col("size") > col("strict_max"))
+        .select(col("p_partkey"), col("pc").as("price_cents"),
+          col("size").as("p_size"))
     }
   )
 }
