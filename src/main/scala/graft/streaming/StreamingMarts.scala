@@ -170,6 +170,28 @@ object StreamingMarts {
           .otherwise(0.0).as("data_quality_pct"))
   }
 
+  /** Streaming twin of the batch `w15_hopping_windows` query
+    * ([[graft.ops.TimeSeriesTk]]): 1-hour windows advancing every 15
+    * minutes over a live event stream. The sliding `window()` is the SAME
+    * TimeWindow Expand as batch — each row enters size/slide = 4 open
+    * windows map-side — so streamed closed-window totals are bit-equal to
+    * the batch query over the same rows (exact BIGINT cent sums; spec
+    * asserts equality). State is bounded: open windows per watermark
+    * horizon ≤ (watermark + size) / slide aggregates, each O(1) — a
+    * 100 TB/day stream holds a handful of partial sums, never rows.
+    * Append mode emits a window once its end passes the watermark; late
+    * rows beyond it are dropped.
+    *
+    * @param events streaming frame with `ts` (event-time TIMESTAMP) and
+    *               `cents` (exact BIGINT value) */
+  def hoppingEventTotals(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("n_events"), col("sum_cents"))
+
   /** The production loop CLOSED ON DISK: exactly-once bronze landing
     * ([[Ingest.idempotentAppend]]) plus PARTITION-SCOPED gold refresh in
     * the same micro-batch — after each batch lands, only the billing_date

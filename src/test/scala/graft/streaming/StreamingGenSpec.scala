@@ -414,4 +414,44 @@ class StreamingGenSpec extends SparkSpec {
       assert(after == 0)
     } finally q.stop()
   }
+
+  test("streaming hopping windows: closed windows bit-equal the batch w15 query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // the real corpus rows, streamed: (ts, exact cents)
+    val rows = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), graft.ops.Tables.cents(col("value")).as("cents"))
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val sentinelTs = new java.sql.Timestamp(rows.last._1.getTime + 30L * 86400000)
+
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = StreamingMarts.hoppingEventTotals(mem.toDF().toDF("ts", "cents"))
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rest.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel far past the data advances the watermark so every real
+      // window closes; two triggers because the watermark takes effect in
+      // the batch AFTER the one that observed the sentinel
+      mem.addData((sentinelTs, 0L))
+      q.processAllAvailable()
+      mem.addData((sentinelTs, 0L))
+      q.processAllAvailable()
+
+      val cutoffMs = sentinelTs.getTime - 3600000
+      val streamed = spark.table("hop_out")
+        .filter(col("window_start_ms") < cutoffMs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.SparkEntry.queries("w15_hopping_windows")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
