@@ -51,6 +51,8 @@ object GraphOps {
   private val KCoreRounds = 6
   /** Label propagation: synchronous rounds (fixed-point checked by spec). */
   private val LpaRounds = 4
+  /** Per-community curation cap (docs kept per link community). */
+  private val CapPerCommunity = 2
 
   /** Synthetic out-links of one node over a dense 0..N-1 id space:
     * dst_k = md5-hash64("src-k") mod N for k = 1..OutDeg. The hash (not
@@ -465,55 +467,175 @@ object GraphOps {
     // fallback — the clusterLabels lineage doctrine). [[LpaRounds]]
     // unrolled rounds ⇒ constant plan depth; label frames never exceed
     // |V| rows at any scale.
-    q("graph_label_propagation", {
-      val iterCtes = (1 to LpaRounds).map { i =>
-        s"""cnt$i AS (
-           |  SELECT adj.a, l.lab, COUNT(*) AS c
-           |  FROM adj JOIN lab${i - 1} l ON l.doc_id = adj.b GROUP BY 1, 2),
-           |pick$i AS (
-           |  SELECT a, lab FROM (
-           |    SELECT a, lab, ROW_NUMBER() OVER (
-           |      PARTITION BY a ORDER BY c DESC, lab) AS rn FROM cnt$i)
-           |  WHERE rn = 1),
-           |lab$i AS (
-           |  SELECT l.doc_id, COALESCE(p.lab, l.lab) AS lab
-           |  FROM lab${i - 1} l LEFT JOIN pick$i p ON p.a = l.doc_id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-         |nodes AS (SELECT doc_id FROM documents),
-         |$edgesSqlCte,
-         |und AS (
-         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |  FROM edges WHERE src <> dst),
-         |adj AS (SELECT u AS a, v AS b FROM und
-         |        UNION ALL SELECT v AS a, u AS b FROM und),
-         |lab0 AS (SELECT doc_id, doc_id AS lab FROM nodes),
-         |$iterCtes
+    q("graph_label_propagation",
+      s"""WITH $lpaCtes
          |SELECT doc_id, CAST(lab AS BIGINT) AS community FROM lab$LpaRounds""".stripMargin
-    }) { (s, d) =>
-      val nodes = Tables.documents(s, d).select(col("doc_id"))
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-      val und = edgesOf(nodes, nRow).filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct()
-      val adj = und.select(col("u").as("a"), col("v").as("b"))
-        .unionAll(und.select(col("v").as("a"), col("u").as("b")))
-        .localCheckpoint(eager = false) // reused every round
-      val perNode = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a")).orderBy(col("c").desc, col("lab"))
-      val lab0 = nodes.select(col("doc_id"), col("doc_id").as("lab"))
-      val labels = (1 to LpaRounds).foldLeft(lab0) { (lab, _) =>
-        val l = lab.localCheckpoint(eager = false) // read twice this round
-        val pick = adj.join(l, l("doc_id") === adj("b"))
-          .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(perNode))
-          .filter(col("rn") === 1)
-          .select(col("a"), col("lab").as("newlab"))
-        l.join(pick, l("doc_id") === pick("a"), "left")
-          .select(l("doc_id"), coalesce(col("newlab"), l("lab")).as("lab"))
-      }
-      labels.select(col("doc_id"), col("lab").as("community"))
+    ) { (s, d) =>
+      labelPropagation(s, d).select(col("doc_id"), col("lab").as("community"))
+    },
+
+    // ---- modularity of the LPA partition (Newman & Girvan, Phys. Rev. E
+    // 2004): Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard "did the
+    // communities beat chance" score, here in EXACT integer arithmetic by
+    // clearing denominators: Q·4m² = 4m·Σe_c − Σd_c² (all BIGINTs: edge
+    // counts and degree sums). Shape: the per-community edge count is one
+    // equi-join of the edge list with the (tiny) label frame on EACH
+    // endpoint + one combinable aggregate; degree sums are one groupBy.
+    // The final score is a 1-row frame; the only corpus-sized stages are
+    // id-keyed joins. The one IEEE division happens on exactly-equal
+    // integer operands (both < 2^53 at any plausible |E|... at 4m² beyond
+    // 2^53 emit the num/den pair only — they are the exact answer).
+    q("graph_modularity",
+      s"""WITH $lpaCtes,
+         |lu AS (SELECT doc_id, lab FROM lab$LpaRounds),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+         |internal AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS e_in
+         |  FROM und JOIN lu l1 ON l1.doc_id = und.u
+         |           JOIN lu l2 ON l2.doc_id = und.v
+         |  WHERE l1.lab = l2.lab),
+         |deg AS (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+         |  GROUP BY 1),
+         |dsum AS (
+         |  SELECT CAST(SUM(d2 * d2) AS BIGINT) AS sum_d2 FROM (
+         |    SELECT l.lab, SUM(deg) AS d2
+         |    FROM deg JOIN lu l ON l.doc_id = deg.node GROUP BY 1)),
+         |nc AS (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_communities FROM lu)
+         |SELECT (SELECT m FROM m) AS m_edges,
+         |  (SELECT e_in FROM internal) AS internal_edges,
+         |  (SELECT n_communities FROM nc) AS n_communities,
+         |  4 * (SELECT m FROM m) * (SELECT e_in FROM internal)
+         |    - (SELECT sum_d2 FROM dsum) AS q_num,
+         |  4 * (SELECT m FROM m) * (SELECT m FROM m) AS q_den,
+         |  CAST(4 * (SELECT m FROM m) * (SELECT e_in FROM internal)
+         |    - (SELECT sum_d2 FROM dsum) AS DOUBLE)
+         |    / (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS modularity""".stripMargin
+    ) { (s, d) =>
+      val labels = labelPropagation(s, d).localCheckpoint(eager = false) // read 3×
+      val und = undirectedOf(s, d).localCheckpoint(eager = false)        // read 3×
+      val mRow = broadcast(und.agg(count(lit(1)).as("m")))
+      val internal = broadcast(und
+        .join(labels.select(col("doc_id").as("u"), col("lab").as("lu")), "u")
+        .join(labels.select(col("doc_id").as("v"), col("lab").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .agg(count(lit(1)).as("e_in")))
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val dsum = broadcast(deg
+        .join(labels.select(col("doc_id").as("node"), col("lab")), "node")
+        .groupBy(col("lab")).agg(sum(col("deg")).as("d2"))
+        .agg(sum(col("d2") * col("d2")).as("sum_d2")))
+      val ncRow = broadcast(
+        labels.agg(countDistinct(col("lab")).as("n_communities")))
+      mRow.crossJoin(internal).crossJoin(dsum).crossJoin(ncRow)
+        .select(col("m").as("m_edges"), col("e_in").as("internal_edges"),
+          col("n_communities"),
+          (lit(4L) * col("m") * col("e_in") - col("sum_d2")).as("q_num"),
+          (lit(4L) * col("m") * col("m")).as("q_den"))
+        .withColumn("modularity", col("q_num").cast("double") / col("q_den"))
+    },
+
+    // ---- per-community sampling cap: keep the top-[[CapPerCommunity]]
+    // docs BY QUALITY within each link community — the anti-spam-farm
+    // curation step (a mirror farm or link ring collapses into one LPA
+    // community, so a per-community cap bounds its contribution to the
+    // training mix no matter how many pages it spawns; the per-SOURCE cap
+    // can't see structure inside one source). Composes three shared
+    // definitions verbatim: [[labelPropagation]] communities, the ONE
+    // corpus quality formula ([[graft.llm.TextAnalysis.qualityScore]]),
+    // and the keep-first window discipline (community-keyed argmax —
+    // state bounded by community size, the dedup_keep_best_quality
+    // shape). The quality join is doc-keyed; no corpus-sized window.
+    q("sample_cap_per_community",
+      s"""WITH $lpaCtes,
+         |qual AS (
+         |  SELECT doc_id, ${graft.llm.TextAnalysis.qualityScoreSql("text")} AS quality_score
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT l.doc_id, l.lab AS community, q.quality_score,
+         |    ROW_NUMBER() OVER (PARTITION BY l.lab
+         |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
+         |  FROM lab$LpaRounds l JOIN qual q ON q.doc_id = l.doc_id)
+         |SELECT doc_id, CAST(community AS BIGINT) AS community,
+         |  quality_score, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= $CapPerCommunity""".stripMargin
+    ) { (s, d) =>
+      val labels = labelPropagation(s, d)
+      val qual = Tables.documents(s, d).select(col("doc_id"),
+        graft.llm.TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      val byCommunity = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lab")).orderBy(col("quality_score").desc, col("doc_id"))
+      labels.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(byCommunity))
+        .filter(col("rn") <= CapPerCommunity)
+        .select(col("doc_id"), col("lab").as("community"),
+          col("quality_score"), col("rn").cast("long").as("rn"))
     }
   )
+
+  /** Oracle CTE chain for [[labelPropagation]]: `nodes`/`edges`/`und`/
+    * `adj`/`lab0..labN` — terminal frame `lab{LpaRounds}(doc_id, lab)`. */
+  private lazy val lpaCtes: String = {
+    val iterCtes = (1 to LpaRounds).map { i =>
+      s"""cnt$i AS (
+         |  SELECT adj.a, l.lab, COUNT(*) AS c
+         |  FROM adj JOIN lab${i - 1} l ON l.doc_id = adj.b GROUP BY 1, 2),
+         |pick$i AS (
+         |  SELECT a, lab FROM (
+         |    SELECT a, lab, ROW_NUMBER() OVER (
+         |      PARTITION BY a ORDER BY c DESC, lab) AS rn FROM cnt$i)
+         |  WHERE rn = 1),
+         |lab$i AS (
+         |  SELECT l.doc_id, COALESCE(p.lab, l.lab) AS lab
+         |  FROM lab${i - 1} l LEFT JOIN pick$i p ON p.a = l.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |nodes AS (SELECT doc_id FROM documents),
+       |$edgesSqlCte,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges WHERE src <> dst),
+       |adj AS (SELECT u AS a, v AS b FROM und
+       |        UNION ALL SELECT v AS a, u AS b FROM und),
+       |lab0 AS (SELECT doc_id, doc_id AS lab FROM nodes),
+       |$iterCtes""".stripMargin
+  }
+
+  /** The derived undirected edge set (u < v, no self-loops) — shared by
+    * triangles / k-core / LPA / modularity. */
+  private def undirectedOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    edgesOf(nodes, nRow).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+  }
+
+  /** Deterministic synchronous LPA labels after [[LpaRounds]] rounds:
+    * (doc_id, lab). See the graph_label_propagation query doc for the
+    * semantics and scale shape. */
+  private def labelPropagation(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val und = undirectedOf(s, d)
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(eager = false) // reused every round
+    val perNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("c").desc, col("lab"))
+    val lab0 = nodes.select(col("doc_id"), col("doc_id").as("lab"))
+    (1 to LpaRounds).foldLeft(lab0) { (lab, _) =>
+      val l = lab.localCheckpoint(eager = false) // read twice this round
+      val pick = adj.join(l, l("doc_id") === adj("b"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(perNode))
+        .filter(col("rn") === 1)
+        .select(col("a"), col("lab").as("newlab"))
+      l.join(pick, l("doc_id") === pick("a"), "left")
+        .select(l("doc_id"), coalesce(col("newlab"), l("lab")).as("lab"))
+    }
+  }
 }

@@ -262,7 +262,62 @@ object Similarity {
     }
   ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+
     centroidOutlierQuery :+ semanticKeepQuery :+ lshRecallEvalQuery :+
-    cosineHistogramQuery :+ pqTopkQuery :+ ivfPqTopkQuery :+ decontEmbQuery
+    cosineHistogramQuery :+ pqTopkQuery :+ ivfPqTopkQuery :+ decontEmbQuery :+
+    hardNegativesQuery
+
+  /** Hard-negative mining for contrastive training (the FaceNet/DPR
+    * data-prep step, Schroff et al. CVPR 2015): for each query vector,
+    * the top-3 most-similar vectors with a DIFFERENT label — the
+    * negatives that actually teach a contrastive model — plus the best
+    * same-label cosine (`pos_max`) and the resulting margin, so semi-hard
+    * selection (margin > 0) is a downstream filter. Same exact
+    * fixed-point scoring and broadcast-query BNLJ as
+    * [[sim_bruteforce_topk]]; the scored frame is lazily checkpointed
+    * because both the positive max and the negative ranking read it
+    * (one corpus pass, not two). The ranking window is query-keyed —
+    * distributed across queries, never global. Queries with no same-label
+    * peer emit NULL pos_max/margin (left join) rather than vanishing. */
+  lazy val hardNegativesQuery: GraftQuery =
+    q("sim_hard_negatives",
+      s"""WITH $quantizedSql,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, a.label AS q_label,
+         |    b.vec_id AS vec_id, b.label AS label,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+         |  FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+         |pos AS (
+         |  SELECT query_id, MAX(cosine) AS pos_max
+         |  FROM scored WHERE label = q_label GROUP BY 1),
+         |negs AS (
+         |  SELECT query_id, vec_id, label, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored WHERE label <> q_label)
+         |SELECT n.query_id, n.vec_id, n.label, n.cosine, n.rank,
+         |  p.pos_max, p.pos_max - n.cosine AS margin
+         |FROM negs n LEFT JOIN pos p USING (query_id)
+         |WHERE n.rank <= 3""".stripMargin) { (s, d) =>
+      val qe = quantized(s, d)
+      val queries = quantizedOf(
+        Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0))
+      val scored = broadcast(queries.as("a"))
+        .join(qe.as("b"), col("b.vec_id") =!= col("a.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("a.label").as("q_label"),
+          col("b.vec_id").as("vec_id"), col("b.label").as("label"),
+          (dot("a.qv", "b.qv").cast("double")
+            / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+            .as("cosine"))
+        .localCheckpoint(eager = false) // read by pos max AND neg ranking
+      val pos = scored.filter(col("label") === col("q_label"))
+        .groupBy(col("query_id")).agg(max(col("cosine")).as("pos_max"))
+      val negs = scored.filter(col("label") =!= col("q_label"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= 3)
+      negs.join(pos, Seq("query_id"), "left")
+        .select(col("query_id"), col("vec_id"), col("label"), col("cosine"),
+          col("rank"), col("pos_max"), (col("pos_max") - col("cosine")).as("margin"))
+    }
 
   // ---- Product Quantization geometry (Jégou, Douze, Schmid: "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011)

@@ -35,7 +35,7 @@ object TextAnalysis {
   /** The corpus quality score (length / stopword / word-shape mix) as one
     * reusable column — `text_quality_score`'s formula verbatim, shared with
     * the dedup keeper-selection query so "quality" means one thing. */
-  private[llm] def qualityScore(text: Column): Column = {
+  private[graft] def qualityScore(text: Column): Column = {
     val nw = size(words(text))
     val mwl = length(regexp_replace(text, " ", "")) * 1.0 / nw
     val stopRatio = countIn(text, stopwords) * 1.0 / nw
@@ -44,7 +44,7 @@ object TextAnalysis {
       lit(0.2) * least(mwl / 8.0, lit(1.0))
   }
 
-  private[llm] def qualityScoreSql(e: String): String =
+  private[graft] def qualityScoreSql(e: String): String =
     s"""0.4 * least(len(string_split($e, ' ')) / 100.0, 1.0)
        |    + 0.4 * (1.0 - ${countInSql(e, stopwords)} * 1.0 / len(string_split($e, ' ')))
        |    + 0.2 * least(len(replace($e, ' ', '')) * 1.0 / len(string_split($e, ' ')) / 8.0, 1.0)""".stripMargin
