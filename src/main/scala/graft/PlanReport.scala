@@ -58,6 +58,16 @@ object PlanReport {
       "All five policy rules and the composite verdict compile into ONE project over the scan — no shuffle at all; the whole policy is a single WholeStageCodegen span.",
     "text_top_tokens" ->
       "Distributed word count: explode → partial count (map-side combine) → key exchange → final count; only the |vocab|-row ranked head crosses the final single-partition window.",
+    "w15_hopping_windows" ->
+      "Sliding windows via the native TimeWindow Expand: each row fans into size/slide = 4 windows map-side, then ONE partial→final hash agg — no self-join against a window table, no per-window rescan.",
+    "ts_time_weighted_avg" ->
+      "LOCF time-weighted average: one per-meter window sort for the lead() spans, then a map-side-combinable aggregate of exact mW·ms products; nothing global anywhere.",
+    "skyline_pareto_frontier" ->
+      "Skyline without a global sort: per-price groupBy, band-keyed RANGE-frame prefix max, and a ~41-row band summary as the only cross-partition frame — the definitional NOT EXISTS is the oracle, not the plan.",
+    "graph_label_propagation" ->
+      "Synchronous LPA round: adjacency⋈labels equi-join → (node,label) partial-combined count → per-NODE rank window (frame = distinct neighbor labels, degree-bounded) → left join back; lineage truncated per round so plan depth stays constant.",
+    "sim_hard_negatives" ->
+      "Contrastive negative mining: one broadcast-query BNLJ pass scores the corpus, the lazily-checkpointed scored frame feeds BOTH the positive max and the per-query negative ranking — one corpus pass, query-keyed windows only.",
     "j_salted_skew_join" ->
       "Manual skew salting: the tiny dim side explodes over the salt range and the fact routes to pmod(event_id, 8) — the join exchange hashes (skew_key, salt), so the hot key spreads across 8 tasks instead of landing on one.",
     "dedup_chunks_cross_doc" ->

@@ -32,6 +32,8 @@ object TrainingPipeline {
 
   /** k-anonymity class-size floor (the conventional k=5 audit bar). */
   private val KAnonThreshold = 5L
+  /** l-diversity floor: distinct sensitive values required per QID class. */
+  private val LDiversityL = 3L
 
   // sliding-window segmentation geometry shared by chunk_documents and
   // dedup_chunks_cross_doc — ONE definition (Scala + SQL twins below) so
@@ -710,6 +712,38 @@ object TrainingPipeline {
         .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
           col("class_size"),
           when(col("class_size") < KAnonThreshold, 1L).otherwise(0L).as("at_risk"))
+    },
+
+    // ---- l-DIVERSITY audit (Machanavajjhala et al., ICDE 2006) — the
+    // k-anonymity companion: a quasi-identifier class can be LARGE yet
+    // still leak if every member shares the same sensitive value, so the
+    // class must also contain ≥ l distinct sensitive values. QIDs here
+    // are (nation, segment); the sensitive attribute is the $500 balance
+    // band the k-anonymity audit treats as quasi-identifying — the same
+    // column plays either role depending on the threat model, which is
+    // exactly why both audits exist. ONE map-side-combinable aggregate
+    // (count + exact count-distinct per class); classes are
+    // domain-bounded (|nations|×|segments|), so the audit output is tiny
+    // at any corpus size.
+    q("privacy_l_diversity",
+      s"""SELECT c_nationkey, c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS class_size,
+         |  CAST(COUNT(DISTINCT CAST(FLOOR(
+         |    CAST(round(c_acctbal * 100) AS BIGINT) / 50000.0) AS BIGINT)) AS BIGINT)
+         |    AS n_sensitive,
+         |  CAST(CASE WHEN COUNT(DISTINCT CAST(FLOOR(
+         |    CAST(round(c_acctbal * 100) AS BIGINT) / 50000.0) AS BIGINT))
+         |      < $LDiversityL THEN 1 ELSE 0 END AS BIGINT) AS below_l
+         |FROM customer
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val band = floor(Tables.cents(col("c_acctbal")) / 50000.0)
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(band).as("n_sensitive"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+          col("n_sensitive"),
+          when(col("n_sensitive") < LDiversityL, 1L).otherwise(0L).as("below_l"))
     }
   )
 }

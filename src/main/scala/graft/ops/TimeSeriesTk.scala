@@ -247,5 +247,101 @@ object TimeSeriesTk {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
         .withColumn("slope_mw_per_day",
           col("slope_num").cast("double") / col("slope_den"))
+    },
+
+    // ---- sequence pattern matching (the MATCH_RECOGNIZE
+    // `PATTERN (DOWN+ UP+)` shape, which Spark has no native operator
+    // for): variable-length V-dips in each meter's delta series — a
+    // strictly-decreasing run immediately followed by a strictly-
+    // increasing run, with per-match MEASURES (trough time, run lengths,
+    // depth from the pre-run peak to the trough). Compiled to relational
+    // algebra as: step signs (lag) → gaps-and-islands run ids (the
+    // meter_rle_status discipline) → per-run combinable aggregate →
+    // run-sequence lag/lead on the runs frame. Every window is keyed by
+    // meter_id; the runs frame is strictly smaller than the corpus. A
+    // flat step (exact repeat) breaks strictness and ends the pattern —
+    // the documented strict-V semantics. `peak` falls back to the run's
+    // own first value when the down-run opens the series.
+    q("seq_match_vshape",
+      s"""WITH ${MeterSql.readingsCtes(50, 96)},
+         |deltas AS (
+         |  SELECT meter_id, reading_timestamp,
+         |    reading_consumption_milliwatts - lag(reading_consumption_milliwatts)
+         |      OVER (PARTITION BY meter_id ORDER BY reading_timestamp) AS d
+         |  FROM readings),
+         |known AS (SELECT * FROM deltas WHERE d IS NOT NULL),
+         |steps AS (
+         |  SELECT meter_id, reading_timestamp, d,
+         |    lag(d) OVER (PARTITION BY meter_id ORDER BY reading_timestamp) AS pd
+         |  FROM known),
+         |stepped AS (
+         |  SELECT meter_id, reading_timestamp, d,
+         |    CASE WHEN d > pd THEN 1 WHEN d < pd THEN -1 ELSE 0 END AS s
+         |  FROM steps WHERE pd IS NOT NULL),
+         |flagged AS (
+         |  SELECT meter_id, reading_timestamp, d, s,
+         |    CASE WHEN s = lag(s) OVER (PARTITION BY meter_id
+         |      ORDER BY reading_timestamp) THEN 0 ELSE 1 END AS chg
+         |  FROM stepped),
+         |runs AS (
+         |  SELECT meter_id, reading_timestamp, d, s,
+         |    SUM(chg) OVER (PARTITION BY meter_id ORDER BY reading_timestamp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+         |  FROM flagged),
+         |runagg AS (
+         |  SELECT meter_id, run_id, MIN(s) AS sign,
+         |    COUNT(*) AS len,
+         |    arg_min(d, reading_timestamp) AS first_d,
+         |    arg_max(d, reading_timestamp) AS last_d,
+         |    CAST(epoch_ms(MAX(reading_timestamp)) AS BIGINT) AS end_ms
+         |  FROM runs GROUP BY 1, 2),
+         |seq AS (
+         |  SELECT meter_id, run_id, sign, len, first_d, last_d, end_ms,
+         |    lag(last_d) OVER w2 AS prev_last_d,
+         |    lead(sign) OVER w2 AS next_sign,
+         |    lead(len) OVER w2 AS next_len
+         |  FROM runagg
+         |  WINDOW w2 AS (PARTITION BY meter_id ORDER BY run_id))
+         |SELECT CAST(meter_id AS BIGINT) AS meter_id,
+         |  end_ms AS trough_ms,
+         |  CAST(len AS BIGINT) AS down_len,
+         |  CAST(next_len AS BIGINT) AS up_len,
+         |  CAST(COALESCE(prev_last_d, first_d) - last_d AS BIGINT) AS depth
+         |FROM seq WHERE sign = -1 AND next_sign = 1""".stripMargin) { (s, _) =>
+      val byMeter = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      val cum = byMeter.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val known = MeterGen.readings(s, 50, 96)
+        .select(col("meter_id"), col("reading_timestamp"),
+          (col("reading_consumption_milliwatts")
+            - lag(col("reading_consumption_milliwatts"), 1).over(byMeter)).as("d"))
+        .filter(col("d").isNotNull)
+      val stepped = known
+        .withColumn("pd", lag(col("d"), 1).over(byMeter))
+        // the first row of each meter has no step into it — drop it, as
+        // the oracle's `WHERE pd IS NOT NULL` does
+        .filter(col("pd").isNotNull)
+        .withColumn("s",
+          when(col("d") > col("pd"), 1)
+            .when(col("d") < col("pd"), -1)
+            .otherwise(0))
+      val flagged = stepped.withColumn("chg",
+        when(col("s") === lag(col("s"), 1).over(byMeter), 0).otherwise(1))
+      val runs = flagged.withColumn("run_id", sum(col("chg")).over(cum))
+      val runagg = runs.groupBy(col("meter_id"), col("run_id"))
+        .agg(min(col("s")).as("sign"), count(lit(1)).as("len"),
+          min_by(col("d"), col("reading_timestamp")).as("first_d"),
+          max_by(col("d"), col("reading_timestamp")).as("last_d"),
+          unix_millis(max(col("reading_timestamp"))).as("end_ms"))
+      val byRun = Window.partitionBy(col("meter_id")).orderBy(col("run_id"))
+      runagg
+        .withColumn("prev_last_d", lag(col("last_d"), 1).over(byRun))
+        .withColumn("next_sign", lead(col("sign"), 1).over(byRun))
+        .withColumn("next_len", lead(col("len"), 1).over(byRun))
+        .filter(col("sign") === -1 && col("next_sign") === 1)
+        .select(col("meter_id").cast("long").as("meter_id"),
+          col("end_ms").as("trough_ms"),
+          col("len").as("down_len"), col("next_len").as("up_len"),
+          (coalesce(col("prev_last_d"), col("first_d")) - col("last_d"))
+            .cast("long").as("depth"))
     })
 }

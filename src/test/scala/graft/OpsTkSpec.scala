@@ -98,6 +98,55 @@ class OpsTkSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === 4L * events.length)
   }
 
+  test("V-shape pattern: matches equal brute-force run scanning; depths positive") {
+    val expected = readings(96).toSeq.flatMap { case (m, rows) =>
+      val d = rows.zip(rows.tail).map { case ((_, p), (t, c)) => (t, c - p) }
+      val steps = d.zip(d.tail).map { case ((_, pd), (t, cd)) =>
+        (t, cd, if (cd > pd) 1 else if (cd < pd) -1 else 0)
+      }
+      // maximal runs of equal sign, in time order
+      val runs = steps.foldLeft(Vector.empty[Vector[(Long, Long, Int)]]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last.head._3 == x._3) acc.init :+ (acc.last :+ x)
+        else acc :+ Vector(x)
+      }
+      runs.zipWithIndex.flatMap { case (run, i) =>
+        if (run.head._3 == -1 && i + 1 < runs.size && runs(i + 1).head._3 == 1) {
+          val peak = if (i == 0) run.head._2 else runs(i - 1).last._2
+          Some((m.toLong, run.last._1, run.size.toLong, runs(i + 1).size.toLong,
+            peak - run.last._2))
+        } else None
+      }
+    }.toSet
+    val got = run("seq_match_vshape").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, dn, up, depth) =>
+      // depth can be 0 only in the documented opening-run fallback (the
+      // pre-run peak is unobservable, so peak = the run's own first value)
+      assert(dn >= 1 && up >= 1 && depth >= 0)
+    }
+    assert(got.count(_._5 > 0) > got.size / 2, "most depths should be real drops")
+  }
+
+  test("l-diversity: class diversity matches brute force and k-anonymity's class sizes") {
+    val cust = ops.Tables.customer(spark, sf0001)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(ops.Tables.cents(col("c_acctbal")) / 50000.0).cast("long"))
+      .as[(Int, String, Long)].collect()
+    val expected = cust.groupBy(c => (c._1, c._2)).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._3).distinct.length.toLong))
+    }
+    val got = run("privacy_l_diversity").collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap === expected)
+    got.values.foreach { case (size, nSens, below) =>
+      assert(nSens <= size)
+      assert(below === (if (nSens < 3) 1L else 0L))
+    }
+  }
+
   test("trend slope: OLS moments match brute force; den is the fixed design constant") {
     val expected = readings(480).map { case (m, rows) =>
       val t0 = rows.head._1 // first grid point IS the generator epoch
