@@ -141,7 +141,17 @@ object PlanReport {
     "text_source_overlap" ->
       "Source overlap: the corpus collapses to distinct (source, token) in one exchange; the pair self-join is keyed on token with per-key fan-out bounded by |sources| — a stopword matches ≤|sources| rows per side, so no skew blowup; unions come from inclusion-exclusion, not a second join.",
     "src_csv_roundtrip" ->
-      "Format hop: write is a narrow scan→sink; read-back carries the EXPLICIT schema (no inference job in the plan) and feeds one partial→final hash agg — the checksum (bit_xor of the text hash) evaluates map-side in the same codegen span.")
+      "Format hop: write is a narrow scan→sink; read-back carries the EXPLICIT schema (no inference job in the plan) and feeds one partial→final hash agg — the checksum (bit_xor of the text hash) evaluates map-side in the same codegen span.",
+    "src_bucketed_colocated_join" ->
+      "Bucketed co-located join: both scans report the bucket spec (SelectedBucketsCount: 8 of 8) as their output partitioning, so the SortMergeJoin's INPUTS carry no Exchange — the shuffle was paid once at write time; the only exchange in the plan feeds the final aggregate. The layout contract a 100 TB fact joined daily on one key is stored under.",
+    "graph_link_prediction" ->
+      "RA link prediction: wedge enumeration is one adjacency self-join on the CENTER key with hub centers (deg > cap) filtered out BEFORE the join — per-center fan-out ≤ cap²; known edges leave via a LeftAnti equi-join, the head is TakeOrderedAndProject.",
+    "a_exact_median_banded" ->
+      "Exact median without a per-group sort: the corpus passes ONE (group, value) count agg; band offsets come from a window over the ≤~60-band frame, and only the median band's values are ranked (window bounded by values-per-band) — the oracle's global row_number window never appears.",
+    "text_pair_lift" ->
+      "Co-occurrence lift: the vocabulary head is a TakeOrderedAndProject that BROADCASTS into the posting filter (BroadcastHashJoin), bounding the per-doc pair fan-out at K²; the only corpus-wide exchange is the final pair count with map-side partials.",
+    "text_vocab_growth" ->
+      "Vocabulary growth: ONE corpus min-aggregate attributes each gram's first document (no ordered scan anywhere); the cumulative window reads only the ≤N/16-row bucket histogram.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -53,6 +53,10 @@ object GraphOps {
   private val LpaRounds = 4
   /** Per-community curation cap (docs kept per link community). */
   private val CapPerCommunity = 2
+  /** Link prediction: wedge centers with degree above this cap are
+    * skipped (hub suppression — each contributes < 1e6/cap per wedge,
+    * negligible RA mass, and caps the wedge fan-out at cap² per center). */
+  private val RaHubCap = 32L
 
   /** Synthetic out-links of one node over a dense 0..N-1 id space:
     * dst_k = md5-hash64("src-k") mod N for k = 1..OutDeg. The hash (not
@@ -573,6 +577,140 @@ object GraphOps {
         .filter(col("rn") <= CapPerCommunity)
         .select(col("doc_id"), col("lab").as("community"),
           col("quality_score"), col("rn").cast("long").as("rn"))
+    },
+
+    // ---- LINK PREDICTION by the resource-allocation index (Zhou, Lü &
+    // Zhang, EPJ B 2009): score(x,y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/deg(z) for
+    // non-adjacent pairs — here ×1e6 in floor-division integers so both
+    // engines score bit-identically (RA beats Adamic-Adar's 1/log deg in
+    // their benchmarks AND needs no transcendental, keeping the exact-
+    // arithmetic doctrine). Candidate pairs are exactly the wedges x–z–y,
+    // enumerated by a self-join of the adjacency on the CENTER z; each
+    // center contributes deg(z)² pairs, so hubs are the quadratic hazard.
+    // The standard production mitigation is hub suppression: centers with
+    // deg > [[RaHubCap]] are excluded — each would contribute < 1e6/cap
+    // per wedge, negligible mass by RA's own weighting, and the cutoff is
+    // deterministic so the oracle applies it identically. Per-center
+    // fan-out is then ≤ cap², and at 100 TB the adjacency is bucketed by
+    // z so the wedge self-join reuses one partitioning. Known pairs are
+    // removed with an anti-join on the edge set (equi keys); the bounded
+    // head is a TakeOrderedAndProject, never a global sort.
+    q("graph_link_prediction",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |$edgesSqlCte,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+         |  GROUP BY 1),
+         |adj AS (SELECT u AS z, v AS x FROM und
+         |        UNION ALL SELECT v AS z, u AS x FROM und),
+         |wedges AS (
+         |  SELECT a.x AS u, b.x AS v, 1000000 // d.deg AS w
+         |  FROM adj a JOIN adj b ON a.z = b.z AND a.x < b.x
+         |  JOIN deg d ON d.node = a.z WHERE d.deg <= $RaHubCap),
+         |scored AS (
+         |  SELECT w.u, w.v, SUM(w.w) AS ra_scaled, COUNT(*) AS n_common
+         |  FROM wedges w
+         |  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = w.u AND e.v = w.v)
+         |  GROUP BY 1, 2)
+         |SELECT u, v, CAST(ra_scaled AS BIGINT) AS ra_scaled,
+         |  CAST(n_common AS BIGINT) AS n_common
+         |FROM scored ORDER BY ra_scaled DESC, u, v LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val und = undirectedOf(s, d).localCheckpoint(eager = false)
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val adj = und.select(col("u").as("z"), col("v").as("x"))
+        .unionAll(und.select(col("v").as("z"), col("u").as("x")))
+      val wedges = adj.as("a")
+        .join(adj.as("b"), col("a.z") === col("b.z") && col("a.x") < col("b.x"))
+        .select(col("a.z").as("z"), col("a.x").as("u"), col("b.x").as("v"))
+        .join(deg.filter(col("deg") <= RaHubCap)
+          .select(col("node").as("z"), col("deg")), Seq("z"))
+        .select(col("u"), col("v"), expr("1000000L div deg").as("w"))
+      wedges
+        .join(und, Seq("u", "v"), "left_anti")
+        .groupBy(col("u"), col("v"))
+        .agg(sum(col("w")).as("ra_scaled"), count(lit(1)).as("n_common"))
+        .orderBy(col("ra_scaled").desc, col("u"), col("v"))
+        .limit(20)
+    },
+
+    // ---- LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) in exact
+    // ppm: cc(v) = 2·tri(v)·1e6 // (deg(v)·(deg(v)−1)) for deg ≥ 2.
+    // Per-node triangle counts come from the SAME degree-ordered
+    // orientation as graph_triangles (Suri & Vassilvitskii, WWW 2011 —
+    // each wedge is enumerated at its lowest-degree corner, bounding the
+    // wedge join by O(√m) per node), so adding this query costs one deg
+    // join + one ppm projection beyond the triangle pass; zero-triangle
+    // nodes surface with cc = 0 through the left join, keeping the output
+    // a total function over deg≥2 nodes (the curation signal: low-cc
+    // high-degree nodes are link-farm hubs; high-cc nodes sit in dense
+    // organic neighborhoods).
+    q("graph_clustering_coeff",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |$edgesSqlCte,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+         |  GROUP BY 1),
+         |ori AS (
+         |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+         |           THEN u ELSE v END AS a,
+         |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+         |           THEN v ELSE u END AS b
+         |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN und e3 ON e3.u = e1.b AND e3.v = e2.b),
+         |pertri AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT x AS doc_id FROM tri
+         |    UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |  GROUP BY 1)
+         |SELECT d.node AS doc_id, d.deg,
+         |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST((2 * COALESCE(t.n_tri, 0) * 1000000)
+         |    // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+         |FROM deg d LEFT JOIN pertri t ON t.doc_id = d.node
+         |WHERE d.deg >= 2""".stripMargin
+    ) { (s, d) =>
+      val und = undirectedOf(s, d).localCheckpoint(eager = false)
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+      val ori = und
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+          when(lower, col("v")).otherwise(col("u")).as("b"))
+      val tri = ori.as("e1")
+        .join(ori.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .join(und.as("e3"),
+          col("e3.u") === col("e1.b") && col("e3.v") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val perTri = tri.select(col("x").as("doc_id"))
+        .unionAll(tri.select(col("y").as("doc_id")))
+        .unionAll(tri.select(col("z").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(perTri, col("doc_id") === col("node"), "left")
+        .select(col("node").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("(2 * coalesce(n_tri, 0L) * 1000000L) div (deg * (deg - 1))")
+            .as("cc_ppm"))
     }
   )
 

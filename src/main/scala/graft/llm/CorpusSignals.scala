@@ -36,6 +36,10 @@ object CorpusSignals {
 
   /** Fully-unrolled BPE learn+apply rounds for `bpe_tokenize`. */
   private val BpeRounds = 6
+  /** Co-occurrence lift: vocabulary head size (broadcast; bounds the
+    * per-doc pair fan-out at K²) and minimum pair doc count. */
+  private val LiftVocabK = 40
+  private val LiftMinSupport = 5
 
   /** Oracle CTE chain `wf, t0 … t$BpeRounds` learning and applying the
     * [[BpeRounds]] merge rules on the word-frequency table — shared by
@@ -295,6 +299,106 @@ object CorpusSignals {
           sum(col("tf") * expr("(c2 * 1000000000) div c1")).as("s"))
         .select(col("doc_id"), col("n_pairs"),
           expr("s div n_pairs").as("typicality_ppb"))
+    },
+
+    // ---- token co-occurrence LIFT (the PMI family's exact-integer
+    // member: lift = P(a,b)/(P(a)P(b)) = n_both·N / (n_a·n_b), here ×1e6
+    // floor-divided — PMI is just its log, so the RANKING is identical
+    // and no transcendental enters the hash). The collocation-mining /
+    // phrase-vocabulary step of corpus prep. Shape: postings are DISTINCT
+    // (doc, term) pairs restricted to the top-[[LiftVocabK]] vocabulary
+    // BY DOC FREQUENCY — the vocab table is a TakeOrderedAndProject head
+    // that BROADCASTS into the posting filter, so the pair self-join
+    // fans out ≤ min(doclen, K)² per doc key and the only corpus-wide
+    // exchange is the final pair count (map-side combinable). N and the
+    // per-term doc counts ride the same broadcast vocab row set; a
+    // min-support gate kills the noise tail before ranking.
+    q("text_pair_lift", {
+      s"""WITH post AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |dfreq AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+         |vocab AS (
+         |  SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT $LiftVocabK),
+         |p AS (SELECT post.doc_id, post.term, v.df
+         |      FROM post JOIN vocab v ON v.term = post.term),
+         |pairs AS (
+         |  SELECT a.term AS term_a, b.term AS term_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_both,
+         |    MIN(a.df) AS df_a, MIN(b.df) AS df_b
+         |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2)
+         |SELECT term_a, term_b, n_both,
+         |  CAST((n_both * (SELECT n FROM n) * 1000000) // (df_a * df_b) AS BIGINT)
+         |    AS lift_ppm
+         |FROM pairs WHERE n_both >= $LiftMinSupport
+         |ORDER BY lift_ppm DESC, term_a, term_b LIMIT 25""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documentsParallel(s, d)
+      val nRow = broadcast(docs.agg(count(lit(1)).as("n")))
+      val post = docs
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .distinct()
+      val vocab = broadcast(
+        post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(LiftVocabK))
+      val p = post.join(vocab, "term")
+      p.as("a")
+        .join(p.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+        .agg(count(lit(1)).as("n_both"),
+          min(col("a.df")).as("df_a"), min(col("b.df")).as("df_b"))
+        .filter(col("n_both") >= LiftMinSupport)
+        .crossJoin(nRow)
+        .select(col("term_a"), col("term_b"), col("n_both"),
+          expr("(n_both * n * 1000000L) div (df_a * df_b)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("term_a"), col("term_b"))
+        .limit(25)
+    },
+
+    // ---- VOCABULARY GROWTH curve (Heaps' law: V(n) ~ K·n^β — the
+    // corpus-scaling question "how much new vocabulary does the next
+    // shard buy?"). The unit is the character 8-GRAM, not the word: the
+    // synthetic corpus has a closed 31-word lexicon, but its shingle
+    // space is open, so the curve is non-degenerate — and shingle
+    // novelty is the same unit the dedup family measures, making this
+    // the corpus-level twin of text_df_novelty. New-vocabulary
+    // attribution needs no ordered scan: each distinct gram's FIRST
+    // document is one min-aggregate, buckets of 16 docs histogram those
+    // first occurrences, and the cumulative curve is a running sum over
+    // the ≤ N/16 bucket frame — the corpus is touched exactly once (the
+    // min-agg); the global-ordered window reads only the tiny bucket
+    // histogram (pmod(…,1) is the repo's non-foldable constant key for a
+    // deliberately-global window over a bounded frame). Decaying
+    // new_grams across buckets is the measured Heaps exponent — in
+    // exact integers.
+    q("text_vocab_growth",
+      """WITH post AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(text) - 7),
+        |      i -> substr(text, i, 8))) AS g
+        |  FROM documents),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM post GROUP BY 1),
+        |b AS (
+        |  SELECT first_doc // 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS new_grams
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, new_grams,
+        |  CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+        |FROM b""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(pmod(col("bucket"), lit(1))).orderBy(col("bucket"))
+      Tables.documentsParallel(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))
+          .as("g"))
+        .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(expr("first_doc div 16").as("bucket"))
+        .agg(count(lit(1)).as("new_grams"))
+        .withColumn("cum_vocab", sum(col("new_grams")).over(w))
     },
 
     // ---- the first BPE merge decisions: corpus-wide adjacent character

@@ -82,6 +82,75 @@ object SqlSurface {
           min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
     },
 
+    // ---- EXACT per-group median WITHOUT a per-group global sort — the
+    // distributed order-statistic location trick (the two-level banded
+    // rank scheme score_quantile_normalize uses for global ranks, here
+    // locating one target rank instead of all of them). Level 1: value
+    // counts collapse into $10k-wide BANDS; a band-keyed running sum
+    // (window over the ≤~60-band frame per group) turns band counts into
+    // cumulative offsets, and the 1-row-per-group totals pin the target
+    // ranks lo=(n+1)÷2, hi=n÷2+1. Level 2: ONLY the band(s) covering a
+    // target rank rank their distinct values (window bounded by
+    // values-per-band; at larger scale the same banding recurses). Median
+    // is reported as lo+hi ("median_x2") so even-count interpolation
+    // stays in exact integers. The oracle states the naive global-window
+    // form — identical output, single-task plan — which is exactly what
+    // the banded shape replaces at 100 TB.
+    q("a_exact_median_banded",
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |r AS (
+        |  SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents) AS rk,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM v)
+        |SELECT grp AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN rk = (n + 1) // 2 THEN cents ELSE 0 END)
+        |     + SUM(CASE WHEN rk = n // 2 + 1 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS median_x2
+        |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+      val counts = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          Tables.cents(col("o_totalprice")).as("cents"))
+        .groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("cnt"))
+        .withColumn("band", expr("cents div 1000000"))
+        // feeds both the band rollup and the level-2 in-band ranking
+        .localCheckpoint(eager = false)
+      val bands = counts.groupBy(col("grp"), col("band"))
+        .agg(sum(col("cnt")).as("band_cnt"))
+      val wBand = Window.partitionBy(col("grp")).orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withOff = bands.withColumn("offset",
+        coalesce(sum(col("band_cnt")).over(wBand), lit(0L)))
+      val totals = bands.groupBy(col("grp")).agg(sum(col("band_cnt")).as("n"))
+        .withColumn("lo_rk", expr("(n + 1) div 2"))
+        .withColumn("hi_rk", expr("n div 2 + 1"))
+      val sel = withOff.join(totals, "grp")
+        .filter((col("offset") < col("lo_rk")
+            && col("offset") + col("band_cnt") >= col("lo_rk"))
+          || (col("offset") < col("hi_rk")
+            && col("offset") + col("band_cnt") >= col("hi_rk")))
+        .select(col("grp"), col("band"), col("offset"),
+          col("lo_rk"), col("hi_rk"))
+      val wVal = Window.partitionBy(col("grp"), col("band")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inBand = counts.join(sel, Seq("grp", "band"))
+        .withColumn("start",
+          col("offset") + coalesce(sum(col("cnt")).over(wVal), lit(0L)))
+      val loV = inBand
+        .filter(col("start") < col("lo_rk")
+          && col("lo_rk") <= col("start") + col("cnt"))
+        .select(col("grp"), col("cents").as("lo_cents"))
+      val hiV = inBand
+        .filter(col("start") < col("hi_rk")
+          && col("hi_rk") <= col("start") + col("cnt"))
+        .select(col("grp"), col("cents").as("hi_cents"))
+      totals.join(loV, "grp").join(hiV, "grp")
+        .select(col("grp").as("o_orderpriority"), col("n"),
+          (col("lo_cents") + col("hi_cents")).as("median_x2"))
+    },
+
     // ---- snapshot table diff (data-regression check between two
     // versions of a table): FULL OUTER join on the key, rows classified
     // added / removed / changed / same, with exact-cents drift mass. The

@@ -345,6 +345,57 @@ object TimeSeriesExt {
             .as("exact_median"))
     },
 
+    // ---- DELTA-OF-DELTA compressibility audit — the storage engine's
+    // question (TimescaleDB compresses numeric channels as second
+    // differences after segmentby/orderby clustering, Gorilla/Facebook's
+    // scheme; reference: compression on the readings hypertable): per
+    // user-ordered stream, dod = Δ²(cents) classified into the encoder's
+    // byte-width buckets (zero / 1-byte / 2-byte / wider). The bucket
+    // histogram IS the achievable-compression estimate, and Σ|dod| is the
+    // exact residual mass. Shape: two LAG taps per user_id (keyed
+    // windows, event_id ordering — deterministic in both engines where
+    // raw ns timestamps would not be), one map-side-combinable bucket
+    // agg. At 100 TB this runs per segment as written — the window key is
+    // the segmentby column.
+    q("a_dod_compression",
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |d1 AS (
+        |  SELECT user_id, event_id, cents,
+        |    cents - lag(cents) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS d FROM c),
+        |d2 AS (
+        |  SELECT user_id, event_id,
+        |    d - lag(d) OVER (PARTITION BY user_id ORDER BY event_id) AS dod
+        |  FROM d1 WHERE d IS NOT NULL),
+        |b AS (
+        |  SELECT CASE WHEN dod = 0 THEN 'zero'
+        |              WHEN abs(dod) <= 127 THEN '1byte'
+        |              WHEN abs(dod) <= 32767 THEN '2byte'
+        |              ELSE 'wider' END AS bucket,
+        |    dod FROM d2 WHERE dod IS NOT NULL)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(abs(dod)) AS BIGINT) AS abs_mass
+        |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          Tables.cents(col("value")).as("cents"))
+        .withColumn("d", col("cents") - lag(col("cents"), 1).over(byUser))
+        .filter(col("d").isNotNull)
+        .withColumn("dod", col("d") - lag(col("d"), 1).over(byUser))
+        .filter(col("dod").isNotNull)
+        .select(
+          when(col("dod") === 0, "zero")
+            .when(abs(col("dod")) <= 127, "1byte")
+            .when(abs(col("dod")) <= 32767, "2byte")
+            .otherwise("wider").as("bucket"),
+          col("dod"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(abs(col("dod"))).as("abs_mass"))
+    },
+
     // ---- skew pattern: two-stage salted aggregation — stage 1 fans each
     // hot group key across 16 salt buckets (bounded per-task state even if
     // one key dominates), stage 2 merges partials. Same result as the

@@ -130,6 +130,56 @@ object Formats {
         .agg(count(lit(1)).as("n_docs"),
           count(col("extra_score")).as("n_scored"),
           sum(coalesce(col("extra_score"), lit(0L))).as("sum_extra"))
+    },
+
+    // BUCKETED CO-LOCATED JOIN: both sides of a fact⋈dim join written as
+    // BUCKETED tables (bucketBy the join key, same bucket count, sortBy
+    // for sorted buckets) so the join consumes the on-disk layout —
+    // Spark's scan reports the bucket spec as its output partitioning and
+    // the SortMergeJoin needs NO Exchange on either side (plan-asserted
+    // in FormatsSpec with auto-broadcast off). THE layout technique for a
+    // 100 TB fact repeatedly joined on one key: the shuffle is paid once
+    // at write time, then every downstream join of any two tables
+    // bucketed on that key is exchange-free, round after round. Tables
+    // are EXTERNAL (option("path") into per-invocation scratch) with
+    // UUID names, so concurrent reps never collide in the catalog or on
+    // disk; hash equality with the straight-off-parquet oracle proves the
+    // bucketed hop lossless.
+    q("src_bucketed_colocated_join",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val (to, tc) = bucketedPair(s, d)
+      s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(graft.ops.Tables.cents(col("o_totalprice"))).as("sum_cents"))
     }
   )
+
+  /** Bucket count for the co-located join pair (both sides MUST agree —
+    * differing counts reintroduce an Exchange on one side). */
+  private val NBuckets = 8
+
+  /** Writes orders + customer as external bucketed-by-join-key tables
+    * (unique names/paths per invocation) and returns the table names.
+    * One file per bucket (repartition on the bucket key first), so the
+    * sortBy order survives and the scan needs no per-bucket merge sort. */
+  def bucketedPair(s: SparkSession, d: String): (String, String) = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (to, tc) = (s"graft_bko_$tag", s"graft_bkc_$tag")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(NBuckets, col("o_custkey"))
+      .write.bucketBy(NBuckets, "o_custkey").sortBy("o_custkey")
+      .option("path", scratch(s, d, "bko")).saveAsTable(to)
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .repartition(NBuckets, col("c_custkey"))
+      .write.bucketBy(NBuckets, "c_custkey").sortBy("c_custkey")
+      .option("path", scratch(s, d, "bkc")).saveAsTable(tc)
+    (to, tc)
+  }
 }
