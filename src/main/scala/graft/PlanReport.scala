@@ -168,8 +168,15 @@ object PlanReport {
     sb.append("Generated by `graft.PlanReport` at sf0.001 (plan shapes are scale-independent;\n")
     sb.append("AQE may re-plan exchanges at runtime). What to look for is noted per query.\n")
     picks.foreach { case (name, note) =>
+      // the bucketed-join evidence is the SMJ consuming the bucket layout;
+      // at sf0.001 the dim fits the auto-broadcast threshold and would
+      // mask it (at real scale neither side broadcasts), so print this
+      // one query under the threshold a 100 TB join actually runs with
+      val bcastOff = name == "src_bucketed_colocated_join"
+      if (bcastOff) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.explainString(FormattedMode)
+      if (bcastOff) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
