@@ -151,7 +151,9 @@ object PlanReport {
     "text_pair_lift" ->
       "Co-occurrence lift: the vocabulary head is a TakeOrderedAndProject that BROADCASTS into the posting filter (BroadcastHashJoin), bounding the per-doc pair fan-out at K²; the only corpus-wide exchange is the final pair count with map-side partials.",
     "text_vocab_growth" ->
-      "Vocabulary growth: ONE corpus min-aggregate attributes each gram's first document (no ordered scan anywhere); the cumulative window reads only the ≤N/16-row bucket histogram.")
+      "Vocabulary growth: ONE corpus min-aggregate attributes each gram's first document (no ordered scan anywhere); the cumulative window reads only the ≤N/16-row bucket histogram.",
+    "search_index_probe" ->
+      "On-disk inverted index probe: the scan's PartitionFilters binds to the term-bucket partition column with bucket ids that are arithmetic constants of the query (computed driver-side from the same md5-prefix hash) — only the probed bucket directories are listed; the AND evaluates on the pruned postings alone.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

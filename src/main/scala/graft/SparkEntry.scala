@@ -20,7 +20,8 @@ object SparkEntry {
       llm.Dedup.all ++ llm.SpanDedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
       llm.TrainingPipeline.all ++ llm.CorpusSignals.all ++
       llm.Search.all ++ graph.GraphOps.all ++
-      streaming.IngestBench.all ++ sources.Formats.all :+ sources.VecStore.probeQuery
+      streaming.IngestBench.all ++ sources.Formats.all :+
+      sources.VecStore.probeQuery :+ sources.PostingStore.probeQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks
