@@ -606,6 +606,53 @@ object Dedup {
           col("doc_id").as("keeper_doc_id"), col("quality_score").as("keeper_quality"))
     },
 
+    // ---- SOFT deduplication (SoftDedup, ACL 2024: reweight duplicated
+    // data instead of removing it — hard dedup discards signal a
+    // duplicated-but-good document still carries; downweighting by
+    // duplication degree keeps the effective token distribution flat
+    // without the cliff): every document gets sampling weight
+    // 1e6 // cluster_size in exact ppm, where the clusters are the SAME
+    // MinHash-LSH connected components the hard-dedup family resolves
+    // (shared [[clusterLabels]]), and out-of-cluster documents keep
+    // weight 1e6. The weight column multiplies into any downstream
+    // sampler (the PPS machinery consumes exactly this shape). Scale:
+    // the label frame holds only docs that appear in a duplicate pair
+    // (≪ corpus), sizes re-aggregate from it; the corpus appears once,
+    // in the final doc-keyed left join.
+    q("dedup_soft_weights",
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         |labeled AS (
+         |  SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM labeled GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         |  CAST(COALESCE(sz.n, 1) AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // COALESCE(sz.n, 1) AS BIGINT) AS weight_ppm
+         |FROM documents d
+         |LEFT JOIN labeled l ON l.doc_id = d.doc_id
+         |LEFT JOIN sz ON sz.cluster_id = l.cluster_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documentsParallel(s, d)
+      val labels = clusterLabels(minhashPairs(docs).select(col("d1"), col("d2")))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .join(sizes, Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("n"), lit(1L)).as("cluster_size"),
+          expr("1000000L div coalesce(n, 1L)").as("weight_ppm"))
+    },
+
     // ---- SimHash banded hamming join: candidates from 4×8-bit block
     // equality (pigeonhole: hamming ≤ 3 over 4 blocks ⇒ at least one block
     // is identical, so the band join is LOSSLESS for the ≤3 threshold —

@@ -686,6 +686,41 @@ object TimeSeriesExt {
           Checks.acceptedValuesCheck("status", Seq("V", "E", "R"))))))
     },
 
+    // ---- IN-FLIGHT data-quality metrics via Dataset.observe: the
+    // production pattern where quality counters ride the MAIN job's scan
+    // (Spark's CollectMetrics node — accumulator-backed, exactly-once per
+    // action) instead of paying a second pass over the corpus. The query
+    // drives a full-scan action on the observed frame, then surfaces the
+    // one metrics row; the oracle recomputes the same aggregates from the
+    // table, so hash equality proves observe() counted every row exactly
+    // once. At 100 TB this is the difference between "quality checks as
+    // a free side effect of the nightly load" and "a second nightly
+    // scan". (Distinct aggregates are disallowed in observe by Spark —
+    // the check set is chosen accordingly.)
+    q("quality_observe_metrics",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative,
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_type,
+        |  CAST(MAX(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM events""".stripMargin) { (s, d) =>
+      val obs = new org.apache.spark.sql.Observation()
+      val main = Tables.events(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_negative"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_null_type"),
+        max(Tables.cents(col("value"))).as("max_cents"))
+      // the main job (here: a pass-through count standing in for the real
+      // sink write) — the metrics are collected DURING this action
+      main.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("n_negative").asInstanceOf[Long],
+        m("n_null_type").asInstanceOf[Long], m("max_cents").asInstanceOf[Long]))
+        .toDF("n_rows", "n_negative", "n_null_type", "max_cents")
+    },
+
     // ---- time-series gap fill / resample: thin the reading stream (~10%
     // deterministic drops), regenerate the full 15-min grid, and
     // forward-fill the cumulative counter with last_value(IGNORE NULLS) —

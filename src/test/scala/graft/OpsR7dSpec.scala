@@ -149,6 +149,58 @@ class OpsR7dSpec extends SparkSpec {
     assert(rows.map(_._2).max === rows.head._2, "first bucket not maximal")
   }
 
+  test("soft dedup weights: per-cluster mass conserves and singletons keep full weight") {
+    val rows = run("dedup_soft_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = ops.Tables.documents(spark, sf0001).count()
+    assert(rows.length === nDocs, "every document must get a weight")
+    for ((_, _, size, w) <- rows) assert(w === 1000000L / size)
+    // clusters really exist at this sf, and mass per cluster ≤ 1e6 with
+    // floor loss < cluster_size
+    val clustered = rows.filter(_._3 > 1)
+    assert(clustered.nonEmpty, "no duplicate cluster at sf0.001 — vacuous")
+    for ((cid, members) <- clustered.groupBy(_._2)) {
+      val mass = members.map(_._4).sum
+      val size = members.head._3
+      assert(members.length === size, s"cluster $cid size mismatch")
+      assert(mass <= 1000000L && mass > 1000000L - size, s"cluster $cid mass $mass")
+    }
+    // agreement with the hard-dedup keeper query: same clusters, same sizes
+    val keeper = run("dedup_keep_best_quality").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizesByCluster = clustered.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(sizesByCluster === keeper,
+      "soft and hard dedup disagree on clusters")
+  }
+
+  test("observe metrics ride the main action and equal a direct aggregate") {
+    val direct = ops.Tables.events(spark, sf0001)
+      .agg(count(lit(1)), sum(when(col("value") < 0, 1L).otherwise(0L)),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)),
+        max(ops.Tables.cents(col("value"))))
+      .as[(Long, Long, Long, Long)].collect().head
+    val got = run("quality_observe_metrics")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === direct)
+  }
+
+  test("ANALYZE TABLE stats land in the optimizer (rowCount + column stats)") {
+    val (to, _) = sources.Formats.bucketedPair(spark, sf0001)
+    spark.sql(s"ANALYZE TABLE $to COMPUTE STATISTICS FOR COLUMNS o_custkey")
+    // cost-based estimates (rowCount / column stats) are propagated only
+    // under CBO — without it the optimizer consumes size-in-bytes alone
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table(to).queryExecution.optimizedPlan.stats
+      val n = ops.Tables.orders(spark, sf0001).count()
+      assert(stats.rowCount === Some(BigInt(n)),
+        s"ANALYZE rowCount ${stats.rowCount} != $n")
+      assert(stats.attributeStats.nonEmpty, "no column stats after ANALYZE FOR COLUMNS")
+      val cstat = stats.attributeStats.head._2
+      assert(cstat.distinctCount.exists(_ > 0), "distinctCount missing")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("bucketed co-located join: no shuffle exchange on either side, result exact") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
