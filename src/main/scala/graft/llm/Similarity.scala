@@ -220,6 +220,63 @@ object Similarity {
         .filter(col("rank") <= 10)
     },
 
+    // ---- k-NN CLASSIFICATION eval (k=5 majority vote over exact cosine
+    // neighbors): the standard downstream probe of embedding quality —
+    // "do nearest neighbors share the label?" — run as a query, so the
+    // eval harness is the engine itself. Same probe set and broadcast
+    // brute-force scoring join as sim_bruteforce_topk (1/50th of the
+    // corpus broadcasts, one corpus pass); the vote count and the
+    // majority pick are per-query-keyed aggregates/windows with
+    // deterministic (votes desc, label) tie-breaks. `correct` makes the
+    // accuracy a one-aggregate readout downstream.
+    q("sim_knn_classify",
+      s"""WITH $quantizedSql,
+         |scored AS (
+         |  SELECT qv1.vec_id AS query_id, qv1.label AS true_label,
+         |    qv2.vec_id AS vec_id, qv2.label AS label,
+         |    CAST(list_sum(list_transform(list_zip(qv1.qv, qv2.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST(qv1.norm2 AS DOUBLE)) * sqrt(CAST(qv2.norm2 AS DOUBLE))) AS cosine
+         |  FROM qn qv1 JOIN qn qv2 ON qv1.vec_id % 50 = 0 AND qv2.vec_id <> qv1.vec_id),
+         |ranked AS (
+         |  SELECT query_id, true_label, label,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored),
+         |votes AS (
+         |  SELECT query_id, true_label, label AS pred_label,
+         |    CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3),
+         |pick AS (
+         |  SELECT query_id, true_label, pred_label, n_votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY n_votes DESC, pred_label) AS rn
+         |  FROM votes)
+         |SELECT query_id, true_label, pred_label, n_votes,
+         |  pred_label = true_label AS correct
+         |FROM pick WHERE rn = 1""".stripMargin) { (s, d) =>
+      val qe = quantized(s, d)
+      val queries = quantizedOf(
+        Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0))
+      val scored = broadcast(queries.as("a"))
+        .join(qe.as("b"), col("b.vec_id") =!= col("a.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("a.label").as("true_label"),
+          col("b.vec_id").as("vec_id"), col("b.label").as("label"),
+          (dot("a.qv", "b.qv").cast("double")
+            / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+            .as("cosine"))
+      val byQuery = Window.partitionBy(col("query_id"))
+      scored
+        .withColumn("rank", row_number().over(
+          byQuery.orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .groupBy(col("query_id"), col("true_label"), col("label").as("pred_label"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("rn", row_number().over(
+          byQuery.orderBy(col("n_votes").desc, col("pred_label"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          col("n_votes"), (col("pred_label") === col("true_label")).as("correct"))
+    },
+
     // ---- LSH-bucketed ANN: 8 random-hyperplane sign bits -> bucket;
     // candidates only within the query's bucket (the scale path)
     q("sim_lsh_topk", {

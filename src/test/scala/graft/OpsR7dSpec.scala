@@ -173,6 +173,31 @@ class OpsR7dSpec extends SparkSpec {
       "soft and hard dedup disagree on clusters")
   }
 
+  test("kNN classify: majority vote recomputes from brute-force neighbors") {
+    import graft.llm.{Similarity => S}
+    val all = ops.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * S.Q)).toArray))
+    val expected = all.filter(_._1 % 50 == 0).map { case (qid, tl, qv) =>
+      val scored = all.filter(_._1 != qid).map { case (vid, l, v) =>
+        val dot = qv.zip(v).map { case (a, b) => a * b }.sum
+        val cos = dot.toDouble / (math.sqrt(qv.map(x => x * x).sum.toDouble) *
+          math.sqrt(v.map(x => x * x).sum.toDouble))
+        (vid, l, cos)
+      }.sortBy { case (vid, _, cos) => (-cos, vid) }.take(5)
+      val (pred, votes) = scored.groupBy(_._2).view.mapValues(_.length).toSeq
+        .minBy { case (l, n) => (-n, l) }
+      (qid, tl, pred, votes.toLong, pred == tl)
+    }.toSet
+    val got = run("sim_knn_classify").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("observe metrics ride the main action and equal a direct aggregate") {
     val direct = ops.Tables.events(spark, sf0001)
       .agg(count(lit(1)), sum(when(col("value") < 0, 1L).otherwise(0L)),
