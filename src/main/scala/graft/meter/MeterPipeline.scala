@@ -169,6 +169,56 @@ object MeterPipeline {
         .agg(min(col("reading_timestamp")).as("run_start"),
           min(col("status")).as("status"),
           count(lit(1)).as("run_len"))
+    },
+
+    // ---- PEAK COINCIDENCE analysis — the demand-side question utilities
+    // actually bill on (capacity charges key on each customer's load AT
+    // the system peak, not their own peak): find the system peak hour,
+    // attribute it, and report each meter's share of the peak plus its
+    // coincidence factor (load-at-system-peak / own-peak — a meter whose
+    // habits avoid the system peak has a low factor even with high own
+    // load; demand-response targets the high ones). Shape: ONE staged
+    // pass → (meter, hour) agg; the system rollup re-aggregates that
+    // frame (≪ readings); the peak hour is a 1-row
+    // TakeOrderedAndProject broadcast joined back on the hour key; the
+    // own-peak max reuses the same (meter, hour) frame. Exact integer
+    // milliwatts end-to-end, ppm shares by floor division.
+    q("meter_peak_coincidence", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
+         |mh AS (
+         |  SELECT meter_id, date_trunc('hour', reading_timestamp) AS h,
+         |    CAST(SUM(consumption_delta_mwh) AS BIGINT) AS load
+         |  FROM stg GROUP BY 1, 2),
+         |sys AS (SELECT h, CAST(SUM(load) AS BIGINT) AS sys_load FROM mh GROUP BY 1),
+         |peak AS (SELECT h, sys_load FROM sys ORDER BY sys_load DESC, h LIMIT 1),
+         |own AS (SELECT meter_id, CAST(MAX(load) AS BIGINT) AS own_peak
+         |        FROM mh GROUP BY 1)
+         |SELECT mh.meter_id, mh.load AS peak_hour_load, o.own_peak,
+         |  CAST(mh.load * 1000000 // p.sys_load AS BIGINT) AS share_ppm,
+         |  CAST(mh.load * 1000000 // o.own_peak AS BIGINT) AS coincidence_ppm
+         |FROM mh JOIN peak p ON mh.h = p.h
+         |JOIN own o ON o.meter_id = mh.meter_id
+         |ORDER BY share_ppm DESC, mh.meter_id LIMIT 20""".stripMargin
+    }) { (s, _) =>
+      val stg = Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals))
+      val mh = stg
+        .groupBy(col("meter_id"),
+          date_trunc("hour", col("reading_timestamp")).as("h"))
+        .agg(sum(col("consumption_delta_mwh")).as("load"))
+        // reused by the system rollup, the peak probe, and the own-peak max
+        .localCheckpoint(eager = false)
+      val peak = broadcast(
+        mh.groupBy(col("h")).agg(sum(col("load")).as("sys_load"))
+          .orderBy(col("sys_load").desc, col("h"))
+          .limit(1))
+      val own = mh.groupBy(col("meter_id")).agg(max(col("load")).as("own_peak"))
+      mh.join(peak, "h")
+        .join(own, "meter_id")
+        .select(col("meter_id"), col("load").as("peak_hour_load"), col("own_peak"),
+          expr("load * 1000000L div sys_load").as("share_ppm"),
+          expr("load * 1000000L div own_peak").as("coincidence_ppm"))
+        .orderBy(col("share_ppm").desc, col("meter_id"))
+        .limit(20)
     }
   )
 }

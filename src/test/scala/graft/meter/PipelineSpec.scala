@@ -61,4 +61,27 @@ class PipelineSpec extends SparkSpec {
     assert(got.selectExpr(cols: _*).except(full.selectExpr(cols: _*)).count() == 0)
     assert(full.selectExpr(cols: _*).except(got.selectExpr(cols: _*)).count() == 0)
   }
+
+  test("peak coincidence recomputes from a driver-side brute force") {
+    import spark.implicits._
+    val mh = Staging.stgMeterReadings(MeterGen.readings(spark, 200, 192))
+      .groupBy(col("meter_id"), date_trunc("hour", col("reading_timestamp")).as("h"))
+      .agg(sum(col("consumption_delta_mwh")).as("load"))
+      .as[(Int, java.sql.Timestamp, Long)].collect()
+    val sys = mh.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val (peakH, peakLoad) = sys.toSeq.minBy { case (h, l) => (-l, h.getTime) }
+    val ownPeak = mh.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val expected = mh.filter(_._2 == peakH)
+      .map { case (m, _, load) =>
+        (m, load, ownPeak(m), load * 1000000L / peakLoad, load * 1000000L / ownPeak(m))
+      }
+      .sortBy { case (m, _, _, share, _) => (-share, m) }
+      .take(20).toSeq
+    val gotRows = graft.SparkEntry.queries("meter_peak_coincidence")(spark, sf0001)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(gotRows === expected)
+    // every share is a true fraction of the system peak, and the factor
+    // never exceeds 1e6 (load at peak cannot exceed the meter's own max)
+    assert(gotRows.forall { case (_, _, _, s, c) => s <= 1000000L && c <= 1000000L })
+  }
 }
