@@ -153,7 +153,13 @@ object PlanReport {
     "text_vocab_growth" ->
       "Vocabulary growth: ONE corpus min-aggregate attributes each gram's first document (no ordered scan anywhere); the cumulative window reads only the ≤N/16-row bucket histogram.",
     "search_index_probe" ->
-      "On-disk inverted index probe: the scan's PartitionFilters binds to the term-bucket partition column with bucket ids that are arithmetic constants of the query (computed driver-side from the same md5-prefix hash) — only the probed bucket directories are listed; the AND evaluates on the pruned postings alone.")
+      "On-disk inverted index probe: the scan's PartitionFilters binds to the term-bucket partition column with bucket ids that are arithmetic constants of the query (computed driver-side from the same md5-prefix hash) — only the probed bucket directories are listed; the AND evaluates on the pruned postings alone.",
+    "dedup_soft_weights" ->
+      "Soft dedup: the MinHash pair graph and label propagation run on pair-touched docs only (≪ corpus); sizes re-aggregate the label frame; the corpus appears exactly once — the final doc-keyed left join attaching weights.",
+    "meter_peak_coincidence" ->
+      "Peak coincidence: one staged pass feeds the (meter, hour) aggregate; the system rollup and the 1-row peak probe (TakeOrderedAndProject → broadcast) re-aggregate that frame — the readings are never rescanned, and no window is wider than a meter key.",
+    "a_dod_compression" ->
+      "Delta-of-delta audit: two LAG taps share ONE per-user window sort (a single exchange on user_id), the byte-width classification evaluates in the same codegen stage, and the bucket histogram is a map-side-combinable 4-group aggregate.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
