@@ -150,7 +150,8 @@ object Bench {
       "topk_customers_by_balance", "ts_gapfill", "w1_lag_delta", "w4_moving_window",
       "w5_topk_per_key_native", "w9_zscore_anomaly",
       "sim_pq_topk", "sim_ivfpq_topk", "graph_hits", "dedup_semantic_keep",
-      "graph_kcore", "decontaminate_bloom"
+      "graph_kcore", "decontaminate_bloom",
+      "graph_link_prediction", "search_index_probe", "meter_peak_coincidence"
     ).toSet
     val registered = results.map(_._1).toSet
     val orphans = headline -- registered

@@ -159,7 +159,11 @@ object PlanReport {
     "meter_peak_coincidence" ->
       "Peak coincidence: one staged pass feeds the (meter, hour) aggregate; the system rollup and the 1-row peak probe (TakeOrderedAndProject → broadcast) re-aggregate that frame — the readings are never rescanned, and no window is wider than a meter key.",
     "a_dod_compression" ->
-      "Delta-of-delta audit: two LAG taps share ONE per-user window sort (a single exchange on user_id), the byte-width classification evaluates in the same codegen stage, and the bucket histogram is a map-side-combinable 4-group aggregate.")
+      "Delta-of-delta audit: two LAG taps share ONE per-user window sort (a single exchange on user_id), the byte-width classification evaluates in the same codegen stage, and the bucket histogram is a map-side-combinable 4-group aggregate.",
+    "meter_vee_estimates" ->
+      "VEE workflow: the flagged staging frame is computed once and feeds BOTH the valid-slot profile aggregate and the substitution join (no second scan of the readings); the profile joins back on its own (meter, hour) key, the CASE edit is map-side, and the audit rollup is one partial→final agg on meter_id.",
+    "meter_load_duration" ->
+      "Load duration curve: the readings pay ONE map-side-combinable hourly aggregate; the global rank/cumulative windows run only on the collapsed hour frame (8,760 rows/year at ANY fleet size), and the total is a 1-row broadcast — the single-task sort the shape implies never touches corpus-sized data.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -17,6 +17,7 @@ object MeterPipeline {
   private val NMeters = 200L
   private val NIntervals = 192L // 2 days on the 15-min grid (day-boundary coverage)
   private val NDim = 1000L
+  private val NIntervalsCbl = 480L // 5 days: 4 baseline days + 1 event day
 
   private def billingMartOf(s: SparkSession, stgSlice: DataFrame): DataFrame =
     Marts.factCustomerBillingDaily(stgSlice,
@@ -219,6 +220,203 @@ object MeterPipeline {
           expr("load * 1000000L div own_peak").as("coincidence_ppm"))
         .orderBy(col("share_ppm").desc, col("meter_id"))
         .limit(20)
+    },
+
+    // ---- VEE (Validation-Estimation-Editing) — the regulatory meter-data
+    // workflow every utility MDM runs before billing (the reference stops
+    // at is_error flags; VEE is what consumes them): VALIDATE each
+    // interval (error status or a negative delta = counter reset),
+    // ESTIMATE flagged intervals from the meter's own valid same-hour
+    // profile (the standard "like-day" substitution, here the integer
+    // floor-mean over valid deltas in the same hour-of-day slot), and
+    // EDIT with an audit trail — per meter: how many intervals were
+    // estimated and the exact billing impact (raw vs VEE'd totals).
+    // Shape: the LAG staging pass (meter-keyed window), ONE (meter, slot)
+    // aggregate joined back on its own key (the seasonal-baseline
+    // doctrine — never a second scan), map-side CASE substitution, one
+    // final per-meter rollup. Slots with no valid reading fall back to 0
+    // (E12 guard on the data-derived mean, identical in both twins).
+    q("meter_vee_estimates", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
+         |flagged AS (
+         |  SELECT meter_id, reading_timestamp,
+         |    CAST(extract(hour FROM reading_timestamp) AS BIGINT) AS h,
+         |    consumption_delta_mwh AS d,
+         |    (status = 'R' OR consumption_delta_mwh < 0) AS invalid
+         |  FROM stg),
+         |slot AS (
+         |  SELECT meter_id, h,
+         |    CAST(SUM(d) // COUNT(*) AS BIGINT) AS slot_mean
+         |  FROM flagged WHERE NOT invalid GROUP BY 1, 2),
+         |vee AS (
+         |  SELECT f.meter_id, f.invalid, f.d,
+         |    CASE WHEN f.invalid THEN COALESCE(s.slot_mean, 0) ELSE f.d END AS d_est
+         |  FROM flagged f LEFT JOIN slot s
+         |    ON s.meter_id = f.meter_id AND s.h = f.h)
+         |SELECT meter_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         |  CAST(SUM(CASE WHEN invalid THEN 1 ELSE 0 END) AS BIGINT) AS n_estimated,
+         |  CAST(SUM(d) AS BIGINT) AS raw_mwh,
+         |  CAST(SUM(d_est) AS BIGINT) AS vee_mwh
+         |FROM vee GROUP BY 1""".stripMargin
+    }) { (s, _) =>
+      val flagged = Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals))
+        .select(col("meter_id"), col("reading_timestamp"),
+          hour(col("reading_timestamp")).cast("long").as("h"),
+          col("consumption_delta_mwh").as("d"),
+          (col("status") === "R" || col("consumption_delta_mwh") < 0).as("invalid"))
+        // feeds both the valid-profile aggregate and the substitution pass
+        .localCheckpoint(eager = false)
+      val slot = flagged.filter(!col("invalid"))
+        .groupBy(col("meter_id"), col("h"))
+        .agg(expr("sum(d) div count(1)").as("slot_mean"))
+      flagged
+        .join(slot, Seq("meter_id", "h"), "left")
+        .select(col("meter_id"), col("invalid"), col("d"),
+          when(col("invalid"), coalesce(col("slot_mean"), lit(0L)))
+            .otherwise(col("d")).as("d_est"))
+        .groupBy(col("meter_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("invalid"), 1L).otherwise(0L)).as("n_estimated"),
+          sum(col("d")).as("raw_mwh"),
+          sum(col("d_est")).as("vee_mwh"))
+    },
+
+    // ---- DEMAND CHARGE — the other half of a utility bill: commercial
+    // tariffs bill the PEAK interval (billing demand), not just energy.
+    // Per (meter, billing day): the max 15-min delta, WHICH interval it
+    // was (argmax, deterministically tie-broken by timestamp), and the
+    // charge in exact cents (1.2¢ per 1000 mwh of peak; negative deltas
+    // — counter resets — are not billable demand, hence the greatest()
+    // clamp, which also keeps the floor division on nonnegative ground
+    // where DuckDB `//` ≡ Spark `div`). Shape: ONE row_number window
+    // whose partition is a meter-day (≤96 rows — bounded state however
+    // large the fleet); no global window, no second scan.
+    q("meter_demand_charge", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
+         |iv AS (
+         |  SELECT meter_id, CAST(reading_timestamp AS DATE) AS billing_date,
+         |    reading_timestamp AS ts, CAST(consumption_delta_mwh AS BIGINT) AS d
+         |  FROM stg),
+         |rk AS (
+         |  SELECT meter_id, billing_date, ts, d,
+         |    row_number() OVER (PARTITION BY meter_id, billing_date
+         |                       ORDER BY d DESC, ts) AS rn
+         |  FROM iv)
+         |SELECT meter_id, billing_date, d AS max_interval_mwh,
+         |  ts AS peak_interval_ts,
+         |  CAST(GREATEST(d, 0) * 12 // 1000 AS BIGINT) AS demand_charge_c
+         |FROM rk WHERE rn = 1""".stripMargin
+    }) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("meter_id"), col("billing_date"))
+        .orderBy(col("d").desc, col("ts"))
+      Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals))
+        .select(col("meter_id"), to_date(col("reading_timestamp")).as("billing_date"),
+          col("reading_timestamp").as("ts"),
+          col("consumption_delta_mwh").cast("long").as("d"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("meter_id"), col("billing_date"),
+          col("d").as("max_interval_mwh"), col("ts").as("peak_interval_ts"),
+          expr("greatest(d, 0L) * 12L div 1000L").as("demand_charge_c"))
+    },
+
+    // ---- LOAD DURATION CURVE — capacity planning's standard artifact:
+    // system hourly load ranked descending, with exceedance probability
+    // (what fraction of hours load is at least this high) and cumulative
+    // energy share. The windows here ARE global — but over the HOURLY
+    // frame the readings already collapsed into (48 rows at test size,
+    // 8,760/year at any fleet size): the corpus pays one map-side-
+    // combinable aggregate, and only the tiny hour frame is sorted —
+    // the a_exact_median_banded doctrine applied to capacity analytics.
+    q("meter_load_duration", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
+         |hr AS (
+         |  SELECT date_trunc('hour', reading_timestamp) AS h,
+         |    CAST(SUM(consumption_delta_mwh) AS BIGINT) AS sys_load
+         |  FROM stg GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(sys_load) AS BIGINT) AS total,
+         |               CAST(COUNT(*) AS BIGINT) AS n FROM hr),
+         |rk AS (
+         |  SELECT h, sys_load,
+         |    CAST(row_number() OVER (ORDER BY sys_load DESC, h) AS BIGINT) AS rank,
+         |    CAST(SUM(sys_load) OVER (ORDER BY sys_load DESC, h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_load
+         |  FROM hr)
+         |SELECT rank, h, sys_load,
+         |  CAST(rank * 1000000 // t.n AS BIGINT) AS exceedance_ppm,
+         |  CAST(cum_load * 1000000 // t.total AS BIGINT) AS cum_share_ppm
+         |FROM rk, tot t""".stripMargin
+    }) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val hr = Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals))
+        .groupBy(date_trunc("hour", col("reading_timestamp")).as("h"))
+        .agg(sum(col("consumption_delta_mwh")).cast("long").as("sys_load"))
+        .localCheckpoint(eager = false) // feeds the rank window and the 1-row total
+      val w = Window.orderBy(col("sys_load").desc, col("h"))
+      val tot = broadcast(hr.agg(sum(col("sys_load")).as("total"),
+        count(lit(1)).as("n")))
+      hr.withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_load",
+          sum(col("sys_load")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(tot)
+        .select(col("rank"), col("h"), col("sys_load"),
+          expr("rank * 1000000L div n").as("exceedance_ppm"),
+          expr("cum_load * 1000000L div total").as("cum_share_ppm"))
+    },
+
+    // ---- CBL (customer baseline load) — demand-response settlement:
+    // on the event day, each meter's counterfactual is the mean of its
+    // own same-quarter-hour load over the prior baseline days (the
+    // CAISO/PJM "X-of-Y like-day" method, here 4-of-4 over valid
+    // intervals only, so every division stays on nonnegative integers).
+    // Shape: the staged/validated frame is computed ONCE and feeds both
+    // the baseline aggregate and the event-day slice; the event day is a
+    // 1-row broadcast (scalar-subquery idiom); the baseline joins back
+    // on its own (meter, slot) key; usage-vs-baseline in exact ppm.
+    q("meter_baseline_cbl", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervalsCbl)},
+         |iv AS (
+         |  SELECT meter_id, CAST(reading_timestamp AS DATE) AS d,
+         |    CAST(extract(hour FROM reading_timestamp) * 4
+         |       + extract(minute FROM reading_timestamp) // 15 AS BIGINT) AS slot,
+         |    CAST(consumption_delta_mwh AS BIGINT) AS load
+         |  FROM stg
+         |  WHERE NOT (status = 'R' OR consumption_delta_mwh < 0)),
+         |ev_day AS (SELECT MAX(d) AS event_day FROM iv),
+         |base AS (
+         |  SELECT meter_id, slot,
+         |    CAST(SUM(load) // COUNT(*) AS BIGINT) AS cbl
+         |  FROM iv, ev_day WHERE d < event_day GROUP BY 1, 2),
+         |ev AS (SELECT meter_id, slot, load FROM iv, ev_day WHERE d = event_day)
+         |SELECT e.meter_id,
+         |  CAST(SUM(e.load) AS BIGINT) AS actual_mwh,
+         |  CAST(SUM(COALESCE(b.cbl, 0)) AS BIGINT) AS baseline_mwh,
+         |  CAST(SUM(e.load) * 1000000 // GREATEST(SUM(COALESCE(b.cbl, 0)), 1) AS BIGINT)
+         |    AS usage_vs_baseline_ppm
+         |FROM ev e LEFT JOIN base b ON b.meter_id = e.meter_id AND b.slot = e.slot
+         |GROUP BY 1""".stripMargin
+    }) { (s, _) =>
+      val iv = Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervalsCbl))
+        .filter(!(col("status") === "R" || col("consumption_delta_mwh") < 0))
+        .select(col("meter_id"), to_date(col("reading_timestamp")).as("d"),
+          (hour(col("reading_timestamp")) * 4
+            + expr("minute(reading_timestamp) div 15")).cast("long").as("slot"),
+          col("consumption_delta_mwh").cast("long").as("load"))
+        .localCheckpoint(eager = false) // feeds both the baseline agg and the event slice
+      val evDay = broadcast(iv.agg(max(col("d")).as("event_day")))
+      val base = iv.crossJoin(evDay).filter(col("d") < col("event_day"))
+        .groupBy(col("meter_id"), col("slot"))
+        .agg(expr("sum(load) div count(1)").as("cbl"))
+      iv.crossJoin(evDay).filter(col("d") === col("event_day"))
+        .join(base, Seq("meter_id", "slot"), "left")
+        .groupBy(col("meter_id"))
+        .agg(sum(col("load")).as("actual_mwh"),
+          sum(coalesce(col("cbl"), lit(0L))).as("baseline_mwh"))
+        .select(col("meter_id"), col("actual_mwh"), col("baseline_mwh"),
+          expr("actual_mwh * 1000000L div greatest(baseline_mwh, 1L)")
+            .as("usage_vs_baseline_ppm"))
     }
   )
 }
