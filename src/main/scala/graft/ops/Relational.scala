@@ -695,6 +695,71 @@ object Relational {
         .agg(count(lit(1)).as("custdist"))
     },
 
+    // ---- TPC-H Q12 shape: the shipping-priority audit — late lines
+    // bucketed into high/low order priority per line channel. This corpus
+    // has no l_shipmode or commit/receipt dates, so the channel is
+    // l_returnflag and "late" = shipped >90 days after order (the Q4
+    // convention). The join is the one fact-fact equi join on l_orderkey;
+    // both priority buckets come from the SAME conditional aggregate (one
+    // pass, map-side combinable).
+    q("q12_late_priority_by_flag",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+    },
+
+    // ---- TPC-H Q16 shape: supplier breadth per part attribute class with
+    // a NOT-IN supplier exclusion. The partsupp offer book is derived from
+    // the fact as distinct (part, supplier) pairs (the Q2 idiom); the
+    // classic complaint-supplier NOT IN decorrelates to a broadcast
+    // left-anti join (suppkey % 10 = 3 stands in for the complaints list —
+    // deterministic and non-vacuous); COUNT(DISTINCT suppkey) per
+    // (brand, type, size) with a TakeOrderedAndProject head.
+    q("q16_supplier_breadth",
+      """WITH offers AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT o.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM offers o JOIN part p ON p.p_partkey = o.l_partkey
+        |WHERE p.p_brand <> 'Brand#13'
+        |  AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND o.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_suppkey % 10 = 3)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 40""".stripMargin) { (s, d) =>
+      val offers = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      val excl = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 10 === 3).select(col("s_suppkey"))
+      offers
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(40)
+    },
+
     // ---- J4: left-anti join (orphan check pattern; NOT EXISTS)
     q("j_anti_customers_without_orders",
       """SELECT c_nationkey, COUNT(*) AS n_customers_no_orders
