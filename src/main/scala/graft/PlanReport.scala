@@ -163,7 +163,13 @@ object PlanReport {
     "meter_vee_estimates" ->
       "VEE workflow: the flagged staging frame is computed once and feeds BOTH the valid-slot profile aggregate and the substitution join (no second scan of the readings); the profile joins back on its own (meter, hour) key, the CASE edit is map-side, and the audit rollup is one partial→final agg on meter_id.",
     "meter_load_duration" ->
-      "Load duration curve: the readings pay ONE map-side-combinable hourly aggregate; the global rank/cumulative windows run only on the collapsed hour frame (8,760 rows/year at ANY fleet size), and the total is a 1-row broadcast — the single-task sort the shape implies never touches corpus-sized data.")
+      "Load duration curve: the readings pay ONE map-side-combinable hourly aggregate; the global rank/cumulative windows run only on the collapsed hour frame (8,760 rows/year at ANY fleet size), and the total is a 1-row broadcast — the single-task sort the shape implies never touches corpus-sized data.",
+    "q16_supplier_breadth" ->
+      "TPC-H Q16 shape: the NOT-IN supplier list decorrelates to a BroadcastHashJoin LeftAnti BEFORE the distinct (excluded suppliers never enter the offer shuffle); part filters push to the scan; the two-phase distinct + count-distinct share one key exchange and the head is TakeOrderedAndProject.",
+    "ts_cusum_changepoints" ->
+      "CUSUM change-points without recursion: the zero-clamped recursion compiles to prefix-sum MINUS running-min — TWO stacked Window operators over ONE per-meter exchange+sort (the second consumes the first's order; no re-sort), plus one combinable aggregate for the reference mean. The sequential-looking monitor is a plain keyed-window plan.",
+    "meter_loss_allocation" ->
+      "Largest-remainder loss allocation: ranking and the balance sum both partition by (zone, hour) — state bounded by meters-per-feeder at any fleet size; the feeder rollup re-aggregates the (zone, hour, meter) frame (no readings rescan), and the final per-meter rollup is map-side combinable.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -417,6 +417,195 @@ object MeterPipeline {
         .select(col("meter_id"), col("actual_mwh"), col("baseline_mwh"),
           expr("actual_mwh * 1000000L div greatest(baseline_mwh, 1L)")
             .as("usage_vs_baseline_ppm"))
+    },
+
+    // ---- FORECAST BACKTEST — day-ahead load forecasting evaluated the
+    // way forecasters actually score it: the SEASONAL-NAIVE (persistence)
+    // forecast — tomorrow's load in each quarter-hour slot = today's load
+    // in the same slot — backtested against realized actuals across the
+    // history, with per-meter WAPE (weighted absolute percentage error,
+    // the utility-standard metric that, unlike MAPE, has no per-interval
+    // zero-division), absolute-error mass, and signed bias. Persistence
+    // is THE baseline every forecasting paper must beat; shipping its
+    // backtest makes any model's skill measurable. Shape: one
+    // (meter, slot)-keyed LAG window ordered by day (state bounded by
+    // days-per-meter at any fleet size — never a global window), then one
+    // map-side-combinable per-meter rollup. Exact BIGINT sums; the one
+    // division is floor-by-positive (WAPE guard: meters with zero actual
+    // mass report the full-miss convention 1e6 via greatest()).
+    q("meter_forecast_backtest", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervalsCbl)},
+         |iv AS (
+         |  SELECT meter_id, CAST(reading_timestamp AS DATE) AS d,
+         |    CAST(extract(hour FROM reading_timestamp) * 4
+         |       + extract(minute FROM reading_timestamp) // 15 AS BIGINT) AS slot,
+         |    CAST(consumption_delta_mwh AS BIGINT) AS a
+         |  FROM stg),
+         |fc AS (
+         |  SELECT meter_id, d, slot, a,
+         |    lag(a) OVER (PARTITION BY meter_id, slot ORDER BY d) AS f
+         |  FROM iv)
+         |SELECT CAST(meter_id AS BIGINT) AS meter_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         |  CAST(SUM(ABS(a - f)) AS BIGINT) AS abs_err_mwh,
+         |  CAST(SUM(a - f) AS BIGINT) AS bias_mwh,
+         |  CAST(SUM(a) AS BIGINT) AS actual_mwh,
+         |  CAST(SUM(ABS(a - f)) * 1000000 // GREATEST(SUM(a), SUM(ABS(a - f)), 1) AS BIGINT)
+         |    AS wape_ppm
+         |FROM fc WHERE f IS NOT NULL
+         |GROUP BY 1""".stripMargin
+    }) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val bySlot = Window.partitionBy(col("meter_id"), col("slot")).orderBy(col("d"))
+      Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervalsCbl))
+        .select(col("meter_id"), to_date(col("reading_timestamp")).as("d"),
+          (hour(col("reading_timestamp")) * 4
+            + expr("minute(reading_timestamp) div 15")).cast("long").as("slot"),
+          col("consumption_delta_mwh").cast("long").as("a"))
+        .withColumn("f", lag(col("a"), 1).over(bySlot))
+        .filter(col("f").isNotNull)
+        .groupBy(col("meter_id").cast("long").as("meter_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(abs(col("a") - col("f"))).as("abs_err_mwh"),
+          sum(col("a") - col("f")).as("bias_mwh"),
+          sum(col("a")).as("actual_mwh"))
+        .select(col("meter_id"), col("n_intervals"), col("abs_err_mwh"),
+          col("bias_mwh"), col("actual_mwh"),
+          expr("abs_err_mwh * 1000000L div greatest(actual_mwh, abs_err_mwh, 1L)")
+            .as("wape_ppm"))
+    },
+
+    // ---- DISTRIBUTION LOSS ALLOCATION (UFE settlement) — the energy a
+    // feeder injects always exceeds what its meters record (technical
+    // losses); settlement allocates that unaccounted-for energy back to
+    // meters pro-rata by consumption, and the books must balance EXACTLY
+    // (allocated integer units must sum to the loss, no fractional
+    // remainder). Feeder input is modeled as the metered zone-hour total
+    // grossed up 6% in integer floor arithmetic (the deterministic
+    // stand-in for the injection register this corpus lacks). The
+    // pro-rata split uses the LARGEST-REMAINDER method: base share
+    // loss·c//M, then the remainder units go +1 each to the meters with
+    // the largest residue loss·c mod M (tie-broken by meter_id) — the
+    // exact-cents discipline (E10) applied to energy. Shape: staging →
+    // one (zone, hour, meter) aggregate; ranking and the balance windows
+    // partition by (zone, hour) — state bounded by meters-per-feeder at
+    // ANY fleet size; final rollup is per meter. All operands provably
+    // nonneg ⇒ DuckDB // and % ≡ Spark div and %.
+    q("meter_loss_allocation", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
+         |${MeterSql.metersCte(NMeters)},
+         |mzh AS (
+         |  SELECT m.grid_zone_id AS zone, date_trunc('hour', s.reading_timestamp) AS h,
+         |    s.meter_id, CAST(SUM(GREATEST(s.consumption_delta_mwh, 0)) AS BIGINT) AS c
+         |  FROM stg s JOIN meters m ON m.meter_id = s.meter_id
+         |  GROUP BY 1, 2, 3),
+         |zh AS (
+         |  SELECT zone, h, CAST(SUM(c) AS BIGINT) AS metered,
+         |    CAST(SUM(c) * 106 // 100 - SUM(c) AS BIGINT) AS loss
+         |  FROM mzh GROUP BY 1, 2),
+         |alloc AS (
+         |  SELECT mz.zone, mz.h, mz.meter_id, mz.c, z.loss,
+         |    CAST(z.loss * mz.c // z.metered AS BIGINT) AS base,
+         |    row_number() OVER (PARTITION BY mz.zone, mz.h
+         |      ORDER BY z.loss * mz.c % z.metered DESC, mz.meter_id) AS rn
+         |  FROM mzh mz JOIN zh z ON z.zone = mz.zone AND z.h = mz.h
+         |  WHERE z.metered > 0),
+         |final AS (
+         |  SELECT zone, h, meter_id, c,
+         |    base + CASE WHEN rn <= loss - SUM(base) OVER (PARTITION BY zone, h)
+         |                THEN 1 ELSE 0 END AS alloc
+         |  FROM alloc)
+         |SELECT CAST(meter_id AS BIGINT) AS meter_id,
+         |  CAST(MIN(zone) AS BIGINT) AS zone,
+         |  CAST(COUNT(*) AS BIGINT) AS n_hours,
+         |  CAST(SUM(c) AS BIGINT) AS metered_mwh,
+         |  CAST(SUM(alloc) AS BIGINT) AS loss_alloc_mwh
+         |FROM final GROUP BY 1""".stripMargin
+    }) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val mzh = Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals))
+        .join(broadcast(MeterGen.metersDim(s, NMeters)
+          .select(col("meter_id"), col("grid_zone_id").as("zone"))), "meter_id")
+        .groupBy(col("zone"), date_trunc("hour", col("reading_timestamp")).as("h"),
+          col("meter_id"))
+        .agg(sum(greatest(col("consumption_delta_mwh"), lit(0L))).cast("long").as("c"))
+        .localCheckpoint(eager = false) // feeds both the feeder rollup and the split
+      val zh = mzh.groupBy(col("zone"), col("h"))
+        .agg(sum(col("c")).as("metered"),
+          expr("sum(c) * 106L div 100L - sum(c)").as("loss"))
+      val byFeeder = Window.partitionBy(col("zone"), col("h"))
+      mzh.join(zh, Seq("zone", "h"))
+        .filter(col("metered") > 0)
+        .withColumn("base", expr("loss * c div metered"))
+        .withColumn("rn", row_number().over(
+          byFeeder.orderBy(expr("loss * c % metered").desc, col("meter_id"))))
+        .withColumn("alloc", col("base")
+          + when(col("rn") <= col("loss") - sum(col("base")).over(byFeeder), 1L)
+            .otherwise(0L))
+        .groupBy(col("meter_id").cast("long").as("meter_id"))
+        .agg(min(col("zone")).cast("long").as("zone"),
+          count(lit(1)).as("n_hours"),
+          sum(col("c")).as("metered_mwh"),
+          sum(col("alloc")).as("loss_alloc_mwh"))
+    },
+
+    // ---- ZONE LOAD-PROFILE CORRELATION — grid ops' similarity matrix:
+    // Pearson correlation of hourly load shapes for every zone pair,
+    // the input to zone clustering / transfer planning (which feeders
+    // move together?). The corpus pays ONE (zone, hour) aggregate; the
+    // pair join runs on the collapsed hour frame (|zones|²/2 pairs ×
+    // hours — tiny at any fleet size, the load-duration doctrine). All
+    // five moments accumulate as exact BIGINTs on kilo-scaled loads
+    // (products bounded ≪ 2^63); the correlation itself is ONE final
+    // IEEE expression over exactly-equal integers (casts exact below
+    // 2^53, sqrt correctly rounded on both engines ⇒ bit-equal, the
+    // a_trend_slope_per_meter doctrine). Constant series are excluded by
+    // the zero-variance guard in BOTH twins (E12).
+    q("meter_zone_profile_corr", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
+         |${MeterSql.metersCte(NMeters)},
+         |zh AS (
+         |  SELECT m.grid_zone_id AS zone, date_trunc('hour', s.reading_timestamp) AS h,
+         |    CAST(SUM(s.consumption_delta_mwh) // 1000 AS BIGINT) AS load_k
+         |  FROM stg s JOIN meters m ON m.meter_id = s.meter_id
+         |  GROUP BY 1, 2),
+         |mo AS (
+         |  SELECT a.zone AS zone_a, b.zone AS zone_b, COUNT(*) AS n,
+         |    SUM(a.load_k) AS sx, SUM(b.load_k) AS sy,
+         |    SUM(a.load_k * b.load_k) AS sxy,
+         |    SUM(a.load_k * a.load_k) AS sxx,
+         |    SUM(b.load_k * b.load_k) AS syy
+         |  FROM zh a JOIN zh b ON a.h = b.h AND a.zone < b.zone
+         |  GROUP BY 1, 2)
+         |SELECT CAST(zone_a AS BIGINT) AS zone_a, CAST(zone_b AS BIGINT) AS zone_b,
+         |  CAST(n AS BIGINT) AS n_hours,
+         |  CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+         |  CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+         |FROM mo WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin
+    }) { (s, _) =>
+      val zh = Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals))
+        .join(broadcast(MeterGen.metersDim(s, NMeters)
+          .select(col("meter_id"), col("grid_zone_id").as("zone"))), "meter_id")
+        .groupBy(col("zone"), date_trunc("hour", col("reading_timestamp")).as("h"))
+        .agg(expr("sum(consumption_delta_mwh) div 1000L").as("load_k"))
+        .localCheckpoint(eager = false) // both sides of the pair join
+      val a = zh.select(col("zone").as("zone_a"), col("h"), col("load_k").as("x"))
+      val b = zh.select(col("zone").as("zone_b"), col("h"), col("load_k").as("y"))
+      a.join(b, Seq("h")).filter(col("zone_a") < col("zone_b"))
+        .groupBy(col("zone_a").cast("long").as("zone_a"),
+          col("zone_b").cast("long").as("zone_b"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .filter(expr("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"))
+        .select(col("zone_a"), col("zone_b"), col("n").as("n_hours"),
+          expr("n * sxy - sx * sy").as("corr_num"),
+          (expr("cast(n * sxy - sx * sy as double)")
+            / (sqrt(expr("cast(n * sxx - sx * sx as double)"))
+               * sqrt(expr("cast(n * syy - sy * sy as double)")))).as("corr"))
     }
   )
 }

@@ -249,6 +249,70 @@ object TimeSeriesTk {
           col("slope_num").cast("double") / col("slope_den"))
     },
 
+    // ---- CUSUM change-point detection (Page 1954; the toolkit-class
+    // drift monitor): per meter, the one-sided upper CUSUM over interval
+    // deltas — S_i = max(0, S_{i-1} + (d_i − k)) — flags sustained
+    // excursions above the meter's own mean draw k. The recursion LOOKS
+    // sequential, but the zero-clamped CUSUM has a closed relational
+    // form: with prefix sums P_i of y = d − k (and P_0 = 0),
+    // S_i = P_i − min_{0≤j≤i} P_j — i.e. prefix-sum MINUS running-min,
+    // two stacked window layers sharing ONE per-meter sort (the second
+    // window consumes the first's order; no re-sort, no recursion, no
+    // driver loop). Reference k is the meter's exact floor-mean delta
+    // (nonneg ⇒ DuckDB // ≡ Spark div); the alarm threshold is 4k — four
+    // mean-intervals' worth of cumulative excess, the scale-free h·σ
+    // convention with the mean as the scale. Exact BIGINT end-to-end.
+    // At 100 TB: one meter-keyed exchange+sort and one combinable
+    // aggregate — the same layout the LAG staging already pays.
+    q("ts_cusum_changepoints",
+      s"""WITH ${MeterSql.readingsCtes(50, 96)},
+         |deltas AS (
+         |  SELECT meter_id, reading_timestamp,
+         |    reading_consumption_milliwatts - lag(reading_consumption_milliwatts)
+         |      OVER (PARTITION BY meter_id ORDER BY reading_timestamp) AS d
+         |  FROM readings),
+         |known AS (SELECT * FROM deltas WHERE d IS NOT NULL),
+         |km AS (SELECT meter_id, CAST(SUM(d) // COUNT(*) AS BIGINT) AS k
+         |       FROM known GROUP BY 1),
+         |pre AS (
+         |  SELECT kn.meter_id, kn.reading_timestamp, km.k,
+         |    SUM(kn.d - km.k) OVER (PARTITION BY kn.meter_id
+         |      ORDER BY kn.reading_timestamp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+         |  FROM known kn JOIN km ON km.meter_id = kn.meter_id),
+         |cus AS (
+         |  SELECT meter_id, reading_timestamp, k,
+         |    p - LEAST(0, MIN(p) OVER (PARTITION BY meter_id
+         |      ORDER BY reading_timestamp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+         |  FROM pre)
+         |SELECT CAST(meter_id AS BIGINT) AS meter_id,
+         |  CAST(epoch_ms(reading_timestamp) AS BIGINT) AS alarm_ms,
+         |  CAST(s AS BIGINT) AS cusum,
+         |  CAST(4 * k AS BIGINT) AS threshold
+         |FROM cus WHERE s > 4 * k""".stripMargin) { (s, _) =>
+      val byMeter = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      val cum = byMeter.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val known = MeterGen.readings(s, 50, 96)
+        .select(col("meter_id"), col("reading_timestamp"),
+          (col("reading_consumption_milliwatts")
+            - lag(col("reading_consumption_milliwatts"), 1).over(byMeter)).as("d"))
+        .filter(col("d").isNotNull)
+        // one staging pass feeds both the reference-mean aggregate and
+        // the window chain (the VEE doctrine — never rescan the source)
+        .localCheckpoint(eager = false)
+      val km = known.groupBy(col("meter_id"))
+        .agg(expr("sum(d) div count(1)").as("k"))
+      known.join(km, "meter_id")
+        .withColumn("p", sum(col("d") - col("k")).over(cum))
+        .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(cum)))
+        .filter(col("s") > col("k") * 4)
+        .select(col("meter_id").cast("long").as("meter_id"),
+          unix_millis(col("reading_timestamp")).as("alarm_ms"),
+          col("s").cast("long").as("cusum"),
+          (col("k") * 4).cast("long").as("threshold"))
+    },
+
     // ---- sequence pattern matching (the MATCH_RECOGNIZE
     // `PATTERN (DOWN+ UP+)` shape, which Spark has no native operator
     // for): variable-length V-dips in each meter's delta series — a
