@@ -35,6 +35,9 @@ object TrainingPipeline {
   /** l-diversity floor: distinct sensitive values required per QID class. */
   private val LDiversityL = 3L
 
+  /** t-closeness threshold in ppm (t = 0.2). */
+  private val TClosenessPpm = 200000L
+
   // sliding-window segmentation geometry shared by chunk_documents and
   // dedup_chunks_cross_doc — ONE definition (Scala + SQL twins below) so
   // the two queries cannot silently disagree about what a "chunk" is
@@ -744,6 +747,78 @@ object TrainingPipeline {
         .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
           col("n_sensitive"),
           when(col("n_sensitive") < LDiversityL, 1L).otherwise(0L).as("below_l"))
+    },
+
+    // ---- t-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    // completing the anonymity trio: a class can be k-large and
+    // l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    // skews far from the table's (e.g. a class holding only the top
+    // balance bands). For the ordered sensitive attribute the distance
+    // is the Earth Mover's Distance in its closed form — the mean
+    // absolute difference of cumulative distributions, normalized by
+    // m−1. All arithmetic is exact integer rationals: the per-band
+    // cumulative difference accumulates n_cb·N − g_b·N_c (common
+    // denominator N_c·N), and one final floor division lands the EMD in
+    // ppm. Scale shape: the corpus pays ONE (class, band) map-side-
+    // combinable count; the class×band grid, the cumulative windows and
+    // the rollup all run on domain-bounded frames (|classes|×|bands|) —
+    // tiny at any table size.
+    q("privacy_t_closeness",
+      s"""WITH bands AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / 50000.0) AS BIGINT)
+         |      AS band
+         |  FROM customer),
+         |g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gn FROM bands GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |               CAST(COUNT(DISTINCT band) AS BIGINT) AS m FROM bands),
+         |cls AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS nc
+         |        FROM bands GROUP BY 1, 2),
+         |cb AS (SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS ncb
+         |       FROM bands GROUP BY 1, 2, 3),
+         |grid AS (
+         |  SELECT c.c_nationkey, c.c_mktsegment, c.nc, g.band, g.gn,
+         |    COALESCE(cb.ncb, 0) AS ncb
+         |  FROM cls c CROSS JOIN g
+         |  LEFT JOIN cb ON cb.c_nationkey = c.c_nationkey
+         |    AND cb.c_mktsegment = c.c_mktsegment AND cb.band = g.band),
+         |cum AS (
+         |  SELECT c_nationkey, c_mktsegment, nc, t.n, t.m,
+         |    SUM(ncb * t.n - gn * nc) OVER (
+         |      PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+         |  FROM grid, tot t)
+         |SELECT c_nationkey, c_mktsegment, CAST(nc AS BIGINT) AS class_size,
+         |  CAST(SUM(ABS(cd)) * 1000000 // (nc * n * (m - 1)) AS BIGINT) AS emd_ppm,
+         |  CAST(CASE WHEN SUM(ABS(cd)) * 1000000 // (nc * n * (m - 1))
+         |            > $TClosenessPpm THEN 1 ELSE 0 END AS BIGINT) AS above_t
+         |FROM cum GROUP BY 1, 2, nc, n, m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bands = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(Tables.cents(col("c_acctbal")) / 50000.0).as("band"))
+        .localCheckpoint(eager = false) // one scan feeds all four aggregates
+      val g = bands.groupBy(col("band")).agg(count(lit(1)).as("gn"))
+      val tot = bands.agg(count(lit(1)).as("n"), countDistinct(col("band")).as("m"))
+      val cls = bands.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("nc"))
+      val cb = bands.groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        .agg(count(lit(1)).as("ncb"))
+      val byClass = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cls.crossJoin(broadcast(g))
+        .join(cb, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .withColumn("ncb", coalesce(col("ncb"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("cd", sum(col("ncb") * col("n") - col("gn") * col("nc")).over(byClass))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          col("nc"), col("n"), col("m"))
+        .agg(sum(abs(col("cd"))).as("sad"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("nc").as("class_size"),
+          expr("sad * 1000000L div (nc * n * (m - 1))").as("emd_ppm"),
+          when(expr("sad * 1000000L div (nc * n * (m - 1))") > TClosenessPpm, 1L)
+            .otherwise(0L).as("above_t"))
     }
   )
 }

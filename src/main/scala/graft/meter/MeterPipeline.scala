@@ -419,6 +419,51 @@ object MeterPipeline {
             .as("usage_vs_baseline_ppm"))
     },
 
+    // ---- PEER PERCENTILE — the home-energy-report comparison (the
+    // Opower product shape): each meter's daily usage ranked within its
+    // own grid zone's peer group, as an exact percent-rank in ppm
+    // ((rank−1)·1e6 // (n−1): 0 = lightest user among peers, 1e6 =
+    // heaviest; deterministic meter_id tie-break). Shape: one
+    // (meter, day) aggregate, the zone broadcast dim join, then rank +
+    // count windows partitioned by (zone, day) — state bounded by
+    // meters-per-zone at any fleet size; no global window. The E12
+    // greatest() guard covers a one-meter zone.
+    q("meter_peer_percentile", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
+         |${MeterSql.metersCte(NMeters)},
+         |md AS (
+         |  SELECT s.meter_id, m.grid_zone_id AS zone,
+         |    CAST(s.reading_timestamp AS DATE) AS d,
+         |    CAST(SUM(s.consumption_delta_mwh) AS BIGINT) AS daily_mwh
+         |  FROM stg s JOIN meters m ON m.meter_id = s.meter_id
+         |  GROUP BY 1, 2, 3),
+         |rk AS (
+         |  SELECT meter_id, zone, d, daily_mwh,
+         |    CAST(row_number() OVER (PARTITION BY zone, d
+         |      ORDER BY daily_mwh, meter_id) AS BIGINT) AS rank,
+         |    CAST(COUNT(*) OVER (PARTITION BY zone, d) AS BIGINT) AS n_peers
+         |  FROM md)
+         |SELECT CAST(meter_id AS BIGINT) AS meter_id, CAST(zone AS BIGINT) AS zone,
+         |  d, daily_mwh, rank, n_peers,
+         |  CAST((rank - 1) * 1000000 // GREATEST(n_peers - 1, 1) AS BIGINT) AS pctile_ppm
+         |FROM rk""".stripMargin
+    }) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val byPeers = Window.partitionBy(col("zone"), col("d"))
+      Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervals))
+        .join(broadcast(MeterGen.metersDim(s, NMeters)
+          .select(col("meter_id"), col("grid_zone_id").as("zone"))), "meter_id")
+        .groupBy(col("meter_id"), col("zone"), to_date(col("reading_timestamp")).as("d"))
+        .agg(sum(col("consumption_delta_mwh")).cast("long").as("daily_mwh"))
+        .withColumn("rank",
+          row_number().over(byPeers.orderBy(col("daily_mwh"), col("meter_id"))).cast("long"))
+        .withColumn("n_peers", count(lit(1)).over(byPeers).cast("long"))
+        .select(col("meter_id").cast("long").as("meter_id"),
+          col("zone").cast("long").as("zone"), col("d"), col("daily_mwh"),
+          col("rank"), col("n_peers"),
+          expr("(rank - 1) * 1000000L div greatest(n_peers - 1, 1L)").as("pctile_ppm"))
+    },
+
     // ---- FORECAST BACKTEST — day-ahead load forecasting evaluated the
     // way forecasters actually score it: the SEASONAL-NAIVE (persistence)
     // forecast — tomorrow's load in each quarter-hour slot = today's load
