@@ -302,6 +302,78 @@ object SqlSurface {
         .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchased_after_click"))))
     },
 
+    // ---- multi-touch ATTRIBUTION (linear model, exact cents) — the
+    // marketing-analytics companion to the funnel: every purchase's value
+    // splits equally across the user's view/click touches in the prior
+    // 7 days, and the books must balance to the cent — so the split uses
+    // the largest-remainder discipline (base = v div n, the v mod n
+    // leftover cents go +1 to the MOST RECENT touches, deterministically
+    // tie-broken by event_id). Purchases with no touchpoints roll up
+    // under the '(none)' channel, so the output total provably equals
+    // total purchase cents (spec-asserted). Shape: one user-keyed
+    // equi join with the time-range residual (the as-of/SCD2 shape —
+    // the fact side never sorts on the range key); ranking and the
+    // remainder windows partition per conversion (state bounded by
+    // touches-per-user-week); channel rollup is map-side combinable.
+    q("attribution_linear",
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS tc,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT event_id AS touch_id, user_id, ts AS tt, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |pairs AS (
+        |  SELECT c.conv_id, c.v, t.touch_id, t.channel,
+        |    CAST(COUNT(*) OVER (PARTITION BY c.conv_id) AS BIGINT) AS n,
+        |    CAST(row_number() OVER (PARTITION BY c.conv_id
+        |      ORDER BY t.tt DESC, t.touch_id DESC) AS BIGINT) AS rk
+        |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |    AND t.tt < c.tc AND t.tt >= c.tc - INTERVAL 7 DAY),
+        |credited AS (
+        |  SELECT channel, v // n + CASE WHEN rk <= v % n THEN 1 ELSE 0 END AS credit
+        |  FROM pairs),
+        |attributed AS (
+        |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |    CAST(SUM(credit) AS BIGINT) AS credit_cents
+        |  FROM credited GROUP BY 1),
+        |orphan AS (
+        |  SELECT '(none)' AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |    CAST(COALESCE(SUM(v), 0) AS BIGINT) AS credit_cents
+        |  FROM conv c WHERE NOT EXISTS (
+        |    SELECT 1 FROM touch t WHERE t.user_id = c.user_id
+        |      AND t.tt < c.tc AND t.tt >= c.tc - INTERVAL 7 DAY))
+        |SELECT * FROM attributed UNION ALL SELECT * FROM orphan""".stripMargin) {
+      (s, d) =>
+      val Week = 604800000000000L // 7 days in ns
+      val ev = Tables.events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts_ns").as("tc"), Tables.cents(col("value")).as("v"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          col("ts_ns").as("tt"), col("event_type").as("channel"))
+      val inWindow = col("tt") < col("tc") && col("tt") >= col("tc") - Week
+      val byConv = Window.partitionBy(col("conv_id"))
+      val pairs = conv.join(touch, Seq("user_id")).filter(inWindow)
+        .withColumn("n", count(lit(1)).over(byConv))
+        .withColumn("rk", row_number().over(
+          byConv.orderBy(col("tt").desc, col("touch_id").desc)))
+      val attributed = pairs
+        .select(col("channel"),
+          (expr("v div n") + when(col("rk") <= col("v") % col("n"), 1L)
+            .otherwise(0L)).as("credit"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_cents"))
+      val orphan = conv.alias("c").join(touch.alias("t"),
+          expr(s"t.user_id = c.user_id AND t.tt < c.tc AND t.tt >= c.tc - ${Week}L"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_touches"),
+          coalesce(sum(col("v")), lit(0L)).as("credit_cents"))
+        .select(lit("(none)").as("channel"), col("n_touches"), col("credit_cents"))
+      attributed.unionByName(orphan)
+    },
+
     // ---- running COUNT(DISTINCT) over a window — not directly supported
     // by either engine's window frames; the standard re-expression is a
     // first-occurrence flag (row_number = 1 within (user, type)) summed by

@@ -129,6 +129,19 @@ class OpsR7eSpec extends SparkSpec {
     assert(got.valuesIterator.forall { case (_, _, _, _, wape) => wape > 0L })
   }
 
+  test("attribution: credited cents balance exactly to total purchase value; both channels earn") {
+    val rows = run("attribution_linear").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val totalPurchaseCents = ops.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(ops.Tables.cents(col("value")))).collect()(0).getLong(0)
+    // the largest-remainder split loses nothing: attributed + orphan
+    // credit reconstructs every purchase cent
+    assert(rows.valuesIterator.map(_._2).sum === totalPurchaseCents)
+    assert(rows.keySet === Set("view", "click", "(none)"))
+    assert(rows("view")._2 > 0 && rows("click")._2 > 0)
+  }
+
   test("zone correlation: bit-equal to the driver Pearson recompute, bounded, non-degenerate") {
     // recompute the (zone, hour) kilo-loads exactly as the query defines
     // them: zone-hour sum of raw deltas, floor-divided by 1000
