@@ -191,10 +191,18 @@ object PlanReport {
       // mask it (at real scale neither side broadcasts), so print this
       // one query under the threshold a 100 TB join actually runs with
       val bcastOff = name == "src_bucketed_colocated_join"
+      // save/restore the CONFIGURED value (not a hardcoded default) so a
+      // non-default session setting survives for the remaining plans
+      val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (bcastOff) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = SparkEntry.queries(name)(spark, d)
-      val plan = df.queryExecution.explainString(FormattedMode)
-      if (bcastOff) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val plan =
+        try {
+          val df = SparkEntry.queries(name)(spark, d)
+          df.queryExecution.explainString(FormattedMode)
+        } finally {
+          if (bcastOff)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+        }
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)

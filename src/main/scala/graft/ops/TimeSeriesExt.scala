@@ -331,18 +331,32 @@ object TimeSeriesExt {
           (expr("percentile(CAST(round(value*100) AS BIGINT), 0.9)") / 100.0).as("p90_value"))
     },
 
-    // ---- at-scale percentile variant: approx_percentile (t-digest-style
+    // ---- at-scale percentile variant: approx_percentile (GK-style
     // mergeable sketch, single pass, constant memory) next to the exact
-    // a_median_p90 twin — sketch values are engine-specific -> rows-only,
-    // same pattern as a7_approx_count_distinct
-    GraftQuery.qNoOracle("a_median_p90_approx") { (s, d) =>
+    // a_median_p90 twin. The sketch value is engine-specific, so the
+    // hashed output is (exact median, bounded-assertion verdict): Spark
+    // genuinely checks the approx median lands inside the exact
+    // [p45, p55] value window — accuracy 10000 guarantees rank error
+    // ≤ n/10000 = 0.01%, far inside the 5%-rank tolerance, at ANY n —
+    // while the oracle asserts TRUE. Same pattern as
+    // a7_approx_count_distinct.
+    q("a_median_p90_approx",
+      """SELECT event_type,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)/100.0 AS exact_median,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          (expr("approx_percentile(CAST(round(value*100) AS BIGINT), 0.5, 10000)") / 100.0)
-            .as("approx_median"),
+          expr("approx_percentile(CAST(round(value*100) AS BIGINT), 0.5, 10000)")
+            .as("approx_c"),
+          expr("percentile(CAST(round(value*100) AS BIGINT), 0.45)").as("lo_c"),
           (expr("percentile(CAST(round(value*100) AS BIGINT), 0.5)") / 100.0)
-            .as("exact_median"))
+            .as("exact_median"),
+          expr("percentile(CAST(round(value*100) AS BIGINT), 0.55)").as("hi_c"))
+        .select(col("event_type"), col("exact_median"),
+          (col("approx_c") >= col("lo_c") && col("approx_c") <= col("hi_c"))
+            .as("within_bound"))
     },
 
     // ---- DELTA-OF-DELTA compressibility audit — the storage engine's
@@ -497,21 +511,40 @@ object TimeSeriesExt {
     // slice re-aggregates by sketch UNION without rescanning rows — the
     // warehouse pattern for incremental/rollup-able distinct counts (a
     // plain COUNT(DISTINCT) per slice rescans the fact table per
-    // question; sketches make distincts additive like sums). Rows-only:
-    // DataSketches binaries have no DuckDB twin; the spec bounds the
-    // estimates against exact distincts instead.
-    GraftQuery.qNoOracle("a_sketch_union_distinct") { (s, d) =>
-      val perDay = Tables.events(s, d)
+    // question; sketches make distincts additive like sums). DataSketches
+    // binaries have no DuckDB twin, so the hashed output is the exact
+    // distinct plus a bounded-assertion verdict per slice: Spark checks
+    // |estimate − exact| ≤ 5%·exact (3σ of lgK=12's rsd ≈ 1.6%) on each
+    // per-day sketch AND on the union — the union's exact comes from one
+    // extra global agg that exists only to ground the bound — while the
+    // oracle asserts TRUE. A sketch/union regression flips the verdict
+    // and fails the hash.
+    q("a_sketch_union_distinct",
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(NULL AS DATE) AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val perDay = ev
         .groupBy(to_date(col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"),
           countDistinct(col("user_id")).as("exact_users"))
-      val total = perDay.agg(
-        lit(null).cast("date").as("day"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
-        lit(null).cast("long").as("exact_users"))
+      val globalExact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      val total = perDay
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(broadcast(globalExact)) // 1-row × 1-row scalar-subquery idiom
+        .select(lit(null).cast("date").as("day"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) * 100
+            <= col("exact_users") * 5).as("within_bound"))
       perDay
-        .select(col("day"), hll_sketch_estimate(col("sk")).as("est_users"),
-          col("exact_users"))
+        .select(col("day"), col("exact_users"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_users")) * 100
+            <= col("exact_users") * 5).as("within_bound"))
         .unionByName(total)
     },
 

@@ -163,11 +163,23 @@ object Formats {
     * differing counts reintroduce an Exchange on one side). */
   private val NBuckets = 8
 
+  /** The previous invocation's table pair, dropped (catalog-only — the
+    * tables are external; scratch dirs are deleteOnExit-cleaned) when the
+    * next pair is created. Dropping the CURRENT pair eagerly would race
+    * the lazy evaluation of the DataFrame built on it, so cleanup is
+    * one-invocation deferred: a multi-rep bench run holds at most one
+    * live pair in the session catalog instead of growing it unboundedly. */
+  private var lastPair: Option[(String, String)] = None
+
   /** Writes orders + customer as external bucketed-by-join-key tables
     * (unique names/paths per invocation) and returns the table names.
     * One file per bucket (repartition on the bucket key first), so the
     * sortBy order survives and the scan needs no per-bucket merge sort. */
-  def bucketedPair(s: SparkSession, d: String): (String, String) = {
+  def bucketedPair(s: SparkSession, d: String): (String, String) = synchronized {
+    lastPair.foreach { case (po, pc) =>
+      s.sql(s"DROP TABLE IF EXISTS $po")
+      s.sql(s"DROP TABLE IF EXISTS $pc")
+    }
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (to, tc) = (s"graft_bko_$tag", s"graft_bkc_$tag")
     Tables.orders(s, d)
@@ -180,6 +192,7 @@ object Formats {
       .repartition(NBuckets, col("c_custkey"))
       .write.bucketBy(NBuckets, "c_custkey").sortBy("c_custkey")
       .option("path", scratch(s, d, "bkc")).saveAsTable(tc)
+    lastPair = Some((to, tc))
     (to, tc)
   }
 }

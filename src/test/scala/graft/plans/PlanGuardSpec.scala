@@ -1,21 +1,31 @@
 package graft.plans
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
 
-/** Engine-wide scale tripwire: no registered query may plan a
-  * CartesianProduct — the one join strategy that cannot survive any
-  * scale-up. Explicit `crossJoin(broadcast(tiny))` compiles to
-  * BroadcastNestedLoopJoin (bounded by the broadcast side, which every
-  * use here keeps at O(1)–O(k) rows), so it stays allowed; the unbounded
-  * shuffle-side cartesian does not.
+/** Engine-wide scale tripwires, swept over EVERY registered query:
+  *
+  *  1. no CartesianProduct — the one join strategy that cannot survive
+  *     any scale-up. Explicit `crossJoin(broadcast(tiny))` compiles to
+  *     BroadcastNestedLoopJoin (bounded by the broadcast side, which
+  *     every use here keeps at O(1)–O(k) rows), so it stays allowed; the
+  *     unbounded shuffle-side cartesian does not.
+  *  2. no bare global window — a Window with an empty partitionSpec
+  *     serializes its whole input through one task. The repo's doctrine
+  *     is that every DELIBERATE single-task window (always on a provably
+  *     bounded frame) carries the non-foldable constant key
+  *     `pmod(col, lit(1))`, so the `WindowExec: No Partition Defined`
+  *     warning — and this guard — stay reserved for real regressions.
   *
   * Plans are built (analyzed + optimized + planned), NOT executed — this
-  * sweeps all ~114 queries in seconds and catches a regression the
+  * sweeps all registered queries in seconds and catches a regression the
   * per-query specs would only see as a timeout.
   */
 class PlanGuardSpec extends SparkSpec {
 
-  test("no registered query plans a CartesianProduct") {
+  /** One sweep shared by both tests: (name, physical plan string,
+    * bare-global-window count in the optimized logical plan). */
+  private lazy val sweep: Seq[(String, String, Int)] = {
     // Disable size-based auto-broadcast while planning: at sf0.001 every
     // table fits the default 10 MB threshold, so JoinSelection would pick
     // BroadcastNestedLoopJoin for ANY non-equi join and the guard would
@@ -26,14 +36,30 @@ class PlanGuardSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val qe = fn(spark, sf0001).queryExecution
+        val bareWindows = qe.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }.size
+        (name, qe.executedPlan.toString, bareWindows)
       }
-      assert(offenders.isEmpty, s"cartesian plans in: ${offenders.mkString(", ")}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.catalog.clearCache()
     }
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    val offenders = sweep.collect {
+      case (name, plan, _) if plan.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian plans in: ${offenders.mkString(", ")}")
+  }
+
+  test("no registered query plans a bare global window (empty partitionSpec)") {
+    val offenders = sweep.collect { case (name, _, n) if n > 0 => name }
+    assert(offenders.isEmpty,
+      s"bare global windows in: ${offenders.mkString(", ")} — key the window " +
+        "with pmod(col, lit(1)) if the single task is deliberate and bounded")
   }
 }
