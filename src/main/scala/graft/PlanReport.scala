@@ -99,7 +99,7 @@ object PlanReport {
     "q9_product_profit" ->
       "Star profit rollup: every join key is the fact's own FK (no re-shuffle between joins under AQE), dims are column-pruned before joining, only the fixed 25-row nation is hint-broadcast, and the profit metric is exact-integer so the final two-key agg is partial+final with no precision hazard.",
     "vecstore_probe_topk" ->
-      "The on-disk ANN index driven end-to-end with 1-bit MULTI-PROBE: the index scan's PartitionFilters carries a dynamicpruning expression on the bucket partition column (fed by the broadcast 9-probe-per-query set), so only probed bucket DIRECTORIES — 9 of 256 per query — are listed/read. Ranking windows run per query id only.",
+      "The on-disk ANN index driven end-to-end on TRAINED IVF cells (r8 re-layout): the index scan's PartitionFilters carries a dynamicpruning expression on the cell partition column (fed by the broadcast top-4-of-16-cells probe set ranked against the stored codebook), so only probed cell DIRECTORIES — 25% of the corpus — are listed/read; measured recall@5 0.605 vs the sign-LSH layout's 0.13 (VecStoreSpec). Ranking windows run per query id only.",
     "search_hybrid_rrf" ->
       "Hybrid RRF after the r7 fix: BOTH retrieval legs cut to top-K through TakeOrderedAndProject (distributed per-partition heads) BEFORE any rank window — the windows now see only the two K-row candidate lists, and no Window node anywhere reads a corpus-sized frame.",
     "dedup_span_remove" ->

@@ -33,17 +33,17 @@ object Similarity {
 
   /** Quantized vector + its self-dot (squared norm) over any embeddings
     * frame. */
-  private[llm] def quantizedOf(df: DataFrame): DataFrame =
+  private[graft] def quantizedOf(df: DataFrame): DataFrame =
     df.select(
       col("vec_id"), col("label"),
       expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q) AS BIGINT))").as("qv"))
       .withColumn("norm2", FixedPointDot(col("qv"), col("qv")))
 
   /** Quantized corpus spread across all cores, reused by every query. */
-  private[llm] def quantized(s: SparkSession, d: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
     quantizedOf(Tables.embeddingsParallel(s, d))
 
-  private[llm] val quantizedSql: String =
+  private[graft] val quantizedSql: String =
     s"""qe AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
@@ -73,7 +73,7 @@ object Similarity {
   /** The centroid frame packed into ONE broadcastable row of parallel
     * arrays (cids, cqvs, cnorms), sorted by c_id — the "codebook" the
     * fused assignment reads. The collect/sort runs on k≈8 rows. */
-  private def centsRow(cents: DataFrame): DataFrame =
+  private[graft] def centsRow(cents: DataFrame): DataFrame =
     cents
       .agg(array_sort(collect_list(struct(col("c_id"), col("cqv"), col("cnorm2")))).as("cs"))
       .select(
@@ -93,8 +93,14 @@ object Similarity {
     * This replaces the crossJoin-explode + vec_id-keyed argmax/window
     * shape, which SHUFFLED 8× the corpus (with the 64-wide qv payload)
     * per Lloyd step — the assignment stage now has no exchange at all. */
-  private def assignRanked(qe: DataFrame, cents: DataFrame): DataFrame =
-    qe.crossJoin(broadcast(centsRow(cents)))
+  private[graft] def assignRanked(qe: DataFrame, cents: DataFrame): DataFrame =
+    assignRankedPacked(qe, centsRow(cents))
+
+  /** [[assignRanked]] against an ALREADY-PACKED one-row codebook frame —
+    * the persisted-index probe path loads the packed row straight off
+    * parquet and skips the k-row collect/pack job entirely. */
+  private[graft] def assignRankedPacked(qe: DataFrame, packed: DataFrame): DataFrame =
+    qe.crossJoin(broadcast(packed))
       .withColumn("dots", graft.functions.FixedPointDotMulti(col("qv"), col("cqvs")))
       .withColumn("ranked", expr(
         """array_sort(zip_with(
@@ -102,7 +108,7 @@ object Similarity {
           |    CAST(dd AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))),
           |  cids, (co, id) -> named_struct('nc', -co, 'id', id)))""".stripMargin))
 
-  private def lloydCentroids(qe: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[graft] def lloydCentroids(qe: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = qe.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("norm2").as("cnorm2"))
     for (_ <- 0 until iters) {
@@ -139,14 +145,14 @@ object Similarity {
     cents
   }
 
-  private val CentroidK = 8
-  private val CentroidIters = 2
+  private[graft] val CentroidK = 8
+  private[graft] val CentroidIters = 2
 
   /** Oracle CTE chain `c0 … c$iters` mirroring [[lloydCentroids]] over the
     * `qn` frame; the trained centroids are `c$iters(c_id, cqv, cnorm2)`. */
-  private def lloydCtes(iters: Int): String = {
+  private[graft] def lloydCtes(iters: Int, k: Int = CentroidK): String = {
     val sb = new StringBuilder(
-      s"c0 AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM qn WHERE vec_id < $CentroidK)")
+      s"c0 AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM qn WHERE vec_id < $k)")
     for (it <- 1 to iters) {
       sb.append(s""",
          |a$it AS (
@@ -319,7 +325,7 @@ object Similarity {
     }
   ) :+ ivfQuery :+ dedupLshQuery :+ dedupIvfQuery :+ diversityQuery :+
     centroidOutlierQuery :+ semanticKeepQuery :+ lshRecallEvalQuery :+
-    cosineHistogramQuery :+ pqTopkQuery :+ ivfPqTopkQuery :+ decontEmbQuery :+
+    cosineHistogramQuery :+ pqTopkQuery :+ ivfPqTopkQuery :+ ivfPqProbeQuery :+ decontEmbQuery :+
     hardNegativesQuery
 
   /** Hard-negative mining for contrastive training (the FaceNet/DPR
@@ -568,12 +574,15 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
         .filter(col("arank") <= PqShortlist)
       // 6. exact rerank of the per-query-constant shortlist
-      val qvecs = qe.select(col("vec_id").as("query_id"),
-        col("qv").as("qqv"), col("norm2").as("qnorm2"))
+      val qvecs = qe.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("norm2").as("qnorm2"))
       val cvecs = qe.select(col("vec_id"), col("qv").as("cqv2"), col("norm2").as("cnorm2c"))
-      short
+      // the SHORTLIST broadcasts (≤ PqShortlist rows per query), so the
+      // exact rerank is a map-side pass over the vector store — no
+      // corpus-sized shuffle anywhere in the probe
+      cvecs
+        .join(broadcast(short), "vec_id")
         .join(broadcast(qvecs), "query_id")
-        .join(cvecs, "vec_id")
         .select(col("query_id"), col("vec_id"), col("label"), col("adc_dist"),
           (col("qnorm2") - lit(2) * FixedPointDot(col("qqv"), col("cqv2")) + col("cnorm2c"))
             .as("l2_dist"))
@@ -634,14 +643,17 @@ object Similarity {
     * the probe never touches un-probed cells (dedup-IVF/VecStore
     * directory-pruning discipline) and per-vector work is [[PqM]] lookups.
     * Shortlist + exact full-vector rerank as in [[pqTopkQuery]]. */
-  lazy val ivfPqTopkQuery: GraftQuery = {
+  /** The IVFADC oracle: the full train+encode+probe chain in exact
+    * integer SQL, shared verbatim by [[ivfPqTopkQuery]] (inline training)
+    * and [[ivfPqProbeQuery]] (probe over the persisted index) — training
+    * is deterministic, so both reach the identical result and hash. */
+  private lazy val ivfPqOracle: String = {
     val dotSql = "CAST(list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2])) AS BIGINT)"
     val codeCases = (0 until PqM).map(m =>
       if (m < PqM - 1) s"WHEN $m THEN c.code$m" else s"ELSE c.code$m").mkString(" ")
     val codeCols = (0 until PqM).map(m =>
       s"MAX(CASE WHEN m = $m THEN c_id END) AS code$m").mkString(",\n    ")
-    q("sim_ivfpq_topk",
-      s"""WITH $quantizedSql,
+    s"""WITH $quantizedSql,
          |${lloydCtes(CentroidIters)},
          |cents AS (SELECT c_id, cqv, cnorm2 FROM c$CentroidIters),
          |ca AS (
@@ -729,7 +741,17 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rank
          |  FROM rer)
          |SELECT query_id, vec_id, label, adc_dist, l2_dist, rank
-         |FROM ranked WHERE rank <= $PqTopK""".stripMargin) { (s, d) =>
+         |FROM ranked WHERE rank <= $PqTopK""".stripMargin
+  }
+
+  /** Trained IVFADC artifacts over the corpus at `d`: coarse cells
+    * (c_id, cqv, cnorm2), per-subspace residual codebook (m, c_id, cqv,
+    * cnorm2), the PACKED per-subspace codebook row (shared by encode and
+    * probe so the pack job runs once), the unpacked codebook, the encoded
+    * corpus (vec_id, label, cell, code0..codeM), and the quantized vector
+    * frame the training ran on (reused by the probe for queries and exact
+    * rerank) — as (qe, cents, cbRow, cbn, codes). */
+  private def ivfPqTrainFrames(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
       val qe = quantized(s, d).localCheckpoint(eager = false)
       // coarse cells: the IVF family's cosine Lloyd, assignment map-side
       val cents = lloydCentroids(qe, CentroidK, CentroidIters)
@@ -750,8 +772,21 @@ object Similarity {
           expr("best.id").as("code"))
         .groupBy(col("vec_id"))
         .agg(min(col("label")).as("label"), (min(col("cell")).as("cell") +: codeCols2): _*)
-      // queries: top-3 probed cells, one residual per probed cell
-      val qprobe = assignRanked(qe.filter(col("vec_id") % 50 === 0), cents)
+
+    (qe, cents, cbRow, cbn, codes)
+  }
+
+  /** The probe side only: queries rank the coarse codebook, build one ADC
+    * table per (query, probed cell), score codes joined ON THE CELL ID,
+    * shortlist, exact rerank. `codes` may be the freshly-encoded frame or
+    * the partitioned parquet index read back — the cell join prunes
+    * un-probed cells either way. */
+  private def ivfPqProbeFrom(centsPacked: DataFrame, cbRow: DataFrame,
+      codes: DataFrame, vecs: DataFrame): DataFrame = {
+      // queries: top-3 probed cells, one residual per probed cell — the
+      // query set and the rerank vectors both come from `vecs`, so the
+      // persisted-index probe never touches anything but index artifacts
+      val qprobe = assignRankedPacked(vecs.filter(col("vec_id") % 50 === 0), centsPacked)
         .select(col("vec_id").as("query_id"), col("qv"), col("cids"), col("cqvs"),
           explode(expr("slice(ranked, 1, 3)")).as("pr"))
         .select(col("query_id"), col("pr.id").as("pcell"),
@@ -781,9 +816,9 @@ object Similarity {
         .withColumn("arank", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
         .filter(col("arank") <= PqShortlist)
-      val qvecs = qe.select(col("vec_id").as("query_id"),
-        col("qv").as("qqv"), col("norm2").as("qnorm2"))
-      val cvecs = qe.select(col("vec_id"), col("qv").as("cqv2"), col("norm2").as("cnorm2c"))
+      val qvecs = vecs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("norm2").as("qnorm2"))
+      val cvecs = vecs.select(col("vec_id"), col("qv").as("cqv2"), col("norm2").as("cnorm2c"))
       short
         .join(broadcast(qvecs), "query_id")
         .join(cvecs, "vec_id")
@@ -793,8 +828,91 @@ object Similarity {
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("vec_id"))))
         .filter(col("rank") <= PqTopK)
-    }
   }
+
+  /** IVF-PQ (the IVFADC index of Jégou et al., TPAMI 2011 §IV): the
+    * billion-scale composition of the two index families this engine
+    * already carries separately — coarse IVF cells prune WHICH vectors a
+    * query touches, PQ codes on the RESIDUAL (vector − its cell centroid)
+    * compress HOW each touched vector is scored. Residual encoding is what
+    * makes the composition worth having: residuals concentrate near zero,
+    * so the same 40-bit budget quantizes far finer than raw-vector PQ.
+    *
+    * Pipeline (all exact integers, bit-identical to the oracle):
+    * coarse = the [[lloydCentroids]] cosine k-means the IVF queries use
+    * (2 rounds, k=8, broadcast assignment); residual = one map-side
+    * zip_with subtraction; sub-codebooks = [[pqTrain]] on residual
+    * sub-vectors; queries probe their top-3 coarse cells (the
+    * dedup_embedding_ivf multi-probe discipline) and build one ADC table
+    * per (query, probed cell) from the per-cell query residual — the
+    * per-subspace ‖qrₘ‖² term rides inside the table entries so ADC
+    * distances stay comparable ACROSS cells. Scoring joins codes to
+    * tables on the cell id — the index's own partition key, so at 100 TB
+    * the probe never touches un-probed cells (dedup-IVF/VecStore
+    * directory-pruning discipline) and per-vector work is [[PqM]] lookups.
+    * Shortlist + exact full-vector rerank as in [[pqTopkQuery]].
+    * This registered query trains INLINE (build+probe end-to-end);
+    * [[ivfPqProbeQuery]] is the amortized-training twin. */
+  lazy val ivfPqTopkQuery: GraftQuery =
+    q("sim_ivfpq_topk", ivfPqOracle) { (s, d) =>
+      val (qe, cents, cbRow, _, codes) = ivfPqTrainFrames(s, d)
+      ivfPqProbeFrom(centsRow(cents), cbRow, codes, qe)
+    }
+
+  /** Per-JVM scratch root for the persisted IVFADC index — unique per
+    * process so concurrent JVMs never race, removed at JVM exit. */
+  private lazy val ivfPqRoot: String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx/${java.util.UUID.randomUUID()}"
+  private val ivfPqBuilt = scala.collection.mutable.Map.empty[String, String]
+
+  /** Build-once-per-(JVM, dataset): train the IVFADC index and PERSIST it
+    * — coarse cells + sub-codebooks as tiny parquet, the encoded corpus
+    * partitioned by its coarse cell id (so the probe's cell join prunes
+    * at the DIRECTORY level, the VecStore layout applied to codes).
+    * Subsequent calls return the existing index untouched. */
+  private def ivfPqIndexDir(s: SparkSession, d: String): String =
+    ivfPqBuilt.synchronized {
+      ivfPqBuilt.getOrElseUpdate(d, {
+        val dir = s"$ivfPqRoot/${new java.io.File(d).getName}"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val (qe, cents, cbRow, _, codes) = ivfPqTrainFrames(s, d)
+        // tiny artifacts are persisted PRE-PACKED (one broadcastable row /
+        // PqM rows) so the probe loads them without any collect/pack job;
+        // the unpacked cells stay alongside for inspection
+        cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/cells")
+        centsRow(cents).coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/cells_packed")
+        cbRow.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/codebooks_packed")
+        val n = s.sessionState.conf.numShufflePartitions
+        codes.repartition(n, col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+        // the quantized vector store (vec_id, label, qv, norm2): queries
+        // and the exact rerank read THIS, not the live table — the probe
+        // is self-contained against the index directory
+        qe.repartition(n).write.mode("overwrite").parquet(s"$dir/vectors")
+        dir
+      })
+    }
+
+  /** The amortized-training IVFADC twin — the honest 100 TB shape, where
+    * training is an OFFLINE index build and the query-time cost is probe
+    * only: load the persisted coarse cells + sub-codebooks (tiny
+    * broadcasts) and the cell-partitioned code index, then run
+    * [[ivfPqProbeFrom]]. First call in a process pays the one-time build
+    * (bench's min-of-reps reports the steady probe-only state); results
+    * and oracle are IDENTICAL to [[ivfPqTopkQuery]] because training is
+    * deterministic — the split moves work, it cannot move answers. */
+  lazy val ivfPqProbeQuery: GraftQuery =
+    q("sim_ivfpq_probe_topk", ivfPqOracle) { (s, d) =>
+      val dir = ivfPqIndexDir(s, d)
+      ivfPqProbeFrom(
+        s.read.parquet(s"$dir/cells_packed"),
+        s.read.parquet(s"$dir/codebooks_packed"),
+        s.read.parquet(s"$dir/codes"),
+        s.read.parquet(s"$dir/vectors"))
+    }
 
   /** Threshold-sensitivity evidence: the all-pairs cosine distribution in
     * 0.05-wide bins — the table a curator reads before picking τ (how many

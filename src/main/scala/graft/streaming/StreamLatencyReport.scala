@@ -104,6 +104,10 @@ object StreamLatencyReport {
           case "ingest" => deltas.toDF()
           case "ingest+mart" => StreamingMarts.hourlyGridLoad(
             deltas.toDF(), MeterGen.metersDim(spark, rate), MeterGen.gridZones(spark))
+          // the online-monitor chain: per-meter keyed CUSUM state
+          // (transformWithState on RocksDB) stacked on the stateful delta
+          // — rate → wire → parse → delta state → chart state → alerts
+          case "ingest+cusum" => StreamCusum.detect(deltas).toDF()
         }
         out.writeStream.format("noop")
           .option("checkpointLocation", ckpt)
@@ -150,12 +154,17 @@ object StreamLatencyReport {
     spark.sparkContext.setLogLevel("ERROR")
 
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "25").toInt
+    // the CUSUM monitor runs transformWithState — RocksDB-backed state
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val runs =
       Seq(10000L, 40000L, 160000L, 640000L).map(("ingest", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+mart", _)) ++
+        Seq(40000L, 160000L, 640000L).map(("ingest+cusum", _)) ++
         Seq(10000L, 40000L, 160000L).map(("ingest+disk-mart", _))
-    // warm-up: one short throwaway run pays JIT/codegen for both shapes
+    // warm-up: one short throwaway run pays JIT/codegen per shape family
     run(spark, "ingest+mart", 10000L, 6)
+    run(spark, "ingest+cusum", 10000L, 6)
 
     val results = runs.map { case (p, r) => run(spark, p, r, secs) }
 
@@ -167,7 +176,9 @@ object StreamLatencyReport {
     sb.append("start pays state-store opening, dim broadcast, and codegen).\n\n")
     sb.append("Pipelines: `ingest` = rate→JSON wire→parse+validate→per-meter stateful\n")
     sb.append("delta (flatMapGroupsWithState)→noop; `ingest+mart` adds the watermarked\n")
-    sb.append("hourly grid-load window + broadcast dim joins; `ingest+disk-mart` is\n")
+    sb.append("hourly grid-load window + broadcast dim joins; `ingest+cusum` stacks the\n")
+    sb.append("online per-meter CUSUM drift chart (transformWithState, RocksDB state)\n")
+    sb.append("on the stateful delta — the alerting-monitor chain; `ingest+disk-mart` is\n")
     sb.append("the gold-maintenance loop (idempotent bronze parquet landing +\n")
     sb.append("partition-scoped billing-mart rebuild per micro-batch — real disk\n")
     sb.append("writes and a staging recompute every batch). `behind` is the\n")

@@ -201,6 +201,33 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 $recall below floor")
   }
 
+  test("IVF-PQ probe-only twin: identical results off the persisted index, cell-partitioned codes") {
+    // training is deterministic, so moving it offline (persisted index)
+    // cannot move answers: the probe-only twin must match the inline twin
+    // row for row — and its code index must be PHYSICALLY partitioned by
+    // coarse cell (the directory-pruning layout the probe join relies on)
+    val inline0 = graft.SparkEntry.queries("sim_ivfpq_topk")(spark, sf0001)
+      .orderBy("query_id", "rank").collect().toSeq
+    val probed = graft.SparkEntry.queries("sim_ivfpq_probe_topk")(spark, sf0001)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(probed === inline0)
+    // second call reuses the index (no rebuild): still identical
+    val again = graft.SparkEntry.queries("sim_ivfpq_probe_topk")(spark, sf0001)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(again === inline0)
+    // layout evidence: every code file sits under a cell=K directory and
+    // the packed artifacts are single-row/PqM-row broadcastable frames
+    val idxRoot = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx")
+    val dirs = Option(idxRoot.listFiles()).getOrElse(Array.empty)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName == new java.io.File(sf0001).getName)
+    assert(dirs.nonEmpty, "persisted index dir not found")
+    val codeFiles = new java.io.File(dirs.head, "codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(codeFiles.nonEmpty, "codes must be partitioned by cell=K directories")
+    assert(spark.read.parquet(s"${dirs.head}/cells_packed").count() === 1)
+  }
+
   test("embedding decontamination flags exactly the train side of cross-set LSH pairs") {
     val pairs = graft.SparkEntry.queries("dedup_embedding_lsh")(spark, sf0001)
       .select(col("v1"), col("v2"), col("cosine"))
