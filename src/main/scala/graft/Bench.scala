@@ -53,17 +53,29 @@ object Bench {
     // diagnostic the run-level calibration sentinel can't localize)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def rep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    // (wall s, process-cpu s, catalyst-planning ms): the third element is
+    // the driver's analysis+optimization+physical-planning time from
+    // QueryPlanningTracker — the regression axis the graph_hits incident
+    // exposed (a 2^(2·rounds) logical plan reads as "slow query" in wall
+    // time but is really exploding ANALYSIS time; tracking it per query
+    // makes the next such regression observable directly). AQE's runtime
+    // re-optimizations are not in the tracker; they remain part of wall.
+    def rep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val planMs =
+        try {
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          df.queryExecution.tracker.phases.values.map(_.durationMs).sum.toDouble
+        }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       spark.catalog.clearCache() // release per-query cached frames
-      if (ok) ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
-      else (-1.0, -1.0)
+      if (planMs >= 0)
+        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9, planMs)
+      else (-1.0, -1.0, -1.0)
     }
     // contention sentinel: a fixed single-thread integer workload whose
     // steady time is machine-constant — timed before/between/after the
@@ -93,14 +105,14 @@ object Bench {
       ts.nonEmpty && ts.min >= 1.0
     }
     val pass3 = slow.map { case (n, f) => n -> rep(n, f) }.toMap
-    // reported time = min wall across reps; reported cpu = that same rep's
-    // process-cpu (pairs stay together so cpu/wall is meaningful per entry)
+    // reported time = min wall across reps; reported cpu/planning = that
+    // same rep's (triples stay together so ratios are meaningful per entry)
     val picked = ordered.map { case (name, _) =>
       val ts = (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).filter(_._1 >= 0)
-      name -> (if (ts.nonEmpty) ts.minBy(_._1) else (-1.0, -1.0))
+      name -> (if (ts.nonEmpty) ts.minBy(_._1) else (-1.0, -1.0, -1.0))
     }
     calibs += calibrate()
-    val results = picked.map { case (n, (w, _)) => n -> w }
+    val results = picked.map { case (n, (w, _, _)) => n -> w }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON ({"value":40,800,...})
     def fmt(v: Double): String =
@@ -120,9 +132,14 @@ object Bench {
     // full per-query map → file (always complete), with the min-wall rep's
     // process-cpu seconds alongside each wall time (queries_cpu) — the
     // per-query steal diagnostic; stdout keeps the bounded headline shape
-    val cpuMap = picked.map { case (k, (_, c)) => "\"" + k + "\":" + fmt(c) }
+    val cpuMap = picked.map { case (k, (_, c, _)) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
-    val full = jsonLine(results).dropRight(1) + s""","queries_cpu":$cpuMap}"""
+    // catalyst planning milliseconds of the min-wall rep (analysis +
+    // optimization + physical planning; cold-start planning cost axis)
+    val planMap = picked.map { case (k, (_, _, pm)) => "\"" + k + "\":" + fmt(pm) }
+      .mkString("{", ",", "}")
+    val full = jsonLine(results).dropRight(1) +
+      s""","queries_cpu":$cpuMap,"queries_plan_ms":$planMap}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver captures only a BOUNDED TAIL of stdout (~2000 chars) and
