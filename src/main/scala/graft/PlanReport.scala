@@ -169,7 +169,9 @@ object PlanReport {
     "ts_cusum_changepoints" ->
       "CUSUM change-points without recursion: the zero-clamped recursion compiles to prefix-sum MINUS running-min — TWO stacked Window operators over ONE per-meter exchange+sort (the second consumes the first's order; no re-sort), plus one combinable aggregate for the reference mean. The sequential-looking monitor is a plain keyed-window plan.",
     "meter_loss_allocation" ->
-      "Largest-remainder loss allocation: ranking and the balance sum both partition by (zone, hour) — state bounded by meters-per-feeder at any fleet size; the feeder rollup re-aggregates the (zone, hour, meter) frame (no readings rescan), and the final per-meter rollup is map-side combinable.")
+      "Largest-remainder loss allocation: ranking and the balance sum both partition by (zone, hour) — state bounded by meters-per-feeder at any fleet size; the feeder rollup re-aggregates the (zone, hour, meter) frame (no readings rescan), and the final per-meter rollup is map-side combinable.",
+    "quality_classifier_centroid" ->
+      "In-engine trained classifier: the corpus pays ONE map-side-combinable class-sum aggregate (direction) and ONE projection scan against the broadcast 1-row weight frame; the exact-optimal-threshold scan runs on the per-distinct-projection count frame — within-band windows partition by the value-range band, the band-offset window's frame is <=4097 rows BY CONSTRUCTION, and the argmin is a distributed TakeOrderedAndProject. No corpus-sized single-task operator anywhere in a training loop.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -280,6 +280,227 @@ object TextPolicy {
         .unionByName(stageRow(2, "policy_pass", passing))
         .unionByName(stageRow(3, "dedup_keep_first", kept))
         .unionByName(stageRow(4, "decontaminated_train", clean))
+    },
+
+    // ---- MODEL-BASED quality filter TRAINED IN-ENGINE: a nearest-
+    // centroid (Rocchio 1971; Han & Karypis, PKDD 2000) linear text
+    // classifier over fixed-point per-doc features, learning the
+    // Gopher-style keep rule from its own corpus — the classic
+    // "train a quality scorer on your heuristic labels, then apply it"
+    // curation step, with BOTH phases inside the engine. Everything is
+    // exact BIGINT, so both engines land on bit-identical weights:
+    //  - features are ppm/milli-scaled count ratios (the rule's own
+    //    decision variables), bounded ≤ 1e6 per component;
+    //  - the direction is the integer class-mean difference
+    //    d_j = ⌊Σ⁺f_j/n⁺⌋ − ⌊Σ⁻f_j/n⁻⌋ (each term nonnegative, so
+    //    DuckDB // ≡ Spark div), bounded ≤ 1e6 INDEPENDENT OF CORPUS
+    //    SIZE — projections stay ≤ 5e12 at any row count, which is the
+    //    100 TB overflow story a raw n⁻Σ⁺−n⁺Σ⁻ direction (O(n²)) lacks;
+    //  - the decision threshold is the EXACT empirical-risk minimizer
+    //    over the projection (the optimal 1-D split, i.e. a decision
+    //    stump on the centroid direction), found by counting
+    //    per-projection-value class totals and prefix-summing them.
+    // An iterative batch perceptron was measured first and rejected: the
+    // conjunctive target is non-separable, so the full-batch update
+    // oscillates between near-degenerate states (train acc 0.49-0.51 at
+    // two of three SFs vs 0.90-0.93 here, consistent at every SF).
+    // Scale shape: one map-side-combinable aggregate for the class sums;
+    // one narrow scan against the broadcast 1-row direction for the
+    // projections; the threshold scan is the repo's banded two-level
+    // prefix-sum idiom — per-band windows partition freely and the
+    // band-total rollup is ≤ 4097 rows BY CONSTRUCTION (value-range
+    // bands), so no corpus-sized single-task window exists; the argmin
+    // is a distributed TakeOrderedAndProject.
+    q("quality_classifier_centroid",
+      s"""WITH $classifierSqlCtes
+         |SELECT w.n AS n_docs, w.np AS n_pos,
+         |  CAST(w.d1 AS BIGINT) AS w_words, CAST(w.d2 AS BIGINT) AS w_mwl,
+         |  CAST(w.d3 AS BIGINT) AS w_stop, CAST(w.d4 AS BIGINT) AS w_alpha,
+         |  CAST(w.d5 AS BIGINT) AS w_distinct,
+         |  CAST(best.t AS BIGINT) AS threshold, CAST(best.errs AS BIGINT) AS n_errors,
+         |  CAST(best.errs * 1000000 // w.n AS BIGINT) AS error_ppm
+         |FROM w CROSS JOIN best""".stripMargin) { (s, d) =>
+      val f = classifierFeatures(s, d).localCheckpoint(eager = false)
+      val (w, best) = classifierTrain(f)
+      w.crossJoin(broadcast(best))
+        .select(col("n").as("n_docs"), col("np").as("n_pos"),
+          col("d1").as("w_words"), col("d2").as("w_mwl"),
+          col("d3").as("w_stop"), col("d4").as("w_alpha"),
+          col("d5").as("w_distinct"),
+          col("t").as("threshold"), col("errs").as("n_errors"),
+          expr("errs * 1000000L div n").as("error_ppm"))
+    },
+
+    // ---- The trained filter APPLIED per document: project every doc on
+    // the learned direction and emit prediction vs rule label — the frame
+    // a curation pipeline joins against to route docs, plus the agreement
+    // evidence for how well the linear model captures the conjunctive
+    // rule (0.90-0.93 train accuracy, vs 0.48-0.52 majority class). One
+    // corpus scan against two broadcast 1-row frames after training;
+    // per-row work is a 5-term dot product and a compare.
+    q("quality_classifier_apply",
+      s"""WITH $classifierSqlCtes
+         |SELECT f.doc_id, CAST(f.y AS BIGINT) AS y_rule,
+         |  CAST(CASE WHEN ${classifierProjSql} > best.t THEN 1 ELSE -1 END AS BIGINT)
+         |    AS y_pred,
+         |  CAST(CASE WHEN f.y * (CASE WHEN ${classifierProjSql} > best.t
+         |    THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM f CROSS JOIN w CROSS JOIN best""".stripMargin) { (s, d) =>
+      val f = classifierFeatures(s, d).localCheckpoint(eager = false)
+      val (w, best) = classifierTrain(f)
+      val pred = when(classifierProj > col("t"), 1L).otherwise(-1L)
+      f.crossJoin(broadcast(w)).crossJoin(broadcast(best))
+        .select(col("doc_id"), col("y").as("y_rule"), pred.as("y_pred"),
+          when(col("y") * pred > 0, 1L).otherwise(0L).as("agree"))
     }
   )
+
+  // ---- nearest-centroid classifier building blocks (shared by the
+  // train + apply queries and their oracles; feature order: capped word
+  // count, mean word length, stopword ppm, alpha ppm, distinct ppm) ----
+
+  /** d·f with the direction and feature columns in one flat frame. */
+  private def classifierProj: Column =
+    (1 to 5).map(j => col(s"d$j") * col(s"f$j")).reduce(_ + _)
+
+  private lazy val classifierProjSql: String =
+    (1 to 5).map(j => s"w.d$j * f.f$j").mkString(" + ")
+
+  /** Fixed-point integer features + integer rule label. f1 capped word
+    * count (milli), f2 mean word length (milli), f3 stopword ppm, f4
+    * alpha ppm, f5 distinct-word ppm — the rule's own decision variables
+    * on a common ~1e6 scale (raw counts span 4 orders of magnitude and
+    * drown the ratio features); every floor division has nonnegative
+    * operands, so DuckDB // and Spark div agree. The label is the
+    * Gopher-style conjunction with every fraction threshold
+    * cross-multiplied into BIGINT form (stop ≥ 1/50, alpha ≥ 4/5,
+    * distinct ≥ 3/10 of words) — measured ~50% positive on this corpus. */
+  private def classifierFeatures(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val w = words(col("text"))
+    Tables.documentsParallel(s, d).select(
+      col("doc_id"),
+      size(w).cast("long").as("x1"),
+      length(col("text")).cast("long").as("x2"),
+      size(filter(w, x => stopwords.map(v => x === v).reduce(_ || _)))
+        .cast("long").as("x3"),
+      size(filter(w, _.rlike("^[a-z]+$"))).cast("long").as("x4"),
+      size(array_distinct(w)).cast("long").as("x5"))
+      .select(col("doc_id"),
+        (least(col("x1"), lit(1000L)) * 1000L).as("f1"),
+        expr("x2 * 1000L div x1").as("f2"),
+        expr("x3 * 1000000L div x1").as("f3"),
+        expr("x4 * 1000000L div x1").as("f4"),
+        expr("x5 * 1000000L div x1").as("f5"),
+        when(col("x1").between(50L, 100000L) &&
+          col("x3") * 50 >= col("x1") && col("x4") * 5 >= col("x1") * 4 &&
+          col("x5") * 10 >= col("x1") * 3, 1L).otherwise(-1L).as("y"))
+  }
+
+  private lazy val classifierFeatureSql: String =
+    s"""f0 AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+       |    CAST(len(text) AS BIGINT) AS x2,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inListSql(stopwords)})) AS BIGINT) AS x3,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[a-z]+$$'))) AS BIGINT) AS x4,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x5
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |  LEAST(x1, 1000) * 1000 AS f1, x2 * 1000 // x1 AS f2,
+       |  x3 * 1000000 // x1 AS f3, x4 * 1000000 // x1 AS f4,
+       |  x5 * 1000000 // x1 AS f5,
+       |  CASE WHEN x1 BETWEEN 50 AND 100000 AND x3 * 50 >= x1
+       |    AND x4 * 5 >= x1 * 4 AND x5 * 10 >= x1 * 3 THEN 1 ELSE -1 END AS y
+       |  FROM f0)""".stripMargin
+
+  /** The training CTE chain: class sums → integer-mean direction →
+    * projections → banded prefix-sum threshold scan → argmin. The
+    * sentinel row (t = lo − 1, errs = n⁻) is the predict-everything-
+    * positive candidate the scan's "threshold = some projection value"
+    * form cannot express. */
+  private lazy val classifierSqlCtes: String = {
+    val sp = (1 to 5).map(j => s"CAST(SUM(CASE WHEN y = 1 THEN f$j ELSE 0 END) AS BIGINT) AS sp$j").mkString(",\n  ")
+    val sn = (1 to 5).map(j => s"CAST(SUM(CASE WHEN y = -1 THEN f$j ELSE 0 END) AS BIGINT) AS sn$j").mkString(",\n  ")
+    val dj = (1 to 5).map(j => s"sp$j // np - sn$j // (n - np) AS d$j").mkString(", ")
+    s"""$classifierFeatureSql,
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |  $sp,
+       |  $sn
+       |  FROM f),
+       |w AS (SELECT n, np, n - np AS nn, $dj FROM st),
+       |p AS (SELECT f.y, $classifierProjSql AS proj FROM f CROSS JOIN w),
+       |bounds AS (SELECT MIN(proj) AS lo, MAX(proj) AS hi FROM p),
+       |pv AS (SELECT proj,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |  CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+       |  FROM p GROUP BY proj),
+       |pb AS (SELECT proj, cp, cn,
+       |  (proj - b.lo) // ((b.hi - b.lo) // 4096 + 1) AS band
+       |  FROM pv, bounds b),
+       |l1 AS (SELECT proj, band,
+       |  SUM(cp) OVER (PARTITION BY band ORDER BY proj
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wcp,
+       |  SUM(cn) OVER (PARTITION BY band ORDER BY proj
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wcn
+       |  FROM pb),
+       |bt AS (SELECT band, SUM(cp) AS tcp, SUM(cn) AS tcn FROM pb GROUP BY band),
+       |bo AS (SELECT band,
+       |  COALESCE(SUM(tcp) OVER (ORDER BY band
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ocp,
+       |  COALESCE(SUM(tcn) OVER (ORDER BY band
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ocn
+       |  FROM bt),
+       |cand AS (
+       |  SELECT l1.proj AS t, (bo.ocp + l1.wcp) + (w.nn - (bo.ocn + l1.wcn)) AS errs
+       |  FROM l1 JOIN bo USING (band) CROSS JOIN w
+       |  UNION ALL SELECT b.lo - 1, w.nn FROM bounds b CROSS JOIN w),
+       |best AS (SELECT t, errs FROM cand ORDER BY errs, t LIMIT 1)""".stripMargin
+  }
+
+  /** Train on a feature frame: returns (direction row `w`: n/np/nn/d1-d5,
+    * argmin row `best`: threshold t + its training error count). Spark
+    * twin of [[classifierSqlCtes]]; the band-offset window's
+    * `pmod(band, 1)` key is the repo's bounded-single-task idiom — the
+    * band-total frame is ≤ 4097 rows by construction. */
+  private def classifierTrain(f: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val stAggs: Seq[Column] =
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np") +:
+        ((1 to 5).map(j => sum(when(col("y") === 1L, col(s"f$j")).otherwise(0L)).as(s"sp$j")) ++
+          (1 to 5).map(j => sum(when(col("y") === -1L, col(s"f$j")).otherwise(0L)).as(s"sn$j")))
+    val st = f.agg(count(lit(1)).as("n"), stAggs: _*)
+    val w = st.select(col("n") +: col("np") +: (col("n") - col("np")).as("nn") +:
+      (1 to 5).map(j => expr(s"sp$j div np - sn$j div (n - np)").as(s"d$j")): _*)
+    val p = f.crossJoin(broadcast(w)).select(col("y"), classifierProj.as("proj"))
+    val bounds = p.agg(min(col("proj")).as("lo"), max(col("proj")).as("hi"))
+    val pv = p.groupBy(col("proj")).agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("cp"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("cn"))
+    val pb = pv.crossJoin(broadcast(bounds))
+      .withColumn("band", expr("(proj - lo) div ((hi - lo) div 4096 + 1)"))
+    val inBand = Window.partitionBy(col("band")).orderBy(col("proj"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val l1 = pb
+      .withColumn("wcp", sum(col("cp")).over(inBand))
+      .withColumn("wcn", sum(col("cn")).over(inBand))
+      .select(col("proj"), col("band"), col("wcp"), col("wcn"))
+    val bt = pb.groupBy(col("band"))
+      .agg(sum(col("cp")).as("tcp"), sum(col("cn")).as("tcn"))
+    val overBands = Window.partitionBy(pmod(col("band"), lit(1L)))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bo = bt.select(col("band"),
+      coalesce(sum(col("tcp")).over(overBands), lit(0L)).as("ocp"),
+      coalesce(sum(col("tcn")).over(overBands), lit(0L)).as("ocn"))
+    val nn1 = w.select(col("nn"))
+    val cand = l1.join(bo, Seq("band")).crossJoin(broadcast(nn1))
+      .select(col("proj").as("t"),
+        (col("ocp") + col("wcp") + (col("nn") - (col("ocn") + col("wcn")))).as("errs"))
+      .unionByName(bounds.crossJoin(broadcast(nn1))
+        .select((col("lo") - 1L).as("t"), col("nn").as("errs")))
+    val best = cand.orderBy(col("errs"), col("t")).limit(1)
+    (w, best)
+  }
 }

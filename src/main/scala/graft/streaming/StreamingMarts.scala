@@ -216,6 +216,12 @@ object StreamingMarts {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, _: Long) =>
+        // An empty micro-batch touches no partition, so the whole refresh
+        // is a no-op — and sources that start ahead of their data (the
+        // rate source's batch 0, a file source on an empty dir) emit one:
+        // without this guard the bronze dir does not exist yet and the
+        // read below kills the query with UNABLE_TO_INFER_SCHEMA.
+        if (!df.isEmpty) {
         Ingest.idempotentAppend(df, bronzeDir)
         val spark = df.sparkSession
         val touched = df
@@ -231,6 +237,7 @@ object StreamingMarts {
           graft.meter.Marts.factCustomerBillingDaily(
             sliceInput, meters, customers, tariff),
           martDir, "billing_date")
+        }
       }
       .start()
 }

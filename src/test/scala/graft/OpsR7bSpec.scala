@@ -135,4 +135,37 @@ class OpsR7bSpec extends SparkSpec {
       assert(expanded === raw(m), s"meter $m reconstruction")
     }
   }
+
+  test("randomized response: mechanism flips a real minority, estimator recovers prevalence") {
+    val r = run("privacy_randomized_response").head
+    val n = r.getAs[Long]("n")
+    val reported = r.getAs[Long]("reported_yes")
+    val trueYes = r.getAs[Long]("true_yes")
+    // the estimator the query publishes must be the Warner closed form
+    // of its own aggregate (exact-integer recompute)
+    val est = math.min(math.max(8 * reported - n, 0L) * 1000000L / (6 * n), 1000000L)
+    assert(r.getAs[Long]("est_ppm") === est)
+    assert(r.getAs[Long]("true_ppm") === trueYes * 1000000L / n)
+    assert(r.getAs[Long]("within_5pp") === 1L,
+      "estimate drifted more than 5pp from ground truth")
+    // plausible deniability is real: some individuals' reports must
+    // differ from their sensitive bit — recompute per-individual reports
+    // from the same keyed hash and count actual flips (expected ~1/8 of
+    // respondents: the 1/4 dishonest arm times the 1/2 opposite coin)
+    val f = ops.Tables.customer(spark, sf0001).select(
+      when(ops.Tables.cents(col("c_acctbal")) > 500000L, 1L).otherwise(0L).as("b"),
+      graft.functions.Md5Prefix64(
+        concat(lit("rr:v1:"), col("c_custkey").cast("string"))).as("h"))
+    val flips = f.filter(
+      pmod(col("h"), lit(4L)) >= 3 &&
+        pmod(expr("h div 4"), lit(2L)) =!= col("b")).count()
+    assert(flips > 0, "mechanism never flipped a report — no deniability")
+    assert(flips < n / 4, s"flips $flips exceed the dishonest-arm bound ${n / 4}")
+    // and the flip accounting closes: reported = true - flips(1->0) + flips(0->1)
+    val oneToZero = f.filter(pmod(col("h"), lit(4L)) >= 3 &&
+      col("b") === 1L && pmod(expr("h div 4"), lit(2L)) === 0L).count()
+    val zeroToOne = f.filter(pmod(col("h"), lit(4L)) >= 3 &&
+      col("b") === 0L && pmod(expr("h div 4"), lit(2L)) === 1L).count()
+    assert(reported === trueYes - oneToZero + zeroToOne)
+  }
 }

@@ -92,4 +92,75 @@ class TextPolicySpec extends SparkSpec {
       assert(df.filter(col("q_max") < col("q_min")).count() === 0)
     } finally df.unpersist()
   }
+
+  test("centroid classifier: train error count equals apply disagreement; model beats majority class") {
+    val train = run("quality_classifier_centroid").head
+    val apply = run("quality_classifier_apply").cache()
+    try {
+      val n = train.getAs[Long]("n_docs")
+      val nPos = train.getAs[Long]("n_pos")
+      val nErr = train.getAs[Long]("n_errors")
+      // the two queries share training, so the reported training error
+      // must equal the per-doc disagreement count exactly
+      val disagree = apply.filter(col("agree") === 0).count()
+      assert(nErr === disagree, s"train says $nErr errors, apply says $disagree")
+      assert(apply.count() === n)
+      // the learned filter must genuinely beat the majority-class
+      // baseline (otherwise it is a degenerate one-class predictor —
+      // the failure mode that disqualified the batch perceptron)
+      val majorityErr = math.min(nPos, n - nPos)
+      assert(nErr < majorityErr,
+        s"model errs $nErr >= majority-class baseline $majorityErr")
+      assert(train.getAs[Long]("error_ppm") <= 200000L,
+        "training accuracy fell below 0.8")
+      // predictions are strictly ±1 and agree is their match indicator
+      assert(apply.filter(!col("y_pred").isin(1L, -1L)).count() === 0)
+      assert(apply.filter(col("agree") =!=
+        when(col("y_pred") === col("y_rule"), 1L).otherwise(0L)).count() === 0)
+    } finally apply.unpersist()
+  }
+
+  test("centroid classifier: shipped threshold is the exact empirical-risk minimizer") {
+    // brute-force twin at sf0.001: for every candidate threshold (each
+    // distinct projection + the all-positive sentinel), recount errors
+    // driver-side and confirm the banded prefix-sum scan picked the
+    // minimum (ties broken toward the smallest threshold)
+    val train = run("quality_classifier_centroid").head
+    val apply = run("quality_classifier_apply")
+    val t = train.getAs[Long]("threshold")
+    val nErr = train.getAs[Long]("n_errors")
+    // recover each doc's projection side from its prediction: y_pred=+1
+    // iff proj > t, so reconstruct (y_rule, proj) directly instead —
+    // recompute projections from the published weights and raw features
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+    val w = split(col("text"), " ", -1)
+    val x1 = size(w).cast("long")
+    val feats = docs.select(
+      (least(x1, lit(1000L)) * 1000L).as("f1"),
+      (length(col("text")).cast("long") * 1000L / x1).cast("long").as("f2"),
+      (size(filter(w, x => Seq("the", "a", "of", "and").map(v => x === v).reduce(_ || _)))
+        .cast("long") * 1000000L / x1).cast("long").as("f3"),
+      (size(filter(w, _.rlike("^[a-z]+$"))).cast("long") * 1000000L / x1).cast("long").as("f4"),
+      (size(array_distinct(w)).cast("long") * 1000000L / x1).cast("long").as("f5"),
+      x1.as("x1"),
+      (size(filter(w, x => Seq("the", "a", "of", "and").map(v => x === v).reduce(_ || _))))
+        .cast("long").as("x3"),
+      size(filter(w, _.rlike("^[a-z]+$"))).cast("long").as("x4"),
+      size(array_distinct(w)).cast("long").as("x5"))
+    val proj = Seq("f1", "f2", "f3", "f4", "f5").zip(
+      Seq("w_words", "w_mwl", "w_stop", "w_alpha", "w_distinct"))
+      .map { case (f, wn) => col(f) * lit(train.getAs[Long](wn)) }.reduce(_ + _)
+    val y = when(col("x1").between(50L, 100000L) &&
+      col("x3") * 50 >= col("x1") && col("x4") * 5 >= col("x1") * 4 &&
+      col("x5") * 10 >= col("x1") * 3, 1L).otherwise(-1L)
+    val py = feats.select(proj.as("proj"), y.as("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def errsAt(thr: Long): Long =
+      py.count { case (p, yy) => if (p > thr) yy == -1L else yy == 1L }.toLong
+    assert(errsAt(t) === nErr, "reported error count disagrees with brute force")
+    val cands = py.map(_._1).distinct :+ (py.map(_._1).min - 1)
+    val bruteBest = cands.map(c => (errsAt(c), c)).min
+    assert((nErr, t) === bruteBest,
+      s"scan picked ($nErr, $t) but brute force found $bruteBest")
+  }
 }

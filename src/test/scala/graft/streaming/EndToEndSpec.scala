@@ -89,6 +89,14 @@ class EndToEndSpec extends SparkSpec {
       MeterGen.tariffRates(spark), s"$dir/bronze", s"$dir/mart", s"$dir/ckpt",
       Trigger.ProcessingTime("1 second"))
     try {
+      // an empty batch 0 (what the rate source emits before its first
+      // interval elapses) must be a no-op, not an UNABLE_TO_INFER_SCHEMA
+      // crash from reading the not-yet-created bronze dir
+      mem.addData(Seq.empty[String])
+      q.processAllAvailable()
+      assert(q.isActive, "empty first micro-batch killed the refresh query")
+      assert(!Files.exists(java.nio.file.Paths.get(s"$dir/bronze")))
+
       mem.addData(w1)
       q.processAllAvailable()
       def mtimes(day: String) =
