@@ -21,7 +21,8 @@ object SparkEntry {
       llm.TrainingPipeline.all ++ llm.CorpusSignals.all ++
       llm.Search.all ++ graph.GraphOps.all ++
       streaming.IngestBench.all ++ sources.Formats.all :+
-      sources.VecStore.probeQuery :+ sources.PostingStore.probeQuery
+      sources.VecStore.probeQuery :+ sources.PostingStore.probeQuery :+
+      sources.ErasureStore.eraseQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

@@ -1,0 +1,133 @@
+package graft.sources
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten over an on-disk corpus with BOUNDED rewrite: a
+  * document store laid out for O(|request|) targeted deletion instead of
+  * O(corpus) — the data-governance twin of the reference's retention
+  * workflow (`TimescaleDB drop_chunks`, `01_create_schema.sql:126-136`
+  * segmentby discipline), applied to the erasure axis a training-data
+  * pipeline is legally bound to (GDPR Art. 17 / CCPA deletion requests
+  * against landed corpora).
+  *
+  * Layout contract: `dir/bucket=<h>/` with `h = md5prefix64(doc_id) mod
+  * 16` — the SAME arithmetic-bucket discipline as [[PostingStore]] (hash
+  * buckets, not per-key dirs: small-files-aware, skew-free). Because the
+  * bucket of every requested id is an arithmetic constant of the request
+  * (computed driver-side, no scan), an erase:
+  *
+  *  - READS only the affected bucket directories (static PartitionFilter
+  *    — at 16 buckets a 1-id request touches 1/16th of the store; a
+  *    production store scales NBuckets with corpus size so the rewrite
+  *    stays a constant fraction);
+  *  - REWRITES only those buckets (dynamic partition overwrite, the
+  *    [[Store.refreshMartPartitions]] idiom), leaving every other bucket
+  *    directory byte-identical — ErasureSpec asserts untouched-partition
+  *    files by modification time AND content;
+  *  - is IDEMPOTENT: replaying a request rewrites the same kept rows, so
+  *    a crashed erase is simply re-run (the one crash window — a bucket
+  *    fully emptied by the request is deleted AFTER the kept-row write —
+  *    re-erases to completion for the same reason).
+  *
+  * Scale shape: per request, cost = |affected buckets| × bucket size —
+  * never a corpus scan, never a corpus shuffle (the kept rows shuffle
+  * only to re-cluster one file per rewritten bucket). The request-side
+  * frame is broadcast (deletion requests are human-scale); the only
+  * driver-side data access is the ≤ NBuckets-row distinct of remaining
+  * bucket ids, bounded by construction.
+  */
+object ErasureStore {
+
+  val NBuckets = 16
+
+  /** Bucket of an id, engine-side. */
+  def bucketCol(id: Column): Column =
+    pmod(graft.functions.Md5Prefix64(id.cast("string")), lit(NBuckets.toLong))
+
+  /** Bucket of an id, driver-side — bit-identical to [[bucketCol]] (the
+    * arithmetic bucket contract: request buckets are computed WITHOUT
+    * touching the store). */
+  def bucketOf(id: Long): Long =
+    graft.functions.Md5Prefix64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString)) % NBuckets
+
+  /** Land `docs` (must carry a BIGINT `doc_id`) bucket-partitioned,
+    * clustered one file per bucket (the [[VecStore.append]] small-files
+    * rule). */
+  def build(docs: DataFrame, dir: String): Unit =
+    docs
+      .withColumn("bucket", bucketCol(col("doc_id")))
+      .repartition(NBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Erase every row whose `doc_id` is in `ids`. Returns the number of
+    * rows actually removed (absent ids are a no-op — erasure requests
+    * routinely name already-gone or never-landed ids). */
+  def eraseByIds(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    // request-side constants: the affected buckets, driver arithmetic
+    val affected = ids.map(bucketOf).distinct
+    val reqDf = ids.toDF("doc_id")
+    // static PartitionFilter — only affected bucket dirs are listed
+    val slice = spark.read.parquet(dir)
+      .filter(col("bucket").isin(affected: _*))
+    val erased = slice.join(broadcast(reqDf), Seq("doc_id"), "left_semi").count()
+    if (erased == 0L) return 0L
+    val kept = slice.join(broadcast(reqDf), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true) // sever lineage from the files about to be replaced
+    Store.refreshMartPartitions(kept, dir, "bucket")
+    // a bucket whose every row was erased writes no partition above and
+    // would silently keep its old files — remove those dirs explicitly
+    // (bounded driver work: ≤ NBuckets ids compared)
+    val remaining = kept.select(col("bucket").cast("long")).distinct()
+      .as[Long].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(remaining).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"), true)
+    }
+    erased
+  }
+
+  /** The fixed deletion request the registered query replays: every id
+    * divisible by 37 in a range safely covering all shipped SFs — most
+    * are absent at small SFs, which is itself part of the semantics
+    * (erasing a never-landed id must be a clean no-op). */
+  val EraseIds: Seq[Long] = 0L until 100000L by 37L
+
+  /** Per-(JVM, dataset) store roots — built once, erased idempotently on
+    * every query invocation (bench reps re-drive the pruned-rewrite path
+    * against an already-erased store: same result, same code path). */
+  private val built = scala.collection.mutable.Map.empty[String, String]
+  private lazy val root: String =
+    s"${sys.props("java.io.tmpdir")}/graft_erasure/${java.util.UUID.randomUUID()}"
+
+  private def storeDir(s: SparkSession, d: String): String =
+    built.synchronized {
+      built.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        build(Tables.documentsParallel(s, d), dir)
+        dir
+      })
+    }
+
+  /** The erase driven end-to-end as a registered query: land the corpus
+    * bucket-partitioned, replay the fixed deletion request, and answer
+    * from the post-erase store — the oracle states the surviving set
+    * declaratively, so the hash gate proves the rewrite removed exactly
+    * the requested rows and nothing else. */
+  lazy val eraseQuery: GraftQuery = q("doc_erase_rewrite",
+    """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 37 <> 0""".stripMargin) { (s, d) =>
+    val dir = storeDir(s, d)
+    eraseByIds(s, dir, EraseIds)
+    s.read.parquet(dir).select(col("doc_id"), col("source"), col("n_chars"))
+  }
+}
