@@ -18,6 +18,7 @@ object MeterPipeline {
   private val NIntervals = 192L // 2 days on the 15-min grid (day-boundary coverage)
   private val NDim = 1000L
   private val NIntervalsCbl = 480L // 5 days: 4 baseline days + 1 event day
+  private val NIntervalsWx = 2880L // 30 days: a degree-day regression month
 
   private def billingMartOf(s: SparkSession, stgSlice: DataFrame): DataFrame =
     Marts.factCustomerBillingDaily(stgSlice,
@@ -668,6 +669,120 @@ object MeterPipeline {
           (expr("cast(n * sxy - sx * sy as double)")
             / (sqrt(expr("cast(n * sxx - sx * sx as double)"))
                * sqrt(expr("cast(n * syy - sy * sy as double)")))).as("corr"))
+    },
+
+    // ---- WEATHER NORMALIZATION (PRISM, Fels 1986, Energy & Buildings 9;
+    // the utility-standard degree-day regression behind every
+    // energy-efficiency program evaluation): regress each meter's daily
+    // consumption on heating degree-days over a 30-day window, yielding
+    // the weather-sensitive slope (mWh per degree-day) and the
+    // weather-independent base intercept. Daily temperature derives from
+    // the same md5 hash family as every other synthetic input, so both
+    // engines see the identical weather series without any weather table.
+    // All arithmetic is the Pearson-moment discipline
+    // (`meter_zone_profile_corr`): five exact-BIGINT sums per meter, then
+    // ONE integer division per coefficient — plain Spark `div`, because
+    // DuckDB's integer-integer `//` TRUNCATES toward zero exactly like
+    // div (measured in r7; numerators here go negative on weather-
+    // insensitive meters, so the direction matters). Scale shape: one staged pass →
+    // per-(meter, day) aggregate (windows bounded by 96 rows/meter-day
+    // upstream in staging), a broadcast join against the ≤31-row weather
+    // frame, and a map-side-combinable per-meter moment aggregate — no
+    // corpus-wide shuffle beyond the daily rollup.
+    q("meter_weather_normalize", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervalsWx)},
+         |day AS (
+         |  SELECT meter_id, CAST(reading_timestamp AS DATE) AS d,
+         |    CAST(SUM(GREATEST(consumption_delta_mwh, 0)) AS BIGINT) AS y
+         |  FROM stg GROUP BY 1, 2),
+         |wx AS (
+         |  SELECT d, GREATEST(18 - (${graft.llm.TextHash.h64Sql("'wx:v1:' || CAST(d AS VARCHAR)")} % 35 - 5), 0) AS hdd
+         |  FROM (SELECT DISTINCT d FROM day)),
+         |m AS (
+         |  SELECT meter_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(hdd) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(hdd * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(hdd * hdd) AS BIGINT) AS sxx
+         |  FROM day JOIN wx USING (d) GROUP BY 1)
+         |SELECT meter_id, n AS n_days, sy AS total_mwh,
+         |  CAST((n * sxy - sx * sy) * 1000000 // GREATEST(n * sxx - sx * sx, 1) AS BIGINT)
+         |    AS hdd_slope_ppm,
+         |  CAST((sy * sxx - sx * sxy) * 1000 // GREATEST(n * sxx - sx * sx, 1) AS BIGINT)
+         |    AS base_intercept_milli
+         |FROM m""".stripMargin
+    }) { (s, _) =>
+      val day = Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervalsWx))
+        .groupBy(col("meter_id"), to_date(col("reading_timestamp")).as("d"))
+        .agg(sum(greatest(col("consumption_delta_mwh"), lit(0L))).as("y"))
+      val wx = day.select(col("d")).distinct()
+        .withColumn("t",
+          pmod(graft.llm.TextHash.h64(concat(lit("wx:v1:"), col("d").cast("string"))),
+            lit(35L)) - 5L)
+        .select(col("d"), greatest(lit(18L) - col("t"), lit(0L)).as("hdd"))
+      day.join(broadcast(wx), Seq("d"))
+        .groupBy(col("meter_id"))
+        .agg(count(lit(1)).as("n"), sum(col("hdd")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("hdd") * col("y")).as("sxy"),
+          sum(col("hdd") * col("hdd")).as("sxx"))
+        .select(col("meter_id"), col("n").as("n_days"), col("sy").as("total_mwh"),
+          expr("(n * sxy - sx * sy) * 1000000L div greatest(n * sxx - sx * sx, 1L)")
+            .as("hdd_slope_ppm"),
+          expr("(sy * sxx - sx * sxy) * 1000L div greatest(n * sxx - sx * sx, 1L)")
+            .as("base_intercept_milli"))
+    },
+
+    // ---- OUTAGE / COMPLETENESS AUDIT — the data-completeness report an
+    // MDM runs nightly against the expected register grid (the reference
+    // asserts not-null on what ARRIVED; this audits what DIDN'T):
+    // deterministically drop ~5% of the generated readings (the same
+    // hash-coin family as every synthetic input, so both engines see the
+    // identical missingness), then per meter report received/missing
+    // counts, completeness ppm, and the interior gap structure via
+    // gaps-and-islands on the 15-minute grid (LAG of the epoch second,
+    // runs > 900 s are outages). Scale shape: a narrow filter on the
+    // reading scan, ONE per-meter window (state bounded by readings per
+    // meter), one combinable aggregate — no joins at all.
+    q("meter_outage_intervals", {
+      s"""WITH ${MeterSql.readingsCtes(NMeters, NIntervals)},
+         |kept AS (
+         |  SELECT meter_id, reading_timestamp
+         |  FROM readings
+         |  WHERE ${graft.llm.TextHash.h64Sql(
+              "'out:v1:' || CAST(meter_id AS VARCHAR) || ':' || " +
+                "CAST(CAST(epoch(reading_timestamp) AS BIGINT) AS VARCHAR)")} % 20 <> 0),
+         |d AS (
+         |  SELECT meter_id,
+         |    CAST(epoch(reading_timestamp) AS BIGINT)
+         |      - lag(CAST(epoch(reading_timestamp) AS BIGINT))
+         |        OVER (PARTITION BY meter_id ORDER BY reading_timestamp) AS gap_s
+         |  FROM kept)
+         |SELECT meter_id, CAST(COUNT(*) AS BIGINT) AS n_readings,
+         |  CAST($NIntervals - COUNT(*) AS BIGINT) AS n_missing,
+         |  CAST(COUNT(*) * 1000000 // $NIntervals AS BIGINT) AS completeness_ppm,
+         |  CAST(COUNT(CASE WHEN gap_s > 900 THEN 1 END) AS BIGINT) AS n_gaps,
+         |  CAST(COALESCE(MAX(gap_s // 900 - 1), 0) AS BIGINT) AS longest_gap_intervals
+         |FROM d GROUP BY 1""".stripMargin
+    }) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val kept = MeterGen.readings(s, NMeters, NIntervals)
+        .select(col("meter_id"), col("reading_timestamp"))
+        .filter(pmod(graft.llm.TextHash.h64(
+          concat(lit("out:v1:"), col("meter_id").cast("string"), lit(":"),
+            unix_timestamp(col("reading_timestamp")).cast("string"))),
+          lit(20L)) =!= 0L)
+      val byMeter = Window.partitionBy(col("meter_id"))
+        .orderBy(col("reading_timestamp"))
+      kept
+        .withColumn("gap_s",
+          unix_timestamp(col("reading_timestamp"))
+            - lag(unix_timestamp(col("reading_timestamp")), 1).over(byMeter))
+        .groupBy(col("meter_id"))
+        .agg(count(lit(1)).as("n_readings"),
+          (lit(NIntervals) - count(lit(1))).as("n_missing"),
+          expr(s"count(1) * 1000000L div $NIntervals").as("completeness_ppm"),
+          sum(when(col("gap_s") > 900L, 1L).otherwise(0L)).as("n_gaps"),
+          coalesce(max(expr("gap_s div 900L - 1L")), lit(0L))
+            .as("longest_gap_intervals"))
     }
   )
 }

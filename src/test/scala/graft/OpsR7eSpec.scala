@@ -186,4 +186,76 @@ class OpsR7eSpec extends SparkSpec {
     // all zones share the diurnal cycle: the matrix must not be noise
     assert(got.valuesIterator.exists { case (_, _, c) => c > 0.8 })
   }
+
+  test("weather normalization: bit-equal to a driver OLS recompute over the hash-derived weather") {
+    // rebuild the per-(meter, day) clamped daily sums with the engine's
+    // own staging, then run the ENTIRE regression driver-side — hash
+    // temperature, degree days, moments, truncating divisions — and
+    // require bit-equality with the query
+    val rows = graft.meter.Staging.stgMeterReadings(
+        graft.meter.MeterGen.readings(spark, 200L, 2880L))
+      .select(col("meter_id").cast("long"),
+        to_date(col("reading_timestamp")).cast("string").as("d"),
+        greatest(col("consumption_delta_mwh"), lit(0L)).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def hdd(d: String): Long =
+      math.max(18L - (sources.PostingStore.h64(s"wx:v1:$d") % 35 - 5), 0L)
+    val expected = rows.groupBy(_._1).map { case (m, rs) =>
+      // keep the date key: mapping to (hdd, sum) pairs would collapse
+      // distinct days that share a degree-day value
+      val daily = rs.groupBy(_._2).toSeq
+        .map { case (d, xs) => (hdd(d), xs.map(_._3).sum) }
+      val n = daily.size.toLong
+      val sx = daily.map(_._1).sum
+      val sy = daily.map(_._2).sum
+      val sxy = daily.map { case (x, y) => x * y }.sum
+      val sxx = daily.map { case (x, _) => x * x }.sum
+      val den = math.max(n * sxx - sx * sx, 1L)
+      m -> ((n, sy, (n * sxy - sx * sy) * 1000000L / den,
+        (sy * sxx - sx * sxy) * 1000L / den))
+    }
+    val got = run("meter_weather_normalize").collect()
+      .map { r =>
+        def l(i: Int) = r.getAs[Number](i).longValue
+        l(0) -> ((l(1), l(2), l(3), l(4)))
+      }.toMap
+    assert(got === expected)
+    // a 30-day window gives every meter a full regression frame, and the
+    // hash weather must actually vary (a constant-HDD month would make
+    // every slope the guarded-zero denominator artifact)
+    assert(got.valuesIterator.forall { case (n, _, _, _) => n === 30L })
+    assert(got.valuesIterator.exists { case (_, _, slope, _) => slope != 0L })
+  }
+
+  test("outage audit: gap structure equals a brute-force recompute of the dropped grid") {
+    // replay the hash drop driver-side over the full expected grid, then
+    // recount gaps sequentially per meter
+    val rows = graft.meter.MeterGen.readings(spark, 200L, 192L)
+      .select(col("meter_id").cast("long"),
+        unix_timestamp(col("reading_timestamp")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = rows.filter { case (m, e) =>
+      sources.PostingStore.h64(s"out:v1:$m:$e") % 20 != 0 }
+    val expected = kept.groupBy(_._1).map { case (m, rs) =>
+      val es = rs.map(_._2).sorted
+      val gaps = es.zip(es.tail).map { case (a, b) => b - a }
+      m -> ((es.size.toLong, 192L - es.size,
+        es.size * 1000000L / 192L,
+        gaps.count(_ > 900L).toLong,
+        if (gaps.isEmpty) 0L else gaps.map(_ / 900L - 1L).max))
+    }
+    val got = run("meter_outage_intervals").collect()
+      .map { r =>
+        def l(i: Int) = r.getAs[Number](i).longValue
+        l(0) -> ((l(1), l(2), l(3), l(4), l(5)))
+      }.toMap
+    assert(got === expected)
+    // the coin really drops ~5%: missingness exists but no meter goes dark
+    assert(got.valuesIterator.forall { case (n, miss, _, _, _) =>
+      n > 150L && miss >= 0L })
+    assert(got.valuesIterator.exists { case (_, _, _, gaps, _) => gaps > 0L })
+    // books close: gaps' interiors never exceed total missing
+    assert(got.valuesIterator.forall { case (_, miss, _, _, longest) =>
+      longest <= miss })
+  }
 }
