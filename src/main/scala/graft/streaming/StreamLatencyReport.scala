@@ -161,7 +161,7 @@ object StreamLatencyReport {
       Seq(10000L, 40000L, 160000L, 640000L).map(("ingest", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+mart", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+cusum", _)) ++
-        Seq(10000L, 40000L, 160000L).map(("ingest+disk-mart", _))
+        Seq(10000L, 40000L, 160000L, 640000L).map(("ingest+disk-mart", _))
     // warm-up: one short throwaway run pays JIT/codegen per shape family
     run(spark, "ingest+mart", 10000L, 6)
     run(spark, "ingest+cusum", 10000L, 6)
