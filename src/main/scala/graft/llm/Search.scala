@@ -24,6 +24,9 @@ object Search {
   private val AndTerms = Seq("data", "join", "scan")
   private val PhraseA = "the"
   private val PhraseB = "data"
+  private val ProxA = "data"
+  private val ProxB = "scan"
+  private val ProxWindow = 4
 
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
@@ -241,6 +244,44 @@ object Search {
       a.join(b, col("b_doc") === col("doc_id") && col("b_pos") === col("pos") + 1)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_occurrences"))
+    },
+
+    // ---- proximity search (sloppy phrase, Lucene's slop / the WITHIN
+    // operator): both terms inside a ±4-token window in either order —
+    // the retrieval mode between boolean-AND (no position constraint)
+    // and exact phrase (distance exactly 1). Same positional postings;
+    // the window predicate rides the (doc, pos) equi-join as a banded
+    // range condition, so per-doc work is bounded by the two terms'
+    // in-doc frequencies (positions per term per doc — single digits in
+    // real corpora), never a corpus-wide product. Emits the pair count
+    // and the closest approach per doc (min distance ranks tighter
+    // matches first, the standard slop-scoring input).
+    q("search_proximity",
+      s"""WITH post AS (
+         |  SELECT doc_id, ws[i] AS term, i AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+         |          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+         |        FROM documents)),
+         |a AS (SELECT doc_id, pos FROM post WHERE term = '$ProxA'),
+         |b AS (SELECT doc_id, pos FROM post WHERE term = '$ProxB')
+         |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(MIN(ABS(b.pos - a.pos)) AS BIGINT) AS min_dist
+         |FROM a JOIN b ON a.doc_id = b.doc_id
+         |  AND ABS(b.pos - a.pos) <= $ProxWindow
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val post = Tables.documentsParallel(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.words(col("text"))).as(Seq("pos0", "term")))
+        .select(col("doc_id"), col("term"), (col("pos0") + 1).as("pos"))
+      val a = post.filter(col("term") === ProxA)
+        .select(col("doc_id"), col("pos"))
+      val b = post.filter(col("term") === ProxB)
+        .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"))
+      a.join(b, col("b_doc") === col("doc_id") &&
+          abs(col("b_pos") - col("pos")) <= ProxWindow)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(abs(col("b_pos") - col("pos"))).cast("long").as("min_dist"))
     }
   )
 }

@@ -215,4 +215,32 @@ class SpanDedupSpec extends SparkSpec {
       assert(tou >= flat * 0.18 / 0.28 - 1e-9 && tou <= flat * 0.35 / 0.28 + 1e-9)
     }
   }
+
+  test("proximity search: equals a brute-force positional scan; bounded by boolean-AND") {
+    val got = run("search_proximity").collect()
+      .map { r =>
+        def l(i: Int) = r.getAs[Number](i).longValue
+        l(0) -> ((l(1), l(2)))
+      }.toMap
+    // brute force: tokenize driver-side, count in-window pairs directly
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val as = ws.zipWithIndex.collect { case ("data", i) => i }
+      val bs = ws.zipWithIndex.collect { case ("scan", i) => i }
+      val pairs = for (a <- as; b <- bs; if math.abs(b - a) <= 4) yield math.abs(b - a)
+      if (pairs.isEmpty) None
+      else Some(id -> ((pairs.length.toLong, pairs.min.toLong)))
+    }.toMap
+    assert(got === expected)
+    // structure: distances in [1, window]; proximity hits are a subset of
+    // the docs containing both terms at any distance
+    assert(got.valuesIterator.forall { case (n, d) => n >= 1L && d >= 1L && d <= 4L })
+    val anyDistance = docs.count { case (_, text) =>
+      val ws = text.split(" ", -1); ws.contains("data") && ws.contains("scan") }
+    assert(got.size <= anyDistance)
+    assert(got.nonEmpty, "window of 4 never fires on this corpus — weak query constants")
+  }
 }
