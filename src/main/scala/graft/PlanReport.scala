@@ -171,7 +171,11 @@ object PlanReport {
     "meter_loss_allocation" ->
       "Largest-remainder loss allocation: ranking and the balance sum both partition by (zone, hour) — state bounded by meters-per-feeder at any fleet size; the feeder rollup re-aggregates the (zone, hour, meter) frame (no readings rescan), and the final per-meter rollup is map-side combinable.",
     "quality_classifier_centroid" ->
-      "In-engine trained classifier: the corpus pays ONE map-side-combinable class-sum aggregate (direction) and ONE projection scan against the broadcast 1-row weight frame; the exact-optimal-threshold scan runs on the per-distinct-projection count frame — within-band windows partition by the value-range band, the band-offset window's frame is <=4097 rows BY CONSTRUCTION, and the argmin is a distributed TakeOrderedAndProject. No corpus-sized single-task operator anywhere in a training loop.")
+      "In-engine trained classifier: the corpus pays ONE map-side-combinable class-sum aggregate (direction) and ONE projection scan against the broadcast 1-row weight frame; the exact-optimal-threshold scan runs on the per-distinct-projection count frame — within-band windows partition by the value-range band, the band-offset window's frame is <=4097 rows BY CONSTRUCTION, and the argmin is a distributed TakeOrderedAndProject. No corpus-sized single-task operator anywhere in a training loop.",
+    "meter_weather_normalize" ->
+      "Degree-day regression: one staged pass feeds the (meter, day) aggregate; the <=31-row hash-weather frame BROADCASTS into the daily join; the per-meter moment aggregate is map-side combinable and each coefficient is a single codegen'd integer division — a fleet-wide regression with no shuffle wider than the daily rollup.",
+    "search_proximity" ->
+      "Proximity (slop) retrieval: both term posting filters evaluate in the SAME projected scan of the positional postings; the +/-window predicate rides the doc_id equi-join as a post-join filter, so the join's build side is one term's postings (tiny) and per-doc work is bounded by in-doc term frequencies.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
