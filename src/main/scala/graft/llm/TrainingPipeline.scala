@@ -32,6 +32,10 @@ object TrainingPipeline {
 
   /** k-anonymity class-size floor (the conventional k=5 audit bar). */
   private val KAnonThreshold = 5L
+
+  /** Temporal-split cutoff: the generated events span 2024-01-01..30 at
+    * every shipped SF, so this lands a ~80/20 train/eval split. */
+  private val TemporalCutoff = "2024-01-25 00:00:00"
   /** l-diversity floor: distinct sensitive values required per QID class. */
   private val LDiversityL = 3L
 
@@ -141,6 +145,51 @@ object TrainingPipeline {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_words"),
           min(col("doc_id")).as("min_doc_id"))
+    },
+
+    // ---- TEMPORAL train/eval split: everything before the cutoff
+    // trains, everything after evaluates — the split a time-stamped
+    // corpus needs for leakage-free evaluation (a hash split like
+    // `split_train_test` lets the model peek at the future). Emits per
+    // split the event/user counts, the hour-truncated time extent (the
+    // gap evidence: max train hour <= min eval hour by construction),
+    // and the cross-split user overlap — users active on both sides are
+    // the remaining leakage surface for user-level features, which is a
+    // property of the DATA a temporal split surfaces rather than hides.
+    // Scale shape: one scan, a map-side split tag, one combinable
+    // aggregate; the overlap is a distinct-key self-join (keys ≪ events)
+    // broadcast back as a 1-row frame.
+    q("split_temporal",
+      s"""WITH e AS (
+         |  SELECT ts, user_id,
+         |    CASE WHEN ts < TIMESTAMP '$TemporalCutoff' THEN 'train' ELSE 'eval' END
+         |      AS split
+         |  FROM events),
+         |o AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS overlap_users FROM (
+         |    SELECT DISTINCT user_id FROM e WHERE split = 'train'
+         |    INTERSECT
+         |    SELECT DISTINCT user_id FROM e WHERE split = 'eval'))
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS min_hour_epoch,
+         |  CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS max_hour_epoch,
+         |  o.overlap_users
+         |FROM e, o GROUP BY split, o.overlap_users""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("ts"), col("user_id"),
+        when(col("ts") < lit(TemporalCutoff).cast("timestamp"), "train")
+          .otherwise("eval").as("split"))
+        .localCheckpoint(eager = false) // one scan feeds splits + overlap
+      val tr = e.filter(col("split") === "train").select(col("user_id")).distinct()
+      val ev = e.filter(col("split") === "eval").select(col("user_id")).distinct()
+      val overlap = tr.join(ev, Seq("user_id"))
+        .agg(count(lit(1)).as("overlap_users"))
+      e.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          unix_timestamp(date_trunc("hour", min(col("ts")))).as("min_hour_epoch"),
+          unix_timestamp(date_trunc("hour", max(col("ts")))).as("max_hour_epoch"))
+        .crossJoin(broadcast(overlap))
     },
 
     // ---- stratified sampling: per-language keep-fractions (downsample

@@ -168,4 +168,26 @@ class OpsR7bSpec extends SparkSpec {
       col("b") === 0L && pmod(expr("h div 4"), lit(2L)) === 1L).count()
     assert(reported === trueYes - oneToZero + zeroToOne)
   }
+
+  test("temporal split: no time leakage, counts partition the table, overlap is exact") {
+    val rows = run("split_temporal").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet === Set("train", "eval"))
+    val (trN, _, _, trMax, ov) = rows("train")
+    val (evN, _, evMin, _, ov2) = rows("eval")
+    // both rows carry the same overlap scalar; the splits partition events
+    assert(ov === ov2)
+    val events = ops.Tables.events(spark, sf0001)
+    assert(trN + evN === events.count())
+    assert(trN > 0 && evN > 0, "cutoff must split the corpus nontrivially")
+    // THE temporal guarantee: every train hour precedes every eval hour
+    assert(trMax <= evMin, s"train extends to $trMax past eval start $evMin")
+    // overlap equals a brute-force user intersect, and bounds hold
+    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+    val tr = events.filter(col("ts") < cutoff).select(col("user_id")).distinct()
+    val ev = events.filter(col("ts") >= cutoff).select(col("user_id")).distinct()
+    assert(ov === tr.intersect(ev).count())
+    assert(ov <= math.min(rows("train")._2, rows("eval")._2))
+  }
 }
