@@ -5,11 +5,25 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark entry point (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
   *
-  * Queries are forced through the `noop` sink — a full materialization of
-  * every output row/column — because `count()` would let Catalyst prune
-  * most of the computation away.
+  * Queries are forced through `QueryExecution.toRdd` — a full
+  * materialization of every output row — because `count()` would let
+  * Catalyst prune most of the computation away. Executing the DataFrame's
+  * OWN QueryExecution (rather than a noop-sink write, which plans a
+  * separate QueryExecution for the write command) means the
+  * QueryPlanningTracker read afterwards covers analysis + optimization +
+  * physical planning of the measured plan — the r8 artifact's
+  * queries_plan_ms silently covered the analysis phase only.
   */
 object Bench {
+  /** A full pass is "clean" when both its bracketing calibration samples
+    * sit within this factor of the run's fastest sample. The within-run
+    * clean band on this host is ~±5% (SCALING.md); 1.396 was the r8
+    * steal that inflated the headline artifact ~30%. */
+  val CleanTol = 1.10
+  /** Bounded retry budget: at most this many extra full passes chasing a
+    * clean bracket before the artifact is marked dirty instead. */
+  val MaxExtraPasses = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,12 +41,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // full materialization of every output row, through the frame's own
+    // QueryExecution (see scaladoc: keeps the planning tracker honest)
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+
     // full untimed warm-up pass: execute EVERY query once so JIT, codegen
     // compilation, classloading, and page-cache priming are paid before any
     // timing starts — round-2's artifact charged 8 s of first-run JIT to
     // whichever queries happened to execute a code path first
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try exec(fn(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
@@ -66,7 +85,7 @@ object Bench {
       val planMs =
         try {
           val df = fn(spark, sfDir)
-          df.write.format("noop").mode("overwrite").save()
+          exec(df)
           df.queryExecution.tracker.phases.values.map(_.durationMs).sum.toDouble
         }
         catch { case e: Throwable =>
@@ -93,41 +112,74 @@ object Bench {
     // warm the calibration loop before the first timed sample — its own
     // JIT costs ~40% of a sample and would always read as "steal"
     calibrate()
-    val calibs = scala.collection.mutable.ArrayBuffer(calibrate())
-    val pass1 = ordered.map { case (n, f) => n -> rep(n, f) }.toMap
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-query best rep so far (min wall; cpu/planning travel with the
+    // winning rep so ratios stay meaningful per entry)
+    val best = scala.collection.mutable.Map.empty[String, (Double, Double, Double)]
+    def merge(n: String, r: (Double, Double, Double)): Unit =
+      if (r._1 >= 0 && best.get(n).forall(_._1 > r._1)) best(n) = r
+    def fullPass(): Unit = ordered.foreach { case (n, f) => merge(n, rep(n, f)) }
+    // STEAL GATE (the r8 headline-artifact finding): the reported numbers
+    // are min-of-reps, so ONE full pass bracketed by clean calibration
+    // samples makes the whole artifact trustworthy — every query's min is
+    // at most its clean-pass time. Track each full pass's bracketing
+    // calibration indices; after the standard schedule, retry whole passes
+    // (bounded) until some full pass is clean, else mark the artifact
+    // DIRTY loudly. r8 shipped 214.8 s at steal 1.396 when the same
+    // registry measured 163.6-177.4 s clean — the gate exists so a driver
+    // artifact can never again misstate the engine silently.
+    val passBrackets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     calibs += calibrate()
-    val pass2 = ordered.map { case (n, f) => n -> rep(n, f) }.toMap
+    fullPass()
     calibs += calibrate()
+    passBrackets += ((0, 1))
+    fullPass()
+    calibs += calibrate()
+    passBrackets += ((1, 2))
     // third sweep only over queries still >= 1 s — the slow tail is where a
-    // polluted rep costs the most headline seconds
-    val slow = ordered.filter { case (n, _) =>
-      val ts = Seq(pass1(n)._1, pass2(n)._1).filter(_ >= 0)
-      ts.nonEmpty && ts.min >= 1.0
-    }
-    val pass3 = slow.map { case (n, f) => n -> rep(n, f) }.toMap
-    // reported time = min wall across reps; reported cpu/planning = that
-    // same rep's (triples stay together so ratios are meaningful per entry)
-    val picked = ordered.map { case (name, _) =>
-      val ts = (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).filter(_._1 >= 0)
-      name -> (if (ts.nonEmpty) ts.minBy(_._1) else (-1.0, -1.0, -1.0))
-    }
+    // polluted rep costs the most headline seconds (partial: not a
+    // clean-gate candidate)
+    ordered.filter { case (n, _) => best.get(n).exists(_._1 >= 1.0) }
+      .foreach { case (n, f) => merge(n, rep(n, f)) }
     calibs += calibrate()
-    val results = picked.map { case (n, (w, _, _)) => n -> w }
+    def bracketRatio(b: (Int, Int)): Double =
+      math.max(calibs(b._1), calibs(b._2)) / calibs.min
+    var extra = 0
+    while (passBrackets.forall(bracketRatio(_) > CleanTol) && extra < MaxExtraPasses) {
+      extra += 1
+      System.err.println(f"[bench] steal gate: no clean full pass yet " +
+        f"(best bracket ${passBrackets.map(bracketRatio).min}%.3f) — retry pass $extra")
+      val lo = calibs.size - 1
+      fullPass()
+      calibs += calibrate()
+      passBrackets += ((lo, calibs.size - 1))
+    }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON ({"value":40,800,...})
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val picked = ordered.map { case (name, _) =>
+      name -> best.getOrElse(name, (-1.0, -1.0, -1.0))
+    }
+    val results = picked.map { case (n, (w, _, _)) => n -> w }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // steal sentinel summary: max/min of the calibration samples. ~1.0 =
-    // quiet host; >>1 = contention during the run (the per-query MINS are
-    // still round-robin-protected, but treat the total with suspicion).
+    // steal_ratio: the CLEANEST full pass's bracket ratio — the trust
+    // metric for a min-of-reps artifact (>= 1 clean pass ⇒ clean mins).
+    // steal_run keeps the old run-wide max/min for full disclosure; the
+    // raw samples are in calib_sec.
+    val stealClean = passBrackets.map(bracketRatio).min
+    val stealRun = if (calibs.min > 0) calibs.max / calibs.min else -1.0
+    val clean = stealClean <= CleanTol
+    if (!clean) System.err.println(
+      s"[bench] DIRTY ARTIFACT: no full pass had a clean calibration " +
+        s"bracket after $extra retries (best ${fmt(stealClean)}); totals " +
+        "overstate the engine — rerun on a quiet host")
     val calibStr = calibs.map(fmt).mkString("[", ",", "]")
-    val steal = fmt(if (calibs.min > 0) calibs.max / calibs.min else -1.0)
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       // nq_shown tells parsers whether `queries` is the complete map or the
       // bounded-stdout headline subset (value/nq always cover ALL queries)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nq_shown":${rs.size},"calib_sec":$calibStr,"steal_ratio":$steal,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nq_shown":${rs.size},"calib_sec":$calibStr,"steal_ratio":${fmt(stealClean)},"steal_run":${fmt(stealRun)},"clean":$clean,"queries":$qs,"sf":"$sfDir"}"""
     }
     // full per-query map → file (always complete), with the min-wall rep's
     // process-cpu seconds alongside each wall time (queries_cpu) — the

@@ -873,7 +873,8 @@ object TrainingPipeline {
     // ---- RANDOMIZED RESPONSE (Warner, JASA 1965 — the local-DP
     // mechanism): each individual reports their sensitive bit honestly
     // with p = 3/4, else a fair coin, giving plausible deniability
-    // (ε = ln 5 local differential privacy at these constants); the
+    // (P(report=1|b=1) = 3/4 + 1/8 = 7/8, P(report=1|b=0) = 1/8, so
+    // ε = ln(7/8 ÷ 1/8) = ln 7 local differential privacy); the
     // aggregate recovers an unbiased prevalence estimate
     // π̂ = (mean(report) − 1/8) / (3/4). Completes the anonymity family
     // with the COLLECTION-side mechanism the k/l/t audits assume was

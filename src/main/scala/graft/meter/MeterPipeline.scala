@@ -184,11 +184,12 @@ object MeterPipeline {
     // frame (≪ readings); the peak hour is a 1-row
     // TakeOrderedAndProject broadcast joined back on the hour key; the
     // own-peak max reuses the same (meter, hour) frame. Exact integer
-    // milliwatts end-to-end, ppm shares by floor division; the GREATEST
-    // clamps keep every // operand nonnegative (staging allows negative
-    // deltas on counter resets, and DuckDB // floors while Spark div
-    // truncates — clamping makes them provably equal, the
-    // meter_demand_charge doctrine), with denominators floored at 1.
+    // milliwatts end-to-end, ppm shares by integer division; DuckDB's
+    // `//` truncates toward zero exactly like Spark div on all integers
+    // (MeterDomainSpec pins -7 div 2 = -3 on both engines), and the
+    // GREATEST clamps additionally keep every operand nonnegative as a
+    // domain guard (shares are defined on nonnegative loads), with
+    // denominators floored at 1.
     q("meter_peak_coincidence", {
       s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
          |mh AS (
@@ -618,11 +619,11 @@ object MeterPipeline {
     // IEEE expression over exactly-equal integers (casts exact below
     // 2^53, sqrt correctly rounded on both engines ⇒ bit-equal, the
     // a_trend_slope_per_meter doctrine). Constant series are excluded by
-    // the zero-variance guard in BOTH twins (E12). The kilo-scaling uses
-    // TRUE floor division on the Spark side — (x - pmod(x, 1000)) div 1000
-    // — because staging allows negative hourly sums (counter resets) and
-    // DuckDB // floors while Spark's div truncates toward zero; the pmod
-    // identity makes the twins equal on ALL integers, not just nonneg.
+    // the zero-variance guard in BOTH twins (E12). The kilo-scaling is
+    // plain Spark `div`, which matches DuckDB's integer `//` on ALL
+    // integers: both TRUNCATE toward zero (-7 // 2 = -3 in DuckDB, same
+    // as Spark -7 div 2 — pinned by MeterDomainSpec's negative-operand
+    // division case), so negative hourly sums (counter resets) agree too.
     q("meter_zone_profile_corr", {
       s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervals)},
          |${MeterSql.metersCte(NMeters)},
@@ -651,8 +652,7 @@ object MeterPipeline {
         .join(broadcast(MeterGen.metersDim(s, NMeters)
           .select(col("meter_id"), col("grid_zone_id").as("zone"))), "meter_id")
         .groupBy(col("zone"), date_trunc("hour", col("reading_timestamp")).as("h"))
-        .agg(expr("(sum(consumption_delta_mwh) - pmod(sum(consumption_delta_mwh), 1000L)) div 1000L")
-          .as("load_k"))
+        .agg(expr("sum(consumption_delta_mwh) div 1000L").as("load_k"))
         .localCheckpoint(eager = false) // both sides of the pair join
       val a = zh.select(col("zone").as("zone_a"), col("h"), col("load_k").as("x"))
       val b = zh.select(col("zone").as("zone_b"), col("h"), col("load_k").as("y"))

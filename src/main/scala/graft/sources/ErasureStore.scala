@@ -94,27 +94,35 @@ object ErasureStore {
     erased
   }
 
-  /** The fixed deletion request the registered query replays: every id
-    * divisible by 37 in a range safely covering all shipped SFs — most
-    * are absent at small SFs, which is itself part of the semantics
-    * (erasing a never-landed id must be a clean no-op). */
-  val EraseIds: Seq[Long] = 0L until 100000L by 37L
+  /** The deletion request the registered query replays: every id
+    * divisible by 37 up to (and safely past) the CORPUS's own max doc_id
+    * — the bound is derived from the data at build time, not assumed, so
+    * a dataset with larger ids cannot silently diverge from the oracle's
+    * "all doc_id % 37 = 0" predicate (the r8 advisory: a fixed 100000
+    * ceiling held only by a comment-level invariant). Ids past the data
+    * max are still included (rounded up a full stride) because erasing a
+    * never-landed id must be a clean no-op — part of the semantics. */
+  def eraseIdsUpTo(maxId: Long): Seq[Long] = 0L to (maxId + 37L) by 37L
 
-  /** Per-(JVM, dataset) store roots — built once, erased idempotently on
-    * every query invocation (bench reps re-drive the pruned-rewrite path
-    * against an already-erased store: same result, same code path). */
-  private val built = scala.collection.mutable.Map.empty[String, String]
+  /** Per-(JVM, dataset) store roots + corpus max doc_id — built once,
+    * erased idempotently on every query invocation (bench reps re-drive
+    * the pruned-rewrite path against an already-erased store: same
+    * result, same code path). */
+  private val built = scala.collection.mutable.Map.empty[String, (String, Long)]
   private lazy val root: String =
     s"${sys.props("java.io.tmpdir")}/graft_erasure/${java.util.UUID.randomUUID()}"
 
-  private def storeDir(s: SparkSession, d: String): String =
+  private def storeDir(s: SparkSession, d: String): (String, Long) =
     built.synchronized {
       built.getOrElseUpdate(d, {
         val dir = s"$root/${new java.io.File(d).getName}"
         val path = new org.apache.hadoop.fs.Path(dir)
         path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
-        build(Tables.documentsParallel(s, d), dir)
-        dir
+        val docs = Tables.documentsParallel(s, d)
+        build(docs, dir)
+        // 1-row agg at build time: the request bound below derives from it
+        val maxId = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+        (dir, maxId)
       })
     }
 
@@ -126,8 +134,8 @@ object ErasureStore {
   lazy val eraseQuery: GraftQuery = q("doc_erase_rewrite",
     """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
       |FROM documents WHERE doc_id % 37 <> 0""".stripMargin) { (s, d) =>
-    val dir = storeDir(s, d)
-    eraseByIds(s, dir, EraseIds)
+    val (dir, maxId) = storeDir(s, d)
+    eraseByIds(s, dir, eraseIdsUpTo(maxId))
     s.read.parquet(dir).select(col("doc_id"), col("source"), col("n_chars"))
   }
 }

@@ -15,6 +15,24 @@ class MeterDomainSpec extends SparkSpec {
   private lazy val readings = MeterGen.readings(spark, 20, 96).cache()
   private lazy val stg = Staging.stgMeterReadings(readings)
 
+  test("integer division semantics: Spark div TRUNCATES toward zero on negatives (= DuckDB //)") {
+    // Pins the cross-engine claim every kilo-scaled oracle twin rests on
+    // (meter_zone_profile_corr, meter_weather_normalize, peak ppm shares):
+    // DuckDB's integer `//` truncates toward zero (-7 // 2 = -3, verified
+    // against DuckDB 1.0.0 in the r8 advisory), and Spark's `div` must
+    // match on ALL integers — a floor-division formulation would differ
+    // by 1 on every negative numerator. pmod stays nonneg by contrast.
+    val r = spark.sql(
+      """SELECT -7L div 2L AS a, 7L div -2L AS b, -7L div -2L AS c,
+        |  7L div 2L AS d, pmod(-7L, 2L) AS p, -1L div 1000L AS k""".stripMargin).head()
+    assert(r.getAs[Long]("a") == -3L) // truncation; floor would be -4
+    assert(r.getAs[Long]("b") == -3L)
+    assert(r.getAs[Long]("c") == 3L)
+    assert(r.getAs[Long]("d") == 3L)
+    assert(r.getAs[Long]("p") == 1L) // pmod is the nonneg remainder
+    assert(r.getAs[Long]("k") == 0L) // kilo-scaling: -1 div 1000 = 0, not -1
+  }
+
   test("dims: row counts, PK uniqueness, accepted values (dbt test parity)") {
     val zones = MeterGen.gridZones(spark)
     assert(zones.count() == 20)

@@ -62,4 +62,29 @@ class PlanGuardSpec extends SparkSpec {
       s"bare global windows in: ${offenders.mkString(", ")} — key the window " +
         "with pmod(col, lit(1)) if the single task is deliberate and bounded")
   }
+
+  test("no source file — main OR test — builds an unpartitioned Window spec") {
+    // The logical-plan sweep above only sees registered queries; test
+    // suites build their own frames and emitted six `WindowExec: No
+    // Partition Defined` warnings in r8's test log (ScaleSpec's chunk
+    // prefix-sum). This grep-level tripwire covers every .scala file:
+    // a Window builder whose FIRST call is orderBy has an empty
+    // partitionSpec by construction. Deliberate bounded single-task
+    // windows must carry the pmod(col, lit(1)) key like main source.
+    val bare = java.util.regex.Pattern.compile("""Window\s*\.\s*orderBy""")
+    def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isDirectory).flatMap(scalaFiles) ++
+        kids.filter(f => f.isFile && f.getName.endsWith(".scala"))
+    }
+    val offenders = scalaFiles(new java.io.File("src")).flatMap { f =>
+      val text = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (bare.matcher(text).find()) Some(f.getPath) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window specs in: ${offenders.mkString(", ")} — " +
+        "partitionBy(pmod(col, lit(1))) if the single task is deliberate")
+  }
 }
