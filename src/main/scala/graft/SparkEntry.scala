@@ -22,7 +22,7 @@ object SparkEntry {
       llm.Search.all ++ graph.GraphOps.all ++
       streaming.IngestBench.all ++ sources.Formats.all :+
       sources.VecStore.probeQuery :+ sources.PostingStore.probeQuery :+
-      sources.ErasureStore.eraseQuery
+      sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

@@ -338,20 +338,25 @@ object TextPolicy {
     // rule (0.90-0.93 train accuracy, vs 0.48-0.52 majority class). One
     // corpus scan against two broadcast 1-row frames after training;
     // per-row work is a 5-term dot product and a compare.
-    q("quality_classifier_apply",
-      s"""WITH $classifierSqlCtes
-         |SELECT f.doc_id, CAST(f.y AS BIGINT) AS y_rule,
-         |  CAST(CASE WHEN ${classifierProjSql} > best.t THEN 1 ELSE -1 END AS BIGINT)
-         |    AS y_pred,
-         |  CAST(CASE WHEN f.y * (CASE WHEN ${classifierProjSql} > best.t
-         |    THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS agree
-         |FROM f CROSS JOIN w CROSS JOIN best""".stripMargin) { (s, d) =>
+    q("quality_classifier_apply", classifierApplySql) { (s, d) =>
       val f = classifierFeatures(s, d).localCheckpoint(eager = false)
       val (w, best) = classifierTrain(f)
-      val pred = when(classifierProj > col("t"), 1L).otherwise(-1L)
-      f.crossJoin(broadcast(w)).crossJoin(broadcast(best))
-        .select(col("doc_id"), col("y").as("y_rule"), pred.as("y_pred"),
-          when(col("y") * pred > 0, 1L).otherwise(0L).as("agree"))
+      classifierScore(f, broadcast(w).crossJoin(broadcast(best)))
+    },
+
+    // ---- The trained filter applied from PERSISTED weights — the
+    // sim_ivfpq_probe_topk amortized-offline doctrine applied to the
+    // classifier (r8 trained per invocation; doctrinally inconsistent):
+    // training runs ONCE per (JVM, dataset) and lands the 1-row
+    // weights+threshold as parquet; the registered query LOADS that row
+    // (broadcast) and only scores — the apply-time cost a 100 TB curation
+    // pass actually pays (train offline on a sample, score the corpus
+    // with a 5-term integer dot product per row). Same oracle head as
+    // quality_classifier_apply: the hash gate proves the persisted
+    // weights reproduce the inline-trained decision bit-exactly.
+    q("quality_classifier_probe", classifierApplySql) { (s, d) =>
+      val wts = broadcast(s.read.parquet(classifierWeightsDir(s, d)))
+      classifierScore(classifierFeatures(s, d), wts)
     }
   )
 
@@ -362,6 +367,52 @@ object TextPolicy {
   /** d·f with the direction and feature columns in one flat frame. */
   private def classifierProj: Column =
     (1 to 5).map(j => col(s"d$j") * col(s"f$j")).reduce(_ + _)
+
+  /** Shared apply/probe oracle: project on the trained direction, emit
+    * prediction vs rule label + agreement. */
+  private lazy val classifierApplySql: String =
+    s"""WITH $classifierSqlCtes
+       |SELECT f.doc_id, CAST(f.y AS BIGINT) AS y_rule,
+       |  CAST(CASE WHEN ${classifierProjSql} > best.t THEN 1 ELSE -1 END AS BIGINT)
+       |    AS y_pred,
+       |  CAST(CASE WHEN f.y * (CASE WHEN ${classifierProjSql} > best.t
+       |    THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS agree
+       |FROM f CROSS JOIN w CROSS JOIN best""".stripMargin
+
+  /** Score a feature frame against a broadcastable 1-row weights frame
+    * (columns d1..d5 + t): per-row work is a 5-term integer dot product
+    * and a compare — the whole apply path. */
+  private def classifierScore(f: org.apache.spark.sql.DataFrame,
+      weights: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pred = when(classifierProj > col("t"), 1L).otherwise(-1L)
+    f.crossJoin(weights)
+      .select(col("doc_id"), col("y").as("y_rule"), pred.as("y_pred"),
+        when(col("y") * pred > 0, 1L).otherwise(0L).as("agree"))
+  }
+
+  /** Per-JVM scratch root for persisted classifier weights — unique per
+    * process so concurrent JVMs never race, removed at JVM exit. */
+  private lazy val classifierRoot: String =
+    s"${sys.props("java.io.tmpdir")}/graft_qcls/${java.util.UUID.randomUUID()}"
+  private val classifierBuilt = scala.collection.mutable.Map.empty[String, String]
+
+  /** Train-once-per-(JVM, dataset): run [[classifierTrain]] and persist
+    * the single (weights ⨯ threshold) row as parquet; later calls load
+    * it untouched — the offline-training artifact the probe query reads. */
+  private def classifierWeightsDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    classifierBuilt.synchronized {
+      classifierBuilt.getOrElseUpdate(d, {
+        val dir = s"$classifierRoot/${new java.io.File(d).getName}/weights"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val f = classifierFeatures(s, d).localCheckpoint(eager = false)
+        val (w, best) = classifierTrain(f)
+        w.crossJoin(broadcast(best)).coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })
+    }
 
   private lazy val classifierProjSql: String =
     (1 to 5).map(j => s"w.d$j * f.f$j").mkString(" + ")

@@ -1,0 +1,164 @@
+package graft.sources
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.meter.{MeterGen, MeterSql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The [[ErasureStore]] discipline applied to the reference's OWN domain:
+  * a bronze landing store for `raw_meter_readings` laid out for BOTH
+  * governance axes a utility meter-data lake must serve —
+  *
+  *  - **time retention** (TimescaleDB `drop_chunks`,
+  *    `01_create_schema.sql:96-101` 1-day chunking): top-level
+  *    `chunk_date=<d>` partitions, so expiring a day is a driver-side
+  *    directory delete — ZERO rows read, exactly like dropping a chunk;
+  *  - **customer erasure** (GDPR Art. 17 RTBF on the segmentby axis,
+  *    `01_create_schema.sql:126-136` clusters physical layout by
+  *    `meter_id`): second-level `mbucket=<h>` partitions with
+  *    `h = md5prefix64(meter_id) mod NBuckets`, so erasing a meter set
+  *    reads and rewrites ONLY `|affected buckets| / NBuckets` of every
+  *    day — never a corpus scan.
+  *
+  * The composite prune is multiplicative: an erase scoped to a date range
+  * touches `|dates| × |affected buckets|` directories out of
+  * `|all dates| × NBuckets`. Bucket ids of a request are arithmetic
+  * constants computed driver-side (the [[ErasureStore]] contract), so the
+  * read is a static PartitionFilter. Rewrite is dynamic partition
+  * overwrite of only the affected composite partitions; fully-emptied
+  * partitions are deleted explicitly (bounded driver work: the kept
+  * slice's distinct (date, bucket) pairs, ≤ |dates| × NBuckets rows).
+  * Idempotent: replaying a request rewrites the same kept rows.
+  *
+  * At 1M meters × 96 readings/day (BASELINE.md), a bucket-day is ~12 M
+  * rows ≈ one comfortable rewrite task-set; production scales NBuckets
+  * with fleet size so the rewrite unit stays constant, the same rule as
+  * [[ErasureStore]].
+  */
+object MeterBronze {
+
+  val NBuckets = 8
+  /** Same synthetic fleet as the registered meter pipeline queries (the
+    * oracle twin regenerates it via [[MeterSql.readingsCtes]]). */
+  val NMeters = 200L
+  val NIntervals = 192L
+
+  /** Bucket of a meter, engine-side. */
+  def bucketCol(id: Column): Column =
+    pmod(graft.functions.Md5Prefix64(id.cast("string")), lit(NBuckets.toLong))
+
+  /** Bucket of a meter, driver-side — bit-identical to [[bucketCol]]. */
+  def bucketOf(id: Long): Long =
+    graft.functions.Md5Prefix64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString)) % NBuckets
+
+  /** Land readings composite-partitioned, clustered one file per
+    * (date, bucket) partition (the small-files rule). */
+  def build(readings: DataFrame, dir: String): Unit =
+    readings
+      .withColumn("chunk_date", to_date(col("reading_timestamp")))
+      .withColumn("mbucket", bucketCol(col("meter_id")))
+      .repartition(col("chunk_date"), col("mbucket"))
+      .write.mode("overwrite").partitionBy("chunk_date", "mbucket").parquet(dir)
+
+  /** Retention: drop every chunk strictly older than `cutoff`
+    * (ISO date). The `drop_chunks` analogue — a bounded driver-side
+    * directory listing + delete, no data read, no Spark job. Returns the
+    * number of chunks dropped. */
+  def dropChunksBefore(spark: SparkSession, dir: String, cutoff: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("chunk_date="))
+      .filter(_.getPath.getName.stripPrefix("chunk_date=") < cutoff)
+    dropped.foreach(d => fs.delete(d.getPath, true))
+    dropped.size
+  }
+
+  /** Erase every reading of every meter in `ids` (RTBF on the segmentby
+    * axis). Returns rows removed; absent ids are a clean no-op. */
+  def eraseByMeterIds(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    // request-side constants: affected buckets, driver arithmetic
+    val affected = ids.map(bucketOf).distinct
+    val reqDf = ids.toDF("meter_id").select(col("meter_id").cast("int").as("meter_id"))
+    // static PartitionFilter: only affected mbucket dirs listed, all dates
+    val slice = spark.read.parquet(dir)
+      .filter(col("mbucket").isin(affected: _*))
+    val erased = slice.join(broadcast(reqDf), Seq("meter_id"), "left_semi").count()
+    if (erased == 0L) return 0L
+    val kept = slice.join(broadcast(reqDf), Seq("meter_id"), "left_anti")
+      .localCheckpoint(eager = true) // sever lineage from files about to be replaced
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try kept
+      .repartition(col("chunk_date"), col("mbucket"))
+      .write.mode("overwrite").partitionBy("chunk_date", "mbucket").parquet(dir)
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // composite partitions fully emptied by the request write nothing
+    // above and would keep stale files — delete them explicitly. Bounded:
+    // kept pairs ≤ |dates| × NBuckets; affected pairs = listed dates ×
+    // affected buckets (driver fs listing of top-level chunk dirs).
+    val keptPairs = kept
+      .select(col("chunk_date").cast("string"), col("mbucket").cast("long"))
+      .distinct().as[(String, Long)].collect().toSet
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dates = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("chunk_date="))
+      .map(_.stripPrefix("chunk_date="))
+    for (d <- dates; b <- affected if !keptPairs.contains((d, b))) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/chunk_date=$d/mbucket=$b"), true)
+    }
+    erased
+  }
+
+  /** The deletion request the registered query replays: every meter id
+    * divisible by 37 (5 of the 200-meter fleet), rounded a stride past
+    * the fleet so never-landed ids exercise the no-op path. */
+  def eraseIdsUpTo(maxId: Long): Seq[Long] = 0L to (maxId + 37L) by 37L
+
+  /** Per-JVM store root — built once, erased idempotently on every query
+    * invocation (bench reps re-drive the pruned-rewrite path against an
+    * already-erased store: same result, same code path). */
+  private lazy val storeDir: String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_meter_bronze/${java.util.UUID.randomUUID()}"
+    dir
+  }
+  private var built = false
+  private def ensureBuilt(s: SparkSession): String = synchronized {
+    if (!built) {
+      val path = new org.apache.hadoop.fs.Path(storeDir)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+      build(MeterGen.readings(s, NMeters, NIntervals), storeDir)
+      built = true
+    }
+    storeDir
+  }
+
+  /** The erase driven end-to-end as a registered query: land the two-day
+    * fleet composite-partitioned, replay the fixed RTBF request, answer
+    * from the post-erase store — the oracle states the survivor set
+    * declaratively, so the hash gate proves the rewrite removed exactly
+    * the requested meters' readings and nothing else. */
+  lazy val eraseQuery: GraftQuery = q("meter_erase_rewrite",
+    s"""WITH ${MeterSql.readingsCtes(NMeters, NIntervals)}
+       |SELECT reading_timestamp, meter_id, reading_consumption_milliwatts,
+       |  reading_production_milliwatts, status
+       |FROM readings WHERE meter_id % 37 <> 0""".stripMargin) { (s, _) =>
+    val dir = ensureBuilt(s)
+    eraseByMeterIds(s, dir, eraseIdsUpTo(NMeters))
+    s.read.parquet(dir).select(col("reading_timestamp"), col("meter_id"),
+      col("reading_consumption_milliwatts"),
+      col("reading_production_milliwatts"), col("status"))
+  }
+}

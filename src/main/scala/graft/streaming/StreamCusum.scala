@@ -88,4 +88,73 @@ object StreamCusum {
       .transformWithState(
         new CusumProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- fused capacity path ----------------------------------------------
+
+  /** Delta tracking + CUSUM chart in ONE state row. The composed chain
+    * (`detect(streamingDeltas(parsed))`) stacks two keyed stateful
+    * operators: because `groupByKey` keys through an opaque lambda, the
+    * planner cannot see that the delta output is already hash-clustered
+    * by meter, so the second operator plans its OWN Exchange and its own
+    * RocksDB get+put per key per batch. At the reference's 160 K rows/s
+    * anchor that second state hop is exactly the measured capacity gap
+    * (r8 STREAMING_LATENCY `ingest+cusum` proc/input 0.89 vs plain
+    * `ingest` 1.01). Fusing folds the chart into the SAME keyed pass that
+    * computes deltas — one shuffle, one state row (6 BIGINTs), one
+    * get+put — and StreamCusumSpec proves the alert stream is
+    * bit-identical to the composed form under any micro-batching. The
+    * composed form stays as the flexible building block; this is the
+    * deploy-at-capacity shape. */
+  final case class FusedState(
+      lastCons: Long, n: Long, sum: Long, k: Long, s: Long)
+
+  private class FusedProcessor
+      extends StatefulProcessor[Int, Ingest.WireReading, CusumAlert] {
+    @transient private var st: ValueState[FusedState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FusedState](
+        "cusumFused", Encoders.product[FusedState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        meterId: Int,
+        rows: Iterator[Ingest.WireReading],
+        timerValues: TimerValues): Iterator[CusumAlert] = {
+      val sorted = rows.toSeq.sortBy(_.reading_timestamp.getTime)
+      var m = if (st.exists()) st.get() else FusedState(-1L, 0L, 0L, -1L, 0L)
+      val out = Seq.newBuilder[CusumAlert]
+      sorted.foreach { r =>
+        // the streamingDeltas contract: first reading's delta = cumulative
+        val delta =
+          if (m.lastCons < 0) r.reading_consumption_milliwatts
+          else r.reading_consumption_milliwatts - m.lastCons
+        val x = toWh(delta)
+        if (m.k < 0L) {
+          val (n, sum) = (m.n + 1, m.sum + x)
+          m = if (n >= WarmupN)
+            FusedState(r.reading_consumption_milliwatts, n, sum, sum / WarmupN, 0L)
+          else FusedState(r.reading_consumption_milliwatts, n, sum, -1L, 0L)
+        } else {
+          val s = math.max(0L, m.s + (x - m.k))
+          if (s > 4L * m.k) {
+            out += CusumAlert(meterId, r.reading_timestamp, s, 4L * m.k)
+          }
+          m = m.copy(lastCons = r.reading_consumption_milliwatts, s = s)
+        }
+      }
+      st.update(m)
+      out.result().iterator
+    }
+  }
+
+  /** The fused delta+chart monitor straight off the parsed wire — alert
+    * stream identical to `detect(Ingest.streamingDeltas(readings))` with
+    * one keyed stateful operator instead of two. */
+  def detectFused(readings: Dataset[Ingest.WireReading]): Dataset[CusumAlert] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.meter_id)
+      .transformWithState(
+        new FusedProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

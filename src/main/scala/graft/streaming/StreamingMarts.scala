@@ -210,7 +210,11 @@ object StreamingMarts {
       jsonLines: DataFrame, meters: DataFrame, customers: DataFrame,
       tariff: DataFrame, bronzeDir: String, martDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      // per-batch (landMs, rebuildMs) phase attribution hook — the
+      // latency report uses it to tell which half of the gold loop bounds
+      // the sustainable rate (bronze landing vs mart rebuild)
+      phaseSink: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
     Ingest.parseAndValidate(jsonLines).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -222,7 +226,9 @@ object StreamingMarts {
         // without this guard the bronze dir does not exist yet and the
         // read below kills the query with UNABLE_TO_INFER_SCHEMA.
         if (!df.isEmpty) {
+        val t0 = System.nanoTime()
         Ingest.idempotentAppend(df, bronzeDir)
+        val t1 = System.nanoTime()
         val spark = df.sparkSession
         val touched = df
           .select(to_date(col("reading_timestamp")).as("billing_date")).distinct()
@@ -237,6 +243,7 @@ object StreamingMarts {
           graft.meter.Marts.factCustomerBillingDaily(
             sliceInput, meters, customers, tariff),
           martDir, "billing_date")
+        phaseSink((t1 - t0) / 1000000L, (System.nanoTime() - t1) / 1000000L)
         }
       }
       .start()

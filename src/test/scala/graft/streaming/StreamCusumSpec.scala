@@ -80,6 +80,59 @@ class StreamCusumSpec extends SparkSpec {
     assert(!rows.exists(_.getInt(0) == 2), "the stationary meter must not")
   }
 
+  /** Drive the FUSED wire→delta→chart operator on raw cumulative wire
+    * readings (the composed chain's input), uneven batches. */
+  private def runFused(all: Seq[Ingest.WireReading], name: String, chunk: Int) = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val mem = MemoryStream[Ingest.WireReading]
+      val q = StreamCusum.detectFused(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      all.grouped(chunk).foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name)
+    } finally before match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("fused wire→delta→chart ≡ the composed two-operator chain, alert for alert") {
+    // raw CUMULATIVE wire readings for the generator fleet — the fused
+    // operator must reproduce the composed detect(streamingDeltas(...))
+    // alerts exactly: same delta-from-cumulative contract (first delta =
+    // cumulative), same warmup, same chart, one state row instead of two
+    val wire = graft.meter.MeterGen.readings(spark, 4, 96)
+      .select($"meter_id", $"reading_timestamp",
+        $"reading_consumption_milliwatts", $"reading_production_milliwatts",
+        $"status")
+      .as[Ingest.WireReading].collect().toSeq
+      .sortBy(_.reading_timestamp.getTime)
+
+    val fused = runFused(wire, "cusum_fused_out", 41)
+      .select("meter_id", "reading_timestamp", "cusum_wh", "threshold_wh")
+
+    // composed twin over the SAME input, different (also uneven) batching
+    val deltas = graft.meter.Staging.stgMeterReadings(
+      graft.meter.MeterGen.readings(spark, 4, 96))
+      .select($"meter_id", $"reading_timestamp", $"consumption_delta_mwh")
+      .withColumn("production_delta_mwh", lit(null).cast("long"))
+      .withColumn("status", lit("V"))
+      .as[DeltaReading].collect().toSeq
+      .sortBy(_.reading_timestamp.getTime)
+    val composed = runStream(deltas, "cusum_composed_twin_out", 29)
+      .select("meter_id", "reading_timestamp", "cusum_wh", "threshold_wh")
+
+    assert(fused.count() == composed.count())
+    assert(fused.except(composed).count() == 0 &&
+      composed.except(fused).count() == 0)
+    assert(fused.count() > 0, "the diurnal peak must drive alerts")
+  }
+
   test("generator corpus: streamed ≡ closed form on real meter deltas, any batching") {
     val deltas = graft.meter.Staging.stgMeterReadings(
       graft.meter.MeterGen.readings(spark, 4, 96))
