@@ -66,8 +66,28 @@ object ScaleGen {
     write("lineitem", (0 until factor).map(i =>
       lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(i * okSpan)))
       .reduce(_ unionByName _))
+    // embeddings scale with DISTINCT vectors: copy i circularly rotates
+    // every embedding by 3i components (an orthogonal permutation — a
+    // copy's internal cluster geometry is preserved exactly, while
+    // cross-copy vectors occupy genuinely different directions). Verbatim
+    // replication would plant 9 exact twins per vector and turn any
+    // recall measurement into a find-your-own-copy triviality; rotation
+    // keeps the corpus's cosine regime (true neighbors at 0.32-0.49)
+    // intact one decade up, which is what the VecStore sf1 recall row
+    // must measure.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vidSpan = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    write("embeddings", (0 until factor).map { i =>
+      val r = (i * 3) % dim
+      emb.withColumn("vec_id", col("vec_id") + lit(i * vidSpan))
+        .withColumn("embedding",
+          if (r == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${r + 1}, ${dim - r}), " +
+            s"slice(embedding, 1, $r))"))
+    }.reduce(_ unionByName _))
     // dims + remaining tables pass through at source scale
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")

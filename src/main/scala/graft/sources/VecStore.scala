@@ -47,11 +47,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object VecStore {
 
-  /** Trained coarse cells / probed cells per query: 4 of 16 = 25% of the
-    * corpus by cell count, the probe-fraction budget VecStoreSpec holds
-    * the measured recall against. */
+  /** Trained coarse cells / probed cells of the REGISTERED query: 4 of
+    * 16 = 25% of the corpus by cell count, the probe-fraction budget
+    * VecStoreSpec holds the measured recall against. Fixed (not derived)
+    * because the DuckDB oracle trains the identical k=16 chain
+    * arithmetically; the library build derives its own k via
+    * [[cellKFor]]. */
   private[graft] val CellK = 16
   private[graft] val ProbeCells = 4
+
+  /** The standard IVF sizing rule, k ≈ √n cells (Johnson, Douze & Jégou,
+    * IEEE Trans. Big Data 2021 — balances cells scanned vs centroids
+    * ranked), floored at the shipped [[CellK]]: per probe the codebook
+    * ranking costs O(k) and the scan O(probe/k share of n), so √n
+    * equalizes their growth. A 100 TB build passes its corpus count here
+    * instead of hardcoding k. */
+  def cellKFor(n: Long): Int =
+    math.max(CellK, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** Probe width holding the ≤ 25%-of-cells budget at any k (the
+    * recall/fraction trade VecStoreSpec measures), floored at the shipped
+    * [[ProbeCells]]. */
+  def probeCellsFor(cellK: Int): Int =
+    math.max(ProbeCells, cellK / 4)
 
   private def quantExpr = expr(
     s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.Q}) AS BIGINT))")
@@ -62,18 +80,20 @@ object VecStore {
     .withColumn("qv", quantExpr)
     .withColumn("norm2", graft.functions.FixedPointDot(col("qv"), col("qv")))
 
-  /** Train [[CellK]] cells on `embeddings` and write the full index at
+  /** Train `cellK` cells on `embeddings` and write the full index at
     * `dir`: codebook to `dir/_centroids`, vectors to `dir/cell=K/`.
     * Clustered on the partition key first so the build writes ONE file per
     * cell instead of one per (task × cell) — at scale the unclustered form
     * is the classic small-files explosion, and the shuffle this spends is
-    * tiny against the write it saves. */
-  def build(embeddings: DataFrame, dir: String): Unit = {
+    * tiny against the write it saves. The default `cellK` keeps the
+    * registered query's oracle-matched k=16; a scale-aware build passes
+    * [[cellKFor]](corpus count). */
+  def build(embeddings: DataFrame, dir: String, cellK: Int = CellK): Unit = {
     val qe = qn(embeddings.select(col("vec_id"), col("label"), col("embedding")))
       .localCheckpoint(eager = false) // feeds training AND assignment
     val cents = Similarity.lloydCentroids(
       qe.select(col("vec_id"), col("qv"), col("norm2")),
-      CellK, Similarity.CentroidIters)
+      cellK, Similarity.CentroidIters)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
     appendThrough(qe, cents, dir)
   }
@@ -168,20 +188,29 @@ object VecStore {
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.deleteOnExit(path)
     build(Tables.embeddingsParallel(s, d), dir)
-    // multi-probe query set: rank the STORED codebook, take the top
-    // ProbeCells cells (a ×ProbeCells explode of the tiny broadcast side
-    // only — the index side is directory-pruned to the probed cells)
-    val queries = qn(Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0))
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    probeTopK(s, dir, queries, ProbeCells)
+  }
+
+  /** Top-k probe set THROUGH the disk layout (shared by the registered
+    * query and the scale-measurement runner): queries rank the STORED
+    * codebook (broadcast, k rows) and probe their top `probeCells` cells
+    * — a ×probeCells explode of the tiny broadcast side only; the index
+    * side's cell equi-join binds to the read-back PARTITION column, so
+    * pruning happens at directory listing, never a corpus scan. */
+  def probeTopK(s: SparkSession, dir: String, queryEmbeddings: DataFrame,
+      probeCells: Int, k: Int = 5): DataFrame = {
+    val queries = qn(queryEmbeddings)
       .select(col("vec_id"), col("qv"), col("norm2"))
     val probes = Similarity.assignRanked(queries, centroids(s, dir))
       .select(col("vec_id"), col("qv"), col("norm2"),
         expr("ranked[0].id").cast("long").as("cell"),
-        explode(expr(s"slice(ranked, 1, $ProbeCells)")).as("pr"))
+        explode(expr(s"slice(ranked, 1, $probeCells)")).as("pr"))
       .select(col("vec_id"), col("qv"), col("norm2"), col("cell"),
         col("pr.id").as("probe_cell"))
     // the index side re-quantizes off the stored floats (bit-identical
-    // parquet round trip); its `cell` is the read-back PARTITION column,
-    // so the join's pruning binds to directory listing, not row filtering
+    // parquet round trip)
     val index = qn(s.read.parquet(dir))
     val scored = index.as("b")
       .join(broadcast(probes.as("a")),
@@ -196,7 +225,7 @@ object VecStore {
         count(lit(1)).over(Window.partitionBy(col("query_id"))).cast("long"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("label"), col("cell"),
         col("n_cands"), col("cosine"), col("rank"))
   }

@@ -88,6 +88,43 @@ class VecStoreSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("scale-aware sizing (k≈√n, ≤25% cells probed) meets the recall floor through the library API") {
+    // The shipped registered query fixes k=16 (its DuckDB oracle trains
+    // the identical chain); a real build derives k from corpus size. The
+    // √n rule is measured, not assumed: at sf0.1 (n=2000 → k=45, probe
+    // 11) recall@5 is 0.625 at 24.4% probed, and one decade up (ScaleGen
+    // sf1, n=20000 → k=141, probe 35) it RISES to 0.727 at 24.8% — while
+    // k frozen at 16 degrades to 0.547 at the same budget (SCALING.md r9
+    // rows, graft.sources.VecStoreRecall). This test pins the sf0.1
+    // point end-to-end through build(cellKFor)/probeTopK(probeCellsFor).
+    val sf01 = "/root/testdata/sf0.1"
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val n = emb.count()
+    val cellK = VecStore.cellKFor(n)
+    val probeCells = VecStore.probeCellsFor(cellK)
+    assert(cellK === 45 && probeCells === 11, "√n rule at n=2000")
+    assert(probeCells.toDouble / cellK <= 0.25, "probe budget by cell count")
+    val dir = java.nio.file.Files.createTempDirectory("vecstore-scaled").toString
+    VecStore.build(emb, dir, cellK)
+    val queries = emb.filter($"vec_id" % 50 === 0).select($"vec_id", $"embedding")
+    val out = VecStore.probeTopK(spark, dir, queries, probeCells).cache()
+    try {
+      val probe = out.select($"query_id".cast("long"), $"vec_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      val truth = graft.SparkEntry.queries("sim_bruteforce_topk")(spark, sf01)
+        .filter($"rank" <= 5)
+        .select($"query_id".cast("long"), $"vec_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      val recall = (probe & truth).size.toDouble / truth.size
+      val meanCands = out.select($"query_id", $"n_cands").distinct()
+        .agg(avg($"n_cands")).head.getDouble(0)
+      val probedFrac = meanCands / n
+      info(f"derived k=$cellK%d probe=$probeCells%d: recall@5 $recall%.3f, probed $probedFrac%.3f")
+      assert(probedFrac <= 0.25, f"probed fraction $probedFrac%.3f exceeds the 25%% budget")
+      assert(recall >= 0.5, f"recall@5 $recall%.3f fell below the 0.5 floor")
+    } finally out.unpersist()
+  }
+
   test("driver-side cellOf matches the stored assignment (quantization + tie discipline)") {
     // the helper mirrors SQL round() (HALF_UP away from zero) and the
     // ties-to-smallest-c_id ranking; agreement is checked against real
