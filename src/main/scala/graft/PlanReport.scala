@@ -175,7 +175,11 @@ object PlanReport {
     "meter_weather_normalize" ->
       "Degree-day regression: one staged pass feeds the (meter, day) aggregate; the <=31-row hash-weather frame BROADCASTS into the daily join; the per-meter moment aggregate is map-side combinable and each coefficient is a single codegen'd integer division — a fleet-wide regression with no shuffle wider than the daily rollup.",
     "search_proximity" ->
-      "Proximity (slop) retrieval: both term posting filters evaluate in the SAME projected scan of the positional postings; the +/-window predicate rides the doc_id equi-join as a post-join filter, so the join's build side is one term's postings (tiny) and per-doc work is bounded by in-doc term frequencies.")
+      "Proximity (slop) retrieval: both term posting filters evaluate in the SAME projected scan of the positional postings; the +/-window predicate rides the doc_id equi-join as a post-join filter, so the join's build side is one term's postings (tiny) and per-doc work is bounded by in-doc term frequencies.",
+    "meter_erase_rewrite" ->
+      "Meter-bronze RTBF at the composite (chunk_date x mbucket) layout: the post-erase answer is a plain pruned scan, and the erase itself (run inside the query) reads with a STATIC PartitionFilter on the mbucket column — bucket ids are driver-side arithmetic constants of the request, so only |dates| x |affected buckets| directories are listed; the rewrite is dynamic partition overwrite of exactly those composite partitions (retention by date is a zero-read directory drop, the drop_chunks analogue).",
+    "quality_classifier_probe" ->
+      "Persisted-weights classifier apply: the plan is ONE corpus feature scan crossed with a BroadcastNestedLoopJoin against the 1-row parquet weights frame — no aggregate, no window, no training stage anywhere; per-row work is a 5-term integer dot product and a compare. The training cost lives offline in the build step (the sim_ivfpq_probe_topk amortization doctrine applied to curation).")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -341,7 +341,7 @@ object TextPolicy {
     q("quality_classifier_apply", classifierApplySql) { (s, d) =>
       val f = classifierFeatures(s, d).localCheckpoint(eager = false)
       val (w, best) = classifierTrain(f)
-      classifierScore(f, broadcast(w).crossJoin(broadcast(best)))
+      classifierScore(f, w.crossJoin(broadcast(best)))
     },
 
     // ---- The trained filter applied from PERSISTED weights — the
@@ -379,13 +379,16 @@ object TextPolicy {
        |    THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS agree
        |FROM f CROSS JOIN w CROSS JOIN best""".stripMargin
 
-  /** Score a feature frame against a broadcastable 1-row weights frame
-    * (columns d1..d5 + t): per-row work is a 5-term integer dot product
-    * and a compare — the whole apply path. */
+  /** Score a feature frame against a 1-row weights frame (columns
+    * d1..d5 + t): per-row work is a 5-term integer dot product and a
+    * compare — the whole apply path. The broadcast hint lives HERE (on
+    * the frame that crosses the corpus) so a composed weights frame
+    * cannot silently degrade to a shuffle cartesian — a hint on an input
+    * of a join does not survive the join's own plan node. */
   private def classifierScore(f: org.apache.spark.sql.DataFrame,
       weights: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val pred = when(classifierProj > col("t"), 1L).otherwise(-1L)
-    f.crossJoin(weights)
+    f.crossJoin(broadcast(weights))
       .select(col("doc_id"), col("y").as("y_rule"), pred.as("y_pred"),
         when(col("y") * pred > 0, 1L).otherwise(0L).as("agree"))
   }
