@@ -142,8 +142,19 @@ object Bench {
     ordered.filter { case (n, _) => best.get(n).exists(_._1 >= 1.0) }
       .foreach { case (n, f) => merge(n, rep(n, f)) }
     calibs += calibrate()
+    // Anchor = SECOND-smallest calibration sample (min with >= 4
+    // samples' worth of protection): steal can only make samples SLOWER,
+    // so a single anomalously FAST sample is measurement luck (boost
+    // clock, cache state), not machine truth — dividing by it marked a
+    // genuinely clean run dirty (every bracket 0.341-0.354, one outlier
+    // 0.299). Under real persistent steal the clean samples cluster low,
+    // so second-smallest ≈ smallest and detection is unchanged.
+    def anchor: Double = {
+      val s = calibs.sorted
+      if (s.size >= 4) s(1) else s.head
+    }
     def bracketRatio(b: (Int, Int)): Double =
-      math.max(calibs(b._1), calibs(b._2)) / calibs.min
+      math.max(calibs(b._1), calibs(b._2)) / anchor
     var extra = 0
     while (passBrackets.forall(bracketRatio(_) > CleanTol) && extra < MaxExtraPasses) {
       extra += 1
@@ -163,10 +174,10 @@ object Bench {
     }
     val results = picked.map { case (n, (w, _, _)) => n -> w }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // steal_ratio: the CLEANEST full pass's bracket ratio — the trust
-    // metric for a min-of-reps artifact (>= 1 clean pass ⇒ clean mins).
-    // steal_run keeps the old run-wide max/min for full disclosure; the
-    // raw samples are in calib_sec.
+    // steal_ratio: the CLEANEST full pass's bracket ratio (vs the robust
+    // anchor) — the trust metric for a min-of-reps artifact (>= 1 clean
+    // pass ⇒ clean mins). steal_run keeps the raw run-wide max/min for
+    // full disclosure; the samples themselves are in calib_sec.
     val stealClean = passBrackets.map(bracketRatio).min
     val stealRun = if (calibs.min > 0) calibs.max / calibs.min else -1.0
     val clean = stealClean <= CleanTol
