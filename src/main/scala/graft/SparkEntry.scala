@@ -22,7 +22,9 @@ object SparkEntry {
       llm.Search.all ++ graph.GraphOps.all ++
       streaming.IngestBench.all ++ sources.Formats.all :+
       sources.VecStore.probeQuery :+ sources.PostingStore.probeQuery :+
-      sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery
+      sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery :+
+      sources.SketchStore.probeQuery :+ sources.SketchStore.overlapQuery :+
+      sources.SketchStore.rollupQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks
