@@ -304,6 +304,28 @@ object Ingest {
       production_delta_mwh: Option[Long],
       status: String)
 
+  /** Stream-side duplicate suppression with BOUNDED state (ST4's scale
+    * form): `dropDuplicatesWithinWatermark` on the composite key keeps a
+    * key's dedup state only until the event-time watermark passes it, so
+    * state is O(keys inside the watermark horizon) — at 1 M meters on
+    * the 15-min grid with a 10-min delay that is ~one interval's keys,
+    * independent of stream lifetime, where plain `dropDuplicates` on a
+    * stream accumulates every key ever seen. Division of labor: this
+    * suppresses the at-least-once delivery duplicates (retries,
+    * producer re-sends) cheaply in-flight; the sink-side
+    * [[idempotentAppend]] anti-join remains the ALL-TIME backstop for
+    * replays that arrive after the watermark has passed (checkpoint
+    * recovery of old data) — IngestSpec proves both halves. */
+  def streamingDedupWithinWatermark(
+      readings: Dataset[WireReading],
+      delay: String = "10 minutes"): Dataset[WireReading] = {
+    import readings.sparkSession.implicits._
+    readings
+      .withWatermark("reading_timestamp", delay)
+      .dropDuplicatesWithinWatermark("meter_id", "reading_timestamp")
+      .as[WireReading]
+  }
+
   /** Per-meter stateful delta computation on the stream — what the batch
     * LAG staging does, but incremental (SURVEY.md §7.4.2). First reading's
     * delta = cumulative value, matching stg_meter_readings.sql:46-54. */

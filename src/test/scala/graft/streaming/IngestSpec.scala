@@ -155,4 +155,50 @@ class IngestSpec extends SparkSpec {
     assert(streamed.except(batch).count() == 0)
     assert(batch.except(streamed).count() == 0)
   }
+
+  test("watermark-bounded stream dedup: in-horizon duplicates suppressed, state does not grow with history (ST4 at scale)") {
+    def w(m: Int, ts: String, cons: Long) = Ingest.WireReading(
+      m, java.sql.Timestamp.valueOf(ts), cons, None, "V")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ingest.WireReading]
+    val q = Ingest.streamingDedupWithinWatermark(mem.toDS(), "10 minutes")
+      .writeStream
+      .format("memory").queryName("dedup_wm_out").outputMode("append").start()
+    try {
+      // batch 1: two meters + an in-batch duplicate
+      mem.addData(Seq(
+        w(1, "2026-01-01 00:00:00", 100),
+        w(1, "2026-01-01 00:00:00", 100), // in-batch duplicate
+        w(2, "2026-01-01 00:00:00", 200)))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate INSIDE the 10-min horizon (the
+      // at-least-once retry case) + genuinely new readings that advance
+      // event time far past the old keys
+      mem.addData(Seq(
+        w(1, "2026-01-01 00:00:00", 100), // retry duplicate, in horizon
+        w(1, "2026-01-01 00:15:00", 150),
+        w(2, "2026-01-01 00:15:00", 250)))
+      q.processAllAvailable()
+      // batch 3: advance watermark well past 00:15 so earlier keys' dedup
+      // state is evicted — bounded-state guarantee
+      mem.addData(Seq(w(1, "2026-01-01 02:00:00", 300)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_wm_out")
+      // every unique (meter, ts) exactly once; duplicates never emitted
+      assert(out.count() === 5)
+      assert(out.groupBy("meter_id", "reading_timestamp").count()
+        .filter(col("count") > 1).count() === 0)
+      // bounded state: after the watermark passed 00:00/00:15, only keys
+      // inside the horizon remain in the dedup store
+      val progress = q.lastProgress
+      val stateRows = progress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 3,
+        s"dedup state must be watermark-bounded, found $stateRows rows")
+      // the operator actually planned is the watermark-scoped dedup, not
+      // the unbounded dropDuplicates
+      assert(progress.stateOperators.exists(
+        _.operatorName.toLowerCase.contains("withinwatermark")),
+        progress.stateOperators.map(_.operatorName).mkString(","))
+    } finally q.stop()
+  }
 }
