@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[GraftQuery] =
     ops.Relational.all ++ ops.TimeSeries.all ++ ops.TimeSeriesExt.all ++
       ops.TimeSeriesTk.all ++
-      ops.SqlSurface.all ++ ops.Scd.all ++ meter.MeterPipeline.all ++
+      ops.SqlSurface.all ++ ops.Scd.all ++ ops.Spatial.all ++
+      meter.MeterPipeline.all ++
       llm.TextAnalysis.all ++ llm.TextPolicy.all ++ llm.TypedDocs.all ++
       llm.Dedup.all ++ llm.SpanDedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
       llm.TrainingPipeline.all ++ llm.CorpusSignals.all ++
@@ -24,7 +25,8 @@ object SparkEntry {
       sources.VecStore.probeQuery :+ sources.PostingStore.probeQuery :+
       sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery :+
       sources.SketchStore.probeQuery :+ sources.SketchStore.overlapQuery :+
-      sources.SketchStore.rollupQuery
+      sources.SketchStore.rollupQuery :+
+      sources.HistStore.probeQuery :+ sources.HistStore.rollupQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks
