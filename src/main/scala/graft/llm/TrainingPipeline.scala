@@ -922,6 +922,43 @@ object TrainingPipeline {
           col("est_ppm"), col("true_ppm"),
           when(abs(col("est_ppm") - col("true_ppm")) <= 50000L, 1L)
             .otherwise(0L).as("within_5pp"))
+    },
+
+    // ---- DP RELEASE of a histogram (central model): per-(day, type)
+    // cell counts released with BINOMIAL-mechanism noise (Dwork,
+    // Kenthapadi, McSherry, Mironov, Naor, EUROCRYPT 2006): noise =
+    // Binomial(60, 1/2) − 30, i.e. `bit_count` of the cell's 60-bit
+    // md5-keyed hash — σ² = 15, and by the Gaussian-mechanism analysis
+    // (Δ=1 for event-level privacy, σ = √15) the release is
+    // ≈ (1.25, 1e-5)-DP per cell; the (day,type) cells partition the
+    // rows, so parallel composition keeps that budget for the WHOLE
+    // histogram. Only the noisy counts are published (no exact column —
+    // the release IS the output), yet the query is hash-exact: the noise
+    // is a pure integer function of the cell key, reproduced verbatim by
+    // the oracle. Caveats stated, not hidden: privacy unit is one EVENT
+    // (a user with many events composes), empty domain cells are not
+    // padded, and a deterministic keyed draw is a HARNESS device standing
+    // in for a secret random draw — the mechanism's algebra, sensitivity,
+    // and noise distribution are what is being engineered and verified.
+    // Scale shape: one map-side-combinable count + a per-cell hash — no
+    // second pass, no join.
+    q("privacy_dp_counts",
+      s"""WITH c AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT day, event_type,
+         |  n + CAST(bit_count(${TextHash.h64Sql(
+               "'dp:v1:' || CAST(day AS VARCHAR) || ':' || event_type")}) AS BIGINT)
+         |    - 30 AS noisy_n
+         |FROM c""".stripMargin) { (s, d) =>
+      val h = TextHash.h64(concat(lit("dp:v1:"),
+        col("day").cast("string"), lit(":"), col("event_type")))
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day"), col("event_type"),
+          (col("n") + bit_count(h).cast("long") - 30L).as("noisy_n"))
     }
   )
 }

@@ -53,6 +53,20 @@ object SketchStore {
     dailySketches(events)
       .coalesce(1).write.mode("append").parquet(dir)
 
+  /** Streaming maintenance of the cube: land one micro-batch's partial
+    * day sketches under a deterministic `batch_id=<id>` directory with
+    * OVERWRITE — a foreachBatch replay of the same epoch rewrites the
+    * same path with the same bytes instead of double-counting, giving
+    * exactly-once store contents over an at-least-once channel (the
+    * FileStreamSink manifest idea, expressed as partition-dir
+    * idempotence). Multiple partial rows per day across batches are the
+    * cube's normal state: `hll_union_agg` merges them register-wise, so
+    * stream-built and batch-built stores answer identically
+    * (SketchStreamSpec proves equality and replay no-ops). */
+  def appendBatch(events: DataFrame, dir: String, batchId: Long): Unit =
+    dailySketches(events)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
   /** Per-JVM scratch root — built once per dataset, probed repeatedly. */
   private lazy val root: String =
     s"${sys.props("java.io.tmpdir")}/graft_sketch_store/${java.util.UUID.randomUUID()}"
