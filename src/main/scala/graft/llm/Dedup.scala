@@ -110,7 +110,7 @@ object Dedup {
     * min doc_id. Shared by `dedup_clusters` and the keeper-selection query;
     * see the `dedup_clusters` commentary for the convergence-control and
     * lineage-truncation rationale. */
-  private[llm] def clusterLabels(pairs: org.apache.spark.sql.DataFrame)
+  private[graft] def clusterLabels(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // localCheckpoint (not cache): each round's logical plan would
     // otherwise still carry the whole MinHash lineage + every earlier

@@ -40,6 +40,49 @@ object Spatial {
     * cell = radius makes the 3×3 neighborhood a complete candidate set). */
   private val R = 20000L
   private val R2 = R * R
+  /** DBSCAN core threshold: ≥ MinPts neighbors within R (self excluded). */
+  private val MinPts = 2
+
+  /** The point set: distinct event users placed by the md5-prefix hash. */
+  private def points(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        pmod(TextHash.h64(concat(lit("px:"), col("user_id").cast("string"))), lit(Span)).as("x"),
+        pmod(TextHash.h64(concat(lit("py:"), col("user_id").cast("string"))), lit(Span)).as("y"))
+
+  /** Grid-bucketed within-R pairs (user_a < user_b, exact d2): left side
+    * replicates to its 3×3 neighbor cells, right stays home — candidates
+    * come only from the cell equi-join, never an all-pairs product. */
+  private def withinRadiusPairs(s: SparkSession, pts: DataFrame): DataFrame = {
+    import s.implicits._
+    val cells = pts
+      .withColumn("cx", expr(s"x div ${R}L"))
+      .withColumn("cy", expr(s"y div ${R}L"))
+    val offsets = Seq(-1L, 0L, 1L)
+      .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
+      .toDF("dx", "dy")
+    val left = cells.crossJoin(broadcast(offsets))
+      .select(col("user_id").as("user_a"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("dx")).as("cell_x"), (col("cy") + col("dy")).as("cell_y"))
+    val right = cells.select(col("user_id").as("user_b"),
+      col("x").as("xb"), col("y").as("yb"),
+      col("cx").as("cell_x"), col("cy").as("cell_y"))
+    left.join(right, Seq("cell_x", "cell_y"))
+      .filter(col("user_a") < col("user_b"))
+      .select(col("user_a"), col("user_b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
+      .filter(col("d2") <= R2)
+  }
+
+  /** The (user_id, x, y) point CTE shared by every oracle. */
+  private val pointsSqlCte: String =
+    s"""u AS (SELECT DISTINCT user_id FROM events),
+       |p AS (
+       |  SELECT user_id,
+       |    ${TextHash.h64Sql("'px:' || CAST(user_id AS VARCHAR)")} % ${Span} AS x,
+       |    ${TextHash.h64Sql("'py:' || CAST(user_id AS VARCHAR)")} % ${Span} AS y
+       |  FROM u)""".stripMargin
 
   def all: Seq[GraftQuery] = Seq(
 
@@ -70,10 +113,7 @@ object Spatial {
          |  CAST(MIN(enc // 100) AS BIGINT) AS min_d2,
          |  CAST(MAX(enc // 100) AS BIGINT) AS max_d2
          |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
-      val pts = Tables.events(s, d).select(col("user_id")).distinct()
-        .select(col("user_id"),
-          pmod(TextHash.h64(concat(lit("px:"), col("user_id").cast("string"))), lit(Span)).as("x"),
-          pmod(TextHash.h64(concat(lit("py:"), col("user_id").cast("string"))), lit(Span)).as("y"))
+      val pts = points(s, d)
       val sites = Tables.nation(s, d)
         .select(col("n_nationkey").cast("long").as("site"),
           pmod(TextHash.h64(concat(lit("sx:"), col("n_nationkey").cast("string"))), lit(Span)).as("sx"),
@@ -96,12 +136,7 @@ object Spatial {
     // (v's home cell lies in u's replicated neighborhood iff they are
     // within one cell, and cell size = R covers every qualifying pair).
     q("spatial_pairs_within_radius",
-      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
-         |p AS (
-         |  SELECT user_id,
-         |    ${TextHash.h64Sql("'px:' || CAST(user_id AS VARCHAR)")} % ${Span} AS x,
-         |    ${TextHash.h64Sql("'py:' || CAST(user_id AS VARCHAR)")} % ${Span} AS y
-         |  FROM u)
+      s"""WITH $pointsSqlCte
          |SELECT a.user_id AS user_a, b.user_id AS user_b,
          |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
          |    AS d2
@@ -109,28 +144,78 @@ object Spatial {
          |  ON a.user_id < b.user_id
          | AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${R2}
          |""".stripMargin) { (s, d) =>
-      val pts = Tables.events(s, d).select(col("user_id")).distinct()
+      withinRadiusPairs(s, points(s, d))
+    },
+
+    // ---- DBSCAN over the same pair machinery: cores = points with ≥
+    // MinPts within-R neighbors; clusters = connected components of the
+    // core-core adjacency, resolved by the SAME min-label + pointer-jump
+    // rounds the dedup family uses (the pair graph ≪ the point set, so
+    // component resolution costs O(log diameter) rounds over a tiny
+    // frame); border points take the MIN core-neighbor cluster label
+    // (the deterministic tie-break for DBSCAN's classic border
+    // ambiguity); everything else is noise (cluster −1). The oracle
+    // states the identical definition with a recursive CTE. At 100 TB
+    // the dominant cost is the bucketed pair join — already no-cartesian
+    // — and the component rounds touch only core edges.
+    q("spatial_cluster_dbscan",
+      s"""WITH RECURSIVE $pointsSqlCte,
+         |pr AS (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM p a JOIN p b ON a.user_id < b.user_id
+         |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${R2}),
+         |adj AS (SELECT ua AS u, ub AS v FROM pr UNION ALL SELECT ub, ua FROM pr),
+         |deg AS (SELECT u, COUNT(*) AS dg FROM adj GROUP BY 1),
+         |core AS (SELECT u FROM deg WHERE dg >= ${MinPts}),
+         |ce AS (
+         |  SELECT a.u AS src, a.v AS dst FROM adj a
+         |  JOIN core c1 ON a.u = c1.u JOIN core c2 ON a.v = c2.u),
+         |reach(node, label) AS (
+         |  SELECT u, u FROM core
+         |  UNION
+         |  SELECT e.src, r.label FROM ce e JOIN reach r ON e.dst = r.node),
+         |clab AS (SELECT node AS u, MIN(label) AS cluster FROM reach GROUP BY 1),
+         |border AS (
+         |  SELECT a.u, MIN(c.cluster) AS cluster
+         |  FROM adj a JOIN clab c ON a.v = c.u
+         |  WHERE a.u NOT IN (SELECT u FROM core) GROUP BY 1)
+         |SELECT p.user_id,
+         |  CASE WHEN cl.cluster IS NOT NULL THEN 'core'
+         |       WHEN b.cluster IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CAST(COALESCE(cl.cluster, b.cluster, -1) AS BIGINT) AS cluster
+         |FROM p
+         |LEFT JOIN clab cl ON p.user_id = cl.u
+         |LEFT JOIN border b ON p.user_id = b.u""".stripMargin) { (s, d) =>
+      val pts = points(s, d).localCheckpoint(eager = false)
+      val pairs = withinRadiusPairs(s, pts).localCheckpoint(eager = false)
+      val adj = pairs.select(col("user_a").as("u"), col("user_b").as("v"))
+        .unionByName(pairs.select(col("user_b").as("u"), col("user_a").as("v")))
+      val core = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= MinPts).select(col("u"))
+        .localCheckpoint(eager = false)
+      val coreEdges = pairs
+        .join(core.select(col("u").as("user_a")), "user_a")
+        .join(core.select(col("u").as("user_b")), "user_b")
+        .select(col("user_a").as("d1"), col("user_b").as("d2"))
+      // components over core-core edges; isolated cores keep themselves
+      val labels = graft.llm.Dedup.clusterLabels(coreEdges)
+      val clab = core.join(labels.withColumnRenamed("node", "u"), Seq("u"), "left")
+        .select(col("u"), coalesce(col("label"), col("u")).as("cluster"))
+        .localCheckpoint(eager = false)
+      val borderLab = adj.join(core.select(col("u")), Seq("u"), "left_anti")
+        .join(clab.select(col("u").as("v"), col("cluster")), "v")
+        .groupBy(col("u")).agg(min(col("cluster")).as("b_cluster"))
+      pts.select(col("user_id"))
+        .join(clab.select(col("u").as("user_id"), col("cluster").as("c_cluster")),
+          Seq("user_id"), "left")
+        .join(borderLab.select(col("u").as("user_id"), col("b_cluster")),
+          Seq("user_id"), "left")
         .select(col("user_id"),
-          pmod(TextHash.h64(concat(lit("px:"), col("user_id").cast("string"))), lit(Span)).as("x"),
-          pmod(TextHash.h64(concat(lit("py:"), col("user_id").cast("string"))), lit(Span)).as("y"))
-        .withColumn("cx", expr(s"x div ${R}L"))
-        .withColumn("cy", expr(s"y div ${R}L"))
-      import s.implicits._
-      val offsets = Seq(-1L, 0L, 1L)
-        .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
-        .toDF("dx", "dy")
-      val left = pts.crossJoin(broadcast(offsets))
-        .select(col("user_id").as("user_a"), col("x").as("xa"), col("y").as("ya"),
-          (col("cx") + col("dx")).as("cell_x"), (col("cy") + col("dy")).as("cell_y"))
-      val right = pts.select(col("user_id").as("user_b"),
-        col("x").as("xb"), col("y").as("yb"),
-        col("cx").as("cell_x"), col("cy").as("cell_y"))
-      left.join(right, Seq("cell_x", "cell_y"))
-        .filter(col("user_a") < col("user_b"))
-        .select(col("user_a"), col("user_b"),
-          ((col("xa") - col("xb")) * (col("xa") - col("xb"))
-            + (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
-        .filter(col("d2") <= R2)
+          when(col("c_cluster").isNotNull, "core")
+            .when(col("b_cluster").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("c_cluster"), col("b_cluster"), lit(-1L)).as("cluster"))
     }
   )
 }

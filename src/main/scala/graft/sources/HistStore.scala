@@ -67,6 +67,16 @@ object HistStore {
   def appendDay(events: DataFrame, dir: String): Unit =
     dailyHistograms(events).coalesce(1).write.mode("append").parquet(dir)
 
+  /** Streaming maintenance, same contract as [[SketchStore.appendBatch]]:
+    * per-epoch partial histograms land under `batch_id=<id>` with
+    * overwrite, so a foreachBatch replay rewrites its own partition dir
+    * instead of double-counting; the probe's SUM merge folds any number
+    * of partial rows per (day, type, bucket) — any batch slicing sums to
+    * the same histogram (HistStoreSpec stream test). */
+  def appendBatch(events: DataFrame, dir: String, batchId: Long): Unit =
+    dailyHistograms(events)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
   private lazy val root: String =
     s"${sys.props("java.io.tmpdir")}/graft_hist_store/${java.util.UUID.randomUUID()}"
   private val built = scala.collection.mutable.Map.empty[String, String]

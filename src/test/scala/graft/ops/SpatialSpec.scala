@@ -51,6 +51,40 @@ class SpatialSpec extends SparkSpec {
     assert(bnl.size <= 1 && bnl.forall(_.contains("Cross")), joins.mkString("\n"))
   }
 
+  test("DBSCAN ≡ brute-force: roles, components, and border min-label tie-break") {
+    val p = points.as[(Long, Long, Long)].collect()
+    val r2 = 20000L * 20000L
+    val nbrs = p.map { case (u, xu, yu) =>
+      u -> p.collect { case (v, xv, yv)
+        if v != u && (xu - xv) * (xu - xv) + (yu - yv) * (yu - yv) <= r2 => v
+      }.toSet
+    }.toMap
+    val cores = nbrs.filter(_._2.size >= 2).keySet
+    // brute components over core-core edges
+    var label = cores.map(u => u -> u).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (u <- cores; v <- nbrs(u) if cores(v)) {
+        val m = math.min(label(u), label(v))
+        if (label(u) != m || label(v) != m) {
+          label += u -> m; label += v -> m; changed = true
+        }
+      }
+    }
+    val want = p.map { case (u, _, _) =>
+      if (cores(u)) (u, "core", label(u))
+      else {
+        val coreNb = nbrs(u).filter(cores)
+        if (coreNb.nonEmpty) (u, "border", coreNb.map(label).min)
+        else (u, "noise", -1L)
+      }
+    }.toSet
+    val got = graft.SparkEntry.queries("spatial_cluster_dbscan")(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("nearest-site rollup ≡ brute-force argmin with site-key tie-break") {
     import graft.llm.TextHash
     val sites = Tables.nation(spark, dir)

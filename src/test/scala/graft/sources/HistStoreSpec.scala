@@ -52,6 +52,38 @@ class HistStoreSpec extends SparkSpec {
     assert(merged === events.count(), "every event counted exactly once")
   }
 
+  test("stream-maintained store ≡ batch-built; epoch replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = events.select($"ts", $"user_id", $"event_type", $"value").cache()
+    try {
+      val rows = e.as[(java.sql.Timestamp, Long, String, Double)].collect().toSeq
+      val streamDir = Files.createTempDirectory("hist_stream_").toString + "/daily"
+      val batchDir = Files.createTempDirectory("hist_batch_").toString + "/daily"
+      HistStore.build(e, batchDir)
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+      val q = mem.toDF().toDF("ts", "user_id", "event_type", "value").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          HistStore.appendBatch(b, streamDir, id)
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("hist_stream_ckpt_").toString)
+        .start()
+      val (a, bc) = rows.splitAt(rows.size / 3)
+      val (b, c) = bc.splitAt(bc.size / 2)
+      Seq(a, b, c).foreach { slice => mem.addData(slice); q.processAllAvailable() }
+      q.stop()
+      def hist(dir: String) = spark.read.parquet(dir)
+        .groupBy($"day", $"event_type", $"bucket").agg(sum($"cnt").as("cnt"))
+        .as[(java.sql.Date, String, Long, Long)].collect().toSet
+      val fromStream = hist(streamDir)
+      assert(fromStream === hist(batchDir))
+      HistStore.appendBatch(b.toDF("ts", "user_id", "event_type", "value"),
+        streamDir, 1L)
+      assert(hist(streamDir) === fromStream, "replay must not double-count")
+    } finally e.unpersist()
+  }
+
   test("registered probes: store bucket == exact div W on every scope; weekly n partition the span") {
     val probe = graft.SparkEntry.queries("hist_store_probe")(spark, sf0001).cache()
     try {
