@@ -179,7 +179,19 @@ object PlanReport {
     "meter_erase_rewrite" ->
       "Meter-bronze RTBF at the composite (chunk_date x mbucket) layout: the post-erase answer is a plain pruned scan, and the erase itself (run inside the query) reads with a STATIC PartitionFilter on the mbucket column — bucket ids are driver-side arithmetic constants of the request, so only |dates| x |affected buckets| directories are listed; the rewrite is dynamic partition overwrite of exactly those composite partitions (retention by date is a zero-read directory drop, the drop_chunks analogue).",
     "quality_classifier_probe" ->
-      "Persisted-weights classifier apply: the plan is ONE corpus feature scan crossed with a BroadcastNestedLoopJoin against the 1-row parquet weights frame — no aggregate, no window, no training stage anywhere; per-row work is a 5-term integer dot product and a compare. The training cost lives offline in the build step (the sim_ivfpq_probe_topk amortization doctrine applied to curation).")
+      "Persisted-weights classifier apply: the plan is ONE corpus feature scan crossed with a BroadcastNestedLoopJoin against the 1-row parquet weights frame — no aggregate, no window, no training stage anywhere; per-row work is a 5-term integer dot product and a compare. The training cost lives offline in the build step (the sim_ivfpq_probe_topk amortization doctrine applied to curation).",
+    "sketch_store_probe" ->
+      "Mergeable-sketch cube probe: the estimate legs scan ONLY the stored per-day sketch frame (|days| rows) — hll_union_agg partial→final around one tiny exchange; the fact table appears solely in the exact-verification legs the oracle requires, as one distinct-aggregate pass. At 100 TB the left half of this plan is the whole dashboard query.",
+    "hist_store_probe" ->
+      "Histogram-cube quantile probe: merged store rows (domain-bounded, ≤ |domain|/W per scope) pay one SUM groupBy + one cumulative window PARTITIONED BY SCOPE; rank location is a filter, not a sort of the data. The exact side collapses facts to value counts first — the only window runs on the count frame, never corpus rows.",
+    "spatial_pairs_within_radius" ->
+      "Grid-bucketed spatial self-join: the 9× neighbor replication is a BroadcastNestedLoopJoin against the CONSTANT 9-row offset frame (map-side, no data exchange); the point-point candidate join is a HASH join keyed on (cell_x, cell_y) — the only data-sized exchanges are the two sides' cell shuffles; the exact d2 predicate evaluates post-join in the same codegen stage. No CartesianProduct at any size.",
+    "spatial_cluster_dbscan" ->
+      "DBSCAN: degree count and core filter are one partial→final agg over the pair frame (≪ points); component rounds run on core edges only (min-label + pointer jump, lineage truncated per round); border assignment is one anti-join + one equi-join + a MIN agg. The corpus-sized frames appear only in the initial bucketed pair join.",
+    "privacy_dp_counts" ->
+      "DP histogram release: ONE map-side-combinable (day, type) count; the binomial noise is a codegen'd bit_count over the md5-prefix hash of the cell key, evaluated in the same projection — no second scan, no join, no window.",
+    "hh_store_probe" ->
+      "Heavy-hitter cube probe: estimate and slack legs read ONLY the |days|×(K+1)-row store against the broadcast 10-key frame (two broadcast joins + tiny aggs); the fact side pays one count aggregate for the exact verification the oracle requires. The store build (amortized, outside this plan) ranks per-day keys through TopKPerKeyExec's map-side bounded heap.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

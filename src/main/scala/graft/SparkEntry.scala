@@ -26,7 +26,8 @@ object SparkEntry {
       sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery :+
       sources.SketchStore.probeQuery :+ sources.SketchStore.overlapQuery :+
       sources.SketchStore.rollupQuery :+
-      sources.HistStore.probeQuery :+ sources.HistStore.rollupQuery
+      sources.HistStore.probeQuery :+ sources.HistStore.rollupQuery :+
+      sources.HeavyHitterStore.probeQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks
