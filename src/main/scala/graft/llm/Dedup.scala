@@ -173,7 +173,7 @@ object Dedup {
     * the pair graph is labeled with its component min; each operation is
     * one groupBy + one join, no windows, no driver-side graph. Shared by
     * `dedup_clusters_star` and the SemDeDup query. */
-  private[llm] def clusterLabelsStar(pairs: org.apache.spark.sql.DataFrame)
+  private[graft] def clusterLabelsStar(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // symmetric neighbor lists with u's component-min candidate
     def withMin(e: org.apache.spark.sql.DataFrame) = {

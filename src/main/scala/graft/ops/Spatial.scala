@@ -198,8 +198,14 @@ object Spatial {
         .join(core.select(col("u").as("user_a")), "user_a")
         .join(core.select(col("u").as("user_b")), "user_b")
         .select(col("user_a").as("d1"), col("user_b").as("d2"))
-      // components over core-core edges; isolated cores keep themselves
-      val labels = graft.llm.Dedup.clusterLabels(coreEdges)
+      // components over core-core edges; isolated cores keep themselves.
+      // Star contraction, not min-label propagation: the geometric core
+      // graph sits near percolation one decade up (sf1: 15 K points,
+      // ~139 K pairs, giant component with large diameter), where
+      // propagation pays O(diameter) rounds and the O(log n) large/small
+      // star rounds win — the same regime call the dedup family documents
+      // on its high-diameter embedding pair graph.
+      val labels = graft.llm.Dedup.clusterLabelsStar(coreEdges)
       val clab = core.join(labels.withColumnRenamed("node", "u"), Seq("u"), "left")
         .select(col("u"), coalesce(col("label"), col("u")).as("cluster"))
         .localCheckpoint(eager = false)

@@ -105,6 +105,24 @@ object StreamLatencyReport {
           MeterGen.tariffRates(spark), s"$base/bronze", s"$base/mart", ckpt,
           Trigger.ProcessingTime("1 second"),
           phaseSink = (land, rebuild) => phaseLog.add((land, rebuild)))
+      // streaming maintenance of the mergeable-sketch cube: every batch
+      // pays parse+validate plus a real parquet landing of its partial
+      // day sketches under batch_id=<epoch> (replay-idempotent overwrite)
+      // — the rate at which the distinct-meters dashboard cube can be
+      // kept current
+      case "ingest+sketch-cube" =>
+        val base = Files.createTempDirectory("stream_sketch_cube_").toString
+        import org.apache.spark.sql.functions.col
+        Ingest.parseAndValidate(wire).toDF()
+          .select(col("reading_timestamp").as("ts"),
+            col("meter_id").cast("long").as("user_id"))
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.sources.SketchStore.appendBatch(b, s"$base/daily", id)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .start()
       case _ =>
         val parsed = Ingest.parseAndValidate(wire).as[Ingest.WireReading]
         lazy val deltas = Ingest.streamingDeltas(parsed)
@@ -175,7 +193,8 @@ object StreamLatencyReport {
         Seq(40000L, 160000L, 640000L).map(("ingest+mart", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+cusum", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+cusum-fused", _)) ++
-        Seq(10000L, 40000L, 160000L, 640000L).map(("ingest+disk-mart", _))
+        Seq(10000L, 40000L, 160000L, 640000L).map(("ingest+disk-mart", _)) ++
+        Seq(40000L, 160000L, 640000L).map(("ingest+sketch-cube", _))
     // warm-up: one short throwaway run pays JIT/codegen per shape family
     run(spark, "ingest+mart", 10000L, 6)
     run(spark, "ingest+cusum", 10000L, 6)
@@ -216,7 +235,10 @@ object StreamLatencyReport {
     sb.append("`ingest+disk-mart` is\n")
     sb.append("the gold-maintenance loop (idempotent bronze parquet landing +\n")
     sb.append("partition-scoped billing-mart rebuild per micro-batch — real disk\n")
-    sb.append("writes and a staging recompute every batch). `behind` is the\n")
+    sb.append("writes and a staging recompute every batch);\n")
+    sb.append("`ingest+sketch-cube` maintains the mergeable HLL distinct cube —\n")
+    sb.append("every batch lands its partial day sketches as a real parquet write\n")
+    sb.append("under batch_id=<epoch> (replay-idempotent overwrite). `behind` is the\n")
     sb.append("Kafka-lag analogue, source latestOffset − batch endOffset, in the\n")
     sb.append("source's offset unit (SECONDS of backlog for the rate source; 0 =\n")
     sb.append("every batch drained the source completely).\n\n")
