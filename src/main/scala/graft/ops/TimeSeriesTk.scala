@@ -407,5 +407,81 @@ object TimeSeriesTk {
           col("len").as("down_len"), col("next_len").as("up_len"),
           (coalesce(col("prev_last_d"), col("first_d")) - col("last_d"))
             .cast("long").as("depth"))
+    },
+
+    // ---- SURVIVAL ANALYSIS: Nelson-Aalen cumulative hazard of
+    // time-to-convert (each signup event is a subject; its duration is
+    // the hours to the user's NEXT purchase, right-censored at the
+    // corpus end when no purchase follows). H(t) = Σ_{t_i ≤ t} d_i/n_i —
+    // the large-sample sibling of Kaplan-Meier (S ≈ exp(−H)) chosen
+    // because a cumulative SUM of per-step rationals stays exact in
+    // floored ppm where KM's cumulative PRODUCT cannot (no exact integer
+    // form survives many steps, and float products drift per engine).
+    // Censoring is handled exactly as the estimator requires: censored
+    // subjects leave the risk set at their censoring time but contribute
+    // no event. Shape: the next-purchase lookup is ONE per-user window
+    // (bounded by per-user activity), the risk set n(t) = total −
+    // exclusive-cumsum over the duration-grouped frame (≤ observation
+    // span in hours, domain-bounded), and the final cumulative hazard
+    // runs on the ≤|distinct durations| hazard frame — the pmod(…,1)
+    // key marks the window bounded-by-construction. The hazard table is
+    // what a conversion-SLA dashboard plots; the reference's own churn /
+    // time-to-event questions over `dim_customers.account_status` are
+    // this operator at meter scale.
+    q("survival_nelson_aalen",
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |nx AS (
+        |  SELECT event_id, event_type, tns,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN tns END) OVER (
+        |      PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+        |  FROM e),
+        |mx AS (SELECT MAX(epoch_ns(ts)) AS m FROM events),
+        |subj AS (
+        |  SELECT (COALESCE(next_p, m) - tns) // 3600000000000 AS t,
+        |    CASE WHEN next_p IS NOT NULL THEN 1 ELSE 0 END AS churned
+        |  FROM nx CROSS JOIN mx WHERE event_type = 'signup'),
+        |g AS (SELECT t, COUNT(*) AS c_all, SUM(churned) AS d FROM subj GROUP BY 1),
+        |r AS (
+        |  SELECT t, d,
+        |    (SELECT COUNT(*) FROM subj) - COALESCE(SUM(c_all) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+        |  FROM g)
+        |SELECT CAST(t AS BIGINT) AS t_hours, CAST(n AS BIGINT) AS n_at_risk,
+        |  CAST(d AS BIGINT) AS d_events,
+        |  CAST(d * 1000000 // n AS BIGINT) AS hazard_ppm,
+        |  CAST(SUM(d * 1000000 // n) OVER (ORDER BY t) AS BIGINT) AS cumhaz_ppm
+        |FROM r WHERE d > 0""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val nx = e.withColumn("next_p",
+        min(when(col("event_type") === "purchase", col("ts_ns"))).over(wNext))
+      val mx = Tables.events(s, d).agg(max(col("ts_ns")).as("m"))
+      val subj = nx.filter(col("event_type") === "signup")
+        .crossJoin(broadcast(mx))
+        .select(expr("(coalesce(next_p, m) - ts_ns) div 3600000000000L").as("t"),
+          when(col("next_p").isNotNull, 1L).otherwise(0L).as("churned"))
+        .localCheckpoint(eager = false) // feeds g and the total count
+      val g = subj.groupBy(col("t"))
+        .agg(count(lit(1)).as("c_all"), sum(col("churned")).as("d"))
+      val tot = subj.agg(count(lit(1)).as("n_subj"))
+      // exclusive cumulative count over the ≤|span-hours| duration frame
+      val wCum = Window.partitionBy(pmod(col("t"), lit(1L))).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.crossJoin(broadcast(tot))
+        .withColumn("n", col("n_subj") - coalesce(sum(col("c_all")).over(wCum), lit(0L)))
+        .filter(col("d") > 0)
+        .withColumn("hazard_ppm", expr("d * 1000000L div n"))
+      val wHaz = Window.partitionBy(pmod(col("t"), lit(1L))).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      r.select(col("t").as("t_hours"), col("n").as("n_at_risk"),
+        col("d").as("d_events"), col("hazard_ppm"),
+        sum(col("hazard_ppm")).over(wHaz).as("cumhaz_ppm"))
     })
 }
