@@ -534,6 +534,94 @@ object MeterPipeline {
             .as("wape_capped_ppm"))
     },
 
+    // ---- SPLIT-CONFORMAL PREDICTION INTERVALS on the seasonal-naive
+    // forecast (Vovk et al.; Lei et al., JASA 2018): calibrate per meter
+    // on days 2-3 of the backtest frame — qhat = the
+    // ceil(0.8·(n_cal+1))-th smallest |error| (the finite-sample (n+1)
+    // correction that makes split conformal's ≥80% coverage guarantee
+    // exact under exchangeability) — then measure empirical coverage of
+    // a ± qhat on the held-out days 4-5. Completes the forecasting
+    // story: backtest scores the point forecast, conformal turns it into
+    // a calibrated interval with a distribution-free guarantee. All
+    // integer: errors are BIGINT mWh, the quantile is a rank pick
+    // (per-meter window bounded by calibration rows = days × 96 slots),
+    // coverage is floored ppm. Shape: ONE staging pass feeds both
+    // splits; the rank window partitions by meter; the coverage join is
+    // per-meter against a 1-row-per-meter qhat frame.
+    q("meter_forecast_conformal", {
+      s"""WITH ${MeterSql.stagingCtes(NMeters, NIntervalsCbl)},
+         |iv AS (
+         |  SELECT meter_id, CAST(reading_timestamp AS DATE) AS d,
+         |    CAST(extract(hour FROM reading_timestamp) * 4
+         |       + extract(minute FROM reading_timestamp) // 15 AS BIGINT) AS slot,
+         |    CAST(consumption_delta_mwh AS BIGINT) AS a
+         |  FROM stg),
+         |fc AS (
+         |  SELECT meter_id, d, slot, a,
+         |    lag(a) OVER (PARTITION BY meter_id, slot ORDER BY d) AS f
+         |  FROM iv),
+         |err AS (
+         |  SELECT meter_id, d, slot, ABS(a - f) AS e
+         |  FROM fc WHERE f IS NOT NULL),
+         |dmin AS (SELECT MIN(d) AS d0 FROM err),
+         |cal AS (
+         |  SELECT e.*, row_number() OVER (
+         |      PARTITION BY e.meter_id ORDER BY e.e, e.d, e.slot) AS rn
+         |  FROM err e CROSS JOIN dmin WHERE e.d < d0 + 2),
+         |qh AS (
+         |  SELECT c.meter_id, MAX(n.n_cal) AS n_cal,
+         |    MAX(CASE WHEN c.rn = (4 * (n.n_cal + 1) + 4) // 5 THEN c.e END)
+         |      AS qhat_mwh
+         |  FROM cal c JOIN (SELECT meter_id, COUNT(*) AS n_cal FROM cal
+         |    GROUP BY 1) n ON n.meter_id = c.meter_id
+         |  GROUP BY 1),
+         |tst AS (
+         |  SELECT e.* FROM err e CROSS JOIN dmin WHERE e.d >= d0 + 2)
+         |SELECT CAST(t.meter_id AS BIGINT) AS meter_id,
+         |  CAST(q.n_cal AS BIGINT) AS n_cal,
+         |  CAST(q.qhat_mwh AS BIGINT) AS qhat_mwh,
+         |  CAST(COUNT(*) AS BIGINT) AS n_test,
+         |  CAST(SUM(CASE WHEN t.e <= q.qhat_mwh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  CAST(SUM(CASE WHEN t.e <= q.qhat_mwh THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS coverage_ppm
+         |FROM tst t JOIN qh q ON q.meter_id = t.meter_id
+         |GROUP BY 1, 2, 3""".stripMargin
+    }) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val bySlot = Window.partitionBy(col("meter_id"), col("slot")).orderBy(col("d"))
+      val err = Staging.stgMeterReadings(MeterGen.readings(s, NMeters, NIntervalsCbl))
+        .select(col("meter_id"), to_date(col("reading_timestamp")).as("d"),
+          (hour(col("reading_timestamp")) * 4
+            + expr("minute(reading_timestamp) div 15")).cast("long").as("slot"),
+          col("consumption_delta_mwh").cast("long").as("a"))
+        .withColumn("f", lag(col("a"), 1).over(bySlot))
+        .filter(col("f").isNotNull)
+        .select(col("meter_id"), col("d"), col("slot"),
+          abs(col("a") - col("f")).as("e"))
+        .localCheckpoint(eager = false) // feeds both splits
+      val dmin = err.agg(min(col("d")).as("d0"))
+      val withSplit = err.crossJoin(broadcast(dmin))
+      val cal = withSplit.filter(col("d") < date_add(col("d0"), 2))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("meter_id"))
+          .orderBy(col("e"), col("d"), col("slot"))))
+      val nCal = cal.groupBy(col("meter_id")).agg(count(lit(1)).as("n_cal"))
+      val qh = cal.join(nCal, "meter_id")
+        .groupBy(col("meter_id"))
+        .agg(max(col("n_cal")).as("n_cal"),
+          max(when(col("rn") === expr("(4 * (n_cal + 1) + 4) div 5"), col("e")))
+            .as("qhat_mwh"))
+      withSplit.filter(col("d") >= date_add(col("d0"), 2))
+        .join(qh, "meter_id")
+        .groupBy(col("meter_id").cast("long").as("meter_id"),
+          col("n_cal"), col("qhat_mwh"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("e") <= col("qhat_mwh"), 1L).otherwise(0L)).as("n_covered"))
+        .select(col("meter_id"), col("n_cal"), col("qhat_mwh"), col("n_test"),
+          col("n_covered"),
+          expr("n_covered * 1000000L div n_test").as("coverage_ppm"))
+    },
+
     // ---- DISTRIBUTION LOSS ALLOCATION (UFE settlement) — the energy a
     // feeder injects always exceeds what its meters record (technical
     // losses); settlement allocates that unaccounted-for energy back to
