@@ -191,7 +191,11 @@ object PlanReport {
     "privacy_dp_counts" ->
       "DP histogram release: ONE map-side-combinable (day, type) count; the binomial noise is a codegen'd bit_count over the md5-prefix hash of the cell key, evaluated in the same projection — no second scan, no join, no window.",
     "hh_store_probe" ->
-      "Heavy-hitter cube probe: estimate and slack legs read ONLY the |days|×(K+1)-row store against the broadcast 10-key frame (two broadcast joins + tiny aggs); the fact side pays one count aggregate for the exact verification the oracle requires. The store build (amortized, outside this plan) ranks per-day keys through TopKPerKeyExec's map-side bounded heap.")
+      "Heavy-hitter cube probe: estimate and slack legs read ONLY the |days|×(K+1)-row store against the broadcast 10-key frame (two broadcast joins + tiny aggs); the fact side pays one count aggregate for the exact verification the oracle requires. The store build (amortized, outside this plan) ranks per-day keys through TopKPerKeyExec's map-side bounded heap.",
+    "survival_nelson_aalen" ->
+      "Nelson-Aalen hazard: the next-purchase lookup is ONE per-user window (bounded by per-user activity); everything after runs on the duration-grouped frame (≤ span-hours rows) — exclusive-cumsum risk sets and the final cumulative hazard both carry the pmod(…,1) bounded-window key; the subject total is a 1-row broadcast.",
+    "meter_forecast_conformal" ->
+      "Split conformal: one staging pass feeds both splits (localCheckpoint); the calibration rank window partitions by meter (≤ cal-days×96 rows per partition); qhat joins back as a 1-row-per-meter frame; coverage is one combinable conditional aggregate. No global sort, no corpus-sized window.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
