@@ -189,7 +189,7 @@ object PlanReport {
     "spatial_cluster_dbscan" ->
       "DBSCAN: degree count and core filter are one partial→final agg over the pair frame (≪ points); component rounds run on core edges only (min-label + pointer jump, lineage truncated per round); border assignment is one anti-join + one equi-join + a MIN agg. The corpus-sized frames appear only in the initial bucketed pair join.",
     "privacy_dp_counts" ->
-      "DP histogram release: ONE map-side-combinable (day, type) count; the binomial noise is a codegen'd bit_count over the md5-prefix hash of the cell key, evaluated in the same projection — no second scan, no join, no window.",
+      "DP histogram release MECHANICS (not a private release as shipped): the noise here is a DETERMINISTIC keyed draw — bit_count of the md5 hash of the published cell key — a harness device so the oracle can replicate it; being a public function of the key it is exactly invertible and carries zero actual privacy. The (1.25,1e-5)-DP analysis applies to the mechanism's algebra (Binomial(60,1/2)−30 noise, Δ=1, parallel composition over cells) once the draw is replaced by a secret RNG at deployment. Plan shape: ONE map-side-combinable (day, type) count; the noise is a codegen'd bit_count over the md5-prefix hash of the cell key, evaluated in the same projection — no second scan, no join, no window.",
     "hh_store_probe" ->
       "Heavy-hitter cube probe: estimate and slack legs read ONLY the |days|×(K+1)-row store against the broadcast 10-key frame (two broadcast joins + tiny aggs); the fact side pays one count aggregate for the exact verification the oracle requires. The store build (amortized, outside this plan) ranks per-day keys through TopKPerKeyExec's map-side bounded heap.",
     "survival_nelson_aalen" ->

@@ -78,6 +78,13 @@ object ScaleGen {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vidSpan = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // rotation amounts (i*3) % dim must be pairwise DISTINCT across
+    // copies, or colliding copies are exact twins and the recall
+    // measurement degenerates to find-your-own-copy — fail loudly rather
+    // than silently reintroduce the triviality the rotation prevents
+    require(factor * 3 <= dim,
+      s"embedding replication factor $factor needs 3*factor <= dim=$dim " +
+        "for distinct per-copy rotations; raise dim or shrink factor")
     write("embeddings", (0 until factor).map { i =>
       val r = (i * 3) % dim
       emb.withColumn("vec_id", col("vec_id") + lit(i * vidSpan))

@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   *
   *  - READS only the affected bucket directories (static PartitionFilter
   *    — at 16 buckets a 1-id request touches 1/16th of the store; a
-  *    production store scales NBuckets with corpus size so the rewrite
-  *    stays a constant fraction);
+  *    production store derives its bucket count from [[bucketsFor]] so
+  *    the rewrite unit stays CONSTANT BYTES, not a constant fraction);
   *  - REWRITES only those buckets (dynamic partition overwrite, the
   *    [[Store.refreshMartPartitions]] idiom), leaving every other bucket
   *    directory byte-identical — ErasureSpec asserts untouched-partition
@@ -43,25 +43,42 @@ import org.apache.spark.sql.functions._
 object ErasureStore {
 
   val NBuckets = 16
+  /** The constant rewrite unit: one bucket ≈ 16 M rows — a few GB of
+    * parquet, one comfortable targeted-rewrite task-set. */
+  val TargetRowsPerBucket = 16L * 1000L * 1000L
+
+  /** Constant-rewrite-unit sizing rule (the [[MeterBronze.bucketsFor]] /
+    * `VecStore.cellKFor` doctrine): smallest power-of-two bucket count ≥
+    * the [[NBuckets]] parallelism floor keeping a bucket at or under
+    * [[TargetRowsPerBucket]] rows — so a 1-id erase rewrites a constant
+    * number of bytes at ANY corpus size, instead of a constant FRACTION
+    * of a growing corpus. Power-of-two keeps split-rebucketing local. */
+  def bucketsFor(corpusRows: Long): Long = {
+    require(corpusRows > 0, s"corpusRows must be positive: $corpusRows")
+    val need = (corpusRows + TargetRowsPerBucket - 1) / TargetRowsPerBucket
+    var b = NBuckets.toLong
+    while (b < need) b *= 2
+    b
+  }
 
   /** Bucket of an id, engine-side. */
-  def bucketCol(id: Column): Column =
-    pmod(graft.functions.Md5Prefix64(id.cast("string")), lit(NBuckets.toLong))
+  def bucketCol(id: Column, buckets: Long = NBuckets.toLong): Column =
+    pmod(graft.functions.Md5Prefix64(id.cast("string")), lit(buckets))
 
   /** Bucket of an id, driver-side — bit-identical to [[bucketCol]] (the
     * arithmetic bucket contract: request buckets are computed WITHOUT
     * touching the store). */
-  def bucketOf(id: Long): Long =
+  def bucketOf(id: Long, buckets: Long = NBuckets.toLong): Long =
     graft.functions.Md5Prefix64.compute(
-      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString)) % NBuckets
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString)) % buckets
 
   /** Land `docs` (must carry a BIGINT `doc_id`) bucket-partitioned,
     * clustered one file per bucket (the [[VecStore.append]] small-files
     * rule). */
-  def build(docs: DataFrame, dir: String): Unit =
+  def build(docs: DataFrame, dir: String, buckets: Long = NBuckets.toLong): Unit =
     docs
-      .withColumn("bucket", bucketCol(col("doc_id")))
-      .repartition(NBuckets, col("bucket"))
+      .withColumn("bucket", bucketCol(col("doc_id"), buckets))
+      .repartition(buckets.toInt, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
   /** Erase every row whose `doc_id` is in `ids`. Returns the number of
@@ -71,7 +88,7 @@ object ErasureStore {
     if (ids.isEmpty) return 0L
     import spark.implicits._
     // request-side constants: the affected buckets, driver arithmetic
-    val affected = ids.map(bucketOf).distinct
+    val affected = ids.map(bucketOf(_)).distinct
     val reqDf = ids.toDF("doc_id")
     // static PartitionFilter — only affected bucket dirs are listed
     val slice = spark.read.parquet(dir)

@@ -33,32 +33,58 @@ import org.apache.spark.sql.functions._
   *
   * At 1M meters × 96 readings/day (BASELINE.md), a bucket-day is ~12 M
   * rows ≈ one comfortable rewrite task-set; production scales NBuckets
-  * with fleet size so the rewrite unit stays constant, the same rule as
-  * [[ErasureStore]].
+  * with fleet size so the rewrite unit stays constant — the rule is CODE,
+  * [[bucketsFor]], spec-pinned like `VecStore.cellKFor`, and `build`
+  * takes its bucket count from it.
   */
 object MeterBronze {
 
   val NBuckets = 8
+  /** The reference cadence: one reading per meter per 15 min. */
+  val ReadingsPerMeterDay = 96L
+  /** The constant rewrite unit: one bucket-day ≈ 12 M rows — the
+    * comfortable task-set the doc argues from. */
+  val TargetRowsPerBucketDay = 12L * 1000L * 1000L
+
+  /** Constant-rewrite-unit sizing rule (the [[VecStore.cellKFor]]
+    * doctrine on the governance axis): the smallest power-of-two bucket
+    * count ≥ [[NBuckets]] keeping a bucket-day at or under
+    * [[TargetRowsPerBucketDay]] rows. At the BASELINE 1 M-meter fleet
+    * this is exactly the shipped [[NBuckets]] = 8 (1M × 96 / 12M); each
+    * ×2 fleet growth doubles the count, so the rewrite unit — and
+    * therefore erase latency per affected bucket — stays constant at any
+    * scale. Power-of-two keeps the modulus cheap and makes future
+    * split-rebucketing (each old bucket → 2 new) a local operation. */
+  def bucketsFor(fleetSize: Long): Long = {
+    require(fleetSize > 0, s"fleetSize must be positive: $fleetSize")
+    val need =
+      (fleetSize * ReadingsPerMeterDay + TargetRowsPerBucketDay - 1) / TargetRowsPerBucketDay
+    var b = NBuckets.toLong
+    while (b < need) b *= 2
+    b
+  }
   /** Same synthetic fleet as the registered meter pipeline queries (the
     * oracle twin regenerates it via [[MeterSql.readingsCtes]]). */
   val NMeters = 200L
   val NIntervals = 192L
 
   /** Bucket of a meter, engine-side. */
-  def bucketCol(id: Column): Column =
-    pmod(graft.functions.Md5Prefix64(id.cast("string")), lit(NBuckets.toLong))
+  def bucketCol(id: Column, buckets: Long = NBuckets.toLong): Column =
+    pmod(graft.functions.Md5Prefix64(id.cast("string")), lit(buckets))
 
   /** Bucket of a meter, driver-side — bit-identical to [[bucketCol]]. */
-  def bucketOf(id: Long): Long =
+  def bucketOf(id: Long, buckets: Long = NBuckets.toLong): Long =
     graft.functions.Md5Prefix64.compute(
-      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString)) % NBuckets
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString)) % buckets
 
   /** Land readings composite-partitioned, clustered one file per
-    * (date, bucket) partition (the small-files rule). */
-  def build(readings: DataFrame, dir: String): Unit =
+    * (date, bucket) partition (the small-files rule). Bucket count
+    * defaults to the [[bucketsFor]] floor; pass `bucketsFor(fleetSize)`
+    * at scale. */
+  def build(readings: DataFrame, dir: String, buckets: Long = NBuckets.toLong): Unit =
     readings
       .withColumn("chunk_date", to_date(col("reading_timestamp")))
-      .withColumn("mbucket", bucketCol(col("meter_id")))
+      .withColumn("mbucket", bucketCol(col("meter_id"), buckets))
       .repartition(col("chunk_date"), col("mbucket"))
       .write.mode("overwrite").partitionBy("chunk_date", "mbucket").parquet(dir)
 
@@ -83,7 +109,7 @@ object MeterBronze {
     if (ids.isEmpty) return 0L
     import spark.implicits._
     // request-side constants: affected buckets, driver arithmetic
-    val affected = ids.map(bucketOf).distinct
+    val affected = ids.map(bucketOf(_)).distinct
     val reqDf = ids.toDF("meter_id").select(col("meter_id").cast("int").as("meter_id"))
     // static PartitionFilter: only affected mbucket dirs listed, all dates
     val slice = spark.read.parquet(dir)
@@ -139,7 +165,9 @@ object MeterBronze {
     if (!built) {
       val path = new org.apache.hadoop.fs.Path(storeDir)
       path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
-      build(MeterGen.readings(s, NMeters, NIntervals), storeDir)
+      // bucket count from the sizing rule (== the NBuckets floor at this
+      // fleet — bucketsFor(200) = bucketsFor(1M) = 8, spec-pinned)
+      build(MeterGen.readings(s, NMeters, NIntervals), storeDir, bucketsFor(NMeters))
       built = true
     }
     storeDir

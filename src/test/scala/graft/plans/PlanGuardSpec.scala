@@ -77,7 +77,17 @@ class PlanGuardSpec extends SparkSpec {
       kids.filter(_.isDirectory).flatMap(scalaFiles) ++
         kids.filter(f => f.isFile && f.getName.endsWith(".scala"))
     }
-    val offenders = scalaFiles(new java.io.File("src")).flatMap { f =>
+    // resolve the source root from a validated anchor: a relative "src"
+    // silently scans nothing (vacuous pass) when the test JVM's working
+    // directory is not the repo root
+    val cwd = new java.io.File(sys.props("user.dir"))
+    val repoRoot = Iterator.iterate(cwd)(_.getParentFile)
+      .takeWhile(_ != null)
+      .find(d => new java.io.File(d, "build.sbt").isFile)
+      .getOrElse(fail(s"no build.sbt above ${cwd.getAbsolutePath} — cannot locate src/"))
+    val files = scalaFiles(new java.io.File(repoRoot, "src"))
+    assert(files.nonEmpty, s"no .scala files under ${repoRoot.getAbsolutePath}/src — guard would be vacuous")
+    val offenders = files.flatMap { f =>
       val text = new String(
         java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)

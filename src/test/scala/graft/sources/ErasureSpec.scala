@@ -31,7 +31,7 @@ class ErasureSpec extends SparkSpec {
   test("erase removes exactly the requested rows and rewrites only their buckets") {
     val (dir, docs) = freshStore()
     val ids = Seq(3L, 7L, 250L)
-    val affected = ids.map(ErasureStore.bucketOf).distinct.toSet
+    val affected = ids.map(ErasureStore.bucketOf(_)).distinct.toSet
     val before = snapshot(dir)
 
     // the erase's read side lists ONLY the affected bucket directories
@@ -95,6 +95,30 @@ class ErasureSpec extends SparkSpec {
     val n = afterFirst.count()
     assert(ErasureStore.eraseByIds(spark, dir, ids) === 0L)
     assert(spark.read.parquet(dir).count() === n)
+  }
+
+  test("bucketsFor: constant rewrite unit, NBuckets floor, power-of-two") {
+    import ErasureStore._
+    // at or under the floor corpus the shipped constant holds
+    assert(bucketsFor(1000L) === NBuckets.toLong)
+    assert(bucketsFor(NBuckets * TargetRowsPerBucket) === NBuckets.toLong)
+    var prev = 0L
+    for (rows <- Seq(500L * 1000 * 1000, 4L * 1000 * 1000 * 1000,
+        100L * 1000 * 1000 * 1000)) {
+      val b = bucketsFor(rows)
+      val unit = rows / b
+      assert(unit <= TargetRowsPerBucket, s"rows=$rows buckets=$b unit=$unit")
+      assert(unit > TargetRowsPerBucket / 4, s"rows=$rows buckets=$b over-shards")
+      assert((b & (b - 1)) === 0L, s"buckets=$b not a power of two")
+      assert(b >= prev)
+      prev = b
+    }
+    // driver/engine bucket arithmetic bit-identical at a derived count
+    val b = bucketsFor(4L * 1000 * 1000 * 1000)
+    val viaCol = graft.ops.Tables.documents(spark, sf0001).limit(1)
+      .select(ErasureStore.bucketCol(org.apache.spark.sql.functions.lit(7L), b))
+      .head().getLong(0)
+    assert(viaCol === ErasureStore.bucketOf(7L, b))
   }
 
   test("registered query equals the declarative survivor set") {

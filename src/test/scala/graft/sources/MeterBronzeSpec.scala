@@ -35,7 +35,7 @@ class MeterBronzeSpec extends SparkSpec {
   test("RTBF erase rewrites only the affected buckets, every date chunk else byte-identical") {
     val (dir, readings) = freshStore()
     val ids = Seq(3L, 17L)
-    val affected = ids.map(MeterBronze.bucketOf).distinct.toSet
+    val affected = ids.map(MeterBronze.bucketOf(_)).distinct.toSet
     val before = snapshot(dir)
 
     // read side lists only |dates| x |affected buckets| composite dirs
@@ -104,6 +104,34 @@ class MeterBronzeSpec extends SparkSpec {
     assert(MeterBronze.eraseByMeterIds(spark, dir, Seq(999999L)) === 0L)
     assert(MeterBronze.eraseByMeterIds(spark, dir, bucketIds) === 0L)
     assert(snapshot(dir) === before)
+  }
+
+  test("bucketsFor: constant rewrite unit, NBuckets floor, power-of-two") {
+    import MeterBronze._
+    // the BASELINE 1M-meter fleet is exactly the shipped constant
+    assert(bucketsFor(1000000L) === NBuckets.toLong)
+    // tiny test fleets keep the parallelism/pruning floor
+    assert(bucketsFor(NMeters) === NBuckets.toLong)
+    // above the floor: bucket-day never exceeds the target unit, never
+    // undershoots half of it (power-of-two ceiling), and is monotone
+    var prev = 0L
+    for (fleet <- Seq(2000000L, 5000000L, 16000000L, 123456789L)) {
+      val b = bucketsFor(fleet)
+      val rowsPerBucketDay = fleet * ReadingsPerMeterDay / b
+      assert(rowsPerBucketDay <= TargetRowsPerBucketDay,
+        s"fleet=$fleet buckets=$b unit=$rowsPerBucketDay exceeds target")
+      assert(rowsPerBucketDay * 2 > TargetRowsPerBucketDay / 2,
+        s"fleet=$fleet buckets=$b over-shards")
+      assert((b & (b - 1)) === 0L, s"buckets=$b not a power of two")
+      assert(b >= prev, "bucket count must be monotone in fleet size")
+      prev = b
+    }
+    // driver/engine bucket arithmetic stays bit-identical at derived counts
+    val b = bucketsFor(16000000L)
+    val viaCol = graft.ops.Tables.events(spark, sf0001).limit(1)
+      .select(MeterBronze.bucketCol(org.apache.spark.sql.functions.lit(42L), b))
+      .head().getLong(0)
+    assert(viaCol === MeterBronze.bucketOf(42L, b))
   }
 
   test("registered query equals the declarative survivor set") {
