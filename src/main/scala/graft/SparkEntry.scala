@@ -22,12 +22,16 @@ object SparkEntry {
       llm.TrainingPipeline.all ++ llm.CorpusSignals.all ++
       llm.Search.all ++ graph.GraphOps.all ++
       streaming.IngestBench.all ++ sources.Formats.all :+
-      sources.VecStore.probeQuery :+ sources.PostingStore.probeQuery :+
+      sources.VecStore.probeQuery :+ sources.VecStore.scaledProbeQuery :+
+      sources.PostingStore.probeQuery :+
       sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery :+
       sources.SketchStore.probeQuery :+ sources.SketchStore.overlapQuery :+
       sources.SketchStore.rollupQuery :+
+      sources.SketchStore.compactedProbeQuery :+
       sources.HistStore.probeQuery :+ sources.HistStore.rollupQuery :+
-      sources.HeavyHitterStore.probeQuery
+      sources.HistStore.compactedProbeQuery :+
+      sources.HeavyHitterStore.probeQuery :+
+      sources.HeavyHitterStore.maintainedProbeQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-safe compaction log shared by the mergeable-cube stores
+  * ([[SketchStore]], [[HistStore]], [[HeavyHitterStore]]).
+  *
+  * A streaming-maintained cube lands one `batch_id=<epoch>` directory per
+  * micro-batch (the replay-idempotent overwrite contract) — at the
+  * reference's 96 batches/day that is ~35 K directories/year of KB-sized
+  * files, the small-files decay [[PostingStore]]'s doc warns about.
+  * [[DocStore.compactIndex]] repairs the same decay for its hash index by
+  * folding into a reserved partition; that works there because the index
+  * is a SET (re-landing a folded batch is harmless — the anti-join tests
+  * existence, not multiplicity). Cube partials are COUNTS and histograms:
+  * SUM-merged, so a replayed epoch re-landing after its directory was
+  * folded-and-deleted would double-count. The fix is the transaction-log
+  * idea (the FileStreamSink `_spark_metadata` manifest, reduced to two
+  * moving parts):
+  *
+  * Layout under a store dir:
+  *  - `<root parquet files>`       — batch `build`/`appendDay` landings
+  *                                   (never compacted: already at final
+  *                                   grain, one file per build)
+  *  - `batch_id=<N>/`              — live streaming partials
+  *  - `folded_gen=<G>/`            — the compacted fold, one per
+  *                                   generation
+  *  - `_cube_commits/<G>`          — commit marker for generation G; its
+  *                                   CONTENT is the fold's epoch
+  *                                   watermark (max folded batch id)
+  *
+  * Invariants:
+  *  - Readers resolve the LATEST COMMITTED generation G*, then read
+  *    root files ∪ `folded_gen=G*` ∪ batch dirs with id > watermark(G*).
+  *    Batch dirs at or under the watermark are ignored even if present —
+  *    their content is already inside the fold.
+  *  - `appendBatch` consults the watermark first and NO-OPS for folded
+  *    epochs: a replay of a pre-compaction epoch lands nothing, so store
+  *    contents stay exactly-once over an at-least-once channel even
+  *    across compactions.
+  *  - [[compact]] orders: write `folded_gen=G+1` → commit marker (create
+  *    + atomic rename) → cleanup (delete old gen, folded batch dirs,
+  *    stale markers). A crash anywhere leaves a readable store:
+  *    before the marker, readers still use G* and the orphan G+1 dir is
+  *    overwritten by the next compaction; after the marker, the
+  *    watermark already excludes the not-yet-deleted batch dirs and the
+  *    next compaction finishes the cleanup.
+  *
+  * Scale shape: all log operations are driver-side directory listings
+  * bounded by |live batches| + O(1); the fold itself is one Spark job
+  * over frames that are |days|-bounded by the store contract. Probe
+  * latency is what compaction buys — a probe reads ≤ 1 fold + the few
+  * since-landed epochs instead of a year of micro-batch directories.
+  */
+object CubeLog {
+
+  final case class View(
+      rootFiles: Seq[String],
+      foldedDir: Option[String],
+      liveBatches: Seq[(Long, String)],
+      watermark: Long,
+      gen: Long) {
+    def dataPaths: Seq[String] =
+      rootFiles ++ foldedDir.toSeq ++ liveBatches.map(_._2)
+  }
+
+  private def fs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Resolve the reader view: latest committed generation, its epoch
+    * watermark, live (unfolded) batch dirs, and root-level build files. */
+  def view(spark: SparkSession, dir: String): View = {
+    val (hfs, p) = fs(spark, dir)
+    if (!hfs.exists(p)) return View(Nil, None, Nil, -1L, 0L)
+    val kids = hfs.listStatus(p).toSeq
+    val commitsDir = new org.apache.hadoop.fs.Path(p, "_cube_commits")
+    val commits =
+      if (hfs.exists(commitsDir))
+        hfs.listStatus(commitsDir).toSeq
+          .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
+            .map(_ -> st.getPath))
+      else Seq.empty
+    val (gen, watermark) = commits.sortBy(_._1).lastOption match {
+      case Some((g, path)) =>
+        val in = hfs.open(path)
+        val wm = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+        (g, wm)
+      case None => (0L, -1L)
+    }
+    val folded = kids
+      .filter(st => st.isDirectory && st.getPath.getName == s"folded_gen=$gen")
+      .map(_.getPath.toString).headOption
+    val live = kids
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("batch_id=").toLong)
+          .toOption.map(_ -> st.getPath.toString)
+      }
+      .filter(_._1 > watermark)
+      .sortBy(_._1)
+    val roots = kids
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    View(roots, folded, live, watermark, gen)
+  }
+
+  /** True iff `batchId` is already inside the committed fold — the
+    * appendBatch replay guard for SUM-merged stores. */
+  def isFolded(spark: SparkSession, dir: String, batchId: Long): Boolean =
+    batchId <= view(spark, dir).watermark
+
+  /** Read the store's CURRENT contents — root build files, the committed
+    * fold, and live batch partials — as one frame of data columns (no
+    * partition column: every group is addressed by explicit path). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val v = view(spark, dir)
+    require(v.dataPaths.nonEmpty, s"empty cube store: $dir")
+    spark.read.parquet(v.dataPaths: _*)
+  }
+
+  /** Fold live batch partials (plus the previous fold) through `fold`
+    * into the next generation, commit, clean up. Idempotent and safe to
+    * run beside a live stream: only the snapshotted batch dirs are folded
+    * and excluded — an epoch landing mid-compaction stays live for the
+    * next run. Returns the committed generation (unchanged if there was
+    * nothing to fold). `force` re-folds the existing fold even with no
+    * live batches — for folds whose OUTPUT depends on a caller parameter
+    * that advanced (e.g. [[HeavyHitterStore.compact]]'s day-closing
+    * cutoff must finalize quiet days too). */
+  def compact(spark: SparkSession, dir: String, force: Boolean = false)(
+      fold: DataFrame => DataFrame): Long = {
+    val v = view(spark, dir)
+    if (v.liveBatches.isEmpty && !(force && v.foldedDir.nonEmpty)) return v.gen
+    val (hfs, p) = fs(spark, dir)
+    val newGen = v.gen + 1
+    val newWatermark = (v.watermark +: v.liveBatches.map(_._1)).max
+    val input = spark.read.parquet(
+      (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)): _*)
+    fold(input)
+      // |days|-bounded by the store contract: one file, severed lineage
+      // (the fold must not lazily re-read directories about to be deleted)
+      .coalesce(1)
+      .localCheckpoint(eager = true)
+      .write.mode("overwrite").parquet(s"$dir/folded_gen=$newGen")
+    // commit marker: content first to a temp name, then atomic rename
+    val commitsDir = new org.apache.hadoop.fs.Path(p, "_cube_commits")
+    hfs.mkdirs(commitsDir)
+    val tmp = new org.apache.hadoop.fs.Path(commitsDir, s".$newGen.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(newWatermark.toString.getBytes("UTF-8")) finally out.close()
+    hfs.rename(tmp, new org.apache.hadoop.fs.Path(commitsDir, newGen.toString))
+    // cleanup — readers already exclude everything deleted here. Swept
+    // from a FRESH listing, not the snapshot, so leftovers of a prior
+    // crashed run (orphan gens, folded-but-undeleted batch dirs, stale
+    // markers) are collected too.
+    hfs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val staleGen = n.startsWith("folded_gen=") &&
+        scala.util.Try(n.stripPrefix("folded_gen=").toLong).toOption.exists(_ != newGen)
+      val foldedBatch = n.startsWith("batch_id=") &&
+        scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption.exists(_ <= newWatermark)
+      if (st.isDirectory && (staleGen || foldedBatch)) hfs.delete(st.getPath, true)
+    }
+    hfs.listStatus(commitsDir).foreach { st =>
+      val stale = scala.util.Try(st.getPath.getName.toLong).toOption.exists(_ < newGen)
+      if (stale) hfs.delete(st.getPath, false)
+    }
+    newGen
+  }
+}

@@ -26,30 +26,65 @@ import org.apache.spark.sql.functions._
   * verdict is deterministic and the whole output hash-checks against the
   * oracle's replica of the same summary.
   *
+  * MAINTENANCE SURFACE (the other three cubes' append-only contract):
+  *
+  *  - [[appendDay]] lands a COMPLETE day's canonical summary (kind
+  *    'top'/'thr') — exact, because a whole day's summary IS the batch
+  *    build restricted to that day.
+  *  - [[appendBatch]] lands a micro-batch's UNTRUNCATED per-(day, key)
+  *    partial counts (kind 'part') under `batch_id=<epoch>` — exact
+  *    integer counts are SUM-mergeable, so any batch slicing of a day
+  *    folds back to the very counts the batch build would have ranked.
+  *    Truncating per batch instead would keep each landing K-bounded but
+  *    make the merge widen slack per batch (the summary algebra allows
+  *    it; exactness does not survive it) — the engine chooses exact
+  *    partials + compaction, so a stream-built store answers
+  *    HASH-IDENTICALLY to the batch-built one (CubeCompactSpec).
+  *  - [[compact]] folds partials under the [[CubeLog]] crash-safe
+  *    generation contract: still-open days merge losslessly (one 'part'
+  *    row per (day, key)); days closed by the caller's event-time
+  *    watermark FINALIZE to the canonical K-bounded 'top'/'thr' form —
+  *    exact, because a closed day's folded partials are its complete
+  *    counts. Pass `finalizeBefore` ≤ the stream's watermark: a late
+  *    partial for an already-finalized day would otherwise coexist with
+  *    a truncated summary, and while the merged bound stays VALID (ests
+  *    sum over disjoint row sets), hash-equality with a batch build does
+  *    not survive truncation-then-more-data.
+  *
   * The store build runs through the engine's own [[graft.plans.TopKPerKey]]
   * operator (map-side bounded-heap pruning before the exchange) — at
   * 100 TB per-day key cardinality is corpus-scale, and selecting K+1 of
   * them is exactly the workload that operator exists for; the ranking
   * window that splits kept rows from the threshold then runs on ≤ K+1
-  * rows per day by construction. The store itself is |days| × (K+1) rows
-  * — corpus-size-independent, like its three siblings.
+  * rows per day by construction. The finalized store is |days| × (K+1)
+  * rows — corpus-size-independent, like its three siblings; between
+  * compactions the open day's partials are bounded by that day's key
+  * cardinality, which is why the compaction cadence IS the state bound.
   */
 object HeavyHitterStore {
 
   /** Counters kept per day (the summary's K). */
   val K = 20
 
-  /** Per-day summary: kind 'top' rows carry the exact counts of the K
-    * heaviest keys (ties broken by key), the single kind 'thr' row per
-    * day carries the truncation threshold as cnt (user_id = -1). */
-  private[sources] def dailySummaries(s: SparkSession, events: DataFrame): DataFrame = {
+  private def withTopK(s: SparkSession): Unit =
     if (!s.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
-    val dayCounts = events
+
+  /** Exact per-(day, key) counts of a slice of events — the partial the
+    * streaming path lands and the fold sums. */
+  private def dayCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(to_date(col("ts")).as("day"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
-    val topK1 = graft.plans.TopKPerKey(dayCounts,
+
+  /** Rank exact (day, user_id, cnt) rows into the canonical summary:
+    * kind 'top' rows carry the exact counts of the K heaviest keys (ties
+    * broken by key), the single kind 'thr' row per day carries the
+    * truncation threshold as cnt (user_id = -1). */
+  private[sources] def summarize(s: SparkSession, counts: DataFrame): DataFrame = {
+    withTopK(s)
+    val topK1 = graft.plans.TopKPerKey(counts,
       keys = Seq("day"), orderBy = Seq(("cnt", true), ("user_id", false)), k = K + 1)
     // rank within the ≤ K+1 surviving rows per day (bounded window)
     val rk = topK1.withColumn("rn", row_number().over(
@@ -62,8 +97,68 @@ object HeavyHitterStore {
     kept.unionByName(thr)
   }
 
+  /** Per-day canonical summaries of a complete event set. */
+  private[sources] def dailySummaries(s: SparkSession, events: DataFrame): DataFrame =
+    summarize(s, dayCounts(events))
+
   def build(s: SparkSession, events: DataFrame, dir: String): Unit =
     dailySummaries(s, events).coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Append a COMPLETE day (or days): canonical 'top'/'thr' rows, exact
+    * by construction, one appended file, no existing row touched. */
+  def appendDay(s: SparkSession, events: DataFrame, dir: String): Unit =
+    dailySummaries(s, events).coalesce(1).write.mode("append").parquet(dir)
+
+  /** Streaming maintenance: land the micro-batch's exact per-(day, key)
+    * partial counts as kind 'part' under `batch_id=<epoch>` with
+    * overwrite (replay-idempotent), guarded by the [[CubeLog]] watermark
+    * so epochs already folded by [[compact]] no-op instead of
+    * double-counting. */
+  def appendBatch(events: DataFrame, dir: String, batchId: Long): Unit = {
+    if (CubeLog.isFolded(events.sparkSession, dir, batchId)) return
+    dayCounts(events)
+      .withColumn("kind", lit("part"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+  }
+
+  /** Fold batch partials: canonical rows pass through; 'part' rows merge
+    * per (day, key) by SUM; days strictly before `finalizeBefore`
+    * (ISO date; pass the stream's event-time watermark) finalize to the
+    * canonical K-bounded form. */
+  def compact(spark: SparkSession, dir: String,
+      finalizeBefore: Option[String] = None): Long =
+    // force when finalizing: closing a day must work on a quiet store
+    // (no new epochs since the last fold) too
+    CubeLog.compact(spark, dir, force = finalizeBefore.isDefined) { rows =>
+      val canonical = rows.filter(col("kind") =!= "part")
+      val merged = rows.filter(col("kind") === "part")
+        .groupBy(col("day"), col("user_id"))
+        .agg(sum(col("cnt")).as("cnt"))
+      finalizeBefore match {
+        case None =>
+          canonical.unionByName(merged.withColumn("kind", lit("part")))
+        case Some(cutoff) =>
+          val closed = summarize(spark, merged.filter(col("day") < lit(cutoff)))
+          val open = merged.filter(col("day") >= lit(cutoff))
+            .withColumn("kind", lit("part"))
+          canonical.unionByName(closed).unionByName(open)
+      }
+    }
+
+  /** Read the store at SUMMARY grain regardless of layout: canonical
+    * rows pass through; live/folded 'part' rows fold (SUM per (day, key))
+    * and rank into the same canonical form the batch build emits — so a
+    * purely stream-built store yields row-for-row the batch build's
+    * summaries (partials are exact and sum to complete day counts). */
+  def summaries(s: SparkSession, dir: String): DataFrame = {
+    val st = CubeLog.read(s, dir)
+    val canonical = st.filter(col("kind") =!= "part")
+      .select(col("day"), col("user_id"), col("cnt"), col("kind"))
+    val parts = st.filter(col("kind") === "part")
+      .groupBy(col("day"), col("user_id"))
+      .agg(sum(col("cnt")).as("cnt"))
+    canonical.unionByName(summarize(s, parts))
+  }
 
   private lazy val root: String =
     s"${sys.props("java.io.tmpdir")}/graft_hh_store/${java.util.UUID.randomUUID()}"
@@ -79,11 +174,60 @@ object HeavyHitterStore {
       })
     }
 
-  /** Full-span top-10 probe: for the EXACT top-10 keys (the verification
-    * side the oracle requires), the estimate and slack come from STORED
-    * rows only; `within_bound` states the summary theorem and must be
-    * TRUE row-for-row. */
-  lazy val probeQuery: GraftQuery = q("hh_store_probe",
+  /** Stream-maintained twin of the registered store: the SAME corpus
+    * landed as three deterministic epoch slices (user_id mod 3 — every
+    * epoch carries partials of every day, the adversarial slicing),
+    * compacted with every day closed. Exists so the maintenance path is
+    * ORACLE-GATED, not just spec-tested: the probe over this store must
+    * hash-match the same declarative truth as the batch-built one. */
+  private val builtMaintained = scala.collection.mutable.Map.empty[String, String]
+  private def maintainedDir(s: SparkSession, d: String): String =
+    builtMaintained.synchronized {
+      builtMaintained.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}_maintained"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val events = Tables.events(s, d)
+        (0L to 2L).foreach { epoch =>
+          appendBatch(events.filter(pmod(col("user_id"), lit(3L)) === epoch),
+            dir, epoch)
+        }
+        compact(s, dir, finalizeBefore = Some("9999-12-31"))
+        dir
+      })
+    }
+
+  /** Shared probe body: for the EXACT top-10 keys (the verification side
+    * the oracle requires), the estimate and slack come from STORED
+    * summary rows only; `within_bound` states the summary theorem and
+    * must be TRUE row-for-row. */
+  private def probeFrom(s: SparkSession, d: String, st: DataFrame): DataFrame = {
+    val kept = st.filter(col("kind") === "top")
+      .select(col("day"), col("user_id"), col("cnt"))
+    val thr = st.filter(col("kind") === "thr").select(col("day"), col("cnt").as("t"))
+    // verification side: exact full-span top-10 from facts
+    val tot = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id")).agg(sum(col("n")).as("exact_n"))
+    val top10 = broadcast(tot
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10))
+    // estimate + slack FROM THE STORE against the 10-row broadcast
+    val est = top10.join(kept, Seq("user_id"), "left")
+      .groupBy(col("user_id")).agg(coalesce(sum(col("cnt")), lit(0L)).as("est_n"))
+    val slack = top10.select(col("user_id")).crossJoin(broadcast(thr))
+      .join(kept.select(col("day"), col("user_id"), lit(1).as("present")),
+        Seq("day", "user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("present").isNull, col("t")).otherwise(0L)).as("slack_n"))
+    top10.join(est, "user_id").join(slack, "user_id")
+      .select(col("user_id"), col("exact_n"), col("est_n"), col("slack_n"),
+        (col("est_n") <= col("exact_n")
+          && col("exact_n") <= col("est_n") + col("slack_n")).as("within_bound"))
+  }
+
+  /** The oracle's replica of the summary + theorem check. */
+  private def probeOracle: String =
     s"""WITH dc AS (
        |  SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS n
        |  FROM events GROUP BY 1, 2),
@@ -114,29 +258,18 @@ object HeavyHitterStore {
        |  e.est_n <= t10.exact_n AND t10.exact_n <= e.est_n + s.slack_n
        |    AS within_bound
        |FROM top10 t10 JOIN est e ON e.user_id = t10.user_id
-       |JOIN sl s ON s.user_id = t10.user_id""".stripMargin) { (s, d) =>
-    val dir = storeDir(s, d)
-    val st = s.read.parquet(dir)
-    val kept = st.filter(col("kind") === "top").select(col("day"), col("user_id"), col("cnt"))
-    val thr = st.filter(col("kind") === "thr").select(col("day"), col("cnt").as("t"))
-    // verification side: exact full-span top-10 from facts
-    val tot = Tables.events(s, d)
-      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("user_id")).agg(sum(col("n")).as("exact_n"))
-    val top10 = broadcast(tot
-      .orderBy(col("exact_n").desc, col("user_id")).limit(10))
-    // estimate + slack FROM THE STORE against the 10-row broadcast
-    val est = top10.join(kept, Seq("user_id"), "left")
-      .groupBy(col("user_id")).agg(coalesce(sum(col("cnt")), lit(0L)).as("est_n"))
-    val slack = top10.select(col("user_id")).crossJoin(broadcast(thr))
-      .join(kept.select(col("day"), col("user_id"), lit(1).as("present")),
-        Seq("day", "user_id"), "left")
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("present").isNull, col("t")).otherwise(0L)).as("slack_n"))
-    top10.join(est, "user_id").join(slack, "user_id")
-      .select(col("user_id"), col("exact_n"), col("est_n"), col("slack_n"),
-        (col("est_n") <= col("exact_n")
-          && col("exact_n") <= col("est_n") + col("slack_n")).as("within_bound"))
+       |JOIN sl s ON s.user_id = t10.user_id""".stripMargin
+
+  /** Full-span top-10 probe against the batch-built store. */
+  lazy val probeQuery: GraftQuery = q("hh_store_probe", probeOracle) { (s, d) =>
+    probeFrom(s, d, summaries(s, storeDir(s, d)))
   }
+
+  /** The SAME probe against the stream-maintained, compacted store —
+    * hash-equality with [[probeQuery]]'s oracle proves stream-built ≡
+    * batch-built through the whole land→guard→fold→finalize pipeline. */
+  lazy val maintainedProbeQuery: GraftQuery =
+    q("hh_store_maintained_probe", probeOracle) { (s, d) =>
+      probeFrom(s, d, summaries(s, maintainedDir(s, d)))
+    }
 }

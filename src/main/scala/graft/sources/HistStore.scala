@@ -73,9 +73,31 @@ object HistStore {
     * instead of double-counting; the probe's SUM merge folds any number
     * of partial rows per (day, type, bucket) — any batch slicing sums to
     * the same histogram (HistStoreSpec stream test). */
-  def appendBatch(events: DataFrame, dir: String, batchId: Long): Unit =
+  def appendBatch(events: DataFrame, dir: String, batchId: Long): Unit = {
+    // replay guard across COMPACTIONS ([[CubeLog]] watermark): histogram
+    // partials are SUM-merged, so a folded epoch re-landing would
+    // double-count — unlike the register-max sketch, the algebra does
+    // not forgive it
+    if (CubeLog.isFolded(events.sparkSession, dir, batchId)) return
     dailyHistograms(events)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+  }
+
+  /** Fold accumulated `batch_id=` partials into one row per (day, type,
+    * bucket) — plain SUM, the histogram's own merge — under the
+    * [[CubeLog]] crash-safe generation contract. Probe answers are
+    * invariant (SUM is associative and grouping-invariant over any batch
+    * slicing); CubeCompactSpec asserts equality before/after, the
+    * directory-count drop, and post-compaction replay exactly-once. */
+  def compact(spark: SparkSession, dir: String): Long =
+    CubeLog.compact(spark, dir) { partials =>
+      partials.groupBy(col("day"), col("event_type"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+    }
+
+  /** Store reader spanning every layout the maintenance paths produce. */
+  def readStore(spark: SparkSession, dir: String): DataFrame =
+    CubeLog.read(spark, dir)
 
   private lazy val root: String =
     s"${sys.props("java.io.tmpdir")}/graft_hist_store/${java.util.UUID.randomUUID()}"
@@ -160,23 +182,55 @@ object HistStore {
        |  p95.exact_p95_c // ${W} AS p95_bucket
        |FROM tot t JOIN p50 USING (scope) JOIN p95 USING (scope)""".stripMargin
 
+  /** Stream-maintained + COMPACTED twin of the registered store (the
+    * [[SketchStore]] pattern): three deterministic epoch slices by
+    * user_id mod 3, folded through [[compact]] — oracle-gates the whole
+    * land→guard→fold pipeline. SUM-merge makes the folded store
+    * row-identical to the batch build, so the DETERMINISTIC quantile
+    * oracle must hash-match exactly. */
+  private val builtMaintained = scala.collection.mutable.Map.empty[String, String]
+  private def maintainedDir(s: SparkSession, d: String): String =
+    builtMaintained.synchronized {
+      builtMaintained.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}_maintained"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val events = Tables.events(s, d)
+        (0L to 2L).foreach { epoch =>
+          appendBatch(events.filter(pmod(col("user_id"), lit(3L)) === epoch),
+            dir, epoch)
+        }
+        compact(s, dir)
+        dir
+      })
+    }
+
+  private val probeOracle: String = oracleFor(
+    """
+      |  SELECT 'wk:' || CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS scope,
+      |    CAST(round(value * 100) AS BIGINT) AS v_c
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'all' AS scope, CAST(round(value * 100) AS BIGINT) AS v_c
+      |  FROM events""".stripMargin)
+
   /** Range-quantile probe FROM THE STORE (per ISO week + full span): the
     * p50/p95 BUCKETS come from merged stored rows only; the exact
     * quantiles (recomputed from facts) are the oracle-reproducible truth
     * — hash equality requires store-bucket == exact div W for every
     * scope and both percentiles. */
-  lazy val probeQuery: GraftQuery = q("hist_store_probe",
-    oracleFor(
-      """
-        |  SELECT 'wk:' || CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS scope,
-        |    CAST(round(value * 100) AS BIGINT) AS v_c
-        |  FROM events
-        |  UNION ALL
-        |  SELECT 'all' AS scope, CAST(round(value * 100) AS BIGINT) AS v_c
-        |  FROM events""".stripMargin)) {
-    (s, d) =>
-      val dir = storeDir(s, d)
-      val st = s.read.parquet(dir)
+  lazy val probeQuery: GraftQuery = q("hist_store_probe", probeOracle) { (s, d) =>
+    probeFrom(s, d, storeDir(s, d))
+  }
+
+  /** The SAME probe against the stream-maintained compacted store. */
+  lazy val compactedProbeQuery: GraftQuery =
+    q("hist_store_compacted_probe", probeOracle) { (s, d) =>
+      probeFrom(s, d, maintainedDir(s, d))
+    }
+
+  private def probeFrom(s: SparkSession, d: String, dir: String): DataFrame = {
+      val st = readStore(s, dir)
         .withColumn("scope", concat(lit("wk:"),
           to_date(date_trunc("week", col("day"))).cast("string")))
       val mergedWk = st.groupBy(col("scope"), col("bucket"))
@@ -206,7 +260,7 @@ object HistStore {
         |    CAST(round(value * 100) AS BIGINT) AS v_c
         |  FROM events""".stripMargin)) { (s, d) =>
     val dir = storeDir(s, d)
-    val merged = s.read.parquet(dir)
+    val merged = readStore(s, dir)
       .groupBy(col("event_type").as("scope"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
     val e = cents(Tables.events(s, d))

@@ -63,9 +63,34 @@ object SketchStore {
     * cube's normal state: `hll_union_agg` merges them register-wise, so
     * stream-built and batch-built stores answer identically
     * (SketchStreamSpec proves equality and replay no-ops). */
-  def appendBatch(events: DataFrame, dir: String, batchId: Long): Unit =
+  def appendBatch(events: DataFrame, dir: String, batchId: Long): Unit = {
+    // replay guard across COMPACTIONS: an epoch already inside the
+    // committed fold must not re-land (its directory no longer exists to
+    // be idempotently overwritten) — the CubeLog watermark says so
+    // without reading any data
+    if (CubeLog.isFolded(events.sparkSession, dir, batchId)) return
     dailySketches(events)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+  }
+
+  /** Fold accumulated `batch_id=` partials into one per-day frame
+    * (register-max union per day, row counts SUM) under the [[CubeLog]]
+    * crash-safe generation contract — the small-files repair for a
+    * stream-maintained cube. Probe answers are invariant (register-wise
+    * max is associative and grouping-invariant); CubeCompactSpec asserts
+    * equality before/after, the directory-count drop, and that replays
+    * of pre-compaction epochs stay exactly-once. */
+  def compact(spark: SparkSession, dir: String): Long =
+    CubeLog.compact(spark, dir) { partials =>
+      partials.groupBy(col("day"))
+        .agg(hll_union_agg(col("sketch")).as("sketch"),
+          sum(col("n_rows")).as("n_rows"))
+    }
+
+  /** Store reader spanning every layout the maintenance paths produce:
+    * root build files, the committed fold, live batch partials. */
+  def readStore(spark: SparkSession, dir: String): DataFrame =
+    CubeLog.read(spark, dir)
 
   /** Per-JVM scratch root — built once per dataset, probed repeatedly. */
   private lazy val root: String =
@@ -82,11 +107,29 @@ object SketchStore {
       })
     }
 
-  /** Range-distinct answered FROM THE STORE (per ISO week + the full
-    * span): `hll_union_agg` over the stored day rows only — the fact
-    * table appears in the plan solely as the exact verification side the
-    * oracle requires. */
-  lazy val probeQuery: GraftQuery = q("sketch_store_probe",
+  /** Stream-maintained + COMPACTED twin of the registered store: the
+    * same corpus landed as three deterministic epoch slices (user_id mod
+    * 3 — each epoch carries partials of every day), then folded through
+    * [[compact]]. Oracle-gates the whole land→guard→fold pipeline, not
+    * just the happy batch build. */
+  private val builtMaintained = scala.collection.mutable.Map.empty[String, String]
+  private def maintainedDir(s: SparkSession, d: String): String =
+    builtMaintained.synchronized {
+      builtMaintained.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}_maintained"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val events = Tables.events(s, d)
+        (0L to 2L).foreach { epoch =>
+          appendBatch(events.filter(pmod(col("user_id"), lit(3L)) === epoch),
+            dir, epoch)
+        }
+        compact(s, dir)
+        dir
+      })
+    }
+
+  private val probeOracle: String =
     """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
       |wk AS (
       |  SELECT 'wk:' || CAST(CAST(date_trunc('week', day) AS DATE) AS VARCHAR) AS scope,
@@ -98,18 +141,37 @@ object SketchStore {
       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
       |  FROM e)
       |SELECT scope, n_days, exact_users, TRUE AS within_bound
-      |FROM (SELECT * FROM wk UNION ALL SELECT * FROM al)""".stripMargin) { (s, d) =>
-    val dir = storeDir(s, d)
-    val sk = s.read.parquet(dir)
+      |FROM (SELECT * FROM wk UNION ALL SELECT * FROM al)""".stripMargin
+
+  /** Range-distinct answered FROM THE STORE (per ISO week + the full
+    * span): `hll_union_agg` over the stored day rows only — the fact
+    * table appears in the plan solely as the exact verification side the
+    * oracle requires. */
+  lazy val probeQuery: GraftQuery = q("sketch_store_probe", probeOracle) { (s, d) =>
+    probeFrom(s, d, storeDir(s, d))
+  }
+
+  /** The SAME probe against the stream-maintained compacted store. */
+  lazy val compactedProbeQuery: GraftQuery =
+    q("sketch_store_compacted_probe", probeOracle) { (s, d) =>
+      probeFrom(s, d, maintainedDir(s, d))
+    }
+
+  private def probeFrom(s: SparkSession, d: String, dir: String): DataFrame = {
+    val sk = readStore(s, dir)
     // probe side: union stored sketches only (per week, and all-up)
+    // n_days counts DISTINCT stored days, not store rows: the documented
+    // appendDay/appendBatch maintenance paths legitimately leave multiple
+    // partial rows per day, and the probe must be grain-invariant exactly
+    // like the register-max merge itself (stream-built ≡ batch-built).
     val wkEst = sk
       .groupBy(concat(lit("wk:"),
         to_date(date_trunc("week", col("day"))).cast("string")).as("scope"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"),
-        count(lit(1)).as("n_days"))
+        countDistinct(col("day")).as("n_days"))
     val allEst = sk
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"),
-        count(lit(1)).as("n_days"))
+        countDistinct(col("day")).as("n_days"))
       .select(lit("all").as("scope"), col("est"), col("n_days"))
     val est = wkEst.select(col("scope"), col("est"), col("n_days"))
       .unionByName(allEst)
@@ -156,7 +218,7 @@ object SketchStore {
       |  TRUE AS within_bound
       |FROM m""".stripMargin) { (s, d) =>
     val dir = storeDir(s, d)
-    val sk = s.read.parquet(dir)
+    val sk = readStore(s, dir)
       .withColumn("wk", to_date(date_trunc("week", col("day"))).cast("string"))
     // per-week sketch union (store-only), then adjacent-week pairing
     val wkSk = sk.groupBy(col("wk"))
@@ -209,24 +271,34 @@ object SketchStore {
     * event_type) — re-aggregate to any coarser slice by union, never by
     * fact rescan. Here: per-type audience across the full span from the
     * finer store (built once beside the daily one). */
+  /** Finer-grain (day, event_type) store, built under the SAME
+    * `built.synchronized` discipline as the daily store — an
+    * exists-then-write check outside the lock would let two concurrent
+    * probes (or a reader racing a writer) see a half-written directory. */
+  private val builtByType = scala.collection.mutable.Map.empty[String, String]
+  private def typeStoreDir(s: SparkSession, d: String): String =
+    builtByType.synchronized {
+      builtByType.getOrElseUpdate(d, {
+        val dir = s"${storeDir(s, d)}_by_type"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+        Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+          .groupBy(col("day"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        dir
+      })
+    }
+
   lazy val rollupQuery: GraftQuery = q("sketch_store_rollup",
     """SELECT event_type,
       |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
       |  TRUE AS within_bound
       |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
-    val dir = s"${storeDir(s, d)}_by_type"
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
-        .groupBy(col("day"), col("event_type"))
-        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
-      fs.deleteOnExit(p)
-    }
-    val est = s.read.parquet(dir)
+    val dir = typeStoreDir(s, d)
+    val est = readStore(s, dir)
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
     val exact = Tables.events(s, d)

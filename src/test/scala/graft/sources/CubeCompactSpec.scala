@@ -1,0 +1,167 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The [[CubeLog]] compaction contract on all three streaming-maintained
+  * cubes: (1) probe answers are invariant under compaction; (2) the
+  * directory count actually drops (the small-files repair); (3) replays
+  * of PRE-compaction epochs stay exactly-once (the watermark guard — the
+  * folded directory must not be re-created and sums must not
+  * double-count); (4) an uncommitted fold (crash before the marker) is
+  * invisible to readers; (5) epochs landing after a compaction
+  * participate in the next one. Plus the HeavyHitterStore quartet-closing
+  * theorem: a stream-built store answers at SUMMARY grain row-for-row
+  * like the batch build, before AND after compaction with finalization.
+  */
+class CubeCompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dirNames(dir: String): Set[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+
+  private def landThree(append: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+    val events = graft.ops.Tables.events(spark, sf0001)
+    (0L to 2L).foreach { ep =>
+      append(events.filter(pmod($"user_id", lit(3L)) === ep), ep)
+    }
+  }
+
+  test("SketchStore: compaction folds epochs, probe-invariant, replay exactly-once") {
+    val dir = Files.createTempDirectory("cube_sketch_").toString + "/daily"
+    landThree(SketchStore.appendBatch(_, dir, _))
+    def est() = SketchStore.readStore(spark, dir)
+      .groupBy($"day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("est"),
+        sum($"n_rows").as("n"))
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    val before = est()
+    assert(dirNames(dir) === Set("batch_id=0", "batch_id=1", "batch_id=2"))
+
+    // crash-sim: an orphan fold without a commit marker is invisible
+    SketchStore.readStore(spark, dir).limit(1)
+      .write.mode("overwrite").parquet(s"$dir/folded_gen=99")
+    assert(est() === before, "uncommitted fold must not be read")
+    val fsp = new org.apache.hadoop.fs.Path(s"$dir/folded_gen=99")
+    fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+    val gen = SketchStore.compact(spark, dir)
+    assert(gen === 1L)
+    assert(est() === before, "compaction must not change probe answers")
+    assert(dirNames(dir) === Set("folded_gen=1", "_cube_commits"),
+      "batch dirs must be swept after the fold commits")
+
+    // replay of a folded epoch: watermark guard no-ops — no dir, no change
+    val events = graft.ops.Tables.events(spark, sf0001)
+    SketchStore.appendBatch(events.filter(pmod($"user_id", lit(3L)) === 1L), dir, 1L)
+    assert(!dirNames(dir).contains("batch_id=1"), "folded epoch must not re-land")
+    assert(est() === before, "post-compaction replay must stay exactly-once")
+
+    // a NEW epoch still lands and the next compaction folds it
+    SketchStore.appendBatch(events.limit(0), dir, 3L) // empty batch is harmless
+    SketchStore.appendBatch(events.filter($"user_id" === 1L), dir, 4L)
+    assert(dirNames(dir).contains("batch_id=4"))
+    assert(SketchStore.compact(spark, dir) === 2L)
+    assert(dirNames(dir) === Set("folded_gen=2", "_cube_commits"))
+    // user 1's rows were double-landed on purpose (epoch 1 carried them);
+    // HLL forgives multiplicity, n_rows reflects the extra landing
+    val after = est()
+    assert(after.map(_._1) === before.map(_._1))
+  }
+
+  test("HistStore: compacted store is row-identical to the batch build; replay exactly-once") {
+    val dir = Files.createTempDirectory("cube_hist_").toString + "/daily"
+    landThree(HistStore.appendBatch(_, dir, _))
+    val events = graft.ops.Tables.events(spark, sf0001)
+    def merged() = HistStore.readStore(spark, dir)
+      .groupBy($"day", $"event_type", $"bucket")
+      .agg(sum($"cnt").as("cnt"))
+      .as[(java.sql.Date, String, Long, Long)].collect().toSet
+    val expect = HistStore.dailyHistograms(events)
+      .as[(java.sql.Date, String, Long, Long)].collect().toSet
+    assert(merged() === expect, "stream partials must sum to the batch histogram")
+
+    assert(HistStore.compact(spark, dir) === 1L)
+    assert(merged() === expect, "compaction must preserve the histogram exactly")
+    // after the fold the store IS one row per (day,type,bucket)
+    val storeRows = HistStore.readStore(spark, dir)
+      .as[(java.sql.Date, String, Long, Long)].collect().toSet
+    assert(storeRows === expect, "folded store must be row-identical to the batch build")
+    assert(dirNames(dir) === Set("folded_gen=1", "_cube_commits"))
+
+    // replay of folded epoch 0: SUM algebra does NOT forgive double-count
+    // — the watermark guard must make it a no-op
+    HistStore.appendBatch(events.filter(pmod($"user_id", lit(3L)) === 0L), dir, 0L)
+    assert(merged() === expect, "post-compaction replay double-counted")
+  }
+
+  test("HeavyHitterStore: stream-built ≡ batch-built at summary grain, pre and post compaction") {
+    val dir = Files.createTempDirectory("cube_hh_").toString + "/daily"
+    val batchDir = Files.createTempDirectory("cube_hh_batch_").toString + "/daily"
+    val events = graft.ops.Tables.events(spark, sf0001)
+    HeavyHitterStore.build(spark, events, batchDir)
+    landThree(HeavyHitterStore.appendBatch(_, dir, _))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"day", $"user_id", $"cnt", $"kind")
+      .as[(java.sql.Date, Long, Long, String)].collect().toSet
+    val expect = rows(spark.read.parquet(batchDir))
+
+    // BEFORE compaction: the summaries() fold already matches the batch
+    // build row-for-row (partials are exact and sum-mergeable)
+    assert(rows(HeavyHitterStore.summaries(spark, dir)) === expect,
+      "stream-built summaries must equal the batch build before compaction")
+
+    // compact with every day closed: the STORE ITSELF becomes the
+    // canonical K-bounded form, row-identical to the batch build
+    assert(HeavyHitterStore.compact(spark, dir, Some("9999-12-31")) === 1L)
+    assert(rows(CubeLog.read(spark, dir)) === expect,
+      "finalized store rows must equal the batch build")
+    assert(rows(HeavyHitterStore.summaries(spark, dir)) === expect)
+    assert(dirNames(dir) === Set("folded_gen=1", "_cube_commits"))
+
+    // replay of a folded epoch: counts must not double
+    HeavyHitterStore.appendBatch(
+      events.filter(pmod($"user_id", lit(3L)) === 2L), dir, 2L)
+    assert(rows(HeavyHitterStore.summaries(spark, dir)) === expect,
+      "post-compaction replay double-counted the heavy-hitter store")
+
+    // open-day semantics: without a cutoff the fold keeps lossless 'part'
+    // rows — a second store folded open then closed converges to the same
+    val dir2 = Files.createTempDirectory("cube_hh2_").toString + "/daily"
+    landThree(HeavyHitterStore.appendBatch(_, dir2, _))
+    assert(HeavyHitterStore.compact(spark, dir2, None) === 1L)
+    val open = CubeLog.read(spark, dir2)
+    assert(open.filter($"kind" =!= "part").count() === 0L)
+    // lossless: one merged row per (day,key), exact counts
+    assert(rows(HeavyHitterStore.summaries(spark, dir2)) === expect)
+    // closing the day on a QUIET store (no epochs since the last fold)
+    // must still re-fold — the force path — and converge exactly
+    assert(HeavyHitterStore.compact(spark, dir2, Some("9999-12-31")) === 2L)
+    assert(rows(CubeLog.read(spark, dir2)) === expect,
+      "open-then-closed fold must converge to the batch build")
+  }
+
+  test("appendDay lands canonical complete-day summaries beside a build") {
+    val dir = Files.createTempDirectory("cube_hh_day_").toString + "/daily"
+    val events = graft.ops.Tables.events(spark, sf0001).cache()
+    try {
+      val days = events.select(to_date($"ts").as("d")).distinct()
+        .orderBy($"d").as[java.sql.Date].collect()
+      assert(days.length >= 2)
+      val (head, tail) = (days.head, days.tail.toSet)
+      HeavyHitterStore.build(spark,
+        events.filter(to_date($"ts") === head), dir)
+      HeavyHitterStore.appendDay(spark,
+        events.filter(to_date($"ts").isin(tail.toSeq: _*)), dir)
+      val expect = HeavyHitterStore.dailySummaries(spark, events)
+        .as[(java.sql.Date, Long, Long, String)].collect().toSet
+      val got = HeavyHitterStore.summaries(spark, dir)
+        .as[(java.sql.Date, Long, Long, String)].collect().toSet
+      assert(got === expect)
+    } finally events.unpersist()
+  }
+}
