@@ -193,6 +193,72 @@ object VecStore {
     probeTopK(s, dir, queries, ProbeCells)
   }
 
+  /** The √n SIZING RULE oracle-gated (r9 left it spec-pinned only): the
+    * index is built at the DERIVED k = [[cellKFor]](n) and probed at
+    * [[probeCellsFor]](k) — both pure arithmetic of the corpus count, so
+    * the oracle replicates them — and the probe's retrieval quality is a
+    * bounded assertion the engine GENUINELY checks (the sketch-query
+    * pattern): recall@5 ≥ 0.5 against the exact brute-force truth, with
+    * the probed cell budget ≤ 25% of cells + the candidate fraction
+    * under 30% (headroom over the measured 0.60–0.73 recall / ≤ 0.25
+    * fraction at sf0.001–sf1, SCALING.md). Deterministic end to end
+    * (Lloyd runs fixed iterations from fixed seeds), so the verdicts are
+    * stable facts of the dataset, not flaky measurements. The brute
+    * truth side is |queries| × n dot products with the 2%-of-corpus
+    * query set broadcast — the verification cost, not the probe cost;
+    * the probe itself reads only probed cell directories. */
+  lazy val scaledProbeQuery: GraftQuery = q("vecstore_scaled_probe",
+    """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+      |qs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM embeddings
+      |  WHERE vec_id % 50 = 0),
+      |k AS (SELECT n_vecs,
+      |  GREATEST(16, CAST(round(sqrt(CAST(n_vecs AS DOUBLE))) AS BIGINT)) AS cell_k
+      |  FROM n)
+      |SELECT k.n_vecs, k.cell_k,
+      |  GREATEST(4, k.cell_k // 4) AS probe_cells,
+      |  qs.n_queries, TRUE AS recall_ok, TRUE AS budget_ok
+      |FROM k, qs""".stripMargin) { (s, d) =>
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_vecstore_scaled/" +
+      s"${new java.io.File(d).getName}-${java.util.UUID.randomUUID()}"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+    val emb = Tables.embeddingsParallel(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint(eager = true) // feeds count, build, truth
+    val n = emb.count()
+    val cellK = cellKFor(n)
+    val pc = probeCellsFor(cellK)
+    build(emb, dir, cellK)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val ann = probeTopK(s, dir, queries, pc)
+    // exact truth: brute-force fixed-point cosine top-5, same arithmetic
+    val qq = qn(queries).select(col("vec_id"), col("qv"), col("norm2"))
+    val truth = qn(emb).as("b")
+      .join(broadcast(qq.as("a")), col("b.vec_id") =!= col("a.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        (graft.functions.FixedPointDot(col("a.qv"), col("b.qv")).cast("double")
+          / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val hits = truth.join(ann.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("double").as("n_hit"),
+        count(lit(1)).cast("double").as("n_truth"))
+    val cands = ann.select(col("query_id"), col("n_cands")).distinct()
+      .agg(avg(col("n_cands")).as("mean_cands"),
+        count(lit(1)).as("n_queries"))
+    hits.crossJoin(cands)
+      .select(lit(n).as("n_vecs"), lit(cellK.toLong).as("cell_k"),
+        lit(pc.toLong).as("probe_cells"), col("n_queries"),
+        (col("n_hit") / col("n_truth") >= 0.5).as("recall_ok"),
+        (lit(pc.toDouble / cellK) <= 0.25
+          && col("mean_cands") / lit(n.toDouble) <= 0.30).as("budget_ok"))
+  }
+
   /** Top-k probe set THROUGH the disk layout (shared by the registered
     * query and the scale-measurement runner): queries rank the STORED
     * codebook (broadcast, k rows) and probe their top `probeCells` cells
