@@ -53,6 +53,48 @@ object MeterPipeline {
       billingMartOf(s, stg.filter(day2)), dir, "billing_date")
   }
 
+  /** LATE-DATA INVALIDATION for the incremental mart — the TimescaleDB
+    * continuous-aggregate invalidation-log analogue the reference's
+    * full-refresh dbt marts sidestep (README.md:137-138): a late-arriving
+    * reading marks its mart partitions stale, and ONLY those partitions
+    * re-materialize.
+    *
+    * The invalidation set for a late batch is {touched day, touched day
+    * + 1}: the late row changes its own day's aggregate directly, and —
+    * because the staging LAG delta of the NEXT reading spans the gap the
+    * late row fills — it can also change the first-interval delta of the
+    * FOLLOWING day (when the late row becomes a day's new last reading).
+    * Day+1 is the complete closure: a reading's delta references exactly
+    * one predecessor, which is at most one reading away, and readings are
+    * ≤ 1 day apart in this domain. LateDataSpec proves the closure is
+    * NECESSARY (rebuilding the touched day alone leaves the next day
+    * stale) and SUFFICIENT (post-refresh mart ≡ full recompute,
+    * byte-identical untouched partitions).
+    *
+    * Scale shape: invalidated days come from a |batch-days|-bounded
+    * distinct (driver-side, the invalidation LOG itself); the rebuild
+    * aggregates only the invalidated days' staging slice — the LAG
+    * staging runs over per-meter windows exactly as the silver table a
+    * real pipeline maintains incrementally — and dynamic partition
+    * overwrite rewrites exactly |invalidated| directories of a
+    * years-deep mart. */
+  private[meter] def refreshForLateBatch(s: SparkSession, dir: String,
+      fullReadings: DataFrame, lateBatch: DataFrame): Seq[java.sql.Date] = {
+    import s.implicits._
+    val touched = lateBatch
+      .select(to_date(col("reading_timestamp")).as("d")).distinct()
+      .as[java.sql.Date].collect().toSeq
+    val invalidated = touched
+      .flatMap(d => Seq(d, java.sql.Date.valueOf(d.toLocalDate.plusDays(1))))
+      .distinct.sortBy(_.toString)
+    val stg = Staging.stgMeterReadings(fullReadings)
+    val slice = stg.filter(
+      to_date(col("reading_timestamp")).isin(invalidated.map(_.toString): _*))
+    graft.sources.Store.refreshMartPartitions(
+      billingMartOf(s, slice), dir, "billing_date")
+    invalidated
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q("meter_gen_zones", s"WITH ${MeterSql.zonesCte} SELECT * FROM zones") {
       (s, _) => MeterGen.gridZones(s)
@@ -124,6 +166,31 @@ object MeterPipeline {
       path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
       billingIncrementalInit(s, dir)
       billingIncrementalDelta(s, dir)
+      s.read.parquet(dir)
+    },
+
+    // late-data invalidation driven END-TO-END: materialize the mart with
+    // an afternoon of day-2 readings still in flight (the stale state a
+    // full-refresh pipeline would silently serve until its next run),
+    // then let the late batch arrive and re-materialize ONLY its
+    // invalidated partitions (see refreshForLateBatch — the TimescaleDB
+    // invalidation-log analogue). The oracle is the FULL recompute over
+    // ALL readings: hash equality proves the invalidation closure healed
+    // every stale aggregate — including the LAG deltas the late rows
+    // changed for their successors — without a full refresh.
+    q("meter_billing_late_refresh", MeterSql.billingSql(NMeters, NIntervals)) { (s, _) =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_mart_late/${java.util.UUID.randomUUID()}"
+      val path = new org.apache.hadoop.fs.Path(dir)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+      val full = MeterGen.readings(s, NMeters, NIntervals)
+      val late = col("meter_id") % 10 === 7 &&
+        to_date(col("reading_timestamp")) ===
+          date_add(to_date(lit(MeterGen.Epoch)), 1) &&
+        hour(col("reading_timestamp")).between(12, 17)
+      graft.sources.Store.writeMart(
+        billingMartOf(s, Staging.stgMeterReadings(full.filter(!late))),
+        dir, "billing_date")
+      refreshForLateBatch(s, dir, full, full.filter(late))
       s.read.parquet(dir)
     },
 

@@ -1,0 +1,115 @@
+package graft.meter
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Late-data invalidation for the incremental billing mart (the
+  * TimescaleDB continuous-aggregate invalidation-log analogue): a late
+  * batch re-materializes ONLY its invalidation closure {day, day+1},
+  * untouched day partitions stay byte-identical, the result equals a
+  * full refresh — and the day+1 closure is proven NECESSARY, not
+  * defensive padding: a late row that becomes a day's new last reading
+  * changes the NEXT day's first LAG delta, so rebuilding the touched day
+  * alone leaves the mart stale.
+  */
+class LateDataSpec extends SparkSpec {
+
+  private val nM = 200L
+  private val nI = 192L // 2 days: day0 = 2026-01-01, day1 = 2026-01-02
+
+  private def fullMart() = Marts.factCustomerBillingDaily(
+    Staging.stgMeterReadings(MeterGen.readings(spark, nM, nI)),
+    MeterGen.metersDim(spark, nM), MeterGen.customers(spark, nM),
+    MeterGen.tariffRates(spark))
+
+  private def martOf(stg: org.apache.spark.sql.DataFrame) =
+    Marts.factCustomerBillingDaily(stg,
+      MeterGen.metersDim(spark, nM), MeterGen.customers(spark, nM),
+      MeterGen.tariffRates(spark))
+
+  private def files(dir: String, day: String) =
+    Files.walk(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && p.contains(s"billing_date=$day"))
+      .sorted.map(p => p -> (Files.getLastModifiedTime(Paths.get(p)).toMillis,
+        Files.size(Paths.get(p)))).toSeq
+
+  test("mid-day late batch: only its day rebuilds, day0 byte-identical, result ≡ full refresh") {
+    val dir = Files.createTempDirectory("mart_late_mid").toString + "/m"
+    val full = MeterGen.readings(spark, nM, nI)
+    // an afternoon of day-1 readings in flight (mid-day window: the
+    // successor reading is still inside day1, so the closure's day+1
+    // slice is empty and only day1 is rewritten)
+    val late = col("meter_id") % 10 === 7 &&
+      to_date(col("reading_timestamp")) === lit("2026-01-02").cast("date") &&
+      hour(col("reading_timestamp")).between(12, 17)
+    graft.sources.Store.writeMart(
+      martOf(Staging.stgMeterReadings(full.filter(!late))), dir, "billing_date")
+    val day0Before = files(dir, "2026-01-01")
+    assert(day0Before.nonEmpty)
+    Thread.sleep(1100) // distinguishable mtimes
+
+    val invalidated = MeterPipeline.refreshForLateBatch(
+      spark, dir, full, full.filter(late))
+    assert(invalidated.map(_.toString) === Seq("2026-01-02", "2026-01-03"),
+      "closure = touched day + next day")
+    assert(files(dir, "2026-01-01") === day0Before,
+      "day0 was not invalidated and must stay byte-identical")
+    assert(files(dir, "2026-01-03").isEmpty,
+      "an empty closure slice must not create a phantom partition")
+
+    val got = spark.read.parquet(dir)
+    val expect = fullMart()
+    val cols = expect.columns.sorted.toIndexedSeq
+    assert(got.count() === expect.count())
+    assert(got.selectExpr(cols: _*).except(expect.selectExpr(cols: _*)).count() === 0)
+    assert(expect.selectExpr(cols: _*).except(got.selectExpr(cols: _*)).count() === 0)
+  }
+
+  test("day-end late batch: the day+1 closure is NECESSARY — touched-day-only refresh stays stale") {
+    val dir = Files.createTempDirectory("mart_late_end").toString + "/m"
+    val dirNaive = Files.createTempDirectory("mart_late_naive").toString + "/m"
+    val full = MeterGen.readings(spark, nM, nI)
+    // the LAST readings of day0 for some meters arrive late: without
+    // them, day1's first-interval LAG delta spans the hole and lands in
+    // day1's aggregate inflated
+    val late = col("meter_id") % 10 === 3 &&
+      to_date(col("reading_timestamp")) === lit("2026-01-01").cast("date") &&
+      hour(col("reading_timestamp")) >= 20
+    val staleStg = Staging.stgMeterReadings(full.filter(!late))
+    graft.sources.Store.writeMart(martOf(staleStg), dir, "billing_date")
+    graft.sources.Store.writeMart(martOf(staleStg), dirNaive, "billing_date")
+
+    // the naive repair: rebuild ONLY the touched day (day0)
+    val stgAll = Staging.stgMeterReadings(full)
+    graft.sources.Store.refreshMartPartitions(
+      martOf(stgAll.filter(
+        to_date(col("reading_timestamp")) === lit("2026-01-01").cast("date"))),
+      dirNaive, "billing_date")
+
+    // the closure repair: {day0, day1}
+    val invalidated = MeterPipeline.refreshForLateBatch(
+      spark, dir, full, full.filter(late))
+    assert(invalidated.map(_.toString) === Seq("2026-01-01", "2026-01-02"))
+
+    val expect = fullMart()
+    val cols = expect.columns.sorted.toIndexedSeq
+    val got = spark.read.parquet(dir)
+    assert(got.selectExpr(cols: _*).except(expect.selectExpr(cols: _*)).count() === 0)
+    assert(expect.selectExpr(cols: _*).except(got.selectExpr(cols: _*)).count() === 0)
+
+    val naive = spark.read.parquet(dirNaive)
+    assert(naive.selectExpr(cols: _*).except(expect.selectExpr(cols: _*)).count() > 0,
+      "touched-day-only refresh must remain stale on day1 — else the " +
+        "closure test is vacuous and the rule untested")
+  }
+
+  test("registered query equals the full recompute") {
+    val got = graft.SparkEntry.queries("meter_billing_late_refresh")(spark, sf0001)
+    val expect = fullMart()
+    val cols = expect.columns.sorted.toIndexedSeq
+    assert(got.count() === expect.count())
+    assert(got.selectExpr(cols: _*).except(expect.selectExpr(cols: _*)).count() === 0)
+    assert(expect.selectExpr(cols: _*).except(got.selectExpr(cols: _*)).count() === 0)
+  }
+}
