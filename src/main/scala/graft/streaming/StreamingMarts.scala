@@ -220,31 +220,45 @@ object StreamingMarts {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, _: Long) =>
-        // An empty micro-batch touches no partition, so the whole refresh
-        // is a no-op — and sources that start ahead of their data (the
-        // rate source's batch 0, a file source on an empty dir) emit one:
-        // without this guard the bronze dir does not exist yet and the
-        // read below kills the query with UNABLE_TO_INFER_SCHEMA.
-        if (!df.isEmpty) {
         val t0 = System.nanoTime()
-        Ingest.idempotentAppend(df, bronzeDir)
+        // the landing persists the batch internally (one wire parse) and
+        // returns the touched dates it already computed — empty for an
+        // empty micro-batch (sources ahead of their data emit one: the
+        // rate source's batch 0, a file source on an empty dir), in
+        // which case nothing landed, no partition is stale, and reading
+        // the not-yet-created bronze dir would die on schema inference
+        val touchedDates = Ingest.idempotentAppend(df, bronzeDir)
         val t1 = System.nanoTime()
+        if (touchedDates.nonEmpty) {
         val spark = df.sparkSession
-        val touched = df
-          .select(to_date(col("reading_timestamp")).as("billing_date")).distinct()
-        val bronze = spark.read.parquet(bronzeDir).select(
-          col("reading_timestamp"), col("meter_id"),
-          col("reading_consumption_milliwatts"),
-          col("reading_production_milliwatts"), col("status"))
+        // staging input bounded to touched ∪ previous dates: a touched
+        // row's LAG predecessor is at most one reading back, and readings
+        // are ≤ 1 day apart in this domain (15-min cadence) — so the
+        // rebuild reads TWO date partitions per touched day however deep
+        // the bronze history grows, the same closure rule as
+        // MeterPipeline.refreshForLateBatch's day+1 invalidation. Both
+        // prunes are STATIC literal partition filters (touched dates are
+        // |days|-bounded driver values), so the rebuild never re-scans
+        // the batch — the r10 phase attribution caught per-use broadcast
+        // distinct jobs over the batch dominating this half.
+        val neededDates = (touchedDates ++ touchedDates.map(d =>
+          java.sql.Date.valueOf(java.time.LocalDate.parse(d).minusDays(1)).toString))
+          .distinct
+        val bronze = spark.read.parquet(bronzeDir)
+          .filter(col("reading_date").isin(neededDates: _*))
+          .select(
+            col("reading_timestamp"), col("meter_id"),
+            col("reading_consumption_milliwatts"),
+            col("reading_production_milliwatts"), col("status"))
         val sliceInput = graft.meter.Staging.stgMeterReadings(bronze)
-          .join(broadcast(touched),
-            to_date(col("reading_timestamp")) === col("billing_date"), "left_semi")
+          .filter(to_date(col("reading_timestamp"))
+            .cast("string").isin(touchedDates: _*))
         graft.sources.Store.refreshMartPartitions(
           graft.meter.Marts.factCustomerBillingDaily(
             sliceInput, meters, customers, tariff),
           martDir, "billing_date")
-        phaseSink((t1 - t0) / 1000000L, (System.nanoTime() - t1) / 1000000L)
         }
+        phaseSink((t1 - t0) / 1000000L, (System.nanoTime() - t1) / 1000000L)
       }
       .start()
 }
