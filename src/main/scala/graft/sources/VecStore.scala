@@ -198,10 +198,13 @@ object VecStore {
     * [[probeCellsFor]](k) — both pure arithmetic of the corpus count, so
     * the oracle replicates them — and the probe's retrieval quality is a
     * bounded assertion the engine GENUINELY checks (the sketch-query
-    * pattern): recall@5 ≥ 0.5 against the exact brute-force truth, with
+    * pattern): recall@5 ≥ 0.55 against the exact brute-force truth, with
     * the probed cell budget ≤ 25% of cells + the candidate fraction
-    * under 30% (headroom over the measured 0.60–0.73 recall / ≤ 0.25
-    * fraction at sf0.001–sf1, SCALING.md). Deterministic end to end
+    * under 28% (measured 0.60–0.73 recall / ≤ 0.25 fraction at
+    * sf0.001–sf1, SCALING.md — the bounds sit just under the measured
+    * floor so a sizing-rule regression trips them, while the remaining
+    * gap absorbs dataset drift, not algorithm drift). Deterministic end
+    * to end
     * (Lloyd runs fixed iterations from fixed seeds), so the verdicts are
     * stable facts of the dataset, not flaky measurements. The brute
     * truth side is |queries| × n dot products with the 2%-of-corpus
@@ -251,12 +254,12 @@ object VecStore {
     val cands = ann.select(col("query_id"), col("n_cands")).distinct()
       .agg(avg(col("n_cands")).as("mean_cands"),
         count(lit(1)).as("n_queries"))
-    hits.crossJoin(cands)
+    hits.crossJoin(broadcast(cands))
       .select(lit(n).as("n_vecs"), lit(cellK.toLong).as("cell_k"),
         lit(pc.toLong).as("probe_cells"), col("n_queries"),
-        (col("n_hit") / col("n_truth") >= 0.5).as("recall_ok"),
+        (col("n_hit") / col("n_truth") >= 0.55).as("recall_ok"),
         (lit(pc.toDouble / cellK) <= 0.25
-          && col("mean_cands") / lit(n.toDouble) <= 0.30).as("budget_ok"))
+          && col("mean_cands") / lit(n.toDouble) <= 0.28).as("budget_ok"))
   }
 
   /** Top-k probe set THROUGH the disk layout (shared by the registered
