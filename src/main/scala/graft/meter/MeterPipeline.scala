@@ -59,40 +59,78 @@ object MeterPipeline {
     * reading marks its mart partitions stale, and ONLY those partitions
     * re-materialize.
     *
-    * The invalidation set for a late batch is {touched day, touched day
-    * + 1}: the late row changes its own day's aggregate directly, and —
-    * because the staging LAG delta of the NEXT reading spans the gap the
-    * late row fills — it can also change the first-interval delta of the
-    * FOLLOWING day (when the late row becomes a day's new last reading).
-    * Day+1 is the complete closure: a reading's delta references exactly
-    * one predecessor, which is at most one reading away, and readings are
-    * ≤ 1 day apart in this domain. LateDataSpec proves the closure is
-    * NECESSARY (rebuilding the touched day alone leaves the next day
-    * stale) and SUFFICIENT (post-refresh mart ≡ full recompute,
-    * byte-identical untouched partitions).
+    * The invalidation set is DERIVED FROM THE DATA, not a constant
+    * closure: a late row stales (a) its OWN day's aggregate, and (b) the
+    * day of its SUCCESSOR reading — the one whose LAG delta previously
+    * spanned the gap the late row fills. The successor is found by
+    * lead() over the touched meters' readings, so when a meter was
+    * silent for N days (outage, dead-lettered shard) the successor's day
+    * D+N lands in the set exactly because it IS stale — where a constant
+    * {day, day+1} rule (correct only under a dense "readings ≤ 1 day
+    * apart" cadence) would silently leave D+N's partition wrong.
+    * LateDataSpec proves the successor day is NECESSARY (rebuilding the
+    * touched day alone leaves it stale — including a multi-day-outage
+    * case where the constant day+1 rule provably fails) and SUFFICIENT
+    * (post-refresh mart ≡ full recompute, byte-identical untouched
+    * partitions).
     *
-    * Scale shape: invalidated days come from a |batch-days|-bounded
-    * distinct (driver-side, the invalidation LOG itself); the rebuild
-    * aggregates only the invalidated days' staging slice — the LAG
-    * staging runs over per-meter windows exactly as the silver table a
-    * real pipeline maintains incrementally — and dynamic partition
-    * overwrite rewrites exactly |invalidated| directories of a
-    * years-deep mart. */
+    * Scale shape: the successor scan is bounded on BOTH axes — a
+    * partition-prunable date filter at the batch's min date (pushes to
+    * the bronze parquet scan) and a broadcast semi-join on the batch's
+    * meter keys — so its cost is O(touched meters' tail), not O(table).
+    * Invalidated days come from a |batch|-bounded distinct (driver-side,
+    * the invalidation LOG itself); the rebuild aggregates only the
+    * invalidated days' staging slice — the LAG staging runs over
+    * per-meter windows exactly as the silver table a real pipeline
+    * maintains incrementally — and dynamic partition overwrite rewrites
+    * exactly |invalidated| directories of a years-deep mart. */
   private[meter] def refreshForLateBatch(s: SparkSession, dir: String,
       fullReadings: DataFrame, lateBatch: DataFrame): Seq[java.sql.Date] = {
-    import s.implicits._
-    val touched = lateBatch
-      .select(to_date(col("reading_timestamp")).as("d")).distinct()
-      .as[java.sql.Date].collect().toSeq
-    val invalidated = touched
-      .flatMap(d => Seq(d, java.sql.Date.valueOf(d.toLocalDate.plusDays(1))))
-      .distinct.sortBy(_.toString)
+    val invalidated = invalidatedDates(s, fullReadings, lateBatch)
     val stg = Staging.stgMeterReadings(fullReadings)
     val slice = stg.filter(
       to_date(col("reading_timestamp")).isin(invalidated.map(_.toString): _*))
     graft.sources.Store.refreshMartPartitions(
       billingMartOf(s, slice), dir, "billing_date")
     invalidated
+  }
+
+  /** The invalidation-set DERIVATION shared by the batch repair above and
+    * the streaming gold loop's late path
+    * ([[graft.streaming.StreamingMarts.startIngestWithMartRefresh]]): a
+    * late row stales its own day plus its SUCCESSOR reading's day, found
+    * by lead() over `readings` — so multi-day silences put the real
+    * successor day (D+N) in the set, where a constant day+1 rule would
+    * miss it. The scan is bounded on both axes: a min-date filter
+    * (partition-prunable when `readings` carries the bronze
+    * `reading_date` column) and a broadcast semi-join on the batch's
+    * meter keys. Returns the |batch|-bounded distinct day list,
+    * driver-side — the invalidation log itself. */
+  private[graft] def invalidatedDates(s: SparkSession, readings: DataFrame,
+      lateBatch: DataFrame): Seq[java.sql.Date] = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lateKeys = lateBatch
+      .select(col("meter_id"), col("reading_timestamp")).distinct()
+    val loDate = lateBatch
+      .agg(min(to_date(col("reading_timestamp"))).as("lo")).first().getDate(0)
+    val dateBound =
+      if (readings.columns.contains("reading_date"))
+        col("reading_date") >= lit(loDate)
+      else to_date(col("reading_timestamp")) >= lit(loDate)
+    val scoped = readings
+      .filter(dateBound)
+      .join(broadcast(lateKeys.select("meter_id").distinct()),
+        Seq("meter_id"), "left_semi")
+      .select(col("meter_id"), col("reading_timestamp"))
+    val w = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+    scoped
+      .withColumn("next_ts", lead(col("reading_timestamp"), 1).over(w))
+      .join(lateKeys, Seq("meter_id", "reading_timestamp"))
+      .select(explode(array(
+        to_date(col("reading_timestamp")), to_date(col("next_ts")))).as("d"))
+      .filter(col("d").isNotNull).distinct()
+      .as[java.sql.Date].collect().toSeq.sortBy(_.toString)
   }
 
   val all: Seq[GraftQuery] = Seq(

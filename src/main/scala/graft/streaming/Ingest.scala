@@ -199,14 +199,21 @@ object Ingest {
       // no isEmpty pre-probe: an anti-join against an empty pruned scan
       // costs nothing extra, while the probe was a whole scheduled job
       // per micro-batch — at a 1 s trigger, per-batch job count IS the
-      // fixed-cost floor the sustainable rate divides by
+      // fixed-cost floor the sustainable rate divides by.
+      // The first-batch case is an explicit EXISTENCE check, not a
+      // swallowed exception: a transient read failure after bronze
+      // exists must propagate (the batch retries) — treating it as
+      // "no bronze yet" would silently disable dedup for the batch and
+      // double-land rows into every downstream mart
+      val bronzePath = new org.apache.hadoop.fs.Path(bronzeDir)
+      val bronzeFs = bronzePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val existing =
-        try {
-          Some(spark.read.parquet(bronzeDir)
-            .filter(col("reading_timestamp").between(lit(lo), lit(hi))
-              && col("reading_date").cast("string").isin(touched: _*))
-            .select(col("reading_timestamp"), col("meter_id")))
-        } catch { case _: Exception => None } // first batch: no bronze yet
+        if (!bronzeFs.exists(bronzePath) ||
+            bronzeFs.listStatus(bronzePath).isEmpty) None
+        else Some(spark.read.parquet(bronzeDir)
+          .filter(col("reading_timestamp").between(lit(lo), lit(hi))
+            && col("reading_date").cast("string").isin(touched: _*))
+          .select(col("reading_timestamp"), col("meter_id")))
       val fresh = existing match {
         case Some(ex) => deduped.join(ex, Seq("reading_timestamp", "meter_id"), "left_anti")
         case None => deduped

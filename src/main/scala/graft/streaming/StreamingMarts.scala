@@ -221,6 +221,12 @@ object StreamingMarts {
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, _: Long) =>
         val t0 = System.nanoTime()
+        // the high-water mark BEFORE landing (one driver-side directory
+        // listing, no scan) decides whether this batch is in-order or
+        // carries late data — the normal path pays nothing for the late
+        // machinery
+        val maxDateBefore = bronzeDatesOnDisk(df.sparkSession, bronzeDir)
+          .reduceOption((a: String, b: String) => if (a >= b) a else b)
         // the landing persists the batch internally (one wire parse) and
         // returns the touched dates it already computed — empty for an
         // empty micro-batch (sources ahead of their data emit one: the
@@ -231,28 +237,22 @@ object StreamingMarts {
         val t1 = System.nanoTime()
         if (touchedDates.nonEmpty) {
         val spark = df.sparkSession
-        // staging input bounded to touched ∪ previous dates: a touched
-        // row's LAG predecessor is at most one reading back, and readings
-        // are ≤ 1 day apart in this domain (15-min cadence) — so the
-        // rebuild reads TWO date partitions per touched day however deep
-        // the bronze history grows, the same closure rule as
-        // MeterPipeline.refreshForLateBatch's day+1 invalidation. Both
-        // prunes are STATIC literal partition filters (touched dates are
-        // |days|-bounded driver values), so the rebuild never re-scans
-        // the batch — the r10 phase attribution caught per-use broadcast
-        // distinct jobs over the batch dominating this half.
-        val neededDates = (touchedDates ++ touchedDates.map(d =>
-          java.sql.Date.valueOf(java.time.LocalDate.parse(d).minusDays(1)).toString))
-          .distinct
-        val bronze = spark.read.parquet(bronzeDir)
-          .filter(col("reading_date").isin(neededDates: _*))
-          .select(
-            col("reading_timestamp"), col("meter_id"),
-            col("reading_consumption_milliwatts"),
-            col("reading_production_milliwatts"), col("status"))
-        val sliceInput = graft.meter.Staging.stgMeterReadings(bronze)
-          .filter(to_date(col("reading_timestamp"))
-            .cast("string").isin(touchedDates: _*))
+        // REBUILD SET: in-order batches (every touched date ≥ the
+        // pre-landing high-water mark) stale exactly their touched
+        // dates — any successor whose LAG delta they change is either in
+        // the batch itself or doesn't exist yet. A batch carrying LATE
+        // dates additionally stales each late row's SUCCESSOR day,
+        // derived from the data (lead over the batch meters' bronze
+        // tail, MeterPipeline.invalidatedDates) — the same closure the
+        // batch repair path uses, so replay/backfill through the stream
+        // heals day+N partitions a constant touched-only (or touched+1)
+        // rule would leave stale.
+        val rebuildDates =
+          if (maxDateBefore.forall(touchedDates.min >= _)) touchedDates
+          else (touchedDates ++ graft.meter.MeterPipeline
+            .invalidatedDates(spark, spark.read.parquet(bronzeDir), df)
+            .map(_.toString)).distinct.sorted
+        val sliceInput = boundedStagingSlice(spark, bronzeDir, rebuildDates)
         graft.sources.Store.refreshMartPartitions(
           graft.meter.Marts.factCustomerBillingDaily(
             sliceInput, meters, customers, tariff),
@@ -261,4 +261,71 @@ object StreamingMarts {
         phaseSink((t1 - t0) / 1000000L, (System.nanoTime() - t1) / 1000000L)
       }
       .start()
+
+  /** The rebuild's staging input, read from bronze with GAP-ROBUST
+    * partition bounds. Base slice = rebuild dates ∪ each's previous day
+    * (a touched row's LAG predecessor is usually one calendar day back —
+    * static literal partition filters, so the rebuild reads two date
+    * directories per touched day however deep the history grows, and
+    * never re-scans the batch). The dense-cadence assumption is then
+    * CHECKED, not trusted: meters present on a rebuild date but absent on
+    * its previous day (a multi-day silence, a dead-lettered shard — or a
+    * genuinely new meter) get their true predecessor DATE probed from
+    * bronze (max reading_date below the suspect date, column-pruned to
+    * two columns, scanned only for the suspect meters — AQE's
+    * empty-relation propagation collapses the probe when no suspects
+    * exist), and the slice widens to include it, so the LAG delta the
+    * rebuild computes equals the full-history staging's. One widening
+    * pass is exact: every rebuild-date first-reading's predecessor
+    * partition is in the widened slice, and rows at non-rebuild dates
+    * only ever FEED LAG — they are filtered out before aggregation.
+    * (The production-scale alternative to the probe's cold-history scan
+    * is a per-meter last-seen silver index; at this engine's bronze
+    * sizes the two-column pruned scan is cheaper than maintaining one.) */
+  private[graft] def boundedStagingSlice(spark: org.apache.spark.sql.SparkSession,
+      bronzeDir: String, rebuildDates: Seq[String]): DataFrame = {
+    import spark.implicits._
+    def bronzeAt(dates: Seq[String]) = spark.read.parquet(bronzeDir)
+      .filter(col("reading_date").isin(dates: _*))
+    val prior = rebuildDates.map(d =>
+      java.time.LocalDate.parse(d).minusDays(1).toString)
+    val base = (rebuildDates ++ prior).distinct
+    val present = bronzeAt(base)
+      .select(col("meter_id"), col("reading_date").cast("string").as("d"))
+      .distinct()
+    val suspects = present.filter(col("d").isin(rebuildDates: _*))
+      .withColumn("prev_d",
+        date_format(date_sub(col("d").cast("date"), 1), "yyyy-MM-dd"))
+      .join(present.select(col("meter_id"), col("d").as("prev_d")),
+        Seq("meter_id", "prev_d"), "left_anti")
+      .select(col("meter_id"), col("d"))
+    val predDates = spark.read.parquet(bronzeDir)
+      .filter(col("reading_date") < lit(rebuildDates.max).cast("date"))
+      .select(col("meter_id"), col("reading_date"))
+      .join(suspects, Seq("meter_id"))
+      .filter(col("reading_date") < col("d").cast("date"))
+      .groupBy(col("meter_id"), col("d"))
+      .agg(max(col("reading_date")).cast("string").as("pred_date"))
+      .select(col("pred_date")).distinct().as[String].collect().toSeq
+    val needed = (base ++ predDates).distinct
+    graft.meter.Staging.stgMeterReadings(
+      bronzeAt(needed).select(
+        col("reading_timestamp"), col("meter_id"),
+        col("reading_consumption_milliwatts"),
+        col("reading_production_milliwatts"), col("status")))
+      .filter(to_date(col("reading_timestamp"))
+        .cast("string").isin(rebuildDates: _*))
+  }
+
+  /** Driver-side listing of bronze's `reading_date=` partition
+    * directories — the landing high-water mark, no data scan. */
+  private def bronzeDatesOnDisk(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("reading_date="))
+      .map(_.stripPrefix("reading_date="))
+  }
 }

@@ -6,12 +6,16 @@ import java.nio.file.{Files, Paths}
 
 /** Late-data invalidation for the incremental billing mart (the
   * TimescaleDB continuous-aggregate invalidation-log analogue): a late
-  * batch re-materializes ONLY its invalidation closure {day, day+1},
-  * untouched day partitions stay byte-identical, the result equals a
-  * full refresh — and the day+1 closure is proven NECESSARY, not
-  * defensive padding: a late row that becomes a day's new last reading
-  * changes the NEXT day's first LAG delta, so rebuilding the touched day
-  * alone leaves the mart stale.
+  * batch re-materializes ONLY its invalidation closure — the touched
+  * days plus each late row's SUCCESSOR-reading day, derived from the
+  * data by lead() — untouched day partitions stay byte-identical, the
+  * result equals a full refresh. The successor day is proven NECESSARY,
+  * not defensive padding: a late row that becomes a day's new last
+  * reading changes the successor's LAG delta, so rebuilding the touched
+  * day alone leaves the mart stale; and the multi-day-outage case proves
+  * the derivation must come from the data — a constant {day, day+1} rule
+  * provably leaves the successor's partition stale when the meter was
+  * silent across the boundary.
   */
 class LateDataSpec extends SparkSpec {
 
@@ -37,9 +41,10 @@ class LateDataSpec extends SparkSpec {
   test("mid-day late batch: only its day rebuilds, day0 byte-identical, result ≡ full refresh") {
     val dir = Files.createTempDirectory("mart_late_mid").toString + "/m"
     val full = MeterGen.readings(spark, nM, nI)
-    // an afternoon of day-1 readings in flight (mid-day window: the
-    // successor reading is still inside day1, so the closure's day+1
-    // slice is empty and only day1 is rewritten)
+    // an afternoon of day-1 readings in flight (mid-day window: every
+    // late row's successor is still inside day1, so the DERIVED closure
+    // is exactly {day1} — the constant day+1 rule would have rebuilt a
+    // day that was never stale)
     val late = col("meter_id") % 10 === 7 &&
       to_date(col("reading_timestamp")) === lit("2026-01-02").cast("date") &&
       hour(col("reading_timestamp")).between(12, 17)
@@ -51,12 +56,12 @@ class LateDataSpec extends SparkSpec {
 
     val invalidated = MeterPipeline.refreshForLateBatch(
       spark, dir, full, full.filter(late))
-    assert(invalidated.map(_.toString) === Seq("2026-01-02", "2026-01-03"),
-      "closure = touched day + next day")
+    assert(invalidated.map(_.toString) === Seq("2026-01-02"),
+      "derived closure = touched day only (all successors are same-day)")
     assert(files(dir, "2026-01-01") === day0Before,
       "day0 was not invalidated and must stay byte-identical")
     assert(files(dir, "2026-01-03").isEmpty,
-      "an empty closure slice must not create a phantom partition")
+      "a never-stale day must not be rebuilt or create a phantom partition")
 
     val got = spark.read.parquet(dir)
     val expect = fullMart()
@@ -102,6 +107,51 @@ class LateDataSpec extends SparkSpec {
     assert(naive.selectExpr(cols: _*).except(expect.selectExpr(cols: _*)).count() > 0,
       "touched-day-only refresh must remain stale on day1 — else the " +
         "closure test is vacuous and the rule untested")
+  }
+
+  test("multi-day outage: the derived closure heals the successor day the constant day+1 rule provably misses") {
+    val dir = Files.createTempDirectory("mart_late_gap").toString + "/m"
+    val dirConst = Files.createTempDirectory("mart_late_gap_const").toString + "/m"
+    val nI4 = 384L // 4 days: 2026-01-01 .. 2026-01-04
+    // outage meters are SILENT on days 1-2 (their rows never existed),
+    // so the day-3 first reading's LAG predecessor is back on day 0
+    val outage = col("meter_id") % 10 === 5
+    val gap = outage &&
+      to_date(col("reading_timestamp")).between("2026-01-02", "2026-01-03")
+    val gappy = MeterGen.readings(spark, nM, nI4).filter(!gap)
+    // the END of day 0 arrives late for the outage meters: the late rows
+    // change day0's aggregate AND the day-3 successor's delta (it now
+    // spans 23:45→00:00 instead of 19:45→00:00 across the outage)
+    val late = outage &&
+      to_date(col("reading_timestamp")) === lit("2026-01-01").cast("date") &&
+      hour(col("reading_timestamp")) >= 20
+    val staleStg = Staging.stgMeterReadings(gappy.filter(!late))
+    graft.sources.Store.writeMart(martOf(staleStg), dir, "billing_date")
+    graft.sources.Store.writeMart(martOf(staleStg), dirConst, "billing_date")
+
+    // the constant-closure repair: rebuild {day0, day0+1} as the old rule did
+    val stgAll = Staging.stgMeterReadings(gappy)
+    graft.sources.Store.refreshMartPartitions(
+      martOf(stgAll.filter(to_date(col("reading_timestamp"))
+        .between("2026-01-01", "2026-01-02"))),
+      dirConst, "billing_date")
+
+    // the derived repair: lead() finds the day-3 successor through the gap
+    val invalidated = MeterPipeline.refreshForLateBatch(
+      spark, dir, gappy, gappy.filter(late))
+    assert(invalidated.map(_.toString) === Seq("2026-01-01", "2026-01-04"),
+      "derived closure = touched day + the successor's day ACROSS the outage")
+
+    val expect = martOf(stgAll)
+    val cols = expect.columns.sorted.toIndexedSeq
+    val got = spark.read.parquet(dir)
+    assert(got.selectExpr(cols: _*).except(expect.selectExpr(cols: _*)).count() === 0)
+    assert(expect.selectExpr(cols: _*).except(got.selectExpr(cols: _*)).count() === 0)
+
+    val constant = spark.read.parquet(dirConst)
+    assert(constant.selectExpr(cols: _*).except(expect.selectExpr(cols: _*)).count() > 0,
+      "the constant {day, day+1} repair must remain stale on the day-3 " +
+        "successor partition — else the gap case is vacuous")
   }
 
   test("registered query equals the full recompute") {

@@ -125,4 +125,90 @@ class EndToEndSpec extends SparkSpec {
     assert(got.selectExpr(cols: _*).except(full.selectExpr(cols: _*)).count() == 0)
     assert(full.selectExpr(cols: _*).except(got.selectExpr(cols: _*)).count() == 0)
   }
+
+  test("streamed late replay across a multi-day outage: the gold loop heals the successor partition") {
+    val nMeters = 10L
+    val nIntervals = 384L // 4 days: 2026-01-01 .. 2026-01-04
+    val dir = Files.createTempDirectory("e2e_late").toString
+
+    def wireOf(f: org.apache.spark.sql.DataFrame) = f
+      .select(to_json(struct(
+        col("meter_id"),
+        date_format(col("reading_timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("reading_timestamp"),
+        col("reading_consumption_milliwatts"),
+        col("reading_production_milliwatts"),
+        col("status"))).as("value"))
+      .as[String].collect().toSeq
+
+    // outage meters are silent on days 2-3 (those rows never exist);
+    // their END of day 1 is replayed LATE, after day 4 already landed —
+    // so the late rows' successor lives on day 4, three days away
+    val outage = col("meter_id") % 2 === 1
+    val gap = outage &&
+      to_date(col("reading_timestamp")).between("2026-01-02", "2026-01-03")
+    val all = MeterGen.readings(spark, nMeters, nIntervals).filter(!gap)
+    val late = outage &&
+      to_date(col("reading_timestamp")) === lit("2026-01-01").cast("date") &&
+      hour(col("reading_timestamp")) >= 20
+    def onDay(d: String) = to_date(col("reading_timestamp")) === lit(d).cast("date")
+    val batches = Seq(
+      wireOf(all.filter(onDay("2026-01-01") && !late)),
+      wireOf(all.filter(onDay("2026-01-02") || onDay("2026-01-03"))),
+      // day 4 alone: the outage meters' LAG predecessor is back on day 1,
+      // outside the touched ∪ previous-day slice — the gap probe must
+      // widen the read or the mart lands with a wrong first-interval delta
+      wireOf(all.filter(onDay("2026-01-04"))),
+      wireOf(all.filter(late)))
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingMarts.startIngestWithMartRefresh(
+      mem.toDF(), MeterGen.metersDim(spark, nMeters), MeterGen.customers(spark, nMeters),
+      MeterGen.tariffRates(spark), s"$dir/bronze", s"$dir/mart", s"$dir/ckpt",
+      Trigger.ProcessingTime("1 second"))
+    def mtimes(day: String) =
+      Files.walk(java.nio.file.Paths.get(s"$dir/mart")).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains(s"billing_date=$day"))
+        .sorted.map(p => Files.getLastModifiedTime(java.nio.file.Paths.get(p)).toMillis).toSeq
+    try {
+      batches.take(3).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val day2Before = mtimes("2026-01-02")
+      val day4Before = mtimes("2026-01-04")
+      assert(day2Before.nonEmpty && day4Before.nonEmpty)
+      // the gap probe must have healed day 4 ALREADY (before the late
+      // replay rebuilds it again): the outage meters' first day-4 delta
+      // spans back to day 1, outside the touched ∪ previous-day slice
+      val preLate = Marts.factCustomerBillingDaily(
+        Staging.stgMeterReadings(all.filter(!late)),
+        MeterGen.metersDim(spark, nMeters), MeterGen.customers(spark, nMeters),
+        MeterGen.tariffRates(spark))
+        .filter(col("billing_date") === lit("2026-01-04").cast("date"))
+      val gotPre = spark.read.parquet(s"$dir/mart")
+        .filter(col("billing_date") === lit("2026-01-04").cast("date"))
+      val colsPre = preLate.columns.sorted.toIndexedSeq
+      assert(gotPre.selectExpr(colsPre: _*).except(preLate.selectExpr(colsPre: _*)).count() == 0
+        && preLate.selectExpr(colsPre: _*).except(gotPre.selectExpr(colsPre: _*)).count() == 0,
+        "day-4 mart must be exact at landing time — the bounded staging " +
+          "slice has to widen to the outage meters' day-1 predecessor")
+      Thread.sleep(1100)
+
+      mem.addData(batches(3)) // the late replay
+      q.processAllAvailable()
+      assert(mtimes("2026-01-02") == day2Before,
+        "a day the late batch cannot stale must not be rebuilt")
+      assert(mtimes("2026-01-04") != day4Before,
+        "the successor partition ACROSS the outage must be invalidated — " +
+          "a touched-only (or touched+1) rebuild set leaves it stale")
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$dir/mart")
+    val full = Marts.factCustomerBillingDaily(
+      Staging.stgMeterReadings(all),
+      MeterGen.metersDim(spark, nMeters), MeterGen.customers(spark, nMeters),
+      MeterGen.tariffRates(spark))
+    val cols = full.columns.sorted.toIndexedSeq
+    assert(got.count() == full.count())
+    assert(got.selectExpr(cols: _*).except(full.selectExpr(cols: _*)).count() == 0)
+    assert(full.selectExpr(cols: _*).except(got.selectExpr(cols: _*)).count() == 0)
+  }
 }
