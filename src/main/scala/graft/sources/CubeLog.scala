@@ -46,6 +46,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    watermark already excludes the not-yet-deleted batch dirs and the
   *    next compaction finishes the cleanup.
   *
+  * FILESYSTEM PRECONDITION: the commit step requires an ATOMIC,
+  * fail-on-existing rename (HDFS, local FS — both true). Object stores
+  * (S3) implement rename as copy+delete and cannot provide it; there the
+  * marker write must be replaced by a conditional create (S3
+  * If-None-Match PUT) or an external log (the same reason Delta Lake
+  * uses a commit service on S3). [[compact]] checks the rename's return
+  * value and fails loudly rather than cleaning up against a commit that
+  * never happened.
+  *
   * Scale shape: all log operations are driver-side directory listings
   * bounded by |live batches| + O(1); the fold itself is one Spark job
   * over frames that are |days|-bounded by the store contract. Probe
@@ -82,14 +91,19 @@ object CubeLog {
           .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
             .map(_ -> st.getPath))
       else Seq.empty
-    val (gen, watermark) = commits.sortBy(_._1).lastOption match {
-      case Some((g, path)) =>
-        val in = hfs.open(path)
-        val wm = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-        (g, wm)
-      case None => (0L, -1L)
-    }
+    // latest marker whose CONTENT parses: a corrupt/empty marker (torn
+    // write, FS fault) must not render the store unreadable — readers
+    // fall back to the next-latest committed generation, whose fold and
+    // still-live batch dirs are intact by the compaction ordering
+    val (gen, watermark) = commits.sortBy(-_._1).iterator
+      .flatMap { case (g, path) =>
+        scala.util.Try {
+          val in = hfs.open(path)
+          val wm = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+          finally in.close()
+          (g, wm)
+        }.toOption
+      }.nextOption().getOrElse((0L, -1L))
     val folded = kids
       .filter(st => st.isDirectory && st.getPath.getName == s"folded_gen=$gen")
       .map(_.getPath.toString).headOption
@@ -151,7 +165,18 @@ object CubeLog {
     val tmp = new org.apache.hadoop.fs.Path(commitsDir, s".$newGen.tmp")
     val out = hfs.create(tmp, true)
     try out.write(newWatermark.toString.getBytes("UTF-8")) finally out.close()
-    hfs.rename(tmp, new org.apache.hadoop.fs.Path(commitsDir, newGen.toString))
+    val committed =
+      hfs.rename(tmp, new org.apache.hadoop.fs.Path(commitsDir, newGen.toString))
+    // a false return (the marker already exists — a concurrent compactor
+    // won the race — or the FS refused the rename) must FAIL the
+    // compaction, not silently proceed to cleanup: deleting batch dirs
+    // against a commit that never happened is the one order that loses
+    // data. The store stays readable at the previous generation; the
+    // orphan fold dir and tmp marker are swept by the next successful run.
+    require(committed,
+      s"cube commit for generation $newGen failed: marker rename returned " +
+        s"false (marker already present, or non-atomic filesystem); store " +
+        s"remains at generation ${v.gen} — resolve before recompacting")
     // cleanup — readers already exclude everything deleted here. Swept
     // from a FRESH listing, not the snapshot, so leftovers of a prior
     // crashed run (orphan gens, folded-but-undeleted batch dirs, stale

@@ -49,7 +49,9 @@ import org.apache.spark.sql.functions._
   *    partial for an already-finalized day would otherwise coexist with
   *    a truncated summary, and while the merged bound stays VALID (ests
   *    sum over disjoint row sets), hash-equality with a batch build does
-  *    not survive truncation-then-more-data.
+  *    not survive truncation-then-more-data. The discipline is ENFORCED:
+  *    compact and summaries fail loudly on a 'part' row for a day that
+  *    already has canonical rows (see requireNoLatePartials).
   *
   * The store build runs through the engine's own [[graft.plans.TopKPerKey]]
   * operator (map-side bounded-heap pruning before the exchange) — at
@@ -82,17 +84,18 @@ object HeavyHitterStore {
     * kind 'top' rows carry the exact counts of the K heaviest keys (ties
     * broken by key), the single kind 'thr' row per day carries the
     * truncation threshold as cnt (user_id = -1). */
-  private[sources] def summarize(s: SparkSession, counts: DataFrame): DataFrame = {
+  private[sources] def summarize(s: SparkSession, counts: DataFrame,
+      k: Int = K): DataFrame = {
     withTopK(s)
     val topK1 = graft.plans.TopKPerKey(counts,
-      keys = Seq("day"), orderBy = Seq(("cnt", true), ("user_id", false)), k = K + 1)
+      keys = Seq("day"), orderBy = Seq(("cnt", true), ("user_id", false)), k = k + 1)
     // rank within the ≤ K+1 surviving rows per day (bounded window)
     val rk = topK1.withColumn("rn", row_number().over(
       Window.partitionBy(col("day")).orderBy(col("cnt").desc, col("user_id"))))
-    val kept = rk.filter(col("rn") <= K)
+    val kept = rk.filter(col("rn") <= k)
       .select(col("day"), col("user_id"), col("cnt"), lit("top").as("kind"))
     val thr = rk.groupBy(col("day"))
-      .agg(coalesce(max(when(col("rn") === K + 1, col("cnt"))), lit(0L)).as("cnt"))
+      .agg(coalesce(max(when(col("rn") === k + 1, col("cnt"))), lit(0L)).as("cnt"))
       .select(col("day"), lit(-1L).as("user_id"), col("cnt"), lit("thr").as("kind"))
     kept.unionByName(thr)
   }
@@ -121,12 +124,37 @@ object HeavyHitterStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
   }
 
+  /** The `finalizeBefore ≤ stream watermark` discipline ENFORCED, not
+    * just documented: a 'part' row for a day that already has canonical
+    * 'top'/'thr' rows means late data landed AFTER the day was finalized.
+    * The canonical summary is truncated (non-top keys' counts were
+    * dropped), so the exact merge is unrecoverable — ranking the late
+    * partials separately would emit a SECOND summary row set for the day
+    * (duplicate per-day rows, a silently wrong store), and folding them
+    * into the truncated rows would break the est ≤ true ≤ est+slack
+    * theorem's exactness. Both [[compact]] and [[summaries]] fail loudly
+    * instead; the repair is appendDay from the day's complete facts.
+    * Cost: one join of two |days|-bounded distinct frames. */
+  private def requireNoLatePartials(
+      canonical: DataFrame, partDays: DataFrame, where: String): Unit = {
+    val dup = canonical.select(col("day")).distinct()
+      .join(partDays.select(col("day")).distinct(), "day")
+      .limit(5).collect().map(_.getDate(0))
+    require(dup.isEmpty,
+      s"heavy-hitter store $where: 'part' rows exist for finalized day(s) " +
+        s"${dup.mkString(", ")} — late data landed after " +
+        "compact(finalizeBefore) closed the day. The canonical summary is " +
+        "truncated, so the exact merge is unrecoverable; re-land the day " +
+        "via appendDay from complete facts, and keep finalizeBefore at or " +
+        "below the stream's event-time watermark")
+  }
+
   /** Fold batch partials: canonical rows pass through; 'part' rows merge
     * per (day, key) by SUM; days strictly before `finalizeBefore`
     * (ISO date; pass the stream's event-time watermark) finalize to the
     * canonical K-bounded form. */
   def compact(spark: SparkSession, dir: String,
-      finalizeBefore: Option[String] = None): Long =
+      finalizeBefore: Option[String] = None, k: Int = K): Long =
     // force when finalizing: closing a day must work on a quiet store
     // (no new epochs since the last fold) too
     CubeLog.compact(spark, dir, force = finalizeBefore.isDefined) { rows =>
@@ -134,11 +162,12 @@ object HeavyHitterStore {
       val merged = rows.filter(col("kind") === "part")
         .groupBy(col("day"), col("user_id"))
         .agg(sum(col("cnt")).as("cnt"))
+      requireNoLatePartials(canonical, merged, "compact")
       finalizeBefore match {
         case None =>
           canonical.unionByName(merged.withColumn("kind", lit("part")))
         case Some(cutoff) =>
-          val closed = summarize(spark, merged.filter(col("day") < lit(cutoff)))
+          val closed = summarize(spark, merged.filter(col("day") < lit(cutoff)), k)
           val open = merged.filter(col("day") >= lit(cutoff))
             .withColumn("kind", lit("part"))
           canonical.unionByName(closed).unionByName(open)
@@ -150,14 +179,15 @@ object HeavyHitterStore {
     * and rank into the same canonical form the batch build emits — so a
     * purely stream-built store yields row-for-row the batch build's
     * summaries (partials are exact and sum to complete day counts). */
-  def summaries(s: SparkSession, dir: String): DataFrame = {
+  def summaries(s: SparkSession, dir: String, k: Int = K): DataFrame = {
     val st = CubeLog.read(s, dir)
     val canonical = st.filter(col("kind") =!= "part")
       .select(col("day"), col("user_id"), col("cnt"), col("kind"))
     val parts = st.filter(col("kind") === "part")
       .groupBy(col("day"), col("user_id"))
       .agg(sum(col("cnt")).as("cnt"))
-    canonical.unionByName(summarize(s, parts))
+    requireNoLatePartials(canonical, parts, "summaries")
+    canonical.unionByName(summarize(s, parts, k))
   }
 
   private lazy val root: String =

@@ -72,6 +72,46 @@ class CubeCompactSpec extends SparkSpec {
     assert(after.map(_._1) === before.map(_._1))
   }
 
+  test("torn commit marker: readers fall back to the committed generation; the compactor errors instead of cleaning up") {
+    val dir = Files.createTempDirectory("cube_torn_").toString + "/daily"
+    landThree(SketchStore.appendBatch(_, dir, _))
+    def est() = SketchStore.readStore(spark, dir)
+      .groupBy($"day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("est"),
+        sum($"n_rows").as("n"))
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    assert(SketchStore.compact(spark, dir) === 1L)
+    val committed = est()
+
+    // a new epoch lands, then a crashed/raced compactor leaves a TORN
+    // (empty) marker for the next generation
+    val events = graft.ops.Tables.events(spark, sf0001)
+    SketchStore.appendBatch(events.filter($"user_id" === 1L), dir, 3L)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_cube_commits/2")
+    val hfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.create(marker, true).close() // zero bytes: unparsable watermark
+
+    // readers skip the unparsable marker and resolve generation 1 — the
+    // store answers as if the torn commit never happened
+    val v = CubeLog.view(spark, dir)
+    assert(v.gen === 1L, "torn marker must not become the read generation")
+    assert(v.liveBatches.map(_._1) === Seq(3L),
+      "the post-fold epoch must stay live under the fallback generation")
+    assert(est() !== committed, "epoch 3's rows must be visible")
+
+    // the compactor targets generation 2, finds the marker already
+    // present, and must FAIL before any cleanup — deleting batch dirs
+    // against a commit that never happened is the order that loses data
+    val err = intercept[IllegalArgumentException] {
+      SketchStore.compact(spark, dir)
+    }
+    assert(err.getMessage.contains("generation 2"))
+    assert(dirNames(dir).contains("batch_id=3"),
+      "the failed compaction must not have swept the live epoch")
+    assert(CubeLog.view(spark, dir).gen === 1L,
+      "the store remains readable at the committed generation")
+  }
+
   test("HistStore: compacted store is row-identical to the batch build; replay exactly-once") {
     val dir = Files.createTempDirectory("cube_hist_").toString + "/daily"
     landThree(HistStore.appendBatch(_, dir, _))
@@ -143,6 +183,35 @@ class CubeCompactSpec extends SparkSpec {
     assert(HeavyHitterStore.compact(spark, dir2, Some("9999-12-31")) === 2L)
     assert(rows(CubeLog.read(spark, dir2)) === expect,
       "open-then-closed fold must converge to the batch build")
+  }
+
+  test("HeavyHitterStore: a late partial for a finalized day fails loudly — no duplicate per-day summaries") {
+    val dir = Files.createTempDirectory("cube_hh_late_").toString + "/daily"
+    val events = graft.ops.Tables.events(spark, sf0001)
+    landThree(HeavyHitterStore.appendBatch(_, dir, _))
+    HeavyHitterStore.compact(spark, dir, finalizeBefore = Some("9999-12-31"))
+    val days = HeavyHitterStore.summaries(spark, dir)
+      .select($"day").distinct().count()
+
+    // a NEW epoch (above the watermark, so the replay guard lets it in)
+    // carries late rows for days the finalization already closed
+    HeavyHitterStore.appendBatch(events.filter($"user_id" === 1L), dir, 7L)
+    val errS = intercept[IllegalArgumentException] {
+      HeavyHitterStore.summaries(spark, dir).collect()
+    }
+    assert(errS.getMessage.contains("finalized day"))
+    val errC = intercept[IllegalArgumentException] {
+      HeavyHitterStore.compact(spark, dir)
+    }
+    assert(errC.getMessage.contains("finalized day"))
+
+    // the repair the error message names: drop the late epoch, re-land
+    // the affected days via appendDay from complete facts — then the
+    // store answers again (day count unchanged: appendDay is canonical)
+    val bp = new org.apache.hadoop.fs.Path(s"$dir/batch_id=7")
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    assert(HeavyHitterStore.summaries(spark, dir)
+      .select($"day").distinct().count() === days)
   }
 
   test("appendDay lands canonical complete-day summaries beside a build") {
