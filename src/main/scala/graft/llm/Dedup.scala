@@ -226,6 +226,53 @@ object Dedup {
       .distinct()
   }
 
+  /** REGIME CHOOSER for the two component resolvers, derived from
+    * measured pair-graph shape instead of a per-call-site code choice.
+    * The repo's own measurements pin the boundary:
+    *
+    *  - sf0.1 embedding pair graph (diameter 16, mean degree ~2-4,
+    *    pair volume small): min-label's hop+jump rounds are LIGHTER than
+    *    the stars' two sym/distinct/groupBy passes — 4.7 s vs 6.8-8 s
+    *    (Similarity.scala semanticKeepQuery doc). Low-degree dedup
+    *    graphs (near-dup cliques, degree 1-3) converge in 1-2 rounds.
+    *  - sf1 spatial core graph (15 K nodes, 139 K pairs, mean degree
+    *    ~18.5: a geometric giant component near percolation, diameter
+    *    grows with extent): min-label paid O(diameter) rounds over a
+    *    frame that stopped being tiny — 25 min vs star contraction's
+    *    9.7 s (r9, SCALING.md).
+    *
+    * Rule: STAR when mean degree ≥ [[StarMeanDegree]] (pinned at 8,
+    * between the measured regimes — high degree is the giant-component /
+    * long-diameter signature on similarity graphs) OR when the edge
+    * count alone reaches [[StarEdgeCount]] (the scale guard: star's
+    * O(log n) round bound caps the worst case where min-label's
+    * O(diameter) is unbounded; at that volume the stars' heavier rounds
+    * are noise against the risk). Both resolvers label every node with
+    * its component MIN, so the choice never changes results — only the
+    * plan. The stats come from ONE aggregation over the checkpointed
+    * edge list (endpoint union: count = 2|E|, distinct = |V|), which the
+    * chosen resolver then reuses. */
+  private[graft] val StarMeanDegree = 8.0
+  private[graft] val StarEdgeCount = 2000000L
+
+  private[graft] def chooseStar(nodes: Long, edges: Long): Boolean =
+    edges >= StarEdgeCount ||
+      (nodes > 0 && 2.0 * edges / nodes >= StarMeanDegree)
+
+  /** Resolve components with the regime picked by [[chooseStar]] from
+    * the measured (|V|, |E|) of this pair graph. */
+  private[graft] def clusterLabelsAuto(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = pairs.toDF("d1", "d2").filter(col("d1") =!= col("d2"))
+      .localCheckpoint(eager = false)
+    val st = e.select(col("d1").as("n"))
+      .unionByName(e.select(col("d2").as("n")))
+      .agg(countDistinct(col("n")).as("nodes"), count(lit(1)).as("deg2"))
+      .head()
+    if (chooseStar(st.getLong(0), st.getLong(1) / 2)) clusterLabelsStar(e)
+    else clusterLabels(e)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     // ---- edit-distance near-dup pairs: the STRING-METRIC verifier of the
     // dedup family (Jaccard/MinHash see bags of shingles; Levenshtein sees
@@ -592,7 +639,7 @@ object Dedup {
          |  doc_id AS keeper_doc_id, quality_score AS keeper_quality
          |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
       val docs = Tables.documentsParallel(s, d)
-      val labels = clusterLabels(minhashPairs(docs).select(col("d1"), col("d2")))
+      val labels = clusterLabelsAuto(minhashPairs(docs).select(col("d1"), col("d2")))
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       val qual = docs.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality_score"))
@@ -641,7 +688,7 @@ object Dedup {
          |LEFT JOIN labeled l ON l.doc_id = d.doc_id
          |LEFT JOIN sz ON sz.cluster_id = l.cluster_id""".stripMargin) { (s, d) =>
       val docs = Tables.documentsParallel(s, d)
-      val labels = clusterLabels(minhashPairs(docs).select(col("d1"), col("d2")))
+      val labels = clusterLabelsAuto(minhashPairs(docs).select(col("d1"), col("d2")))
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
       docs.select(col("doc_id"))

@@ -199,13 +199,15 @@ object Spatial {
         .join(core.select(col("u").as("user_b")), "user_b")
         .select(col("user_a").as("d1"), col("user_b").as("d2"))
       // components over core-core edges; isolated cores keep themselves.
-      // Star contraction, not min-label propagation: the geometric core
-      // graph sits near percolation one decade up (sf1: 15 K points,
-      // ~139 K pairs, giant component with large diameter), where
-      // propagation pays O(diameter) rounds and the O(log n) large/small
-      // star rounds win — the same regime call the dedup family documents
-      // on its high-diameter embedding pair graph.
-      val labels = graft.llm.Dedup.clusterLabelsStar(coreEdges)
+      // The resolver REGIME is derived from the measured graph shape
+      // (Dedup.chooseStar): this geometric core graph sits near
+      // percolation one decade up (sf1: 15 K points, ~139 K pairs, mean
+      // degree ~18.5, giant component with large diameter), where
+      // min-label propagation pays O(diameter) rounds (measured 25 min)
+      // and the O(log n) large/small star rounds win (9.7 s) — the
+      // chooser routes it to stars by the degree signal, while the small
+      // low-degree test-SF graphs take the lighter min-label rounds.
+      val labels = graft.llm.Dedup.clusterLabelsAuto(coreEdges)
       val clab = core.join(labels.withColumnRenamed("node", "u"), Seq("u"), "left")
         .select(col("u"), coalesce(col("label"), col("u")).as("cluster"))
         .localCheckpoint(eager = false)
