@@ -110,26 +110,41 @@ object MeterPipeline {
       lateBatch: DataFrame): Seq[java.sql.Date] = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val lateKeys = lateBatch
-      .select(col("meter_id"), col("reading_timestamp")).distinct()
-    val loDate = lateBatch
-      .agg(min(to_date(col("reading_timestamp"))).as("lo")).first().getDate(0)
+    // only each meter's LAST late row per day can have a successor
+    // OUTSIDE its own day: any earlier late row r has a later same-day
+    // late row r', so successor(r) is at or before r' in time — same
+    // day, already in the touched set. That shrinks the successor
+    // lookup from |batch| keys to one per (late meter, day), and lifts
+    // the scan's lower bound from the batch's first timestamp to the
+    // MINIMUM of those per-meter-day maxima — a forward-moving backfill
+    // shard re-windows only the sliver beyond its own batch, not
+    // everything it already landed that day.
+    val lastPerDay = lateBatch
+      .groupBy(col("meter_id"), to_date(col("reading_timestamp")).as("d"))
+      .agg(max(col("reading_timestamp")).as("reading_timestamp"))
+      .localCheckpoint(eager = false)
+    val lo = lastPerDay
+      .agg(min(col("reading_timestamp")).as("lo")).first().getTimestamp(0)
+    val loDate = new java.sql.Date(lo.getTime)
     val dateBound =
       if (readings.columns.contains("reading_date"))
         col("reading_date") >= lit(loDate)
       else to_date(col("reading_timestamp")) >= lit(loDate)
     val scoped = readings
-      .filter(dateBound)
-      .join(broadcast(lateKeys.select("meter_id").distinct()),
+      .filter(dateBound && col("reading_timestamp") >= lit(lo))
+      .join(broadcast(lastPerDay.select("meter_id").distinct()),
         Seq("meter_id"), "left_semi")
       .select(col("meter_id"), col("reading_timestamp"))
     val w = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
-    scoped
+    val successorDates = scoped
       .withColumn("next_ts", lead(col("reading_timestamp"), 1).over(w))
-      .join(lateKeys, Seq("meter_id", "reading_timestamp"))
-      .select(explode(array(
-        to_date(col("reading_timestamp")), to_date(col("next_ts")))).as("d"))
-      .filter(col("d").isNotNull).distinct()
+      .join(lastPerDay.select(col("meter_id"), col("reading_timestamp")),
+        Seq("meter_id", "reading_timestamp"))
+      .filter(col("next_ts").isNotNull)
+      .select(to_date(col("next_ts")).as("d"))
+    lateBatch.select(to_date(col("reading_timestamp")).as("d"))
+      .unionByName(successorDates)
+      .distinct()
       .as[java.sql.Date].collect().toSeq.sortBy(_.toString)
   }
 
@@ -151,6 +166,26 @@ object MeterPipeline {
     q("meter_gen_readings",
       s"WITH ${MeterSql.readingsCtes(NMeters, NIntervals)} SELECT * FROM readings") {
       (s, _) => MeterGen.readings(s, NMeters, NIntervals)
+    },
+
+    // ---- S1/E14 BINARY twin: the Avro wire round trip — encode through
+    // the per-partition avro-core writer, decode + validate through
+    // parseAndValidateAvro (same validation filter as the JSON wire),
+    // aggregate, and hash against the generator's declarative truth.
+    // Oracle-gates the codec the way e14_json_roundtrip gates from_json;
+    // STREAMING_LATENCY.md's ingest-avro rows measure the same codec at
+    // rate (the deployment lever where JSON rows are parse-bound).
+    q("meter_avro_roundtrip",
+      s"""WITH ${MeterSql.readingsCtes(NMeters, NIntervals)}
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(reading_consumption_milliwatts) AS BIGINT) AS sum_cons
+         |FROM readings GROUP BY status""".stripMargin) { (s, _) =>
+      val wire = graft.streaming.Ingest.toAvroWire(
+        MeterGen.readings(s, NMeters, NIntervals))
+      graft.streaming.Ingest.parseAndValidateAvro(wire.select(col("value")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("reading_consumption_milliwatts")).as("sum_cons"))
     },
 
     q("meter_stg_readings",

@@ -96,4 +96,15 @@ object RateSimulator {
         col("consumption_inc_mwh").as("reading_consumption_milliwatts"),
         col("production_inc_mwh").as("reading_production_milliwatts"),
         col("status"))).as("value"))
+
+  /** Binary twin of [[toWire]]: the same column mapping framed by
+    * [[Ingest.toAvroWire]]'s per-partition avro-core encoder — for
+    * measuring the JSON-vs-binary wire-decode cost on identical data. */
+  def toAvroWire(readings: DataFrame): DataFrame =
+    Ingest.toAvroWire(readings.select(
+      col("meter_id"),
+      col("reading_timestamp"),
+      col("consumption_inc_mwh").as("reading_consumption_milliwatts"),
+      col("production_inc_mwh").as("reading_production_milliwatts"),
+      col("status")))
 }
