@@ -197,9 +197,9 @@ object PlanReport {
     "hh_store_maintained_probe" ->
       "The stream-maintained heavy-hitter cube probed after CubeLog compaction+finalization: the plan is IDENTICAL in shape to hh_store_probe — estimate and slack legs read only the folded |days|×(K+1)-row store (explicit-path scan of the committed generation, no batch_id partition column anywhere) against the broadcast 10-key frame; the summaries() fold's TopKPerKey/window legs collapse to empty-side unions because every day is finalized. Land→guard→fold→probe, one oracle hash.",
     "meter_billing_late_refresh" ->
-      "Late-data invalidation read-back: the answer is a plain pruned scan of the mart directory — the invalidation work (closure computation, staging over touched∪prev partitions, dynamic partition overwrite of exactly the stale days) ran inside the query; nothing in the final plan rescans readings. The oracle is the FULL recompute, so this scan hash-matching it IS the invalidation-correctness proof.",
+      "Late-data invalidation read-back: the answer is a plain pruned scan of the mart directory — the invalidation work (DERIVED closure: each late row's own day + its successor-reading's day found by lead() over the late meters' bounded tail, staging over the invalidated days, dynamic partition overwrite of exactly the stale days) ran inside the query; nothing in the final plan rescans readings. The oracle is the FULL recompute, so this scan hash-matching it IS the invalidation-correctness proof.",
     "vecstore_scaled_probe" ->
-      "The sqrt(n)-sized index driven at its DERIVED k: same dynamic-partition-pruned cell probe as vecstore_probe_topk, plus the exact brute-force truth leg (broadcast 2%-query-set BNLJ) and two 1-row verdict aggregates — the verification side the bounded-assertion oracle requires; the probe side alone is what production pays.",
+      "The sqrt(n)-sized index driven at its DERIVED k: same dynamic-partition-pruned cell probe as vecstore_probe_topk, plus the exact brute-force truth leg (broadcast 2%-query-set BNLJ) and two 1-row verdict aggregates joined by a broadcast-hinted 1-row BNLJ (no CartesianProduct — PlanGuardSpec sweeps for exactly that) — the verification side the bounded-assertion oracle requires; the probe side alone is what production pays.",
     "meter_forecast_conformal" ->
       "Split conformal: one staging pass feeds both splits (localCheckpoint); the calibration rank window partitions by meter (≤ cal-days×96 rows per partition); qhat joins back as a 1-row-per-meter frame; coverage is one combinable conditional aggregate. No global sort, no corpus-sized window.")
 
