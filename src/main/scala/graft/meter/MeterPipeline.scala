@@ -123,8 +123,9 @@ object MeterPipeline {
       .groupBy(col("meter_id"), to_date(col("reading_timestamp")).as("d"))
       .agg(max(col("reading_timestamp")).as("reading_timestamp"))
       .localCheckpoint(eager = false)
-    val lo = lastPerDay
-      .agg(min(col("reading_timestamp")).as("lo")).first().getTimestamp(0)
+    val loRow = lastPerDay.agg(min(col("reading_timestamp")).as("lo")).first()
+    if (loRow.isNullAt(0)) return Nil // empty late batch: nothing stale
+    val lo = loRow.getTimestamp(0)
     val loDate = new java.sql.Date(lo.getTime)
     val dateBound =
       if (readings.columns.contains("reading_date"))

@@ -154,6 +154,48 @@ class LateDataSpec extends SparkSpec {
         "successor partition — else the gap case is vacuous")
   }
 
+  test("invalidatedDates: the per-day-max reduction equals the brute all-late-rows derivation") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val nI4 = 384L // 4 days
+    val gap = col("meter_id") % 10 === 5 &&
+      to_date(col("reading_timestamp")).between("2026-01-02", "2026-01-03")
+    val gappy = MeterGen.readings(spark, nM, nI4).filter(!gap)
+    def onDay(d: String) = to_date(col("reading_timestamp")) === lit(d).cast("date")
+    // adversarial late masks: day-end across an outage, mid-day slices,
+    // a mask spanning a day boundary, and the empty mask (no-op)
+    val masks = Seq(
+      col("meter_id") % 10 === 5 && onDay("2026-01-01") &&
+        hour(col("reading_timestamp")) >= 20,
+      col("meter_id") % 7 === 2 && hour(col("reading_timestamp")).between(9, 11),
+      col("meter_id") % 13 === 4 && (onDay("2026-01-02") ||
+        (onDay("2026-01-03") && hour(col("reading_timestamp")) < 2)))
+    masks.foreach { m =>
+      val late = gappy.filter(m)
+      assert(late.count() > 0, "mask must select rows or the case is vacuous")
+      val got = MeterPipeline.invalidatedDates(spark, gappy, late)
+        .map(_.toString).toSet
+      // brute twin: EVERY late row's own date plus its successor's date,
+      // lead() over the late meters' full history — no per-day-max
+      // reduction, no timestamp bound
+      val w = Window.partitionBy(col("meter_id")).orderBy(col("reading_timestamp"))
+      val brute = gappy
+        .join(late.select("meter_id").distinct(), Seq("meter_id"), "left_semi")
+        .select(col("meter_id"), col("reading_timestamp"))
+        .withColumn("next_ts", lead(col("reading_timestamp"), 1).over(w))
+        .join(late.select(col("meter_id"), col("reading_timestamp")).distinct(),
+          Seq("meter_id", "reading_timestamp"))
+        .select(explode(array(
+          to_date(col("reading_timestamp")), to_date(col("next_ts")))).as("d"))
+        .filter(col("d").isNotNull).distinct()
+        .as[java.sql.Date].collect().map(_.toString).toSet
+      assert(got === brute, s"reduction diverged for mask $m")
+    }
+    // the empty late batch is a no-op, not an NPE
+    assert(MeterPipeline.invalidatedDates(
+      spark, gappy, gappy.filter(lit(false))) === Seq.empty)
+  }
+
   test("registered query equals the full recompute") {
     val got = graft.SparkEntry.queries("meter_billing_late_refresh")(spark, sf0001)
     val expect = fullMart()
