@@ -31,7 +31,8 @@ object SparkEntry {
       sources.HistStore.probeQuery :+ sources.HistStore.rollupQuery :+
       sources.HistStore.compactedProbeQuery :+
       sources.HeavyHitterStore.probeQuery :+
-      sources.HeavyHitterStore.maintainedProbeQuery
+      sources.HeavyHitterStore.maintainedProbeQuery :+
+      sources.VecStoreLog.maintainedProbeQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

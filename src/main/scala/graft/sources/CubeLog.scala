@@ -145,20 +145,32 @@ object CubeLog {
     * that advanced (e.g. [[HeavyHitterStore.compact]]'s day-closing
     * cutoff must finalize quiet days too). */
   def compact(spark: SparkSession, dir: String, force: Boolean = false)(
-      fold: DataFrame => DataFrame): Long = {
+      fold: DataFrame => DataFrame): Long =
+    compactFrom(spark, dir, force) { (v, out) =>
+      val input = spark.read.parquet(
+        (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)): _*)
+      fold(input)
+        // |days|-bounded by the store contract: one file, severed lineage
+        // (the fold must not lazily re-read directories about to be deleted)
+        .coalesce(1)
+        .localCheckpoint(eager = true)
+        .write.mode("overwrite").parquet(out)
+    }
+
+  /** Generalized compaction for stores whose folded generation is not one
+    * flat frame (e.g. [[VecStoreLog]]'s cell-partitioned index + codebook
+    * sidecar): the caller writes the generation directory itself from the
+    * snapshot view; CubeLog provides the snapshot, the atomic commit
+    * marker, the crash ordering, and the cleanup sweep — identical
+    * invariants to [[compact]]. */
+  def compactFrom(spark: SparkSession, dir: String, force: Boolean = false)(
+      write: (View, String) => Unit): Long = {
     val v = view(spark, dir)
     if (v.liveBatches.isEmpty && !(force && v.foldedDir.nonEmpty)) return v.gen
     val (hfs, p) = fs(spark, dir)
     val newGen = v.gen + 1
     val newWatermark = (v.watermark +: v.liveBatches.map(_._1)).max
-    val input = spark.read.parquet(
-      (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)): _*)
-    fold(input)
-      // |days|-bounded by the store contract: one file, severed lineage
-      // (the fold must not lazily re-read directories about to be deleted)
-      .coalesce(1)
-      .localCheckpoint(eager = true)
-      .write.mode("overwrite").parquet(s"$dir/folded_gen=$newGen")
+    write(v, s"$dir/folded_gen=$newGen")
     // commit marker: content first to a temp name, then atomic rename
     val commitsDir = new org.apache.hadoop.fs.Path(p, "_cube_commits")
     hfs.mkdirs(commitsDir)

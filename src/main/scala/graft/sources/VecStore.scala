@@ -76,7 +76,7 @@ object VecStore {
 
   /** Raw columns + the fixed-point view ([[Similarity]] arithmetic, so
     * on-disk and in-memory indexes agree bit-for-bit). */
-  private def qn(df: DataFrame): DataFrame = df
+  private[sources] def qn(df: DataFrame): DataFrame = df
     .withColumn("qv", quantExpr)
     .withColumn("norm2", graft.functions.FixedPointDot(col("qv"), col("qv")))
 
@@ -269,7 +269,15 @@ object VecStore {
     * side's cell equi-join binds to the read-back PARTITION column, so
     * pruning happens at directory listing, never a corpus scan. */
   def probeTopK(s: SparkSession, dir: String, queryEmbeddings: DataFrame,
-      probeCells: Int, k: Int = 5): DataFrame = {
+      probeCells: Int, k: Int = 5): DataFrame =
+    rankTopK(probeScored(s, dir, queryEmbeddings, probeCells), k)
+
+  /** The probe's SCORED candidate frame (query_id, vec_id, label, cell =
+    * query's own cell, cosine) before ranking — split out so
+    * [[VecStoreLog]] can union the live delta's brute-scored candidates
+    * in before the shared top-k rank. */
+  private[sources] def probeScored(s: SparkSession, dir: String,
+      queryEmbeddings: DataFrame, probeCells: Int): DataFrame = {
     val queries = qn(queryEmbeddings)
       .select(col("vec_id"), col("qv"), col("norm2"))
     val probes = Similarity.assignRanked(queries, centroids(s, dir))
@@ -281,7 +289,7 @@ object VecStore {
     // the index side re-quantizes off the stored floats (bit-identical
     // parquet round trip)
     val index = qn(s.read.parquet(dir))
-    val scored = index.as("b")
+    index.as("b")
       .join(broadcast(probes.as("a")),
         col("a.probe_cell") === col("b.cell") && col("b.vec_id") =!= col("a.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
@@ -289,6 +297,10 @@ object VecStore {
         (graft.functions.FixedPointDot(col("a.qv"), col("b.qv")).cast("double")
           / (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
           .as("cosine"))
+  }
+
+  /** Shared top-k rank over a scored candidate frame. */
+  private[sources] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("n_cands",
         count(lit(1)).over(Window.partitionBy(col("query_id"))).cast("long"))
@@ -297,7 +309,6 @@ object VecStore {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("label"), col("cell"),
         col("n_cands"), col("cosine"), col("rank"))
-  }
 
   /** The cell a raw float-array embedding is assigned to under a trained
     * codebook (driver-side helper for single-query probes; mirrors the

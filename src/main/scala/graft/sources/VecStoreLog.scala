@@ -1,0 +1,161 @@
+package graft.sources
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
+import graft.llm.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MAINTAINED ANN index: the [[VecStore]] cell layout under the
+  * [[CubeLog]] crash-safe generation contract — the vector twin of the
+  * mergeable-cube quartet's maintenance surface, for the corpus shape a
+  * training-data pipeline actually has (a continuously-crawled embedding
+  * stream, not a build-once corpus).
+  *
+  * Layout under a store dir:
+  *  - `batch_id=<N>/`   — live DELTA epochs: raw (vec_id, label,
+  *                        embedding) rows, landed by [[appendBatch]] with
+  *                        the replay-idempotent overwrite + epoch
+  *                        watermark guard (exactly-once over an
+  *                        at-least-once channel, incl. across compactions
+  *                        — the same contract as the cube stores)
+  *  - `folded_gen=<G>/` — the TRAINED index generation: `cell=K/`
+  *                        partitions + `_centroids/` codebook (Spark's
+  *                        file index hides underscore dirs, so the gen
+  *                        dir reads as a clean cell-partitioned frame)
+  *  - `_cube_commits/`  — CubeLog commit markers (atomic-rename, torn
+  *                        markers skipped with fallback)
+  *
+  * Design split, and why it scales:
+  *  - **Appends are cheap and train-free.** A delta epoch is landed AS
+  *    IS — no assignment, no retrain, one parquet write. IVF assignment
+  *    through stale centroids is what rots recall as the distribution
+  *    drifts; deferring assignment to compaction means vectors are only
+  *    ever placed by a codebook trained on a corpus that INCLUDES them.
+  *  - **Probes = pruned base + brute delta.** The committed generation is
+  *    probed through the normal cell-pruned path ([[VecStore.probeTopK]]
+  *    internals — only probed `cell=` directories are listed); the live
+  *    delta is brute-scored against the broadcast query set. The delta is
+  *    bounded by compaction cadence, so its full scan is the SMALL leg —
+  *    and exact, so fresh vectors are retrievable the moment they land
+  *    with no recall penalty (better than through any index).
+  *  - **Compaction = retrain at the derived k.** The fold re-trains Lloyd
+  *    at [[VecStore.cellKFor]](n) over base ∪ delta and rewrites the cell
+  *    layout — the √n sizing rule is APPLIED as the corpus grows, not
+  *    frozen at build time. Crash ordering, commit marker, and cleanup
+  *    come from [[CubeLog.compactFrom]]; a crash leaves the previous
+  *    generation readable and the delta live.
+  *
+  * `vecstore_maintained_probe` oracle-gates the whole loop: the corpus
+  * landed as three epoch slices, compacted (everything folds), probed —
+  * hash-equal to the batch-built index's oracle because retrain-over-
+  * epochs sees the identical corpus and Lloyd/assignment are
+  * deterministic, order-independent aggregations. */
+object VecStoreLog {
+
+  /** Land one delta epoch. Replay-idempotent (overwrite) and
+    * folded-epoch-guarded (no-op at or under the commit watermark). */
+  def appendBatch(embeddings: DataFrame, dir: String, batchId: Long): Unit = {
+    if (CubeLog.isFolded(embeddings.sparkSession, dir, batchId)) return
+    embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+  }
+
+  /** Every vector the store currently answers from: committed generation
+    * + live delta epochs. */
+  def vectors(spark: SparkSession, dir: String): DataFrame = {
+    val v = CubeLog.view(spark, dir)
+    val base = v.foldedDir.map(f => spark.read.parquet(f)
+      .select(col("vec_id"), col("label"), col("embedding")))
+    val delta = v.liveBatches.map(_._2).map(p => spark.read.parquet(p)
+      .select(col("vec_id"), col("label"), col("embedding")))
+    (base.toSeq ++ delta)
+      .reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalArgumentException(s"empty vector store: $dir"))
+  }
+
+  /** Fold the live delta into a freshly-trained generation. `cellK`
+    * defaults to the √n rule over the FULL post-fold corpus; the
+    * registered query pins it to the oracle-matched [[VecStore.CellK]]. */
+  def compact(spark: SparkSession, dir: String,
+      cellK: Option[Int] = None): Long =
+    CubeLog.compactFrom(spark, dir) { (v, out) =>
+      val base = v.foldedDir.map(f => spark.read.parquet(f)
+        .select(col("vec_id"), col("label"), col("embedding")))
+      val delta = v.liveBatches.map(_._2).map(p => spark.read.parquet(p)
+        .select(col("vec_id"), col("label"), col("embedding")))
+      val all = (base.toSeq ++ delta).reduce(_ unionByName _)
+        .localCheckpoint(eager = true) // count + train + assign, then the
+      // source dirs are deleted by the cleanup — sever the lineage
+      val k = cellK.getOrElse(VecStore.cellKFor(all.count()))
+      VecStore.build(all, out, k)
+    }
+
+  /** Top-k probe over the MAINTAINED store: cell-pruned candidates from
+    * the committed generation ∪ brute-scored candidates from the live
+    * delta, ranked together. `n_cands` counts both legs — the pruning
+    * evidence plus the (bounded) delta cost, visible per query. */
+  def probeTopK(s: SparkSession, dir: String, queryEmbeddings: DataFrame,
+      probeCells: Int, k: Int = 5): DataFrame = {
+    val v = CubeLog.view(s, dir)
+    require(v.foldedDir.nonEmpty,
+      s"maintained vector store $dir has no committed generation — compact first")
+    val baseDir = v.foldedDir.get
+    val baseScored = VecStore.probeScored(s, baseDir, queryEmbeddings, probeCells)
+    val scored = v.liveBatches.map(_._2) match {
+      case Seq() => baseScored
+      case deltaDirs =>
+        val queries = VecStore.qn(queryEmbeddings)
+          .select(col("vec_id"), col("qv"), col("norm2"))
+        val qcell = Similarity.assignRanked(queries, VecStore.centroids(s, baseDir))
+          .select(col("vec_id"), col("qv"), col("norm2"),
+            expr("ranked[0].id").cast("long").as("cell"))
+        val delta = VecStore.qn(s.read.parquet(deltaDirs: _*)
+          .select(col("vec_id"), col("label"), col("embedding")))
+        val deltaScored = delta.as("b")
+          .join(broadcast(qcell.as("a")), col("b.vec_id") =!= col("a.vec_id"))
+          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+            col("b.label").as("label"), col("a.cell").as("cell"),
+            (graft.functions.FixedPointDot(col("a.qv"), col("b.qv")).cast("double")
+              / (sqrt(col("a.norm2").cast("double"))
+                * sqrt(col("b.norm2").cast("double")))).as("cosine"))
+        baseScored.unionByName(deltaScored)
+    }
+    VecStore.rankTopK(scored, k)
+  }
+
+  private lazy val root: String =
+    s"${sys.props("java.io.tmpdir")}/graft_vecstore_log/${java.util.UUID.randomUUID()}"
+  private val built = scala.collection.mutable.Map.empty[String, String]
+  private def maintainedDir(s: SparkSession, d: String): String =
+    built.synchronized {
+      built.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val emb = Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        (0L to 2L).foreach { epoch =>
+          appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === epoch),
+            dir, epoch)
+        }
+        compact(s, dir, cellK = Some(VecStore.CellK))
+        dir
+      })
+    }
+
+  /** The batch-built probe's EXACT oracle answered through the
+    * land→guard→fold→probe maintenance pipeline: three adversarial epoch
+    * slices (vec_id mod 3 — every epoch carries vectors of every region),
+    * one retraining compaction, the same cell-pruned probe. Hash equality
+    * with [[VecStore.probeQuery]]'s oracle proves the maintained store ≡
+    * the build-once store. */
+  lazy val maintainedProbeQuery: GraftQuery =
+    q("vecstore_maintained_probe", VecStore.probeQuery.oracle.get) { (s, d) =>
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+      probeTopK(s, maintainedDir(s, d), queries, VecStore.ProbeCells)
+    }
+}
