@@ -202,6 +202,8 @@ object PlanReport {
       "The sqrt(n)-sized index driven at its DERIVED k: same dynamic-partition-pruned cell probe as vecstore_probe_topk, plus the exact brute-force truth leg (broadcast 2%-query-set BNLJ) and two 1-row verdict aggregates joined by a broadcast-hinted 1-row BNLJ (no CartesianProduct — PlanGuardSpec sweeps for exactly that) — the verification side the bounded-assertion oracle requires; the probe side alone is what production pays.",
     "vecstore_maintained_probe" ->
       "The MAINTAINED index probed after its retraining compaction folded every epoch: plan shape is identical to vecstore_probe_topk — broadcast codebook ranking, cell equi-join binding to the generation directory's partition column (dynamic pruning lists only probed cell dirs), no delta leg in the plan because the committed store has no live batches. The maintenance loop's work (epoch landings, Lloyd retrain at the derived k, commit) happened before this plan; hash-equality with the batch-built probe's oracle is the loop's proof.",
+    "vecstore_live_delta_probe" ->
+      "The maintained index probed MID-STREAM: the plan unions the two legs — the committed generation's cell equi-join (dynamic pruning lists only probed cell directories) and the live delta's broadcast BNLJ (every delta vector scored against the broadcast query set, cell-UNpruned by design: the delta is compaction-cadence-bounded and the brute leg is exact, so fresh vectors are retrievable with no recall penalty). One rank window over the union; n_cands records both legs' candidate volume per query.",
     "meter_forecast_conformal" ->
       "Split conformal: one staging pass feeds both splits (localCheckpoint); the calibration rank window partitions by meter (≤ cal-days×96 rows per partition); qhat joins back as a 1-row-per-meter frame; coverage is one combinable conditional aggregate. No global sort, no corpus-sized window.")
 

@@ -32,7 +32,8 @@ object SparkEntry {
       sources.HistStore.compactedProbeQuery :+
       sources.HeavyHitterStore.probeQuery :+
       sources.HeavyHitterStore.maintainedProbeQuery :+
-      sources.VecStoreLog.maintainedProbeQuery
+      sources.VecStoreLog.maintainedProbeQuery :+
+      sources.VecStoreLog.liveDeltaProbeQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

@@ -150,9 +150,10 @@ object Similarity {
 
   /** Oracle CTE chain `c0 … c$iters` mirroring [[lloydCentroids]] over the
     * `qn` frame; the trained centroids are `c$iters(c_id, cqv, cnorm2)`. */
-  private[graft] def lloydCtes(iters: Int, k: Int = CentroidK): String = {
+  private[graft] def lloydCtes(iters: Int, k: Int = CentroidK,
+      src: String = "qn"): String = {
     val sb = new StringBuilder(
-      s"c0 AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM qn WHERE vec_id < $k)")
+      s"c0 AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM $src WHERE vec_id < $k)")
     for (it <- 1 to iters) {
       sb.append(s""",
          |a$it AS (
@@ -160,7 +161,7 @@ object Similarity {
          |    PARTITION BY vec_id
          |    ORDER BY CAST(list_sum(list_transform(list_zip(qv, cqv), p -> p[1] * p[2])) AS BIGINT)
          |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
-         |  FROM qn, c${it - 1}),
+         |  FROM $src, c${it - 1}),
          |m$it AS (
          |  SELECT c_id, t.i AS pos, CAST(SUM(qv[t.i + 1]) AS BIGINT) AS s, COUNT(*) AS n
          |  FROM a$it, range(0, 64) AS t(i) WHERE cr = 1 GROUP BY c_id, t.i),

@@ -158,4 +158,83 @@ object VecStoreLog {
         .select(col("vec_id"), col("embedding"))
       probeTopK(s, maintainedDir(s, d), queries, VecStore.ProbeCells)
     }
+
+  private val builtLive = scala.collection.mutable.Map.empty[String, String]
+  private def liveDeltaDir(s: SparkSession, d: String): String =
+    builtLive.synchronized {
+      builtLive.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}_live"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val emb = Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        (0L to 1L).foreach { epoch =>
+          appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === epoch),
+            dir, epoch)
+        }
+        compact(s, dir, cellK = Some(VecStore.CellK))
+        // epoch 2 stays LIVE: the probe must answer from base ∪ delta
+        appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === 2L), dir, 2L)
+        dir
+      })
+    }
+
+  /** The LIVE-DELTA path oracle-gated (the maintained-probe query above
+    * exercises the all-folded state; this one probes MID-STREAM): the
+    * committed generation holds epochs 0-1 (the codebook trained on
+    * them), epoch 2 is a live unfolded delta. The oracle replicates both
+    * legs — Lloyd over the base subset only, cell-pruned base candidates,
+    * plus EVERY delta vector brute-scored for every query — and the
+    * union ranks identically, so hash equality proves fresh vectors are
+    * retrievable exactly as the engine claims, not just spec-tested. */
+  lazy val liveDeltaProbeQuery: GraftQuery = q("vecstore_live_delta_probe", {
+    val iters = Similarity.CentroidIters
+    val k = VecStore.CellK
+    val pc = VecStore.ProbeCells
+    s"""WITH ${Similarity.quantizedSql},
+       |qb AS (SELECT * FROM qn WHERE vec_id % 3 < 2),
+       |${Similarity.lloydCtes(iters, k, src = "qb")},
+       |cents AS (SELECT c_id, cqv, cnorm2 FROM c$iters),
+       |bassigned AS (
+       |  SELECT vec_id, label, qv, norm2, c_id, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY CAST(list_sum(list_transform(list_zip(qv, cqv), p -> p[1] * p[2])) AS BIGINT)
+       |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
+       |  FROM qb, cents),
+       |idx AS (SELECT vec_id, label, qv, norm2, c_id AS cell FROM bassigned WHERE cr = 1),
+       |qassigned AS (
+       |  SELECT vec_id, qv, norm2, c_id, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY CAST(list_sum(list_transform(list_zip(qv, cqv), p -> p[1] * p[2])) AS BIGINT)
+       |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
+       |  FROM qn, cents WHERE vec_id % 50 = 0),
+       |qtop AS (SELECT vec_id, qv, norm2, CAST(c_id AS BIGINT) AS cell
+       |  FROM qassigned WHERE cr = 1),
+       |probes AS (
+       |  SELECT vec_id, qv, norm2, c_id AS probe_cell FROM qassigned WHERE cr <= $pc),
+       |delta AS (SELECT vec_id, label, qv, norm2 FROM qn WHERE vec_id % 3 = 2),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS label,
+       |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+       |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+       |  FROM probes a JOIN idx b ON a.probe_cell = b.cell
+       |    AND b.vec_id <> a.vec_id
+       |  UNION ALL
+       |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.label AS label,
+       |    CAST(list_sum(list_transform(list_zip(q.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+       |      / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+       |  FROM qtop q JOIN delta b ON b.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, label, cosine,
+       |    CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cands,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT r.query_id, r.vec_id, r.label, t.cell, r.n_cands, r.cosine, r.rank
+       |FROM ranked r JOIN qtop t ON t.vec_id = r.query_id
+       |WHERE r.rank <= 5""".stripMargin
+  }) { (s, d) =>
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    probeTopK(s, liveDeltaDir(s, d), queries, VecStore.ProbeCells)
+  }
 }
