@@ -33,7 +33,8 @@ object SparkEntry {
       sources.HeavyHitterStore.probeQuery :+
       sources.HeavyHitterStore.maintainedProbeQuery :+
       sources.VecStoreLog.maintainedProbeQuery :+
-      sources.VecStoreLog.liveDeltaProbeQuery
+      sources.VecStoreLog.liveDeltaProbeQuery :+
+      sources.VecStoreLog.eraseProbeQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

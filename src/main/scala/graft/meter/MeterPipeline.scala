@@ -126,11 +126,17 @@ object MeterPipeline {
     val loRow = lastPerDay.agg(min(col("reading_timestamp")).as("lo")).first()
     if (loRow.isNullAt(0)) return Nil // empty late batch: nothing stale
     val lo = loRow.getTimestamp(0)
-    val loDate = new java.sql.Date(lo.getTime)
+    // the date bound is derived IN-QUERY under the session timezone
+    // (to_date over the timestamp literal), never via java.sql.Date on the
+    // driver: the driver conversion goes through the JVM default timezone,
+    // which ahead of UTC rounds the bound UP a day and prunes away the
+    // very partition holding the last late row — the successor lookup then
+    // finds no match and a stale successor-day partition is silently kept
+    val loDate = to_date(lit(lo))
     val dateBound =
       if (readings.columns.contains("reading_date"))
-        col("reading_date") >= lit(loDate)
-      else to_date(col("reading_timestamp")) >= lit(loDate)
+        col("reading_date") >= loDate
+      else to_date(col("reading_timestamp")) >= loDate
     val scoped = readings
       .filter(dateBound && col("reading_timestamp") >= lit(lo))
       .join(broadcast(lastPerDay.select("meter_id").distinct()),

@@ -95,18 +95,50 @@ object CubeLog {
     // write, FS fault) must not render the store unreadable — readers
     // fall back to the next-latest committed generation, whose fold and
     // still-live batch dirs are intact by the compaction ordering
-    val (gen, watermark) = commits.sortBy(-_._1).iterator
-      .flatMap { case (g, path) =>
-        scala.util.Try {
-          val in = hfs.open(path)
-          val wm = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-          finally in.close()
-          (g, wm)
-        }.toOption
-      }.nextOption().getOrElse((0L, -1L))
+    val parsedCommits = commits.sortBy(-_._1).map { case (g, path) =>
+      g -> scala.util.Try {
+        val in = hfs.open(path)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }.toOption
+    }
+    val (gen, watermark) = parsedCommits
+      .collectFirst { case (g, Some(wm)) => (g, wm) }
+      .getOrElse((0L, -1L))
     val folded = kids
       .filter(st => st.isDirectory && st.getPath.getName == s"folded_gen=$gen")
       .map(_.getPath.toString).headOption
+    // The fallback is only SAFE while the skipped commit's cleanup has not
+    // run — serve-from-previous must never silently truncate. Two loud
+    // failure modes, both meaning "the store's true state is a newer
+    // generation whose watermark is unreadable; repair the marker, don't
+    // serve": (a) NO marker parses at all yet a corrupt marker's fold
+    // directory is present — the store was demonstrably compacted (a
+    // marker at a committed name means the atomic rename succeeded; its
+    // cleanup swept the older markers AND the folded batch dirs), so the
+    // gen-0 default view (live batches only) is missing every folded
+    // epoch; (b) an OLDER marker survived and resolves, but its own
+    // folded_gen dir is gone — direct evidence the newer commit's cleanup
+    // ran. A benign orphan fold (crash BEFORE its marker) trips neither:
+    // it has no marker file, and the previous generation's fold is intact.
+    // The pre-r12 behavior served the incomplete view silently.
+    if (parsedCommits.nonEmpty && parsedCommits.forall(_._2.isEmpty)) {
+      val withFold = parsedCommits.map(_._1).filter(g => kids.exists(st =>
+        st.isDirectory && st.getPath.getName == s"folded_gen=$g"))
+      require(withFold.isEmpty,
+        s"cube store $dir: commit marker for generation ${withFold.max} " +
+          "exists but is unreadable, no older marker survives, and its " +
+          "folded_gen directory is present — that commit happened and its " +
+          "cleanup swept the pre-fold state. Refusing to serve the live " +
+          "batches as if they were the whole store; restore the marker " +
+          "(its content is the fold's max batch id)")
+    }
+    require(gen == 0L || folded.nonEmpty,
+      s"cube store $dir: committed generation $gen resolved from the " +
+        s"marker log, but folded_gen=$gen is missing — a newer commit's " +
+        "cleanup ran and its marker is now unreadable. Refusing to serve " +
+        "a silently truncated store (live batches only); restore the " +
+        "newest marker")
     val live = kids
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
       .flatMap { st =>

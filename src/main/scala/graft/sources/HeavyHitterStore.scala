@@ -68,6 +68,66 @@ object HeavyHitterStore {
   /** Counters kept per day (the summary's K). */
   val K = 20
 
+  /** The K-sizing rule [[HhSlackSim]]'s year-long measurement implies,
+    * codified ([[ErasureStore.bucketsFor]]'s spec-pinned style): the
+    * degradation in K is a CLIFF, not a slope — at K at or below the
+    * day-grain churn cohort (the keys that can out-count the persistent
+    * head on a single day) the head is truncated almost daily and est
+    * collapses to ~0.08–0.15 of truth; at cohort + head width every day
+    * keeps the whole head and the answer is EXACT (est/true = 1.000,
+    * slack 0, at every trailing span — SCALING.md's measured table:
+    * K=20 useless, K=40 exact on the ~20-spike/~20-head workload).
+    * There is no useful middle, so the rule is a sum, not a trade-off:
+    * size K for the day's churn PLUS the head you want exact, never for
+    * the range-grain top-N you plan to ask about. KSizingSpec re-runs
+    * the measured workload through the real maintenance surface and pins
+    * both sides of the cliff at this function's output. */
+  def kFor(exactHeadWidth: Int, dailyChurnCohort: Int): Int = {
+    require(exactHeadWidth > 0 && dailyChurnCohort >= 0,
+      s"kFor($exactHeadWidth, $dailyChurnCohort): head width must be " +
+        "positive and the churn cohort non-negative")
+    exactHeadWidth + dailyChurnCohort
+  }
+
+  /** The K a store was built/finalized at, persisted beside the data in
+    * an `_hh_k` sidecar (underscore-prefixed: hidden from the store's own
+    * parquet discovery). Canonical 'top'/'thr' rows are TRUNCATED at
+    * their K, so mixing two Ks in one store is silently inconsistent with
+    * both — every canonical-row writer records K and every canonical-row
+    * consumer validates against it (fail loudly, not mixed-k answers). */
+  def storedK(s: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_hh_k")
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def persistK(s: SparkSession, dir: String, k: Int): Unit =
+    storedK(s, dir) match {
+      case Some(prev) =>
+        require(prev == k, kMismatchMsg(dir, prev, k))
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(dir, "_hh_k")
+        val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.mkdirs(p.getParent)
+        val out = hfs.create(p, true)
+        try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+    }
+
+  private def requireK(s: SparkSession, dir: String, k: Int): Unit =
+    storedK(s, dir).foreach(prev =>
+      require(prev == k, kMismatchMsg(dir, prev, k)))
+
+  private def kMismatchMsg(dir: String, prev: Int, k: Int): String =
+    s"heavy-hitter store $dir holds canonical summaries truncated at " +
+      s"K=$prev but the caller passed K=$k — open partials would rank at " +
+      s"$k beside finalized days kept at $prev, a store consistent with " +
+      "NEITHER. Pass the store's own K (storedK), or rebuild"
+
   private def withTopK(s: SparkSession): Unit =
     if (!s.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
       s.experimental.extraStrategies =
@@ -101,16 +161,22 @@ object HeavyHitterStore {
   }
 
   /** Per-day canonical summaries of a complete event set. */
-  private[sources] def dailySummaries(s: SparkSession, events: DataFrame): DataFrame =
-    summarize(s, dayCounts(events))
+  private[sources] def dailySummaries(s: SparkSession, events: DataFrame,
+      k: Int = K): DataFrame =
+    summarize(s, dayCounts(events), k)
 
-  def build(s: SparkSession, events: DataFrame, dir: String): Unit =
-    dailySummaries(s, events).coalesce(1).write.mode("overwrite").parquet(dir)
+  def build(s: SparkSession, events: DataFrame, dir: String, k: Int = K): Unit = {
+    dailySummaries(s, events, k).coalesce(1).write.mode("overwrite").parquet(dir)
+    persistK(s, dir, k)
+  }
 
   /** Append a COMPLETE day (or days): canonical 'top'/'thr' rows, exact
     * by construction, one appended file, no existing row touched. */
-  def appendDay(s: SparkSession, events: DataFrame, dir: String): Unit =
-    dailySummaries(s, events).coalesce(1).write.mode("append").parquet(dir)
+  def appendDay(s: SparkSession, events: DataFrame, dir: String,
+      k: Int = K): Unit = {
+    persistK(s, dir, k)
+    dailySummaries(s, events, k).coalesce(1).write.mode("append").parquet(dir)
+  }
 
   /** Streaming maintenance: land the micro-batch's exact per-(day, key)
     * partial counts as kind 'part' under `batch_id=<epoch>` with
@@ -154,7 +220,11 @@ object HeavyHitterStore {
     * (ISO date; pass the stream's event-time watermark) finalize to the
     * canonical K-bounded form. */
   def compact(spark: SparkSession, dir: String,
-      finalizeBefore: Option[String] = None, k: Int = K): Long =
+      finalizeBefore: Option[String] = None, k: Int = K): Long = {
+    // finalizing CREATES canonical rows at k: record it first landing,
+    // validate against the store's own K ever after (a k=20 compact over
+    // a k=40 store would close days at the wrong truncation silently)
+    if (finalizeBefore.isDefined) persistK(spark, dir, k)
     // force when finalizing: closing a day must work on a quiet store
     // (no new epochs since the last fold) too
     CubeLog.compact(spark, dir, force = finalizeBefore.isDefined) { rows =>
@@ -173,6 +243,7 @@ object HeavyHitterStore {
           canonical.unionByName(closed).unionByName(open)
       }
     }
+  }
 
   /** Read the store at SUMMARY grain regardless of layout: canonical
     * rows pass through; live/folded 'part' rows fold (SUM per (day, key))
@@ -180,6 +251,7 @@ object HeavyHitterStore {
     * purely stream-built store yields row-for-row the batch build's
     * summaries (partials are exact and sum to complete day counts). */
   def summaries(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    requireK(s, dir, k)
     val st = CubeLog.read(s, dir)
     val canonical = st.filter(col("kind") =!= "part")
       .select(col("day"), col("user_id"), col("cnt"), col("kind"))

@@ -41,9 +41,18 @@ object HhSlackSim {
   private val NKeys = 2000
   private val Spans = Seq(7, 30, 90, 180, 365)
 
+  /** The workload's measured shape constants: ~20 keys spike above the
+    * head each day (R(d,k) = 50 at (k·31 + d·17) mod 97 = 0 over 2000
+    * keys ≈ 20.6/day) and the probed spans verify the head's top keys —
+    * [[HeavyHitterStore.kFor]]'s inputs for THIS workload, pinned by
+    * KSizingSpec against a re-run of the landings at reduced days. */
+  val SpikeCohort = 20
+  val ExactHeadWidth = 20
+
   /** Exact per-(day, key) counts of the whole simulated year — the
-    * ground truth AND the generator feeding the store landings. */
-  private def truth(spark: SparkSession, days: Int): DataFrame =
+    * ground truth AND the generator feeding the store landings
+    * (package-visible: KSizingSpec re-drives the same workload). */
+  private[sources] def truth(spark: SparkSession, days: Int): DataFrame =
     spark.range(days.toLong)
       .select(col("id").cast("int").as("d"))
       .crossJoin(broadcast(spark.range(NKeys.toLong)
@@ -61,7 +70,7 @@ object HhSlackSim {
   /** One day's counts exploded back into event rows (ts carries only the
     * date — that's all [[HeavyHitterStore.appendBatch]]'s dayCounts
     * keeps), so the store is driven through its REAL landing surface. */
-  private def eventsOf(dayCounts: DataFrame): DataFrame =
+  private[sources] def eventsOf(dayCounts: DataFrame): DataFrame =
     dayCounts
       .select(col("day").cast("timestamp").as("ts"), col("user_id"),
         explode(sequence(lit(1L), col("cnt"))).as("i"))

@@ -54,13 +54,72 @@ import org.apache.spark.sql.functions._
   * deterministic, order-independent aggregations. */
 object VecStoreLog {
 
+  /** Rows per file in a landed delta epoch: ~300 B/row at 64 float dims
+    * → ~150 MB files, the comfortable parquet task size. Epochs at or
+    * under one file's worth land as ONE file (the small-files rule);
+    * larger epochs split so a big landing is written (and later folded)
+    * by many tasks instead of funneling through a single writer. */
+  val EpochRowsPerFile = 500000L
+
   /** Land one delta epoch. Replay-idempotent (overwrite) and
-    * folded-epoch-guarded (no-op at or under the commit watermark). */
-  def appendBatch(embeddings: DataFrame, dir: String, batchId: Long): Unit = {
-    if (CubeLog.isFolded(embeddings.sparkSession, dir, batchId)) return
-    embeddings.select(col("vec_id"), col("label"), col("embedding"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+    * folded-epoch-guarded (no-op at or under the commit watermark).
+    * Returns the rows landed (0 when the watermark guard no-ops). */
+  def appendBatch(embeddings: DataFrame, dir: String, batchId: Long,
+      rowsPerFile: Long = EpochRowsPerFile): Long = {
+    if (CubeLog.isFolded(embeddings.sparkSession, dir, batchId)) return 0L
+    val slim = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the count both sizes the write (multi-file above the threshold —
+      // r11 shipped an unconditional coalesce(1), a single-task landing
+      // path for arbitrarily large epochs) and feeds the caller's cadence
+      // arithmetic; it reuses the persisted batch the write needs anyway
+      val n = slim.count()
+      val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+      slim.coalesce(files)
+        .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+      n
+    } finally slim.unpersist()
+  }
+
+  /** The compaction-cadence rule IN CODE (r11 left it as SCALING.md
+    * prose, and a deferred-compaction store silently degrades to a linear
+    * scan): a maintained probe costs (probed share of base) + (ALL of the
+    * live delta), so the delta stops being the small leg once it reaches
+    * the probe budget's share of the committed generation —
+    * deltaRows ≥ baseRows × probeCells / cellK. VecDeltaSweep measured
+    * the linear growth this bounds (cands/query ≈ +1% of corpus per 1%
+    * unfolded); at the default 4-of-16 budget the trigger is the ~25%
+    * knee the sweep's table shows. Costs three parquet METADATA counts
+    * (base, delta, k-row codebook) — no data read. A store with no
+    * committed generation compacts on any live data: it cannot answer
+    * probes at all until a first fold exists. */
+  def shouldCompact(spark: SparkSession, dir: String,
+      probeCells: Int = VecStore.ProbeCells): Boolean = {
+    val v = CubeLog.view(spark, dir)
+    if (v.liveBatches.isEmpty) false
+    else v.foldedDir match {
+      case None => true
+      case Some(f) =>
+        val base = spark.read.parquet(f).count()
+        val delta = spark.read.parquet(v.liveBatches.map(_._2): _*).count()
+        val cellK = VecStore.centroids(spark, f).count()
+        delta.toDouble * cellK >= base.toDouble * probeCells
+    }
+  }
+
+  /** Landing with the cadence applied automatically: land the epoch,
+    * fold iff [[shouldCompact]]. Returns true when a compaction ran — the
+    * streaming foreachBatch landing path calls THIS, so probe cost stays
+    * ≤ (1 + budget share) × base-only without an operator remembering to
+    * compact. */
+  def appendBatchAuto(embeddings: DataFrame, dir: String, batchId: Long,
+      probeCells: Int = VecStore.ProbeCells): Boolean = {
+    val s = embeddings.sparkSession
+    appendBatch(embeddings, dir, batchId)
+    val fold = shouldCompact(s, dir, probeCells)
+    if (fold) compact(s, dir)
+    fold
   }
 
   /** Every vector the store currently answers from: committed generation
@@ -126,6 +185,75 @@ object VecStoreLog {
     VecStore.rankTopK(scored, k)
   }
 
+  /** RTBF for the maintained ANN index — the one governance discipline
+    * ([[ErasureStore]] / [[MeterBronze]]) the vector surface lacked, and
+    * the one a training-data pipeline legally needs (embeddings of erased
+    * documents are still personal data derivatives). Returns rows removed.
+    *
+    * Bounded-rewrite shape, with one honest difference from the doc
+    * stores: a vector's cell is an ASSIGNMENT (nearest trained centroid),
+    * not arithmetic of its id, so the affected cells must be FOUND — via
+    * a scan pruned to the two BIGINT columns (vec_id, cell; ~1% of index
+    * bytes at 64 float dims), never the embeddings themselves. Then:
+    *
+    *  - live delta epochs: only epochs that contain a requested id are
+    *    rewritten in place (epoch dir names and the commit watermark are
+    *    untouched, so replay/fold semantics are unchanged);
+    *  - the committed generation: only the affected `cell=` partitions
+    *    rewrite (dynamic partition overwrite), every other cell directory
+    *    stays byte-identical — VecErasureSpec asserts it by content and
+    *    mtime; a cell fully emptied by the request has its directory
+    *    deleted explicitly (bounded driver work, ≤ |affected cells| ids).
+    *
+    * The codebook is NOT retrained here: centroids are k coarse
+    * aggregates over the corpus (no vector is recoverable from them), and
+    * the next compaction retrains over the post-erase corpus anyway.
+    * Idempotent: replaying a request finds zero hits and rewrites
+    * nothing. */
+  def eraseByIds(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    val req = broadcast(ids.toDF("vec_id"))
+    val v = CubeLog.view(spark, dir)
+    var removed = 0L
+    v.liveBatches.foreach { case (_, path) =>
+      val epoch = spark.read.parquet(path)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val hits = epoch.join(req, Seq("vec_id"), "left_semi").count()
+      if (hits > 0L) {
+        removed += hits
+        val kept = epoch.join(req, Seq("vec_id"), "left_anti")
+          .localCheckpoint(eager = true) // sever lineage from the files replaced below
+        val files = math.max(1L,
+          (kept.count() + EpochRowsPerFile - 1) / EpochRowsPerFile).toInt
+        kept.coalesce(files).write.mode("overwrite").parquet(path)
+      }
+    }
+    v.foldedDir.foreach { f =>
+      val affected = spark.read.parquet(f).select(col("vec_id"), col("cell"))
+        .join(req, Seq("vec_id"), "left_semi")
+        .select(col("cell").cast("long")).distinct().as[Long].collect().sorted
+      if (affected.nonEmpty) {
+        // static PartitionFilter: only affected cell dirs are listed/read
+        val slice = spark.read.parquet(f)
+          .filter(col("cell").isin(affected: _*))
+          .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+        removed += slice.join(req, Seq("vec_id"), "left_semi").count()
+        val kept = slice.join(req, Seq("vec_id"), "left_anti")
+          .localCheckpoint(eager = true)
+        Store.refreshMartPartitions(kept, f, "cell")
+        val remaining = kept.select(col("cell").cast("long")).distinct()
+          .as[Long].collect().toSet
+        val hfs = new org.apache.hadoop.fs.Path(f)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        affected.filterNot(remaining).foreach { c =>
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$f/cell=$c"), true)
+        }
+      }
+    }
+    removed
+  }
+
   private lazy val root: String =
     s"${sys.props("java.io.tmpdir")}/graft_vecstore_log/${java.util.UUID.randomUUID()}"
   private val built = scala.collection.mutable.Map.empty[String, String]
@@ -179,15 +307,13 @@ object VecStoreLog {
       })
     }
 
-  /** The LIVE-DELTA path oracle-gated (the maintained-probe query above
-    * exercises the all-folded state; this one probes MID-STREAM): the
-    * committed generation holds epochs 0-1 (the codebook trained on
-    * them), epoch 2 is a live unfolded delta. The oracle replicates both
-    * legs — Lloyd over the base subset only, cell-pruned base candidates,
-    * plus EVERY delta vector brute-scored for every query — and the
-    * union ranks identically, so hash equality proves fresh vectors are
-    * retrievable exactly as the engine claims, not just spec-tested. */
-  lazy val liveDeltaProbeQuery: GraftQuery = q("vecstore_live_delta_probe", {
+  /** The live-delta store's declarative truth, parameterized by the
+    * SURVIVOR predicate over stored vectors: the committed generation
+    * holds epochs 0-1 (the codebook trained on ALL of them — training
+    * precedes any erase), epoch 2 is a live unfolded delta; `survivors`
+    * filters both stored legs (never the query set — probing for an
+    * erased vector's neighbors stays legal; its ROWS must be gone). */
+  private def liveDeltaSql(survivors: String): String = {
     val iters = Similarity.CentroidIters
     val k = VecStore.CellK
     val pc = VecStore.ProbeCells
@@ -201,7 +327,8 @@ object VecStoreLog {
        |    ORDER BY CAST(list_sum(list_transform(list_zip(qv, cqv), p -> p[1] * p[2])) AS BIGINT)
        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
        |  FROM qb, cents),
-       |idx AS (SELECT vec_id, label, qv, norm2, c_id AS cell FROM bassigned WHERE cr = 1),
+       |idx AS (SELECT vec_id, label, qv, norm2, c_id AS cell FROM bassigned
+       |  WHERE cr = 1 AND ($survivors)),
        |qassigned AS (
        |  SELECT vec_id, qv, norm2, c_id, row_number() OVER (
        |    PARTITION BY vec_id
@@ -212,7 +339,8 @@ object VecStoreLog {
        |  FROM qassigned WHERE cr = 1),
        |probes AS (
        |  SELECT vec_id, qv, norm2, c_id AS probe_cell FROM qassigned WHERE cr <= $pc),
-       |delta AS (SELECT vec_id, label, qv, norm2 FROM qn WHERE vec_id % 3 = 2),
+       |delta AS (SELECT vec_id, label, qv, norm2 FROM qn
+       |  WHERE vec_id % 3 = 2 AND ($survivors)),
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS label,
        |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
@@ -232,9 +360,61 @@ object VecStoreLog {
        |SELECT r.query_id, r.vec_id, r.label, t.cell, r.n_cands, r.cosine, r.rank
        |FROM ranked r JOIN qtop t ON t.vec_id = r.query_id
        |WHERE r.rank <= 5""".stripMargin
-  }) { (s, d) =>
-    val queries = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id"), col("embedding"))
-    probeTopK(s, liveDeltaDir(s, d), queries, VecStore.ProbeCells)
   }
+
+  /** The LIVE-DELTA path oracle-gated (the maintained-probe query above
+    * exercises the all-folded state; this one probes MID-STREAM): the
+    * committed generation holds epochs 0-1 (the codebook trained on
+    * them), epoch 2 is a live unfolded delta. The oracle replicates both
+    * legs — Lloyd over the base subset only, cell-pruned base candidates,
+    * plus EVERY delta vector brute-scored for every query — and the
+    * union ranks identically, so hash equality proves fresh vectors are
+    * retrievable exactly as the engine claims, not just spec-tested. */
+  lazy val liveDeltaProbeQuery: GraftQuery =
+    q("vecstore_live_delta_probe", liveDeltaSql("TRUE")) { (s, d) =>
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+      probeTopK(s, liveDeltaDir(s, d), queries, VecStore.ProbeCells)
+    }
+
+  private val builtErased = scala.collection.mutable.Map.empty[String, String]
+  private def erasedDir(s: SparkSession, d: String): String =
+    builtErased.synchronized {
+      builtErased.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}_erased"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val emb = Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        (0L to 1L).foreach { epoch =>
+          appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === epoch),
+            dir, epoch)
+        }
+        compact(s, dir, cellK = Some(VecStore.CellK))
+        appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === 2L), dir, 2L)
+        dir
+      })
+    }
+
+  /** RTBF driven end-to-end as a registered query: the live-delta store
+    * shape (committed generation + one live epoch) with a deletion
+    * request replayed against BOTH surfaces — erased ids land in folded
+    * `cell=` partitions AND the live epoch, so the oracle's declarative
+    * survivor set (`vec_id % 37 <> 0`, the [[ErasureStore]] request
+    * convention with the data-derived bound) proves the targeted rewrite
+    * removed exactly the requested vectors from each leg and nothing
+    * else; the probe's candidate counts and ranks re-derive over the
+    * survivors. Idempotent by replay on every invocation (bench reps
+    * re-drive the pruned-rewrite path). VecErasureSpec asserts the
+    * physical half: untouched cell directories byte-identical. */
+  lazy val eraseProbeQuery: GraftQuery =
+    q("vecstore_erase_probe", liveDeltaSql("vec_id % 37 <> 0")) { (s, d) =>
+      val dir = erasedDir(s, d)
+      val emb = Tables.embeddings(s, d)
+      val maxId = emb.agg(max(col("vec_id")).cast("long")).head().getLong(0)
+      eraseByIds(s, dir, ErasureStore.eraseIdsUpTo(maxId))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+      probeTopK(s, dir, queries, VecStore.ProbeCells)
+    }
 }

@@ -204,12 +204,19 @@ object Ingest {
       // swallowed exception: a transient read failure after bronze
       // exists must propagate (the batch retries) — treating it as
       // "no bronze yet" would silently disable dedup for the batch and
-      // double-land rows into every downstream mart
+      // double-land rows into every downstream mart.
+      // "Exists" means at least one reading_date= PARTITION directory,
+      // not a bare non-empty listing: a dir holding only a _temporary
+      // leftover of a crashed in-flight first landing (or other non-data
+      // entries) would make the parquet read fail schema inference on
+      // every retry — a permanently wedged stream, worse than either
+      // honest outcome
       val bronzePath = new org.apache.hadoop.fs.Path(bronzeDir)
       val bronzeFs = bronzePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val existing =
         if (!bronzeFs.exists(bronzePath) ||
-            bronzeFs.listStatus(bronzePath).isEmpty) None
+            !bronzeFs.listStatus(bronzePath).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith("reading_date="))) None
         else Some(spark.read.parquet(bronzeDir)
           .filter(col("reading_timestamp").between(lit(lo), lit(hi))
             && col("reading_date").cast("string").isin(touched: _*))

@@ -112,6 +112,41 @@ class CubeCompactSpec extends SparkSpec {
       "the store remains readable at the committed generation")
   }
 
+  test("marker corrupted AFTER its commit: readers fail loudly instead of serving a truncated fallback") {
+    // Scenario the benign torn-marker skip must NOT swallow: generation
+    // 2 committed and its cleanup ran (previous fold + folded batch dirs
+    // swept), then the gen-2 marker's CONTENT was corrupted by an FS
+    // fault. The fallback generation's inputs no longer exist — serving
+    // it would silently answer from live batches only.
+    val dir = Files.createTempDirectory("cube_corrupt_").toString + "/daily"
+    landThree(SketchStore.appendBatch(_, dir, _))
+    assert(SketchStore.compact(spark, dir) === 1L)
+    SketchStore.appendBatch(
+      graft.ops.Tables.events(spark, sf0001).filter($"user_id" === 1L), dir, 3L)
+    assert(SketchStore.compact(spark, dir) === 2L) // cleanup swept gen 1
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // corrupt the committed gen-2 marker in place (fold dir present)
+    val m2 = new org.apache.hadoop.fs.Path(s"$dir/_cube_commits/2")
+    hfs.create(m2, true).close() // now zero bytes
+    val errA = intercept[IllegalArgumentException](CubeLog.view(spark, dir))
+    assert(errA.getMessage.contains("unreadable"),
+      s"expected the corrupt-committed-marker failure, got: ${errA.getMessage}")
+
+    // the other shape of the same loss: the corrupt marker's own fold is
+    // ALSO gone (a later crash), so the resolved fallback generation has
+    // no folded_gen dir — equally unrecoverable, equally loud
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/folded_gen=2"), true)
+    hfs.delete(m2, false)
+    val m1 = new org.apache.hadoop.fs.Path(s"$dir/_cube_commits/1")
+    val out = hfs.create(m1, true)
+    try out.write("2".getBytes("UTF-8")) finally out.close()
+    val errB = intercept[IllegalArgumentException](CubeLog.view(spark, dir))
+    assert(errB.getMessage.contains("folded_gen=1 is missing"),
+      s"expected the missing-fold failure, got: ${errB.getMessage}")
+  }
+
   test("HistStore: compacted store is row-identical to the batch build; replay exactly-once") {
     val dir = Files.createTempDirectory("cube_hist_").toString + "/daily"
     landThree(HistStore.appendBatch(_, dir, _))

@@ -81,6 +81,58 @@ class VecStoreLogSpec extends SparkSpec {
         "the same corpus")
   }
 
+  test("shouldCompact fires EXACTLY at the probe-budget boundary; appendBatchAuto folds there and not before") {
+    val dir = java.nio.file.Files.createTempDirectory("vlog_cad_").toString + "/idx"
+    // base: 400 vectors at k=16, probeCells=4 → budget share 4/16, so the
+    // rule's boundary is delta = 400 × 4/16 = 100 rows, exactly
+    VecStoreLog.appendBatch(emb.filter($"vec_id" < 400), dir, 0L)
+    VecStoreLog.compact(spark, dir, Some(VecStore.CellK))
+    assert(!VecStoreLog.shouldCompact(spark, dir), "no delta: no fold")
+
+    // 99 delta rows: one under the boundary — must NOT trigger
+    assert(VecStoreLog.appendBatch(
+      emb.filter($"vec_id" >= 400 && $"vec_id" < 499), dir, 1L) === 99L)
+    assert(!VecStoreLog.shouldCompact(spark, dir),
+      "99/400 is under the 4-of-16 probe-budget share")
+
+    // the 100th row crosses: the trigger fires AT the boundary (≥)
+    assert(VecStoreLog.appendBatch(emb.filter($"vec_id" === 499), dir, 2L) === 1L)
+    assert(VecStoreLog.shouldCompact(spark, dir),
+      "100/400 = the probe-budget share exactly — the rule is ≥")
+
+    // the auto landing path folds when (and only when) the rule says so
+    val dir2 = java.nio.file.Files.createTempDirectory("vlog_auto_").toString + "/idx"
+    VecStoreLog.appendBatch(emb.filter($"vec_id" < 400), dir2, 0L)
+    VecStoreLog.compact(spark, dir2, Some(VecStore.CellK))
+    assert(!VecStoreLog.appendBatchAuto(
+      emb.filter($"vec_id" >= 400 && $"vec_id" < 499), dir2, 1L))
+    assert(CubeLog.view(spark, dir2).liveBatches.map(_._1) === Seq(1L))
+    assert(VecStoreLog.appendBatchAuto(emb.filter($"vec_id" === 499), dir2, 2L))
+    val v = CubeLog.view(spark, dir2)
+    assert(v.liveBatches.isEmpty && v.gen === 2L,
+      "crossing the boundary must have folded the delta")
+    // post-fold probes answer like a build-once index over the full corpus
+    val ref = java.nio.file.Files.createTempDirectory("vlog_aref_").toString + "/idx"
+    VecStore.build(emb, ref, VecStore.cellKFor(500L))
+    assert(rows(VecStoreLog.probeTopK(spark, dir2, queries, VecStore.ProbeCells))
+      === rows(VecStore.probeTopK(spark, ref, queries, VecStore.ProbeCells)))
+  }
+
+  test("epoch landings split into multiple files above the rows-per-file threshold") {
+    val dir = java.nio.file.Files.createTempDirectory("vlog_mf_").toString + "/idx"
+    VecStoreLog.appendBatch(emb.filter($"vec_id" < 250), dir, 0L, rowsPerFile = 100L)
+    val files = new java.io.File(s"$dir/batch_id=0").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files === 3, s"250 rows at 100/file must land as 3 files, got $files")
+    // a small epoch still lands as ONE file (the small-files rule)
+    VecStoreLog.appendBatch(emb.filter($"vec_id" >= 250 && $"vec_id" < 300), dir, 1L)
+    val files1 = new java.io.File(s"$dir/batch_id=1").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files1 === 1)
+    // multi-file epochs read back whole
+    assert(VecStoreLog.vectors(spark, dir).count() === 300L)
+  }
+
   test("compaction re-derives k = cellKFor(n) as the corpus grows; crash leaves the old generation readable") {
     val dir = java.nio.file.Files.createTempDirectory("vlog_k_").toString + "/idx"
     val small = emb.filter($"vec_id" < 100)
