@@ -109,7 +109,14 @@ object Similarity {
           |  cids, (co, id) -> named_struct('nc', -co, 'id', id)))""".stripMargin))
 
   private[graft] def lloydCentroids(qe: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = qe.filter(col("vec_id") < k)
+    // seeds = the k SMALLEST vec_ids present (TakeOrderedAndProject — k
+    // rows, no full sort), not `vec_id < k`: the latter assumes ids dense
+    // from 0, which holds for the corpus tables but not for a maintained
+    // store fed by a stream whose ids compose (meter, second) — there it
+    // seeds ZERO centroids and training crashes. Identical seeds (and
+    // bit-identical results) on dense-from-0 corpora; on subset-trained
+    // stores it always finds the full k seeds the truncated form missed.
+    var cents = qe.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("norm2").as("cnorm2"))
     for (_ <- 0 until iters) {
       // nearest-centroid assignment, fused and exchange-free (ties break
@@ -153,7 +160,7 @@ object Similarity {
   private[graft] def lloydCtes(iters: Int, k: Int = CentroidK,
       src: String = "qn"): String = {
     val sb = new StringBuilder(
-      s"c0 AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM $src WHERE vec_id < $k)")
+      s"c0 AS (SELECT vec_id AS c_id, qv AS cqv, norm2 AS cnorm2 FROM $src ORDER BY vec_id LIMIT $k)")
     for (it <- 1 to iters) {
       sb.append(s""",
          |a$it AS (

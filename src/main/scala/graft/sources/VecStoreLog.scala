@@ -122,6 +122,57 @@ object VecStoreLog {
     fold
   }
 
+  /** Document-bearing stride of the meter wire: 1 reading in 16 carries
+    * an attached document whose embedding lands in the maintained index —
+    * the realistic LLM-pipeline ratio where the vector stream is a
+    * side channel of a much faster event stream, not every event. */
+  val WireEmbeddingStride = 16
+
+  /** Dims of the derived wire embedding (matches the corpus tables). */
+  val WireEmbeddingDims = 64
+
+  /** The embedding side channel of the parsed meter wire, derived
+    * DETERMINISTICALLY so the streaming gold loop can land real epochs
+    * without a model in the container: every [[WireEmbeddingStride]]-th
+    * meter's readings are "document-bearing"; vec_id composes
+    * (meter_id, second) injectively and the embedding is a 64-dim
+    * xxhash64 fold of the same pair — pure codegen'd built-ins, no UDF,
+    * so the derivation itself never bounds the landing rate. A real
+    * deployment swaps this projection for the model's output columns;
+    * everything downstream (epoch landing, cadence, fold, probe, RTBF)
+    * only sees the (vec_id, label, embedding) shape. */
+  def readingEmbeddings(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(pmod(col("meter_id"), lit(WireEmbeddingStride)) === 0)
+      .select(col("meter_id").cast("long").as("m"),
+        unix_timestamp(col("reading_timestamp")).as("ts_s"))
+      .select(
+        (col("m") * lit(10000000000L) + col("ts_s")).as("vec_id"),
+        pmod(col("m"), lit(7)).cast("int").as("label"),
+        expr(s"""transform(sequence(0, ${WireEmbeddingDims - 1}),
+                |  i -> CAST((pmod(xxhash64(m, ts_s, i), 2001) - 1000) / 1000.0
+                |       AS FLOAT))""".stripMargin).as("embedding"))
+
+  /** foreachBatch landing hook of the streaming gold loop: derive the
+    * wire's embedding side channel, land it as epoch `batchId` (replay-
+    * idempotent + watermark-guarded like every cube landing). Returns
+    * rows landed. The mid-run fold runs BESIDE this (an offline
+    * compactor), never inside it — landings stay train-free by design. */
+  def landWireEpoch(parsed: DataFrame, dir: String, batchId: Long): Long =
+    appendBatch(readingEmbeddings(parsed), dir, batchId)
+
+  /** One offline fold with its cost surfaced: returns (corpus rows in the
+    * new generation, trained k, wall ms) — the numbers the streaming
+    * sweep's note attributes the compaction with. */
+  def compactWithStats(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val t0 = System.nanoTime()
+    compact(spark, dir)
+    val wall = (System.nanoTime() - t0) / 1000000L
+    val f = CubeLog.view(spark, dir).foldedDir.getOrElse(
+      sys.error(s"maintained vector store $dir has no generation after compact"))
+    (spark.read.parquet(f).count(), VecStore.centroids(spark, f).count(), wall)
+  }
+
   /** Every vector the store currently answers from: committed generation
     * + live delta epochs. */
   def vectors(spark: SparkSession, dir: String): DataFrame = {
