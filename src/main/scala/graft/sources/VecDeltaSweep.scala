@@ -72,6 +72,51 @@ object VecDeltaSweep {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
+
+    // Part 2 — the same growth under the AUTO-CADENCE landing path
+    // ([[VecStoreLog.appendBatchAuto]]: fold iff the delta fraction
+    // could push a probe past [[VecStoreLog.MaxProbeRatio]] × its
+    // all-folded twin): the corpus arrives as 20 equal epochs and every
+    // step's probe cost is compared against a fresh ALL-FOLDED twin of
+    // the identical corpus-so-far — the ratio column is the guarantee
+    // the derived trigger buys (the first sweep measured the naive
+    // budget-share trigger peaking at 1.44×, which is why the trigger
+    // is solved from the bound).
+    println()
+    println("auto-cadence sweep (20 equal epochs via appendBatchAuto):")
+    println("| epoch | corpus rows | folded this step | mean cands/query | all-folded twin | ratio |")
+    println("|---|---|---|---|---|---|")
+    val adir = s"${sys.props("java.io.tmpdir")}/graft_vec_auto_" +
+      s"${java.util.UUID.randomUUID()}"
+    val epochs = 20
+    var maxRatio = 0.0
+    val hconf = spark.sparkContext.hadoopConfiguration
+    (0 until epochs).foreach { e =>
+      val lo = n * e / epochs
+      val hi = n * (e + 1) / epochs
+      val slice = emb.filter(col("vec_id") >= lit(lo) && col("vec_id") < lit(hi))
+      val folded = VecStoreLog.appendBatchAuto(slice, adir, e.toLong)
+      def meanCands(dir: String): Double =
+        VecStoreLog.probeTopK(spark, dir, queries,
+          VecStore.probeCellsFor(VecStore.cellKFor(hi)))
+          .groupBy(col("query_id")).agg(first(col("n_cands")).as("c"))
+          .agg(avg(col("c"))).head().getDouble(0)
+      val cands = meanCands(adir)
+      // the all-folded twin of the identical corpus-so-far
+      val tdir = s"${sys.props("java.io.tmpdir")}/graft_vec_auto_twin_" +
+        s"${java.util.UUID.randomUUID()}"
+      VecStoreLog.appendBatch(emb.filter(col("vec_id") < lit(hi)), tdir, 0L)
+      VecStoreLog.compact(spark, tdir)
+      val twin = meanCands(tdir)
+      val tp = new org.apache.hadoop.fs.Path(tdir)
+      tp.getFileSystem(hconf).delete(tp, true)
+      val ratio = cands / twin
+      maxRatio = math.max(maxRatio, ratio)
+      println(f"| $e | $hi | ${if (folded) "FOLD" else "-"} | $cands%.0f | $twin%.0f | $ratio%.2f |")
+    }
+    println(f"max cands/query ratio vs all-folded under auto-cadence: $maxRatio%.2f")
+    val ap = new org.apache.hadoop.fs.Path(adir)
+    ap.getFileSystem(hconf).delete(ap, true)
     spark.stop()
   }
 }

@@ -82,20 +82,39 @@ object VecStoreLog {
     } finally slim.unpersist()
   }
 
+  /** Probe-cost guarantee of the maintained store: the live delta may
+    * never push a probe's mean candidate volume past this multiple of
+    * the all-folded twin's — the cadence trigger is DERIVED from it. */
+  val MaxProbeRatio = 1.3
+
   /** The compaction-cadence rule IN CODE (r11 left it as SCALING.md
     * prose, and a deferred-compaction store silently degrades to a linear
-    * scan): a maintained probe costs (probed share of base) + (ALL of the
-    * live delta), so the delta stops being the small leg once it reaches
-    * the probe budget's share of the committed generation —
-    * deltaRows ≥ baseRows × probeCells / cellK. VecDeltaSweep measured
-    * the linear growth this bounds (cands/query ≈ +1% of corpus per 1%
-    * unfolded); at the default 4-of-16 budget the trigger is the ~25%
-    * knee the sweep's table shows. Costs three parquet METADATA counts
-    * (base, delta, k-row codebook) — no data read. A store with no
-    * committed generation compacts on any live data: it cannot answer
-    * probes at all until a first fold exists. */
+    * scan), derived from the probe-cost guarantee rather than a share
+    * constant: a maintained probe scores s·B + D candidates (s =
+    * probeCells/cellK the probed share, B base rows, D delta rows) where
+    * the all-folded twin of the same corpus scores s·(B + D), so the
+    * cost ratio is (s + f)/(s(1 + f)) with f = D/B — and it exceeds
+    * [[MaxProbeRatio]] r exactly when f > (r−1)·s / (1 − r·s). Folding
+    * AT that boundary (≥) keeps every probe ≤ r × all-folded; the first
+    * auto-cadence sweep (r12, SCALING.md) measured the pre-derivation
+    * share rule peaking at 1.44×, which is what forced the trigger to be
+    * solved from the bound instead of set to the budget share. When
+    * r·s ≥ 1 the ratio is capped at 1/s < r for ANY delta, so the
+    * guarantee cannot break — the budget-share rule (f ≥ s) remains as
+    * the floor so folds still happen and the epoch file count stays
+    * bounded. Costs three parquet METADATA counts (base, delta, k-row
+    * codebook) — no data read. A store with no committed generation
+    * compacts on any live data: it cannot answer probes at all until a
+    * first fold exists.
+    *
+    * `probeCells` ≤ 0 (the default) means "the probe width this store's
+    * own k derives" ([[VecStore.probeCellsFor]]) — the width
+    * [[probeTopK]] callers are sized with; passing the fixed
+    * [[VecStore.ProbeCells]] against a large-k generation would
+    * understate s and over-fold. */
   def shouldCompact(spark: SparkSession, dir: String,
-      probeCells: Int = VecStore.ProbeCells): Boolean = {
+      probeCells: Int = -1,
+      maxRatio: Double = MaxProbeRatio): Boolean = {
     val v = CubeLog.view(spark, dir)
     if (v.liveBatches.isEmpty) false
     else v.foldedDir match {
@@ -104,7 +123,14 @@ object VecStoreLog {
         val base = spark.read.parquet(f).count()
         val delta = spark.read.parquet(v.liveBatches.map(_._2): _*).count()
         val cellK = VecStore.centroids(spark, f).count()
-        delta.toDouble * cellK >= base.toDouble * probeCells
+        val pc =
+          if (probeCells > 0) probeCells
+          else VecStore.probeCellsFor(cellK.toInt)
+        val s = pc.toDouble / cellK
+        val fThresh =
+          if (maxRatio * s >= 1.0) s
+          else (maxRatio - 1.0) * s / (1.0 - maxRatio * s)
+        delta.toDouble >= base.toDouble * fThresh
     }
   }
 
@@ -114,7 +140,7 @@ object VecStoreLog {
     * ≤ (1 + budget share) × base-only without an operator remembering to
     * compact. */
   def appendBatchAuto(embeddings: DataFrame, dir: String, batchId: Long,
-      probeCells: Int = VecStore.ProbeCells): Boolean = {
+      probeCells: Int = -1): Boolean = {
     val s = embeddings.sparkSession
     appendBatch(embeddings, dir, batchId)
     val fold = shouldCompact(s, dir, probeCells)

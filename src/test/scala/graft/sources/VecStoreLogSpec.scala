@@ -83,37 +83,39 @@ class VecStoreLogSpec extends SparkSpec {
 
   test("shouldCompact fires EXACTLY at the probe-budget boundary; appendBatchAuto folds there and not before") {
     val dir = java.nio.file.Files.createTempDirectory("vlog_cad_").toString + "/idx"
-    // base: 400 vectors at k=16, probeCells=4 → budget share 4/16, so the
-    // rule's boundary is delta = 400 × 4/16 = 100 rows, exactly
+    // base: 400 vectors at k=16, probeCells=4 → probed share s = 1/4; the
+    // trigger derived from the r = 1.3 probe-cost bound is
+    // f ≥ (r−1)·s/(1−r·s) = 0.075/0.675 = 1/9, so the boundary is
+    // delta = 400/9 = 44.44… rows: 44 under, 45 at-or-over
     VecStoreLog.appendBatch(emb.filter($"vec_id" < 400), dir, 0L)
     VecStoreLog.compact(spark, dir, Some(VecStore.CellK))
     assert(!VecStoreLog.shouldCompact(spark, dir), "no delta: no fold")
 
-    // 99 delta rows: one under the boundary — must NOT trigger
+    // 44 delta rows: under the boundary — must NOT trigger
     assert(VecStoreLog.appendBatch(
-      emb.filter($"vec_id" >= 400 && $"vec_id" < 499), dir, 1L) === 99L)
+      emb.filter($"vec_id" >= 400 && $"vec_id" < 444), dir, 1L) === 44L)
     assert(!VecStoreLog.shouldCompact(spark, dir),
-      "99/400 is under the 4-of-16 probe-budget share")
+      "44/400 < 1/9 — a probe is still within 1.3× its all-folded twin")
 
-    // the 100th row crosses: the trigger fires AT the boundary (≥)
-    assert(VecStoreLog.appendBatch(emb.filter($"vec_id" === 499), dir, 2L) === 1L)
+    // the 45th row crosses: 45/400 ≥ 1/9, the trigger fires (≥)
+    assert(VecStoreLog.appendBatch(emb.filter($"vec_id" === 444), dir, 2L) === 1L)
     assert(VecStoreLog.shouldCompact(spark, dir),
-      "100/400 = the probe-budget share exactly — the rule is ≥")
+      "45/400 ≥ 1/9 — the next probe could exceed the 1.3× bound")
 
     // the auto landing path folds when (and only when) the rule says so
     val dir2 = java.nio.file.Files.createTempDirectory("vlog_auto_").toString + "/idx"
     VecStoreLog.appendBatch(emb.filter($"vec_id" < 400), dir2, 0L)
     VecStoreLog.compact(spark, dir2, Some(VecStore.CellK))
     assert(!VecStoreLog.appendBatchAuto(
-      emb.filter($"vec_id" >= 400 && $"vec_id" < 499), dir2, 1L))
+      emb.filter($"vec_id" >= 400 && $"vec_id" < 444), dir2, 1L))
     assert(CubeLog.view(spark, dir2).liveBatches.map(_._1) === Seq(1L))
-    assert(VecStoreLog.appendBatchAuto(emb.filter($"vec_id" === 499), dir2, 2L))
+    assert(VecStoreLog.appendBatchAuto(emb.filter($"vec_id" === 444), dir2, 2L))
     val v = CubeLog.view(spark, dir2)
     assert(v.liveBatches.isEmpty && v.gen === 2L,
       "crossing the boundary must have folded the delta")
-    // post-fold probes answer like a build-once index over the full corpus
+    // post-fold probes answer like a build-once index over the same corpus
     val ref = java.nio.file.Files.createTempDirectory("vlog_aref_").toString + "/idx"
-    VecStore.build(emb, ref, VecStore.cellKFor(500L))
+    VecStore.build(emb.filter($"vec_id" < 445), ref, VecStore.cellKFor(445L))
     assert(rows(VecStoreLog.probeTopK(spark, dir2, queries, VecStore.ProbeCells))
       === rows(VecStore.probeTopK(spark, ref, queries, VecStore.ProbeCells)))
   }
