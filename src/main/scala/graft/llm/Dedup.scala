@@ -19,13 +19,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextHash._
 
-  private val bandsCount = NumHashes / BandRows // 8
+  private[llm] val bandsCount = NumHashes / BandRows // 8
 
   /** Spark: wide MinHash signature frame (doc_id, s0..s31) — computed
     * map-side by [[graft.functions.MinHashSigs]] over the per-document
     * shingle-hash array: no shuffle at all (same values as the
     * 32-aggregate form the oracle SQL uses). */
-  private def sigsOf(docs: org.apache.spark.sql.DataFrame) =
+  private[llm] def sigsOf(docs: org.apache.spark.sql.DataFrame) =
     docs
       .select(col("doc_id"),
         graft.functions.MinHashSigs(shingleHashArray(col("text"))).as("sig"))
@@ -45,7 +45,26 @@ object Dedup {
   }
 
   /** The MinHash-LSH near-dup pair frame (d1 < d2, est_jaccard ≥ 0.5) —
-    * shared by `dedup_minhash_lsh` and the cluster/keeper assignment. */
+    * shared by `dedup_minhash_lsh` and the cluster/keeper assignment.
+    *
+    * MEGA-BUCKET GUARD (r12): signature-IDENTICAL documents collapse to
+    * one representative BEFORE banding, and the verified rep-level pairs
+    * expand back through group membership AFTER. An adversarial flood
+    * (10% of the corpus duplicates of one document — mirror pages,
+    * boilerplate) puts all N copies in the same bucket in EVERY band,
+    * and the naive bucket self-join emits ~bands·N²/2 rows that a
+    * DISTINCT must then absorb before verification sees them — the one
+    * quadratic INTERMEDIATE hiding in an otherwise equi-join-only
+    * pipeline (LshSkewSweep measures it: 1.0M joined rows at a 10%
+    * flood of sf0.1 vs ~800 with the guard). The output is PROVABLY
+    * unchanged — est_jaccard is a function of the signature alone, so
+    * members inherit their rep's verified pairs verbatim and identical
+    * groups pair at est 1.0 by construction — which is why the oracle
+    * below stays in its naive form: hash equality proves the guard
+    * changes the plan, never the answer. Every step is an equi-join on
+    * the signature / group key; nothing re-inflates beyond the true
+    * pair set. Cost on a flood-free corpus: one map-side-combinable
+    * groupBy plus membership joins on frames the query reads anyway. */
   private[llm] def minhashPairs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // localCheckpoint, not cache: the frame feeds the bands explode plus
@@ -55,13 +74,29 @@ object Dedup {
     // Checkpoint blocks are dropped by the ContextCleaner once the query's
     // frames are garbage-collected; nothing survives in the catalog.
     val sigs = sigsOf(docs).localCheckpoint(eager = false)
+    val sigCols = (0 until NumHashes).map(j => col(s"s$j"))
+    // one row per distinct signature; min doc_id is the representative.
+    // The groupBy partial-aggregates map-side, so a 10M-copy flood
+    // collapses to one row per partition before the shuffle.
+    val groups = sigs.groupBy(sigCols: _*).agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint(eager = false)
+    val onSig = (0 until NumHashes)
+      .map(j => sigs(s"s$j") === groups(s"s$j")).reduce(_ && _)
+    // (doc_id, rep) membership — reps map to themselves
+    val membership = sigs.join(groups, onSig)
+      .select(sigs("doc_id"), col("rep"))
+      .localCheckpoint(eager = false)
+    val reps = groups
+      .select(col("rep").as("doc_id") +: (0 until NumHashes)
+        .map(j => groups(s"s$j")): _*)
+      .localCheckpoint(eager = false)
     val bandCols = (0 until bandsCount).map { b =>
       val key = (1 until BandRows).foldLeft(col(s"s${b * BandRows}")) {
         (acc, r) => acc * 31 + col(s"s${b * BandRows + r}")
       }
       struct(lit(b).as("band"), key.as("key"))
     }
-    val bands = sigs
+    val bands = reps
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands.as("x")
@@ -73,15 +108,34 @@ object Dedup {
     val matches = (0 until NumHashes)
       .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
       .reduce(_ + _)
-    cand
-      .join(sigs.as("a"), col("d1") === col("a.doc_id"))
-      .join(sigs.as("b"), col("d2") === col("b.doc_id"))
+    val verified = cand
+      .join(reps.as("a"), col("d1") === col("a.doc_id"))
+      .join(reps.as("b"), col("d2") === col("b.doc_id"))
       .select(col("d1"), col("d2"), (matches / 32.0).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+    // expansion: each rep endpoint fans out to its group's members (a
+    // member pair determines its group pair uniquely, so no duplicates);
+    // within-group cliques pair at est 1.0 = 32/32 — exactly what the
+    // naive verify computes on identical signatures
+    val expanded = verified
+      .join(membership.as("m1"), col("d1") === col("m1.rep"))
+      .join(membership.as("m2"), col("d2") === col("m2.rep"))
+      .select(least(col("m1.doc_id"), col("m2.doc_id")).as("d1"),
+        greatest(col("m1.doc_id"), col("m2.doc_id")).as("d2"),
+        col("est_jaccard"))
+    val clique = membership.as("x")
+      .join(membership.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        lit(1.0).as("est_jaccard"))
+    expanded.unionByName(clique)
   }
 
   /** DuckDB CTE chain ending in `pairs(d1, d2)` — the oracle text twin of
-    * [[minhashPairs]]. */
+    * [[minhashPairs]], DELIBERATELY in the naive all-docs-banded form:
+    * the engine's signature-identical collapse + expansion is provably
+    * answer-preserving, and hashing the guarded plan against the
+    * unguarded oracle is that proof, query by query. */
   private[llm] def minhashPairsSqlCtes: String = {
     val bandSelects = (0 until bandsCount)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS key FROM sigs")

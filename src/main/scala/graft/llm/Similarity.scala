@@ -1244,7 +1244,35 @@ object Similarity {
     * multi-probe LSH — the Spark twin of [[lshPairsSqlCtes]], shared by
     * `dedup_embedding_lsh` and the SemDeDup cluster query. */
   private[llm] def lshPairs(s: SparkSession, d: String): DataFrame = {
-      val qe = quantized(s, d)
+      val qe0 = quantized(s, d)
+      // MEGA-BUCKET GUARD (r12, same doctrine as [[Dedup.minhashPairs]]):
+      // identical quantized vectors share every band key, so a duplicate
+      // flood (N copies of one embedding) makes the bucket self-join emit
+      // ~bands·probes·N²/2 rows before the verify can drop any. The
+      // sign mask and the cosine are functions of qv alone, so collapsing
+      // each identical-qv group to its min-vec_id representative before
+      // banding and EXPANDING the verified rep pairs back through group
+      // membership afterwards is answer-preserving — the oracle stays in
+      // its naive form and hash equality proves it. The groupBy partial-
+      // aggregates map-side: the flood collapses before it can shuffle.
+      val groups = qe0.groupBy(col("qv"))
+        .agg(min(col("vec_id")).as("rep"), min(col("norm2")).as("norm2"))
+        .localCheckpoint(eager = false)
+      val membership = qe0.as("s")
+        .join(groups.as("g"), col("s.qv") === col("g.qv"))
+        .select(col("s.vec_id").as("vec_id"), col("g.rep").as("rep"))
+        .localCheckpoint(eager = false)
+      val qe = groups.select(col("rep").as("vec_id"), col("qv"), col("norm2"))
+      // within-group pairs at the naive verify's own arithmetic on
+      // identical vectors: dot(qv,qv) / (sqrt(norm2)·sqrt(norm2))
+      val clique = membership.as("x")
+        .join(membership.as("y"),
+          col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+        .join(groups.as("g2"), col("x.rep") === col("g2.rep"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+          (dot("g2.qv", "g2.qv").cast("double")
+            / (sqrt(col("g2.norm2").cast("double"))
+              * sqrt(col("g2.norm2").cast("double")))).as("cosine"))
       // ONE fused pass over qv for all 24 plane signs; band keys are bit
       // slices of the mask — value-identical to the 24 per-plane dots
       val bandCols = (0 until DedupBands).map { t =>
@@ -1281,7 +1309,7 @@ object Similarity {
       // shuffle(candidate ids) + point lookups for zero post-join
       // exchanges; with a sane τ (≥0.7) the bands prune hard and both
       // shapes are cheap, but this one never materializes candidates.
-      probes.as("x")
+      val verified = probes.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.vec_id") < col("y.vec_id"))
@@ -1291,6 +1319,15 @@ object Similarity {
             .as("cosine"))
         .filter(col("cosine") >= 0.4)
         .distinct()
+      // rep pairs fan back out to their groups' members (cosine is a
+      // function of qv alone, so members inherit the rep's value verbatim)
+      val expanded = verified
+        .join(membership.as("m1"), col("v1") === col("m1.rep"))
+        .join(membership.as("m2"), col("v2") === col("m2.rep"))
+        .select(least(col("m1.vec_id"), col("m2.vec_id")).as("v1"),
+          greatest(col("m1.vec_id"), col("m2.vec_id")).as("v2"),
+          col("cosine"))
+      expanded.unionByName(clique.filter(col("cosine") >= 0.4))
     }
 
   /** The 8 planes the ANN bucketing uses (deterministic, dim 64, integer
