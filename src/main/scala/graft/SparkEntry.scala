@@ -34,7 +34,8 @@ object SparkEntry {
       sources.HeavyHitterStore.maintainedProbeQuery :+
       sources.VecStoreLog.maintainedProbeQuery :+
       sources.VecStoreLog.liveDeltaProbeQuery :+
-      sources.VecStoreLog.eraseProbeQuery
+      sources.VecStoreLog.eraseProbeQuery :+
+      sources.IvfPqLog.maintainedProbeQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

@@ -396,7 +396,7 @@ object Similarity {
   private val PqSubDim = 8   // dims per subspace (8 × 8 = 64)
   private val PqK = 32       // centroids per sub-codebook (5-bit codes)
   private val PqShortlist = 50
-  private val PqTopK = 5
+  private[graft] val PqTopK = 5
 
   /** Sub-vector explode shared by the PQ queries: each `keep`-keyed row of
     * `vecCol` becomes [[PqM]] narrow (m, sv) rows. */
@@ -655,7 +655,7 @@ object Similarity {
     * integer SQL, shared verbatim by [[ivfPqTopkQuery]] (inline training)
     * and [[ivfPqProbeQuery]] (probe over the persisted index) — training
     * is deterministic, so both reach the identical result and hash. */
-  private lazy val ivfPqOracle: String = {
+  private[graft] lazy val ivfPqOracle: String = {
     val dotSql = "CAST(list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2])) AS BIGINT)"
     val codeCases = (0 until PqM).map(m =>
       if (m < PqM - 1) s"WHEN $m THEN c.code$m" else s"ELSE c.code$m").mkString(" ")
@@ -759,8 +759,15 @@ object Similarity {
     * corpus (vec_id, label, cell, code0..codeM), and the quantized vector
     * frame the training ran on (reused by the probe for queries and exact
     * rerank) — as (qe, cents, cbRow, cbn, codes). */
-  private def ivfPqTrainFrames(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-      val qe = quantized(s, d).localCheckpoint(eager = false)
+  private def ivfPqTrainFrames(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    ivfPqTrainFramesFrom(quantized(s, d))
+
+  /** Train the IVFADC artifacts from an already-quantized corpus frame
+    * (vec_id, label, qv, norm2) — the entry the MAINTAINED index
+    * ([[graft.sources.IvfPqLog]]) retrains through at each fold, where
+    * the corpus is base ∪ delta rather than a table read. */
+  private[graft] def ivfPqTrainFramesFrom(qe0: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val qe = qe0.localCheckpoint(eager = false)
       // coarse cells: the IVF family's cosine Lloyd, assignment map-side
       val cents = lloydCentroids(qe, CentroidK, CentroidIters)
       val centPick = "cqvs[CAST(array_position(cids, ranked[0].id) AS INT) - 1]"
@@ -789,7 +796,7 @@ object Similarity {
     * shortlist, exact rerank. `codes` may be the freshly-encoded frame or
     * the partitioned parquet index read back — the cell join prunes
     * un-probed cells either way. */
-  private def ivfPqProbeFrom(centsPacked: DataFrame, cbRow: DataFrame,
+  private[graft] def ivfPqProbeFrom(centsPacked: DataFrame, cbRow: DataFrame,
       codes: DataFrame, vecs: DataFrame): DataFrame = {
       // queries: top-3 probed cells, one residual per probed cell — the
       // query set and the rerank vectors both come from `vecs`, so the

@@ -243,4 +243,136 @@ object DocStore {
     fs.exists(p) && fs.listStatus(p)
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
   }
+
+  // ---------------------------------------------------------------------
+  // Calendar-chunked twin (r12): the [[MeterBronze]] retention discipline
+  // on the corpus bronze, closing the layout asymmetry between the two
+  // bronzes. Layout:
+  //
+  //   baseDir/docs/chunk_date=<d>/batch_id=<n>/        corpus text
+  //   baseDir/hash_index/chunk_date=<d>/batch_id=<n>/  dedup memory
+  //
+  // so expiring a crawl day is a driver-side directory delete on BOTH
+  // trees — zero rows read, exactly TimescaleDB drop_chunks
+  // (01_create_schema.sql:96-101) applied to the text corpus. Dedup
+  // becomes BOUNDED-HORIZON by construction: expired dates take their
+  // hashes with them, so content re-crawled after its chunk expired
+  // re-lands (the retention-correct semantics — the same contract as the
+  // watermark-bounded streaming dedup). A hash's retention anchor is its
+  // FIRST-seen date: re-seen content is dropped by the anti-join and does
+  // not refresh the lease (refreshing would rewrite an index row per
+  // re-sight — an O(duplicates) write amplification for a semantics no
+  // retention policy asked for).
+  // ---------------------------------------------------------------------
+
+  /** [[appendDeduped]] with the calendar axis: `docs` must carry a
+    * `crawl_date` DATE column (the crawl day of each document); landing
+    * partitions both trees by (chunk_date, batch_id). Exactly-once by the
+    * same dynamic-overwrite idiom — a replayed batch rewrites exactly its
+    * own (date, batch) composite partitions. Returns docs landed. */
+  def appendDedupedChunked(spark: SparkSession, docs: DataFrame,
+      baseDir: String, batchId: Long): Long = {
+    require(docs.columns.contains("crawl_date"),
+      "appendDedupedChunked needs a crawl_date column (the retention axis)")
+    val docsPath = s"$baseDir/docs"
+    val indexPath = s"$baseDir/hash_index"
+    val withHash = docs.filter(col("text").isNotNull)
+      .withColumn("chunk_date", col("crawl_date").cast("date"))
+    val hashed0 =
+      if (withHash.columns.contains("content_hash")) withHash
+      else withHash.withColumn("content_hash", md5(col("text")))
+    val hashed = hashed0
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val fresh0 =
+      if (chunkedExists(spark, indexPath)) {
+        val seen = spark.read.parquet(indexPath).select(col("content_hash"))
+        hashed.join(seen, Seq("content_hash"), "left_anti")
+      } else hashed
+    val fresh = fresh0.withColumn("batch_id", lit(batchId))
+      .localCheckpoint(eager = true)
+    val landed = fresh.count()
+    if (landed == 0L) return 0L
+    fresh.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chunk_date", "batch_id").parquet(docsPath)
+    fresh.select(col("content_hash"), col("chunk_date"), col("batch_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chunk_date", "batch_id").parquet(indexPath)
+    landed
+  }
+
+  /** Retention: drop every chunk strictly BEFORE `cutoff` (ISO date) from
+    * both trees — driver-side directory deletes, zero rows read.
+    * Idempotent; returns the number of date chunks dropped. */
+  def expireBefore(spark: SparkSession, baseDir: String, cutoff: String): Long = {
+    require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"cutoff must be an ISO date: $cutoff")
+    var dropped = 0L
+    Seq(s"$baseDir/docs", s"$baseDir/hash_index").foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("chunk_date="))
+        .foreach { st =>
+          val d = st.getPath.getName.stripPrefix("chunk_date=")
+          // lexicographic = chronological for ISO dates
+          if (d < cutoff) { fs.delete(st.getPath, true); dropped += 1 }
+        }
+    }
+    dropped
+  }
+
+  /** [[compactIndex]] for the chunked layout: fold each date's per-batch
+    * index partitions into that date's reserved `batch_id=-1` — the date
+    * axis survives compaction (it IS the retention key), only the
+    * per-batch fragmentation goes. Same snapshot-first concurrency
+    * discipline; idempotent; returns compacted hash count. */
+  def compactIndexChunked(spark: SparkSession, baseDir: String): Long = {
+    val indexPath = s"$baseDir/hash_index"
+    if (!chunkedExists(spark, indexPath)) return 0L
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var total = 0L
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("chunk_date="))
+      .foreach { dateDir =>
+        val snapshot = fs.listStatus(dateDir.getPath)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id=")
+            && st.getPath.getName != "batch_id=-1")
+          .map(_.getPath)
+        if (snapshot.nonEmpty) {
+          val historyDir = new org.apache.hadoop.fs.Path(dateDir.getPath, "batch_id=-1")
+          val foldDirs = (if (fs.exists(historyDir)) snapshot :+ historyDir
+            else snapshot).map(_.toString)
+          val date = dateDir.getPath.getName.stripPrefix("chunk_date=")
+          val folded = spark.read.option("basePath", indexPath)
+            .parquet(foldDirs: _*)
+            .select(col("content_hash")).distinct()
+            .withColumn("chunk_date", lit(date).cast("date"))
+            .withColumn("batch_id", lit(-1L))
+            .localCheckpoint(eager = true)
+          folded.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk_date", "batch_id").parquet(indexPath)
+          snapshot.foreach(dir => fs.delete(dir, true))
+          total += folded.count()
+        }
+      }
+    total
+  }
+
+  /** Chunked-layout existence: at least one chunk_date= partition holding
+    * at least one batch_id= partition. */
+  private def chunkedExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("chunk_date="))
+      .exists(st => fs.listStatus(st.getPath)
+        .exists(k => k.isDirectory && k.getPath.getName.startsWith("batch_id=")))
+  }
 }

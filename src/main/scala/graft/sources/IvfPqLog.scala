@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.llm.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MAINTAINED IVF-PQ (IVFADC) index: [[graft.llm.Similarity]]'s
+  * billion-scale composition (coarse cells prune, residual PQ codes
+  * score) under the [[CubeLog]] crash-safe generation contract — the
+  * compressed-ANN twin of [[VecStoreLog]], closing the r11 asymmetry
+  * where only the uncompressed cell index had a maintenance story.
+  *
+  * Layout under a store dir:
+  *  - `batch_id=<N>/`   — live DELTA epochs: raw (vec_id, label,
+  *                        embedding) rows, landed train-free with the
+  *                        replay-idempotent overwrite + epoch watermark
+  *                        guard ([[VecStoreLog.appendBatch]] verbatim)
+  *  - `folded_gen=<G>/` — the TRAINED IVFADC generation: the same four
+  *                        persisted artifacts as the build-once index
+  *                        (`cells_packed`, `codebooks_packed`,
+  *                        cell-partitioned `codes`, quantized `vectors`)
+  *  - `_cube_commits/`  — CubeLog commit markers
+  *
+  * Compaction retrains EVERYTHING (coarse Lloyd + per-subspace
+  * sub-codebooks over base ∪ delta residuals) via
+  * [[Similarity.ivfPqTrainFramesFrom]]: PQ codebooks quantize residual
+  * distributions, which drift as the corpus grows, so re-deriving them
+  * at each fold is the same discipline as [[VecStoreLog]]'s √n retrain —
+  * never serve codes from a codebook trained on a corpus that excludes
+  * them. The fold's input is the previous generation's `vectors` frame
+  * (already quantized) ∪ the delta epochs quantized on read — raw
+  * embeddings never need to be re-stored in the generation.
+  *
+  * Mid-stream probes: the committed generation answers through the
+  * normal ADC path (probed cells only — the cell is the partition key),
+  * and every LIVE delta vector is scored by its EXACT l2 against each
+  * query (the [[VecStoreLog]] brute-leg doctrine: fresh vectors are
+  * retrievable the moment they land, with better-than-ADC fidelity, and
+  * the leg's size is bounded by compaction cadence). The final top-k
+  * re-ranks the folded top-k ∪ the exact delta leg — correct because
+  * the overall top-k can only contain folded vectors that were already
+  * in the folded top-k. `ivfpq_maintained_probe` answers the EXISTING
+  * `sim_ivfpq_probe_topk` oracle through land→guard→fold→probe (training
+  * over identical corpora is deterministic, so epoch slicing cannot move
+  * answers); IvfPqLogSpec pins the mid-stream exact-recall contract. */
+object IvfPqLog {
+
+  /** Land one raw delta epoch (the [[VecStoreLog]] landing verbatim —
+    * same guard, same multi-file sizing). */
+  def appendBatch(embeddings: DataFrame, dir: String, batchId: Long): Long =
+    VecStoreLog.appendBatch(embeddings, dir, batchId)
+
+  /** Retraining compaction: fold base ∪ delta into a new IVFADC
+    * generation under the CubeLog crash-safe ordering. */
+  def compact(spark: SparkSession, dir: String): Long =
+    CubeLog.compactFrom(spark, dir) { (v, out) =>
+      val base = v.foldedDir.map(f => spark.read.parquet(s"$f/vectors")
+        .select(col("vec_id"), col("label"), col("qv"), col("norm2")))
+      val delta = v.liveBatches.map(_._2).map(p =>
+        VecStore.qn(spark.read.parquet(p)
+          .select(col("vec_id"), col("label"), col("embedding")))
+          .select(col("vec_id"), col("label"), col("qv"), col("norm2")))
+      val all = (base.toSeq ++ delta).reduce(_ unionByName _)
+        .localCheckpoint(eager = true) // the source dirs are swept below
+      val (qe, cents, cbRow, _, codes) = Similarity.ivfPqTrainFramesFrom(all)
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$out/cells")
+      Similarity.centsRow(cents).coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/cells_packed")
+      cbRow.coalesce(1).write.mode("overwrite").parquet(s"$out/codebooks_packed")
+      val n = spark.sessionState.conf.numShufflePartitions
+      codes.repartition(n, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      qe.repartition(n).write.mode("overwrite").parquet(s"$out/vectors")
+    }
+
+  /** Probe the maintained store: ADC over the committed generation's
+    * probed cells ∪ exact-l2 over the live delta, re-ranked together. */
+  def probeTopK(s: SparkSession, dir: String): DataFrame = {
+    val v = CubeLog.view(s, dir)
+    require(v.foldedDir.nonEmpty,
+      s"maintained IVF-PQ store $dir has no committed generation — compact first")
+    val f = v.foldedDir.get
+    val vecs = s.read.parquet(s"$f/vectors")
+    val folded = Similarity.ivfPqProbeFrom(
+      s.read.parquet(s"$f/cells_packed"),
+      s.read.parquet(s"$f/codebooks_packed"),
+      s.read.parquet(s"$f/codes"),
+      vecs)
+    v.liveBatches.map(_._2) match {
+      case Seq() => folded
+      case deltaDirs =>
+        val queries = vecs.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+            col("norm2").as("qnorm2"))
+        val delta = VecStore.qn(s.read.parquet(deltaDirs: _*)
+          .select(col("vec_id"), col("label"), col("embedding")))
+        // exact l2 = ‖q‖² − 2·q·x + ‖x‖²; adc_dist carries the same value
+        // (for a live vector the "approximate" distance IS exact)
+        val deltaLeg = delta.as("b")
+          .join(broadcast(queries.as("a")),
+            col("b.vec_id") =!= col("a.query_id"))
+          .select(col("a.query_id"), col("b.vec_id"), col("b.label"),
+            (col("a.qnorm2")
+              - lit(2) * graft.functions.FixedPointDot(col("a.qqv"), col("b.qv"))
+              + col("b.norm2")).as("l2_dist"))
+          .select(col("query_id"), col("vec_id"), col("label"),
+            col("l2_dist").as("adc_dist"), col("l2_dist"))
+        import org.apache.spark.sql.expressions.Window
+        folded.drop("rank").unionByName(deltaLeg)
+          .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("l2_dist"), col("vec_id"))))
+          .filter(col("rank") <= Similarity.PqTopK)
+    }
+  }
+
+  private lazy val root: String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_log/${java.util.UUID.randomUUID()}"
+  private val built = scala.collection.mutable.Map.empty[String, String]
+  private def maintainedDir(s: SparkSession, d: String): String =
+    built.synchronized {
+      built.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val emb = graft.ops.Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        (0L to 2L).foreach { epoch =>
+          appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === epoch),
+            dir, epoch)
+        }
+        compact(s, dir)
+        // replay of a folded epoch: the watermark guard must no-op —
+        // exactly-once across the compaction, asserted on every build
+        require(appendBatch(
+          emb.filter(pmod(col("vec_id"), lit(3L)) === 1L), dir, 1L) == 0L,
+          s"maintained IVF-PQ store $dir accepted a replay of a folded epoch")
+        dir
+      })
+    }
+
+  /** The maintained IVF-PQ loop oracle-gated: the corpus lands as three
+    * train-free epochs, one retraining fold commits the generation, the
+    * probe answers the build-once index's EXACT oracle — epoch slicing
+    * and the maintenance machinery cannot move answers. Cites the
+    * reference's batch-rebuild analytics loop (dbt `run` over
+    * models/marts, smart_meter_data_pipeline dbt/) re-expressed as an
+    * incremental index the way a crawl pipeline needs it. */
+  lazy val maintainedProbeQuery: GraftQuery =
+    q("ivfpq_maintained_probe", Similarity.ivfPqOracle) { (s, d) =>
+      probeTopK(s, maintainedDir(s, d))
+    }
+}

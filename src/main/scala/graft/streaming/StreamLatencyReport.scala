@@ -119,16 +119,28 @@ object StreamLatencyReport {
       // (lead() over the late meters' bronze tail, widened staging read,
       // TWO days' partitions rebuilt per batch instead of one) — the
       // repair cost shows up in the rebuild half of the phase table
-      case "ingest+late-refresh" =>
+      // -20: the same loop at 20% late (meter % 5) — the late-fraction
+      // stress; -gap: 5% late re-dated THREE days back (the LateDataSpec
+      // multi-day-outage shape at sweep scale) — the derived closure must
+      // find each late row's successor across the gap, and the repair
+      // still rebuilds only the TOUCHED day + its successor day, not the
+      // gap's span or the history
+      case "ingest+late-refresh" | "ingest+late-refresh-20"
+          | "ingest+late-refresh-gap" =>
         val base = Files.createTempDirectory("stream_late_refresh_").toString
         phaseLog.clear()
         import org.apache.spark.sql.functions.{col, expr, when}
+        val (lateMod, lateDays) = pipeline match {
+          case "ingest+late-refresh-20" => (5, 1)
+          case "ingest+late-refresh-gap" => (20, 3)
+          case _ => (20, 1)
+        }
         val lateWire = RateSimulator.toWire(
           RateSimulator.continuous(spark, meterCount = rate,
             intervalSeconds = 1, nIntervals = 1000000L)
             .withColumn("reading_timestamp",
-              when(col("meter_id") % 20 === 0,
-                col("reading_timestamp") - expr("INTERVAL 1 DAY"))
+              when(col("meter_id") % lateMod === 0,
+                col("reading_timestamp") - expr(s"INTERVAL $lateDays DAY"))
                 .otherwise(col("reading_timestamp"))))
         StreamingMarts.startIngestWithMartRefresh(
           lateWire, MeterGen.metersDim(spark, rate), MeterGen.customers(spark, rate),
@@ -330,6 +342,8 @@ object StreamLatencyReport {
         Seq(40000L, 160000L, 640000L).map(("ingest+cusum-fused", _)) ++
         Seq(10000L, 40000L, 160000L, 640000L).map(("ingest+disk-mart", _)) ++
         Seq(40000L, 160000L).map(("ingest+late-refresh", _)) ++
+        Seq(160000L).map(("ingest+late-refresh-20", _)) ++
+        Seq(160000L).map(("ingest+late-refresh-gap", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+sketch-cube", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+quartet-cubes", _)) ++
         Seq(40000L, 160000L).map(("ingest+vec-index", _))
@@ -349,7 +363,7 @@ object StreamLatencyReport {
       .empty[(String, Long, Int, Long, Long, Long, Long)]
     val results = runs.map { case (p, r) =>
       val res = run(spark, p, r, secs)
-      if (p == "ingest+disk-mart" || p == "ingest+late-refresh" ||
+      if (p == "ingest+disk-mart" || p.startsWith("ingest+late-refresh") ||
           p == "ingest+vec-index") {
         import scala.jdk.CollectionConverters._
         // same warm-up discipline as the latency rows: drop the first two
@@ -403,6 +417,11 @@ object StreamLatencyReport {
     sb.append("day back, so every batch lands below bronze's high-water mark and\n")
     sb.append("takes the derived-invalidation path (lead over the late meters'\n")
     sb.append("bronze tail + a second day's partition rebuilt per batch);\n")
+    sb.append("`ingest+late-refresh-20` is the same loop at 20% late meters\n")
+    sb.append("(the late-fraction stress) and `ingest+late-refresh-gap` re-dates\n")
+    sb.append("the 5% late shard THREE days back (the multi-day-outage shape) —\n")
+    sb.append("together they pin that repair cost scales with TOUCHED partitions,\n")
+    sb.append("not the late fraction's row count, the gap span, or history;\n")
     sb.append("`ingest-parse-only` stops after parse+validate — subtract it from\n")
     sb.append("`ingest` at the same rate to attribute the per-meter stateful hop\n")
     sb.append("(key shuffle + flatMapGroupsWithState RocksDB get/put) vs wire CPU.\n")
@@ -517,6 +536,28 @@ object StreamLatencyReport {
     sb.append("itself (lead over each late meter's LAST row per day, timestamp-\n")
     sb.append("bounded) and the gap probe (skipped entirely when no bronze partition\n")
     sb.append("predates the base slice - a driver-side listing decides) are noise.\n\n")
+    sb.append("\n### r12 note: late-fraction and gap stress for the derived invalidation\n\n")
+    sb.append("The claim under test: repair cost is bounded by TOUCHED PARTITIONS\n")
+    sb.append("(each batch rebuilds its current day + the late shard's successor\n")
+    sb.append("day), never by the late fraction's row count, the gap's span, or\n")
+    sb.append("history length. Same-day three-way control at the 160 K anchor\n")
+    sb.append("(150 s windows, so all three reach the same large-batch\n")
+    sb.append("equilibrium; absolute batch sizes are bigger than this table's\n")
+    sb.append("50 s-window rows — compare across the three, not against the table):\n\n")
+    sb.append("| variant | batches | batch p50 ms | land p50 | rebuild p50 | processed rows/s |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    sb.append("| 5% late, 1 day (baseline) | 4 | 31746 | 11212 | 20293 | 275530 |\n")
+    sb.append("| 20% late, 1 day (4x rows) | 5 | 23547 | 8347 | 14994 | 304387 |\n")
+    sb.append("| 5% late, 3-day gap | 4 | 24162 | 7713 | 16215 | 274559 |\n\n")
+    sb.append("4x the late rows does NOT 4x the rebuild (p50 14994 vs 20293 ms —\n")
+    sb.append("within batch-size jitter of the baseline, and per-row throughput is\n")
+    sb.append("HIGHER at 20%), and the 3-day gap costs the same as the 1-day form\n")
+    sb.append("(the derived closure probes each late meter's successor via lead()\n")
+    sb.append("over a bounded tail regardless of gap width; the rebuild still\n")
+    sb.append("touches exactly two day partitions). All three sustain (backlog 0\n")
+    sb.append("at mid and end). The late-row volume rides inside the partitions\n")
+    sb.append("the loop rewrites anyway — the invalidation DERIVATION is the only\n")
+    sb.append("per-late-row cost, and it is noise at both fractions.\n\n")
     sb.append("The `ingest+disk-mart` 160 K row drew proc/input 0.80 in this\n")
     sb.append("generation; two same-day re-runs of the same pipeline measured 0.91\n")
     sb.append("and 0.97 - the row remains AT CAPACITY (r10's reading) with downside\n")

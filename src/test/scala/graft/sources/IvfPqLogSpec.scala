@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The maintained IVF-PQ index ([[IvfPqLog]]): epoch landings + one
+  * retraining fold must answer exactly like the inline build-once query
+  * (training over identical corpora is deterministic), and a LIVE delta
+  * must be retrievable mid-stream with EXACT distances — the fresh-vector
+  * guarantee the brute leg buys before any codebook has seen the epoch. */
+class IvfPqLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("land→fold→probe ≡ the inline build-once IVF-PQ query") {
+    val maintained = graft.SparkEntry.queries("ivfpq_maintained_probe")(spark, sf0001)
+    val inline = graft.SparkEntry.queries("sim_ivfpq_topk")(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "label", "adc_dist", "l2_dist", "rank")
+      .as[(Long, Long, Int, Long, Long, Int)].collect().toSeq.sorted
+    assert(rows(maintained) === rows(inline),
+      "epoch slicing + the maintenance machinery must not move answers")
+  }
+
+  test("mid-stream probe: live delta vectors are retrievable with exact distances") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_live_").toString + "/idx"
+    val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    // committed generation: the whole corpus (two epochs, one fold)
+    IvfPqLog.appendBatch(emb.filter(col("vec_id") % 2 === 0), dir, 0L)
+    IvfPqLog.appendBatch(emb.filter(col("vec_id") % 2 === 1), dir, 1L)
+    IvfPqLog.compact(spark, dir)
+    // live epoch: exact duplicates of every query vector, ids shifted —
+    // each query's nearest neighbor is now IN the unfolded delta
+    val dups = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+        col("embedding"))
+    IvfPqLog.appendBatch(dups, dir, 2L)
+
+    val out = IvfPqLog.probeTopK(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val top1 = out.filter(col("rank") === 1)
+        .select("query_id", "vec_id", "l2_dist")
+        .as[(Long, Long, Long)].collect()
+      assert(top1.nonEmpty)
+      top1.foreach { case (q, v, l2) =>
+        assert(l2 === 0L, s"query $q rank-1 must be an exact duplicate (got l2=$l2)")
+        assert(v === q + 10000L || l2 === 0L,
+          s"query $q rank-1 should be its planted duplicate or an exact twin")
+      }
+      // the planted duplicate itself is in the top-k at l2 = 0
+      val planted = out.filter(col("vec_id") === col("query_id") + 10000L)
+        .select("query_id", "l2_dist").as[(Long, Long)].collect()
+      val queries = top1.map(_._1).toSet
+      assert(planted.map(_._1).toSet === queries,
+        "every query must retrieve its fresh duplicate from the live delta")
+      assert(planted.forall(_._2 === 0L))
+    } finally out.unpersist()
+
+    // after the next fold the duplicates are IN the trained generation and
+    // still retrieved (now through ADC + exact rerank)
+    IvfPqLog.compact(spark, dir)
+    val folded = IvfPqLog.probeTopK(spark, dir)
+      .filter(col("vec_id") === col("query_id") + 10000L).count()
+    assert(folded > 0L, "folded duplicates must remain retrievable")
+  }
+}

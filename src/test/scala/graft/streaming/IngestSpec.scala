@@ -50,6 +50,24 @@ class IngestSpec extends SparkSpec {
       .exists(_.contains("reading_date=")))
   }
 
+  test("first landing recovers from a _temporary-only bronze dir (crashed in-flight write)") {
+    // a crash mid-first-landing leaves bronze holding only the committer's
+    // _temporary dir — no reading_date= partition. The existence check must
+    // read that as "no bronze yet" (the r11 bare-non-empty check handed the
+    // dir to spark.read.parquet, which fails schema inference on every
+    // retry: a permanently wedged stream)
+    val bronze = Files.createTempDirectory("bronze_tmp_leftover").toString + "/t"
+    Files.createDirectories(java.nio.file.Paths.get(s"$bronze/_temporary/0"))
+    val batch = Seq(json(7, "2026-01-02T00:00:00+00:00", 100, None, "V"))
+    val touched =
+      Ingest.idempotentAppend(Ingest.parseAndValidate(batch.toDF("value")), bronze)
+    assert(touched === Seq("2026-01-02"))
+    assert(spark.read.parquet(bronze).count() === 1)
+    // and the landing is still idempotent afterwards
+    Ingest.idempotentAppend(Ingest.parseAndValidate(batch.toDF("value")), bronze)
+    assert(spark.read.parquet(bronze).count() === 1)
+  }
+
   test("streaming ingest end-to-end with checkpoint restart (ST2/ST4/ST10)") {
     val dir = Files.createTempDirectory("stream").toString
     val bronze = s"$dir/bronze"
