@@ -35,7 +35,8 @@ object SparkEntry {
       sources.VecStoreLog.maintainedProbeQuery :+
       sources.VecStoreLog.liveDeltaProbeQuery :+
       sources.VecStoreLog.eraseProbeQuery :+
-      sources.IvfPqLog.maintainedProbeQuery
+      sources.IvfPqLog.maintainedProbeQuery :+
+      sources.IvfPqLog.eraseProbeQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

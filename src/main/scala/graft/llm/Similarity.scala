@@ -655,7 +655,15 @@ object Similarity {
     * integer SQL, shared verbatim by [[ivfPqTopkQuery]] (inline training)
     * and [[ivfPqProbeQuery]] (probe over the persisted index) — training
     * is deterministic, so both reach the identical result and hash. */
-  private[graft] lazy val ivfPqOracle: String = {
+  private[graft] lazy val ivfPqOracle: String = ivfPqOracleFor("TRUE")
+
+  /** [[ivfPqOracle]] parameterized by the SURVIVOR predicate over stored
+    * vectors (the RTBF twin's declarative truth): training runs over the
+    * FULL corpus — erase does not retrain, the same doctrine as
+    * [[graft.sources.VecStoreLog.eraseByIds]] — and the predicate filters
+    * only the encoded rows a probe can score; the query set is never
+    * filtered (probing for an erased vector's neighbors stays legal). */
+  private[graft] def ivfPqOracleFor(survivors: String): String = {
     val dotSql = "CAST(list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2])) AS BIGINT)"
     val codeCases = (0 until PqM).map(m =>
       if (m < PqM - 1) s"WHEN $m THEN c.code$m" else s"ELSE c.code$m").mkString(" ")
@@ -705,7 +713,7 @@ object Similarity {
          |codes AS (
          |  SELECT vec_id, MIN(label) AS label, MIN(cell) AS cell,
          |    $codeCols
-         |  FROM enc WHERE cr = 1 GROUP BY vec_id),
+         |  FROM enc WHERE cr = 1 AND ($survivors) GROUP BY vec_id),
          |qp AS (
          |  SELECT vec_id, qv, c_id, cqv AS ccqv, row_number() OVER (
          |    PARTITION BY vec_id
@@ -797,11 +805,15 @@ object Similarity {
     * the partitioned parquet index read back — the cell join prunes
     * un-probed cells either way. */
   private[graft] def ivfPqProbeFrom(centsPacked: DataFrame, cbRow: DataFrame,
-      codes: DataFrame, vecs: DataFrame): DataFrame = {
-      // queries: top-3 probed cells, one residual per probed cell — the
-      // query set and the rerank vectors both come from `vecs`, so the
-      // persisted-index probe never touches anything but index artifacts
-      val qprobe = assignRankedPacked(vecs.filter(col("vec_id") % 50 === 0), centsPacked)
+      codes: DataFrame, vecs: DataFrame,
+      queryVecs: Option[DataFrame] = None): DataFrame = {
+      // queries: top-3 probed cells, one residual per probed cell — by
+      // default the query set and the rerank vectors both come from
+      // `vecs`, so the persisted-index probe never touches anything but
+      // index artifacts; an RTBF caller passes the query set explicitly
+      // (erased vectors leave the STORE, never the right to query)
+      val qsrc = queryVecs.getOrElse(vecs.filter(col("vec_id") % 50 === 0))
+      val qprobe = assignRankedPacked(qsrc, centsPacked)
         .select(col("vec_id").as("query_id"), col("qv"), col("cids"), col("cqvs"),
           explode(expr("slice(ranked, 1, 3)")).as("pr"))
         .select(col("query_id"), col("pr.id").as("pcell"),
@@ -831,7 +843,7 @@ object Similarity {
         .withColumn("arank", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
         .filter(col("arank") <= PqShortlist)
-      val qvecs = vecs.filter(col("vec_id") % 50 === 0)
+      val qvecs = qsrc
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("norm2").as("qnorm2"))
       val cvecs = vecs.select(col("vec_id"), col("qv").as("cqv2"), col("norm2").as("cnorm2c"))
       short

@@ -72,12 +72,21 @@ object IvfPqLog {
       val n = spark.sessionState.conf.numShufflePartitions
       codes.repartition(n, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
-      qe.repartition(n).write.mode("overwrite").parquet(s"$out/vectors")
+      // vectors carry their coarse cell and partition by it, so an RTBF
+      // rewrite touches only affected cell dirs on BOTH trees (the cell
+      // IS the bucket — the ErasureStore discipline on the ANN axis)
+      qe.join(codes.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .repartition(n, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
     }
 
   /** Probe the maintained store: ADC over the committed generation's
-    * probed cells ∪ exact-l2 over the live delta, re-ranked together. */
-  def probeTopK(s: SparkSession, dir: String): DataFrame = {
+    * probed cells ∪ exact-l2 over the live delta, re-ranked together.
+    * `queryVecs` (vec_id, qv, norm2) decouples the query set from the
+    * stored vectors — the RTBF probe passes it explicitly, since erased
+    * vectors leave the store but not the right to query near them. */
+  def probeTopK(s: SparkSession, dir: String,
+      queryVecs: Option[DataFrame] = None): DataFrame = {
     val v = CubeLog.view(s, dir)
     require(v.foldedDir.nonEmpty,
       s"maintained IVF-PQ store $dir has no committed generation — compact first")
@@ -87,11 +96,11 @@ object IvfPqLog {
       s.read.parquet(s"$f/cells_packed"),
       s.read.parquet(s"$f/codebooks_packed"),
       s.read.parquet(s"$f/codes"),
-      vecs)
+      vecs, queryVecs)
     v.liveBatches.map(_._2) match {
       case Seq() => folded
       case deltaDirs =>
-        val queries = vecs.filter(col("vec_id") % 50 === 0)
+        val queries = queryVecs.getOrElse(vecs.filter(col("vec_id") % 50 === 0))
           .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
             col("norm2").as("qnorm2"))
         val delta = VecStore.qn(s.read.parquet(deltaDirs: _*)
@@ -113,6 +122,52 @@ object IvfPqLog {
             .orderBy(col("l2_dist"), col("vec_id"))))
           .filter(col("rank") <= Similarity.PqTopK)
     }
+  }
+
+  /** RTBF for the compressed index — the governance symmetry with
+    * [[VecStoreLog.eraseByIds]] (a PQ code is a derivative of the erased
+    * embedding just like the raw vector is; both must go). Live epochs:
+    * the shared raw-epoch rewrite. Committed generation: the affected
+    * cells are found from a scan of `codes` pruned to its two cheapest
+    * columns, then BOTH trees (`codes` and the cell-partitioned
+    * `vectors`) rewrite only those `cell=` partitions; fully-emptied cell
+    * dirs are deleted explicitly. Codebooks are NOT retrained (k coarse
+    * aggregates + 256 sub-centroids over the corpus — no vector is
+    * recoverable from them; the next compaction retrains over the
+    * post-erase corpus anyway). Idempotent by replay. Returns stored
+    * rows removed (delta rows + folded vectors; codes rows ride along). */
+  def eraseByIds(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    val req = broadcast(ids.toDF("vec_id"))
+    val v = CubeLog.view(spark, dir)
+    var removed = VecStoreLog.eraseFromLiveEpochs(spark, v, req)
+    v.foldedDir.foreach { f =>
+      val affected = spark.read.parquet(s"$f/codes")
+        .select(col("vec_id"), col("cell"))
+        .join(req, Seq("vec_id"), "left_semi")
+        .select(col("cell").cast("long")).distinct().as[Long].collect().sorted
+      if (affected.nonEmpty) {
+        val hfs = new org.apache.hadoop.fs.Path(f)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq("codes", "vectors").foreach { sub =>
+          val path = s"$f/$sub"
+          val slice = spark.read.parquet(path)
+            .filter(col("cell").isin(affected: _*))
+          if (sub == "vectors")
+            removed += slice.join(req, Seq("vec_id"), "left_semi").count()
+          val kept = slice.join(req, Seq("vec_id"), "left_anti")
+            .localCheckpoint(eager = true)
+          Store.refreshMartPartitions(kept, path, "cell")
+          val remaining = kept.select(col("cell").cast("long")).distinct()
+            .as[Long].collect().toSet
+          affected.filterNot(remaining).foreach { c =>
+            hfs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+          }
+        }
+      }
+    }
+    removed
   }
 
   private lazy val root: String =
@@ -150,5 +205,44 @@ object IvfPqLog {
   lazy val maintainedProbeQuery: GraftQuery =
     q("ivfpq_maintained_probe", Similarity.ivfPqOracle) { (s, d) =>
       probeTopK(s, maintainedDir(s, d))
+    }
+
+  private val builtErased = scala.collection.mutable.Map.empty[String, String]
+  private def erasedDir(s: SparkSession, d: String): String =
+    builtErased.synchronized {
+      builtErased.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}_erased"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val emb = graft.ops.Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        (0L to 2L).foreach { epoch =>
+          appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === epoch),
+            dir, epoch)
+        }
+        compact(s, dir)
+        dir
+      })
+    }
+
+  /** RTBF on the compressed index driven end-to-end as a registered
+    * query: the all-folded store with the [[ErasureStore]] deletion
+    * request replayed per invocation (idempotent — bench reps re-drive
+    * the pruned rewrite). The oracle trains over the FULL corpus and
+    * filters only the encoded rows (`vec_id % 37 <> 0` survivors), so
+    * hash equality proves the targeted cell rewrite removed exactly the
+    * requested vectors from codes AND vectors and nothing else — the
+    * query set deliberately keeps erased ids (the right to query
+    * survives the erasure). */
+  lazy val eraseProbeQuery: GraftQuery =
+    q("ivfpq_erase_probe", Similarity.ivfPqOracleFor("vec_id % 37 <> 0")) { (s, d) =>
+      val dir = erasedDir(s, d)
+      val emb = graft.ops.Tables.embeddings(s, d)
+      val maxId = emb.agg(max(col("vec_id")).cast("long")).head().getLong(0)
+      eraseByIds(s, dir, ErasureStore.eraseIdsUpTo(maxId))
+      val queries = VecStore.qn(emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("label"), col("embedding")))
+        .select(col("vec_id"), col("qv"), col("norm2"))
+      probeTopK(s, dir, Some(queries))
     }
 }

@@ -287,11 +287,13 @@ object VecStoreLog {
     * the next compaction retrains over the post-erase corpus anyway.
     * Idempotent: replaying a request finds zero hits and rewrites
     * nothing. */
-  def eraseByIds(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
-    if (ids.isEmpty) return 0L
-    import spark.implicits._
-    val req = broadcast(ids.toDF("vec_id"))
-    val v = CubeLog.view(spark, dir)
+  /** Erase the requested ids from LIVE delta epochs: only epochs that
+    * contain a hit are rewritten in place (dir names and the commit
+    * watermark untouched, so replay/fold semantics are unchanged).
+    * Shared by this store and [[IvfPqLog]] — the raw epoch layout is
+    * identical. Returns rows removed. */
+  private[sources] def eraseFromLiveEpochs(spark: SparkSession,
+      v: CubeLog.View, req: DataFrame): Long = {
     var removed = 0L
     v.liveBatches.foreach { case (_, path) =>
       val epoch = spark.read.parquet(path)
@@ -306,6 +308,15 @@ object VecStoreLog {
         kept.coalesce(files).write.mode("overwrite").parquet(path)
       }
     }
+    removed
+  }
+
+  def eraseByIds(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    val req = broadcast(ids.toDF("vec_id"))
+    val v = CubeLog.view(spark, dir)
+    var removed = eraseFromLiveEpochs(spark, v, req)
     v.foldedDir.foreach { f =>
       val affected = spark.read.parquet(f).select(col("vec_id"), col("cell"))
         .join(req, Seq("vec_id"), "left_semi")

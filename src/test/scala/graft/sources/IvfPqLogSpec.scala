@@ -64,4 +64,52 @@ class IvfPqLogSpec extends SparkSpec {
       .filter(col("vec_id") === col("query_id") + 10000L).count()
     assert(folded > 0L, "folded duplicates must remain retrievable")
   }
+
+  test("erase rewrites only affected cells on BOTH trees; erased ids gone; replay no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_erase_").toString + "/idx"
+    val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    IvfPqLog.appendBatch(emb, dir, 0L)
+    IvfPqLog.compact(spark, dir)
+    val gen = CubeLog.view(spark, dir).foldedDir.get.stripPrefix("file:")
+
+    val req = Seq(0L, 37L, 74L, 111L, 148L)
+    def cellsOf(ids: Seq[Long]): Set[Long] = {
+      import spark.implicits._
+      spark.read.parquet(s"$gen/codes").select(col("vec_id"), col("cell"))
+        .filter(col("vec_id").isin(ids: _*))
+        .select(col("cell").cast("long")).distinct().as[Long].collect().toSet
+    }
+    val affected = cellsOf(req)
+    def snapshot(sub: String): Map[String, (Long, Long)] =
+      new java.io.File(s"$gen/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> (f.length(), f.lastModified())))
+        .toMap
+    val beforeCodes = snapshot("codes")
+    val beforeVecs = snapshot("vectors")
+
+    val removed = IvfPqLog.eraseByIds(spark, dir, req)
+    assert(removed === req.size.toLong)
+    Seq("codes", "vectors").foreach { sub =>
+      assert(spark.read.parquet(s"$gen/$sub")
+        .filter(col("vec_id").isin(req: _*)).count() === 0L,
+        s"$sub must not hold erased ids")
+      // untouched cell partitions are byte-identical (size AND mtime)
+      val before = if (sub == "codes") beforeCodes else beforeVecs
+      val after = snapshot(sub)
+      before.foreach { case (file, meta) =>
+        val cell = file.takeWhile(_ != '/').stripPrefix("cell=").toLong
+        if (!affected.contains(cell))
+          assert(after.get(file).contains(meta), s"untouched $sub/$file rewritten")
+      }
+    }
+    // the store still answers, without the erased ids
+    val out = IvfPqLog.probeTopK(spark, dir)
+    assert(out.count() > 0L)
+    assert(out.filter(col("vec_id").isin(req: _*)).count() === 0L)
+    // replay: no hits, nothing rewritten
+    assert(IvfPqLog.eraseByIds(spark, dir, req) === 0L)
+  }
 }
