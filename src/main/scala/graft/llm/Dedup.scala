@@ -44,27 +44,39 @@ object Dedup {
     parts.tail.foldLeft(parts.head)((acc, s) => s"($acc * 31 + $s)")
   }
 
+  /** The mega-bucket-guard plan chooser (the [[chooseStar]] doctrine on
+    * the candidate-generation axis): collapse identical-signature groups
+    * before banding iff the LARGEST group is at least √n — below that the
+    * naive bucket self-join's worst skew term (bands·maxGroup²/2 joined
+    * rows) costs less than the collapse's own two corpus shuffles, above
+    * it the join term alone exceeds re-shuffling the corpus and grows
+    * quadratically while the collapse stays linear. The detector hashes
+    * the group key (one map-side-combinable aggregation); a hash
+    * collision can only INFLATE maxGroup, i.e. turn the guard on early —
+    * never produce a wrong answer, because both plans are
+    * answer-identical (LshSkewSpec pins it value-for-value). */
+  private[llm] def collapseForShape(maxGroup: Long, n: Long): Boolean =
+    maxGroup * maxGroup >= n
+
   /** The MinHash-LSH near-dup pair frame (d1 < d2, est_jaccard ≥ 0.5) —
     * shared by `dedup_minhash_lsh` and the cluster/keeper assignment.
     *
-    * MEGA-BUCKET GUARD (r12): signature-IDENTICAL documents collapse to
-    * one representative BEFORE banding, and the verified rep-level pairs
-    * expand back through group membership AFTER. An adversarial flood
-    * (10% of the corpus duplicates of one document — mirror pages,
-    * boilerplate) puts all N copies in the same bucket in EVERY band,
-    * and the naive bucket self-join emits ~bands·N²/2 rows that a
-    * DISTINCT must then absorb before verification sees them — the one
-    * quadratic INTERMEDIATE hiding in an otherwise equi-join-only
-    * pipeline (LshSkewSweep measures it: 1.0M joined rows at a 10%
-    * flood of sf0.1 vs ~800 with the guard). The output is PROVABLY
-    * unchanged — est_jaccard is a function of the signature alone, so
-    * members inherit their rep's verified pairs verbatim and identical
-    * groups pair at est 1.0 by construction — which is why the oracle
-    * below stays in its naive form: hash equality proves the guard
-    * changes the plan, never the answer. Every step is an equi-join on
-    * the signature / group key; nothing re-inflates beyond the true
-    * pair set. Cost on a flood-free corpus: one map-side-combinable
-    * groupBy plus membership joins on frames the query reads anyway. */
+    * MEGA-BUCKET GUARD (r12): when [[collapseForShape]] says the corpus
+    * holds a signature-identical flood (mirror pages, boilerplate — all
+    * N copies share every band bucket, so the naive self-join emits
+    * ~bands·N²/2 rows that a DISTINCT must absorb before verification
+    * sees them; LshSkewSweep measures 1.0M joined rows at a 10% flood of
+    * sf0.1 vs ~800 guarded), identical-signature documents collapse to
+    * one representative BEFORE banding and the verified rep-level pairs
+    * expand back through group membership AFTER. The output is PROVABLY
+    * plan-independent — est_jaccard is a function of the signature
+    * alone, so members inherit their rep's verified pairs verbatim and
+    * identical groups pair at est 1.0 by construction — which is why the
+    * oracle below stays in its naive form: hash equality proves the
+    * guard changes the plan, never the answer. On a flood-free corpus
+    * the chooser picks the naive plan and the guard costs ONE map-side
+    * aggregation (the r12 first cut collapsed unconditionally and paid
+    * 1.5-3× on the hot dedup queries for a shape they don't have). */
   private[llm] def minhashPairs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // localCheckpoint, not cache: the frame feeds the bands explode plus
@@ -75,28 +87,59 @@ object Dedup {
     // frames are garbage-collected; nothing survives in the catalog.
     val sigs = sigsOf(docs).localCheckpoint(eager = false)
     val sigCols = (0 until NumHashes).map(j => col(s"s$j"))
-    // one row per distinct signature; min doc_id is the representative.
-    // The groupBy partial-aggregates map-side, so a 10M-copy flood
-    // collapses to one row per partition before the shuffle.
-    val groups = sigs.groupBy(sigCols: _*).agg(min(col("doc_id")).as("rep"))
-      .localCheckpoint(eager = false)
-    val onSig = (0 until NumHashes)
-      .map(j => sigs(s"s$j") === groups(s"s$j")).reduce(_ && _)
-    // (doc_id, rep) membership — reps map to themselves
-    val membership = sigs.join(groups, onSig)
-      .select(sigs("doc_id"), col("rep"))
-      .localCheckpoint(eager = false)
-    val reps = groups
-      .select(col("rep").as("doc_id") +: (0 until NumHashes)
-        .map(j => groups(s"s$j")): _*)
-      .localCheckpoint(eager = false)
+    val shape = sigs.groupBy(xxhash64(sigCols: _*).as("gk"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")), sum(col("c"))).head()
+    val (maxGroup, n) = (shape.getLong(0), shape.getLong(1))
+    if (!collapseForShape(maxGroup, n)) minhashPairsFrom(sigs, sigs)
+    else {
+      // one row per distinct signature; min doc_id is the representative.
+      // The groupBy partial-aggregates map-side, so a 10M-copy flood
+      // collapses to one row per partition before the shuffle.
+      val groups = sigs.groupBy(sigCols: _*).agg(min(col("doc_id")).as("rep"))
+        .localCheckpoint(eager = false)
+      val onSig = (0 until NumHashes)
+        .map(j => sigs(s"s$j") === groups(s"s$j")).reduce(_ && _)
+      // (doc_id, rep) membership — reps map to themselves
+      val membership = sigs.join(groups, onSig)
+        .select(sigs("doc_id"), col("rep"))
+        .localCheckpoint(eager = false)
+      val reps = groups
+        .select(col("rep").as("doc_id") +: (0 until NumHashes)
+          .map(j => groups(s"s$j")): _*)
+        .localCheckpoint(eager = false)
+      val verified = minhashPairsFrom(reps, reps)
+      // expansion: each rep endpoint fans out to its group's members (a
+      // member pair determines its group pair uniquely, so no duplicates);
+      // within-group cliques pair at est 1.0 = 32/32 — exactly what the
+      // naive verify computes on identical signatures
+      val expanded = verified
+        .join(membership.as("m1"), col("d1") === col("m1.rep"))
+        .join(membership.as("m2"), col("d2") === col("m2.rep"))
+        .select(least(col("m1.doc_id"), col("m2.doc_id")).as("d1"),
+          greatest(col("m1.doc_id"), col("m2.doc_id")).as("d2"),
+          col("est_jaccard"))
+      val clique = membership.as("x")
+        .join(membership.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          lit(1.0).as("est_jaccard"))
+      expanded.unionByName(clique)
+    }
+  }
+
+  /** Band → bucket self-join → signature verify over the given frame
+    * (the whole corpus on the naive plan; representatives only under the
+    * flood collapse). */
+  private def minhashPairsFrom(bandSrc: org.apache.spark.sql.DataFrame,
+      verifySrc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bandCols = (0 until bandsCount).map { b =>
       val key = (1 until BandRows).foldLeft(col(s"s${b * BandRows}")) {
         (acc, r) => acc * 31 + col(s"s${b * BandRows + r}")
       }
       struct(lit(b).as("band"), key.as("key"))
     }
-    val bands = reps
+    val bands = bandSrc
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands.as("x")
@@ -108,27 +151,11 @@ object Dedup {
     val matches = (0 until NumHashes)
       .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
       .reduce(_ + _)
-    val verified = cand
-      .join(reps.as("a"), col("d1") === col("a.doc_id"))
-      .join(reps.as("b"), col("d2") === col("b.doc_id"))
+    cand
+      .join(verifySrc.as("a"), col("d1") === col("a.doc_id"))
+      .join(verifySrc.as("b"), col("d2") === col("b.doc_id"))
       .select(col("d1"), col("d2"), (matches / 32.0).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-    // expansion: each rep endpoint fans out to its group's members (a
-    // member pair determines its group pair uniquely, so no duplicates);
-    // within-group cliques pair at est 1.0 = 32/32 — exactly what the
-    // naive verify computes on identical signatures
-    val expanded = verified
-      .join(membership.as("m1"), col("d1") === col("m1.rep"))
-      .join(membership.as("m2"), col("d2") === col("m2.rep"))
-      .select(least(col("m1.doc_id"), col("m2.doc_id")).as("d1"),
-        greatest(col("m1.doc_id"), col("m2.doc_id")).as("d2"),
-        col("est_jaccard"))
-    val clique = membership.as("x")
-      .join(membership.as("y"),
-        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        lit(1.0).as("est_jaccard"))
-    expanded.unionByName(clique)
   }
 
   /** DuckDB CTE chain ending in `pairs(d1, d2)` — the oracle text twin of

@@ -1262,18 +1262,26 @@ object Similarity {
   /** The verified ≥0.4-cosine near-dup pairs (v1, v2, cosine) of the banded
     * multi-probe LSH — the Spark twin of [[lshPairsSqlCtes]], shared by
     * `dedup_embedding_lsh` and the SemDeDup cluster query. */
+  /** MEGA-BUCKET GUARD (r12, the [[Dedup.minhashPairs]] doctrine on the
+    * embedding bands): identical quantized vectors share every band key,
+    * so a duplicate flood (N copies of one embedding) makes the bucket
+    * self-join emit ~bands·probes·N²/2 rows before the verify can drop
+    * any. The sign mask and the cosine are functions of qv alone, so
+    * collapsing each identical-qv group to its min-vec_id representative
+    * before banding and EXPANDING the verified rep pairs back through
+    * group membership afterwards is answer-preserving — the oracle stays
+    * in its naive form and hash equality proves it. The collapse itself
+    * costs two qv-keyed corpus shuffles, so it runs ONLY when
+    * [[Dedup.collapseForShape]] detects a flood (largest identical-qv
+    * group ≥ √n, from one map-side-combinable hash aggregation) — on a
+    * flood-free corpus the naive plan runs untouched. */
   private[llm] def lshPairs(s: SparkSession, d: String): DataFrame = {
       val qe0 = quantized(s, d)
-      // MEGA-BUCKET GUARD (r12, same doctrine as [[Dedup.minhashPairs]]):
-      // identical quantized vectors share every band key, so a duplicate
-      // flood (N copies of one embedding) makes the bucket self-join emit
-      // ~bands·probes·N²/2 rows before the verify can drop any. The
-      // sign mask and the cosine are functions of qv alone, so collapsing
-      // each identical-qv group to its min-vec_id representative before
-      // banding and EXPANDING the verified rep pairs back through group
-      // membership afterwards is answer-preserving — the oracle stays in
-      // its naive form and hash equality proves it. The groupBy partial-
-      // aggregates map-side: the flood collapses before it can shuffle.
+      val shape = qe0.groupBy(xxhash64(col("qv")).as("gk"))
+        .agg(count(lit(1)).as("c"))
+        .agg(max(col("c")), sum(col("c"))).head()
+      if (!Dedup.collapseForShape(shape.getLong(0), shape.getLong(1)))
+        return lshVerifiedPairs(qe0)
       val groups = qe0.groupBy(col("qv"))
         .agg(min(col("vec_id")).as("rep"), min(col("norm2")).as("norm2"))
         .localCheckpoint(eager = false)
@@ -1292,6 +1300,22 @@ object Similarity {
           (dot("g2.qv", "g2.qv").cast("double")
             / (sqrt(col("g2.norm2").cast("double"))
               * sqrt(col("g2.norm2").cast("double")))).as("cosine"))
+      val verified = lshVerifiedPairs(qe)
+      // rep pairs fan back out to their groups' members (cosine is a
+      // function of qv alone, so members inherit the rep's value verbatim)
+      val expanded = verified
+        .join(membership.as("m1"), col("v1") === col("m1.rep"))
+        .join(membership.as("m2"), col("v2") === col("m2.rep"))
+        .select(least(col("m1.vec_id"), col("m2.vec_id")).as("v1"),
+          greatest(col("m1.vec_id"), col("m2.vec_id")).as("v2"),
+          col("cosine"))
+      expanded.unionByName(clique.filter(col("cosine") >= 0.4))
+    }
+
+  /** Band → multi-probe bucket self-join → inline exact-cosine verify
+    * over the given (vec_id, qv, norm2) frame — the whole corpus on the
+    * naive plan; representatives only under the flood collapse. */
+  private def lshVerifiedPairs(qe: DataFrame): DataFrame = {
       // ONE fused pass over qv for all 24 plane signs; band keys are bit
       // slices of the mask — value-identical to the 24 per-plane dots
       val bandCols = (0 until DedupBands).map { t =>
@@ -1328,7 +1352,7 @@ object Similarity {
       // shuffle(candidate ids) + point lookups for zero post-join
       // exchanges; with a sane τ (≥0.7) the bands prune hard and both
       // shapes are cheap, but this one never materializes candidates.
-      val verified = probes.as("x")
+      probes.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.vec_id") < col("y.vec_id"))
@@ -1338,15 +1362,6 @@ object Similarity {
             .as("cosine"))
         .filter(col("cosine") >= 0.4)
         .distinct()
-      // rep pairs fan back out to their groups' members (cosine is a
-      // function of qv alone, so members inherit the rep's value verbatim)
-      val expanded = verified
-        .join(membership.as("m1"), col("v1") === col("m1.rep"))
-        .join(membership.as("m2"), col("v2") === col("m2.rep"))
-        .select(least(col("m1.vec_id"), col("m2.vec_id")).as("v1"),
-          greatest(col("m1.vec_id"), col("m2.vec_id")).as("v2"),
-          col("cosine"))
-      expanded.unionByName(clique.filter(col("cosine") >= 0.4))
     }
 
   /** The 8 planes the ANN bucketing uses (deterministic, dim 64, integer

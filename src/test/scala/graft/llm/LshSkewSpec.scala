@@ -72,6 +72,16 @@ class LshSkewSpec extends SparkSpec {
     assert(floodPairs.filter(col("est_jaccard") =!= 1.0).count() === 0L)
   }
 
+  test("collapseForShape: the √n cost-balance boundary, pinned") {
+    // collapse iff maxGroup² ≥ n: the naive self-join's skew term
+    // (bands·maxGroup²/2) then exceeds the collapse's own corpus shuffles
+    assert(!Dedup.collapseForShape(1, 5000), "unique sigs: never collapse")
+    assert(!Dedup.collapseForShape(70, 5000), "70² = 4900 < 5000: naive")
+    assert(Dedup.collapseForShape(71, 5000), "71² = 5041 ≥ 5000: collapse")
+    assert(Dedup.collapseForShape(51, 500), "the spec's planted flood trips it")
+    assert(!Dedup.collapseForShape(2, 500), "a few twin docs do not")
+  }
+
   test("the guard is answer-preserving: output ≡ the naive pipeline's, value for value") {
     def rows(df: DataFrame): Set[(Long, Long, Double)] =
       df.select(col("d1"), col("d2"), col("est_jaccard"))
