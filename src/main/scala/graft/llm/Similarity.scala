@@ -1276,7 +1276,10 @@ object Similarity {
     * group ≥ √n, from one map-side-combinable hash aggregation) — on a
     * flood-free corpus the naive plan runs untouched. */
   private[llm] def lshPairs(s: SparkSession, d: String): DataFrame = {
-      val qe0 = quantized(s, d)
+      // lazily checkpointed: the shape detector materializes the quantized
+      // corpus once and the chosen plan reuses it — without this the
+      // detector re-reads and re-quantizes the table a second time
+      val qe0 = quantized(s, d).localCheckpoint(eager = false)
       val shape = qe0.groupBy(xxhash64(col("qv")).as("gk"))
         .agg(count(lit(1)).as("c"))
         .agg(max(col("c")), sum(col("c"))).head()

@@ -472,9 +472,10 @@ object StreamLatencyReport {
       sb.append("Measured mid-run folds:\n\n")
       import scala.jdk.CollectionConverters._
       vecFoldNotes.asScala.foreach(n => sb.append(s"- $n\n"))
-      sb.append("\nBoth rates sustain THROUGH the fold (r12 measured proc/input\n")
-      sb.append("1.02 at the 160 K anchor, backlog 0 at mid and end): the landings\n")
-      sb.append("are a pure parse+project+write path, so the fold's Lloyd jobs\n")
+      sb.append("\nBoth rates sustain THROUGH the fold (0.96-1.02 proc/input at the\n")
+      sb.append("160 K anchor across same-day r12 runs — the documented boundary\n")
+      sb.append("band; backlog 0 at mid and end in every draw): the landings are a\n")
+      sb.append("pure parse+project+write path, so the fold's Lloyd jobs\n")
       sb.append("time-share the same cores without pushing any batch over its\n")
       sb.append("trigger. The fold wall grows ~n·√n (Lloyd at the derived k≈√n) —\n")
       sb.append("at cluster scale the compactor runs on its own executors (or a\n")
@@ -558,6 +559,13 @@ object StreamLatencyReport {
     sb.append("at mid and end). The late-row volume rides inside the partitions\n")
     sb.append("the loop rewrites anyway — the invalidation DERIVATION is the only\n")
     sb.append("per-late-row cost, and it is noise at both fractions.\n\n")
+    sb.append("In the 50 s-window generation above, all three 160 K late rows drew\n")
+    sb.append("proc/input 0.90-0.91 on 3-batch samples — the batch-count-limited\n")
+    sb.append("downside the disk-mart note below documents (the r11 generation's\n")
+    sb.append("5%-late row drew 1.01 on the same pipeline). Read the family as AT\n")
+    sb.append("CAPACITY with flat backlog; this 150 s three-way control and the r11\n")
+    sb.append("draw bracket the same capacity, and the three variants stay within\n")
+    sb.append("jitter of EACH OTHER in every window, which is the stress claim.\n\n")
     sb.append("The `ingest+disk-mart` 160 K row drew proc/input 0.80 in this\n")
     sb.append("generation; two same-day re-runs of the same pipeline measured 0.91\n")
     sb.append("and 0.97 - the row remains AT CAPACITY (r10's reading) with downside\n")
