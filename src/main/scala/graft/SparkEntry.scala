@@ -24,6 +24,9 @@ object SparkEntry {
       streaming.IngestBench.all ++ sources.Formats.all :+
       sources.VecStore.probeQuery :+ sources.VecStore.scaledProbeQuery :+
       sources.PostingStore.probeQuery :+
+      sources.PostingLog.maintainedProbeQuery :+
+      sources.PostingLog.bm25MaintainedQuery :+
+      sources.PostingLog.eraseProbeQuery :+
       sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery :+
       sources.SketchStore.probeQuery :+ sources.SketchStore.overlapQuery :+
       sources.SketchStore.rollupQuery :+
@@ -36,7 +39,9 @@ object SparkEntry {
       sources.VecStoreLog.liveDeltaProbeQuery :+
       sources.VecStoreLog.eraseProbeQuery :+
       sources.IvfPqLog.maintainedProbeQuery :+
-      sources.IvfPqLog.eraseProbeQuery
+      sources.IvfPqLog.eraseProbeQuery :+
+      llm.DedupLog.incrementalClustersQuery :+
+      llm.DedupLog.incrementalEraseQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

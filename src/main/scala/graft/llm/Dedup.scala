@@ -32,9 +32,9 @@ object Dedup {
       .select(col("doc_id") +:
         (0 until NumHashes).map(j => element_at(col("sig"), j + 1).as(s"s$j")): _*)
 
-  private def sigsSql: String = {
+  private def sigsSql(from: String = "documents"): String = {
     val aggs = (0 until NumHashes).map(j => s"${minhashSql(j, "h")} AS s$j").mkString(", ")
-    s"""sh AS (${shinglesSql()}),
+    s"""sh AS (${shinglesSql(from)}),
        |hs AS (SELECT doc_id, ${h64Sql("sh")} AS h FROM sh),
        |sigs AS (SELECT doc_id, $aggs FROM hs GROUP BY doc_id)""".stripMargin
   }
@@ -128,34 +128,50 @@ object Dedup {
     }
   }
 
-  /** Band → bucket self-join → signature verify over the given frame
-    * (the whole corpus on the naive plan; representatives only under the
-    * flood collapse). */
-  private def minhashPairsFrom(bandSrc: org.apache.spark.sql.DataFrame,
-      verifySrc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The 8-band LSH key frame of a wide signature frame — (doc_id, band,
+    * key), 8 rows per doc, pure map-side arithmetic. Shared by the batch
+    * candidate join and [[DedupLog]]'s delta-vs-committed landing join. */
+  private[llm] def bandsOf(sigs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val bandCols = (0 until bandsCount).map { b =>
       val key = (1 until BandRows).foldLeft(col(s"s${b * BandRows}")) {
         (acc, r) => acc * 31 + col(s"s${b * BandRows + r}")
       }
       struct(lit(b).as("band"), key.as("key"))
     }
-    val bands = bandSrc
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Signature-verify a candidate pair frame (d1, d2): est_jaccard =
+    * matching-signature share, kept at ≥ 0.5 — the exact verifier both
+    * the batch path and the incremental landing share. */
+  private[llm] def verifyPairs(cand: org.apache.spark.sql.DataFrame,
+      sigSrc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigSrc.as("a"), col("d1") === col("a.doc_id"))
+      .join(sigSrc.as("b"), col("d2") === col("b.doc_id"))
+      .select(col("d1"), col("d2"), (matches / 32.0).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  /** Band → bucket self-join → signature verify over the given frame
+    * (the whole corpus on the naive plan; representatives only under the
+    * flood collapse). */
+  private[llm] def minhashPairsFrom(bandSrc: org.apache.spark.sql.DataFrame,
+      verifySrc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = bandsOf(bandSrc)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val matches = (0 until NumHashes)
-      .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(verifySrc.as("a"), col("d1") === col("a.doc_id"))
-      .join(verifySrc.as("b"), col("d2") === col("b.doc_id"))
-      .select(col("d1"), col("d2"), (matches / 32.0).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+    verifyPairs(cand, verifySrc)
   }
 
   /** DuckDB CTE chain ending in `pairs(d1, d2)` — the oracle text twin of
@@ -163,14 +179,14 @@ object Dedup {
     * the engine's signature-identical collapse + expansion is provably
     * answer-preserving, and hashing the guarded plan against the
     * unguarded oracle is that proof, query by query. */
-  private[llm] def minhashPairsSqlCtes: String = {
+  private[llm] def minhashPairsSqlCtes(from: String = "documents"): String = {
     val bandSelects = (0 until bandsCount)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS key FROM sigs")
       .mkString("\n  UNION ALL ")
     val matches = (0 until NumHashes)
       .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""$sigsSql,
+    s"""${sigsSql(from)},
        |bands AS (
        |  $bandSelects),
        |cand AS (
@@ -611,7 +627,7 @@ object Dedup {
     // scored by signature agreement. The signature frame is cached — it
     // feeds the bands self-join and both sides of the scoring join.
     q("dedup_minhash_lsh",
-      s"""WITH $minhashPairsSqlCtes
+      s"""WITH ${minhashPairsSqlCtes()}
          |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin) { (s, d) =>
       minhashPairs(Tables.documentsParallel(s, d))
     },
@@ -627,7 +643,7 @@ object Dedup {
     // diameters). Oracle: recursive CTE propagating labels to a fixpoint —
     // identical result, declarative recursion.
     q("dedup_clusters",
-      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+      s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
          |edges AS (
          |  SELECT d1 AS src, d2 AS dst FROM pairs
          |  UNION ALL SELECT d2, d1 FROM pairs),
@@ -663,7 +679,7 @@ object Dedup {
     // driver-side graph. Oracle: the same recursive-CTE fixpoint as
     // `dedup_clusters` (identical output, different algorithm).
     q("dedup_clusters_star",
-      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+      s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
          |edges AS (
          |  SELECT d1 AS src, d2 AS dst FROM pairs
          |  UNION ALL SELECT d2, d1 FROM pairs),
@@ -696,7 +712,7 @@ object Dedup {
     // quality join is doc-keyed (narrow vs the corpus), the argmax window
     // is per cluster — state bounded by cluster size, never corpus size.
     q("dedup_keep_best_quality",
-      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+      s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
          |edges AS (
          |  SELECT d1 AS src, d2 AS dst FROM pairs
          |  UNION ALL SELECT d2, d1 FROM pairs),
@@ -748,7 +764,7 @@ object Dedup {
     // (≪ corpus), sizes re-aggregate from it; the corpus appears once,
     // in the final doc-keyed left join.
     q("dedup_soft_weights",
-      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+      s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
          |edges AS (
          |  SELECT d1 AS src, d2 AS dst FROM pairs
          |  UNION ALL SELECT d2, d1 FROM pairs),

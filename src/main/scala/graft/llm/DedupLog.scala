@@ -1,0 +1,358 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.ops.Tables
+import graft.sources.{CubeLog, ErasureStore, Store}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL deduplication — the [[CubeLog]] maintenance discipline on
+  * the dedup surface. A 100 TB crawl pipeline does not re-dedup the
+  * corpus when a 1 TB epoch lands; it dedups the EPOCH against the
+  * committed state. [[Dedup]]'s batch path re-shingles, re-bands, and
+  * re-pairs everything per run — correct, but its cost is corpus-sized
+  * per landing. This store makes each landing delta-sized:
+  *
+  *  - **Signatures are the state, not text.** Each epoch lands its docs'
+  *    MinHash signature rows (33 × 8 B per doc — ~0.3 % of typical doc
+  *    bytes), partitioned by `sp = doc_id mod 16` so RTBF rewrites are
+  *    partition-bounded. Text is never stored here and never re-read:
+  *    shingling happens once, at the doc's own landing.
+  *  - **Pair discovery is delta × (committed ∪ delta).** New candidates
+  *    come from the delta's band frame joined against the full band
+  *    frame (derived map-side from stored signatures — 8 rows per doc,
+  *    an arithmetic projection, no shuffle until the band join). Every
+  *    pair has a latest-landed endpoint, so the union of per-landing
+  *    discoveries IS the batch pair set — committed × committed work is
+  *    never redone. `dedup_incremental_clusters`' hash equality against
+  *    the BATCH oracle is the proof.
+  *  - **Labels are maintained as last-wins deltas.** A landing relabels
+  *    only the components its new edges touch: existing (node → label)
+  *    rows of affected components become virtual edges, the reduced
+  *    graph (new edges ∪ virtual edges) re-resolves through
+  *    [[Dedup.clusterLabelsAuto]], and ONLY those nodes get new label
+  *    rows at this epoch. Readers take each node's latest row
+  *    ([[labelsView]]); compaction folds the view flat. Untouched
+  *    components never rewrite — the label write is sized by the merge,
+  *    not the corpus.
+  *
+  * Replay contract: landings are replay-idempotent at or below the
+  * commit watermark (the [[CubeLog]] guard) and OVERWRITE their own
+  * epoch dir above it. Because a label delta depends on the state it
+  * landed against, replays must be in-order — exactly what Structured
+  * Streaming's foreachBatch guarantees (a failed batch N is retried
+  * before N+1 ever runs; N+1's first run happens after N committed).
+  *
+  * Flood note: the batch path's mega-bucket guard protects a full-corpus
+  * band self-join from signature-identical floods. A landing's join is
+  * delta × all — a delta doc matching an N-copy committed flood costs N
+  * joined rows (linear in the flood, per matching delta doc), and the
+  * only quadratic term is delta × delta, bounded by the landing size the
+  * cadence already controls.
+  */
+object DedupLog {
+
+  /** Signature partitions per sig dir — bounds an RTBF rewrite to the
+    * requested ids' partitions, [[graft.sources.MeterBronze]]'s rule. */
+  val SigParts = 16L
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val (hfs, p) = fsOf(spark, dir)
+    hfs.exists(p)
+  }
+
+  /** Sig roots of the current view: committed generation + live epochs. */
+  private def sigRoots(spark: SparkSession, dir: String): Seq[String] = {
+    val v = CubeLog.view(spark, dir)
+    (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)).map(r => s"$r/sigs")
+      .filter(exists(spark, _))
+  }
+
+  /** Label sources of the current view, oldest first, each tagged with
+    * its last-wins epoch rank (the fold carries its watermark). */
+  private def labelSources(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val v = CubeLog.view(spark, dir)
+    (v.foldedDir.map(f => v.watermark -> s"$f/labels").toSeq ++
+      v.liveBatches.map { case (ep, p) => ep -> s"$p/labels" })
+      .filter { case (_, p) => exists(spark, p) }
+  }
+
+  /** Every stored signature row the store currently answers from (read
+    * per root — sibling roots cannot share one partition-discovery pass). */
+  def sigsAll(spark: SparkSession, dir: String): DataFrame = {
+    val roots = sigRoots(spark, dir)
+    require(roots.nonEmpty, s"empty dedup store: $dir")
+    roots.map(spark.read.parquet(_)).reduce(_ unionByName _).drop("sp")
+  }
+
+  /** The maintained cluster labels: each node's row from the LATEST
+    * source that assigned it (label deltas override older assignments —
+    * that is the whole incremental-labels contract). */
+  def labelsView(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = labelSources(spark, dir)
+    if (srcs.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("node", lit(0L)).withColumn("label", lit(0L))
+        .limit(0)
+    srcs.map { case (ep, p) =>
+      spark.read.parquet(p).select(col("node"), col("label"), lit(ep).as("ep"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(max_by(col("label"), col("ep")).as("label"))
+  }
+
+  private def writeSigs(sigs: DataFrame, out: String): Unit =
+    sigs.withColumn("sp", pmod(col("doc_id"), lit(SigParts)))
+      .repartition(col("sp"))
+      .write.mode("overwrite").partitionBy("sp").parquet(out)
+
+  /** Land one document epoch: store its signatures, discover the pairs
+    * it creates (delta × committed ∪ delta × delta), and relabel ONLY
+    * the touched components. Returns the number of new verified pairs.
+    * Watermark-guarded like every cube landing. */
+  def appendEpoch(docs: DataFrame, dir: String, batchId: Long): Long = {
+    val spark = docs.sparkSession
+    if (CubeLog.isFolded(spark, dir, batchId)) return 0L
+    val sigsD = Dedup.sigsOf(docs.select(col("doc_id"), col("text")))
+      .localCheckpoint(eager = true) // landing writes + joins reuse it;
+    // eager because the epoch dir it lands in is about to be overwritten
+
+    val epochDir = s"$dir/batch_id=$batchId"
+    // a REPLAYED live landing already has its own sigs on disk — exclude
+    // them from "prior" (the delta must never pair against its own twin;
+    // suffix match because listed paths carry the filesystem scheme)
+    val prior = sigRoots(spark, dir)
+      .filterNot(_.endsWith(s"/batch_id=$batchId/sigs")) match {
+      case Seq() => None
+      case roots =>
+        Some(roots.map(spark.read.parquet(_)).reduce(_ unionByName _).drop("sp"))
+    }
+    writeSigs(sigsD, s"$epochDir/sigs")
+
+    // ---- pair discovery: delta bands ⋈ all bands ----------------------
+    val all = prior.map(_.unionByName(sigsD)).getOrElse(sigsD)
+    val bandsD = Dedup.bandsOf(sigsD)
+    val bandsAll = Dedup.bandsOf(all)
+    val cand = bandsD.as("x")
+      .join(bandsAll.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+      .distinct()
+    val newEdges = Dedup.verifyPairs(cand, all)
+      .select(col("d1"), col("d2"))
+      .localCheckpoint(eager = true) // read twice below; lineage reaches
+    // sig dirs this landing may rewrite on a future erase
+    val nNew = newEdges.count()
+    if (nNew == 0L) return 0L
+
+    // ---- incremental relabel: only components the new edges touch -----
+    val old = labelsView(spark, dir).localCheckpoint(eager = true)
+    val endpoints = newEdges.select(col("d1").as("node"))
+      .unionByName(newEdges.select(col("d2").as("node"))).distinct()
+    val affectedLabels = old.join(endpoints, Seq("node"), "left_semi")
+      .select(col("label")).distinct()
+    val members = old.join(affectedLabels, Seq("label"), "left_semi")
+    // virtual edges (node — its component min) keep every old member of
+    // an affected component in the reduced graph, so a merge relabels
+    // the WHOLE component, not just the endpoint
+    val reduced = newEdges
+      .unionByName(members.select(col("node").as("d1"), col("label").as("d2")))
+    val relabeled = Dedup.clusterLabelsAuto(reduced)
+    relabeled.write.mode("overwrite").parquet(s"$epochDir/labels")
+    nNew
+  }
+
+  /** Fold: signatures merge by union (each doc lands exactly once), the
+    * label view materializes flat — one generation, the read path of a
+    * year of landings collapsed to two directory sets. */
+  def compact(spark: SparkSession, dir: String): Long =
+    CubeLog.compactFrom(spark, dir) { (_, out) =>
+      val sigs = sigsAll(spark, dir).localCheckpoint(eager = true)
+      val labels = labelsView(spark, dir).localCheckpoint(eager = true)
+      writeSigs(sigs, s"$out/sigs")
+      labels.write.mode("overwrite").parquet(s"$out/labels")
+    }
+
+  /** RTBF for the dedup state — signatures ARE content-derived personal
+    * data (32 min-hashes of the document's own shingles), so erasing the
+    * document without erasing its dedup state is not erasure. Removes
+    * the ids' signature rows (partition-bounded: only their `sp=`
+    * partitions rewrite) and repairs the labels of every component that
+    * loses a member: surviving members re-pair among THEMSELVES (a
+    * component-bounded band join over stored signatures — never the
+    * corpus) and re-resolve; components that split relabel per piece;
+    * members left pairless drop out of the label table, exactly as the
+    * batch path over the survivor corpus would have it. Returns sig rows
+    * removed. Idempotent: a replayed request finds no signature rows and
+    * touches nothing. */
+  def eraseDocs(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    val req = broadcast(ids.toDF("doc_id"))
+    var removed = 0L
+
+    // capture the pre-erase label state: the affected components and
+    // their surviving members (label repair needs it after sig removal)
+    val old = labelsView(spark, dir).localCheckpoint(eager = true)
+    val affectedLabels = old
+      .join(req.select(col("doc_id").as("node")), Seq("node"), "left_semi")
+      .select(col("label")).distinct().localCheckpoint(eager = true)
+    val members = old.join(affectedLabels, Seq("label"), "left_semi")
+      .localCheckpoint(eager = true)
+
+    // ---- signature removal, sp-partition-bounded per source ----------
+    sigRoots(spark, dir).foreach { root =>
+      val slim = spark.read.parquet(root).select(col("doc_id"), col("sp"))
+      val affected = slim.join(req, Seq("doc_id"), "left_semi")
+        .select(col("sp").cast("long")).distinct().as[Long].collect().sorted
+      if (affected.nonEmpty) {
+        val slice = spark.read.parquet(root).filter(col("sp").isin(affected: _*))
+        removed += slice.join(req, Seq("doc_id"), "left_semi").count()
+        val kept = slice.join(req, Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = true)
+        Store.refreshMartPartitions(kept, root, "sp")
+        val remaining = kept.select(col("sp").cast("long")).distinct()
+          .as[Long].collect().toSet
+        val (hfs, _) = fsOf(spark, root)
+        affected.filterNot(remaining).foreach { p =>
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$root/sp=$p"), true)
+        }
+      }
+    }
+    if (removed == 0L) return 0L // nothing stored for these ids anywhere
+
+    // ---- label repair: re-resolve each touched component from the
+    // survivors' own signatures ----------------------------------------
+    val survivors = members
+      .join(req.select(col("doc_id").as("node")), Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"))
+    val survSigs = sigsAll(spark, dir).join(survivors, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = true)
+    val fix = Dedup.clusterLabelsAuto(
+      Dedup.minhashPairsFrom(survSigs, survSigs).select(col("d1"), col("d2")))
+      .withColumnRenamed("label", "new_label")
+      .localCheckpoint(eager = true)
+
+    // node-based repair (not label-based): a member's STALE row at an
+    // older epoch can carry a pre-merge label outside affectedLabels, and
+    // dropping only current-label rows would let the last-wins view
+    // resurface it after the member's current row is removed. Every row
+    // of a touched NODE is rewritten in every source: erased → dropped,
+    // surviving member → the recomputed label (or dropped if pairless).
+    val touchedNodes = members.select(col("node"))
+      .unionByName(req.select(col("doc_id").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    labelSources(spark, dir).foreach { case (_, src) =>
+      val cur = spark.read.parquet(src).select(col("node"), col("label"))
+      val touched = cur.join(touchedNodes, Seq("node"), "left_semi")
+      if (touched.limit(1).count() > 0L) {
+        val untouchedRows = cur.join(touchedNodes, Seq("node"), "left_anti")
+        val repaired = touched.join(fix, Seq("node"), "inner")
+          .select(col("node"), col("new_label").as("label"))
+        untouchedRows.unionByName(repaired)
+          .localCheckpoint(eager = true)
+          .write.mode("overwrite").parquet(src)
+      }
+    }
+    removed
+  }
+
+  /** The `dedup_clusters` output shape over the maintained label view. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_keeper"))
+    labelsView(spark, dir)
+      .select(col("node").as("doc_id"), col("label").as("cluster_keeper"))
+      .select(col("doc_id"), col("cluster_keeper"),
+        count(lit(1)).over(w).as("cluster_size"),
+        (col("doc_id") =!= col("cluster_keeper")).as("is_duplicate"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Registered queries                                               //
+  // ---------------------------------------------------------------- //
+
+  private lazy val root: String =
+    s"${sys.props("java.io.tmpdir")}/graft_dedup_log/${java.util.UUID.randomUUID()}"
+
+  /** Land the corpus as three in-order epoch slices (doc_id mod 3 —
+    * adversarial: near-dup groups span epochs, so cross-epoch pair
+    * discovery and committed-component merges both fire), fold after
+    * two, leave the third live. */
+  private def landedStore(s: SparkSession, d: String, tag: String): String = {
+    val dir = s"$root/${new java.io.File(d).getName}_$tag"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+    val docs = Tables.documentsParallel(s, d).select(col("doc_id"), col("text"))
+    (0L to 1L).foreach { e =>
+      appendEpoch(docs.filter(pmod(col("doc_id"), lit(3L)) === e), dir, e)
+    }
+    compact(s, dir)
+    appendEpoch(docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), dir, 2L)
+    dir
+  }
+
+  private val built = scala.collection.mutable.Map.empty[String, String]
+  private def maintainedDir(s: SparkSession, d: String): String =
+    built.synchronized { built.getOrElseUpdate(d, landedStore(s, d, "main")) }
+
+  private val builtErased = scala.collection.mutable.Map.empty[String, String]
+  private def erasedDir(s: SparkSession, d: String): String =
+    builtErased.synchronized {
+      builtErased.getOrElseUpdate(d, landedStore(s, d, "erased"))
+    }
+
+  /** The BATCH cluster query's exact oracle answered through the
+    * incremental pipeline: three epoch landings (pairs discovered
+    * delta-vs-committed), one fold, components merged incrementally as
+    * cross-epoch duplicates arrive. Hash equality with `dedup_clusters`'
+    * recursive-CTE oracle proves per-landing discovery ∪ reduced-graph
+    * relabeling ≡ one batch dedup of the full corpus — the property that
+    * lets a 100 TB pipeline dedup epochs instead of corpora. */
+  lazy val incrementalClustersQuery: GraftQuery =
+    q("dedup_incremental_clusters",
+      Dedup.all.find(_.name == "dedup_clusters").get.oracle.get) { (s, d) =>
+      clusters(s, maintainedDir(s, d))
+    }
+
+  /** RTBF through the maintained dedup state as a registered query: the
+    * [[ErasureStore]] request convention (doc_id ≡ 0 mod 37) erased from
+    * signatures and labels, then the cluster view. The oracle is the
+    * batch cluster fixpoint over the SURVIVOR corpus — hash equality
+    * proves component splits, keeper re-election (an erased min-id
+    * keeper's cluster relabels to its next-smallest member), and
+    * pairless-survivor drop-out all resolve exactly as a from-scratch
+    * dedup of the post-erase corpus would. */
+  lazy val incrementalEraseQuery: GraftQuery =
+    q("dedup_incremental_erase",
+      s"""WITH RECURSIVE docs_surv AS (
+         |  SELECT * FROM documents WHERE doc_id % 37 <> 0),
+         |${Dedup.minhashPairsSqlCtes(from = "docs_surv")},
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         |labeled AS (
+         |  SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_keeper
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_keeper,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_keeper) AS BIGINT) AS cluster_size,
+         |  doc_id <> cluster_keeper AS is_duplicate
+         |FROM labeled""".stripMargin) { (s, d) =>
+      val dir = erasedDir(s, d)
+      val maxId = Tables.documents(s, d)
+        .agg(max(col("doc_id")).cast("long")).head().getLong(0)
+      eraseDocs(s, dir, ErasureStore.eraseIdsUpTo(maxId))
+      clusters(s, dir)
+    }
+}

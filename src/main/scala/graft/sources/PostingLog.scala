@@ -1,0 +1,369 @@
+package graft.sources
+
+import graft.GraftQuery
+import graft.GraftQuery.q
+import graft.llm.TextAnalysis
+import graft.ops.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MAINTAINED inverted index — [[PostingStore]]'s term-bucketed layout
+  * brought under the [[CubeLog]] maintenance discipline, completing the
+  * set: cubes, vectors ([[VecStoreLog]]), compressed vectors
+  * ([[IvfPqLog]]), doc/meter bronze — and now the retrieval index. A
+  * 100 TB corpus is not indexed once; documents land continuously, and
+  * rebuilding a posting index over the whole corpus per landing is a
+  * full-corpus shuffle each time. Here a landing tokenizes ONLY its own
+  * epoch.
+  *
+  * Layout under a store dir (CubeLog's contract):
+  *  - `batch_id=<N>/tb=<B>/` — one epoch's postings, term-bucket
+  *    partitioned at landing time. Unlike the vector store there is no
+  *    brute "delta leg": the bucket key is ARITHMETIC (h64(term) mod
+  *    NBuckets — train-free), so a live epoch is exactly as probe-prunable
+  *    as the committed fold. The maintained index never pays a recall or
+  *    scan penalty for freshness; compaction only repairs small-files
+  *    decay (per-term posting fragments spread over epochs → one run per
+  *    bucket per generation).
+  *  - `folded_gen=<G>/tb=<B>/` — merged postings. Merging is UNION: each
+  *    doc lands in exactly one epoch (replay of an epoch overwrites that
+  *    epoch's directory and the commit watermark no-ops folded replays),
+  *    so (term, doc_id) stays unique across the store with no combine.
+  *  - `tb=-1` (reserved [[StatsBucket]]) — corpus statistics as ADDITIVE
+  *    rows, one per epoch at landing: the BM25 globals (doc count, total
+  *    token length) that would otherwise need a full-index scan per
+  *    query. Readers SUM the stats rows (fold + live alike); compaction
+  *    collapses them to one; RTBF subtracts the erased docs' contribution
+  *    in place. The row reuses the posting measure columns (tf carries
+  *    the doc count, dl the total length) so every file in the store has
+  *    ONE schema; [[stats]] is the only reader and renames them.
+  *
+  * Posting row: (term, doc_id, tf, dl, tb) — tf the in-doc term count,
+  * dl the doc's token length (denormalized onto each posting: +8 bytes a
+  * row buys BM25's length normalization without a doc-length sidecar
+  * join, and makes erased docs' stats contribution recoverable from the
+  * postings being erased).
+  *
+  * Reference behavior: the reference's query side is served by Postgres
+  * indexes maintained by the database on every INSERT
+  * (consumer/meter_consumer.py's batched writes); this is the lake-native
+  * equivalent for the retrieval family — explicit epochs, explicit fold,
+  * same exactly-once landing contract as the data itself.
+  */
+object PostingLog {
+
+  /** Same bucket count as the build-once store — probes are comparable.
+    * At 100 TB this is the knob that bounds BOTH probe fan-in and the
+    * RTBF rewrite share (a delete touches ≤ |distinct terms erased|
+    * buckets, each 1/NBuckets of a generation); deployments size it so a
+    * bucket is one comfortable parquet task (~150 MB), exactly
+    * [[VecStoreLog.EpochRowsPerFile]]'s rule on the vector side. */
+  val NBuckets: Long = 16L
+
+  /** Reserved partition for the additive corpus-stats rows. Probe term
+    * buckets are pmod-derived (always ≥ 0) so no term can land here. */
+  val StatsBucket: Long = -1L
+
+  /** One epoch's posting rows + its stats row. Tokenization, tf, and dl
+    * are all per-doc map-side work; the only exchange is the (doc, term)
+    * aggregation within the epoch. */
+  private def epochRows(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+    val postings = toks
+      .groupBy(col("doc_id"), col("dl"), col("term")) // dl is functionally
+      // dependent on doc_id — grouping on it is free, carrying it is the point
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        pmod(graft.functions.Md5Prefix64(col("term")), lit(NBuckets)).as("tb"))
+    val statsRow = docs
+      .select(size(TextAnalysis.words(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
+      .select(lit("").as("term"), lit(-1L).as("doc_id"),
+        col("n_docs").as("tf"), col("total_dl").as("dl"),
+        lit(StatsBucket).as("tb"))
+    postings.unionByName(statsRow)
+  }
+
+  /** Land one document epoch. Replay-idempotent (overwrite of the epoch
+    * directory) and folded-epoch-guarded (no-op at or under the commit
+    * watermark) — the [[CubeLog]] exactly-once landing contract. */
+  def appendBatch(docs: DataFrame, dir: String, batchId: Long): Long = {
+    val s = docs.sparkSession
+    if (CubeLog.isFolded(s, dir, batchId)) return 0L
+    val rows = epochRows(docs)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("tb"))
+    rows.write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$dir/batch_id=$batchId")
+    1L
+  }
+
+  /** Fold live epochs (plus the previous fold) into the next generation:
+    * pure UNION for postings (uniqueness holds by the landing contract),
+    * SUM for the stats rows. Crash ordering, commit marker, and cleanup
+    * are [[CubeLog.compactFrom]]'s. What compaction buys here is file
+    * count, not probe width: a term's posting run is spread over one
+    * fragment per epoch until the fold rewrites it contiguous. */
+  def compact(spark: SparkSession, dir: String): Long =
+    CubeLog.compactFrom(spark, dir) { (v, out) =>
+      val all = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
+        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+      val postings = all.filter(col("tb") =!= StatsBucket)
+      val stats = all.filter(col("tb") === StatsBucket)
+        .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+        .select(lit("").as("term"), lit(-1L).as("doc_id"),
+          col("tf"), col("dl"), lit(StatsBucket).as("tb"))
+      postings.unionByName(stats)
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("tb"))
+        // sever lineage: the source epoch dirs are deleted by the cleanup
+        .localCheckpoint(eager = true)
+        .write.mode("overwrite").partitionBy("tb").parquet(out)
+    }
+
+  /** Every probe-readable root — the committed fold + live epoch dirs —
+    * as ONE unioned frame, read per root (sibling roots cannot share a
+    * single partition-discovery pass; partition pruning on `tb` applies
+    * to each root's scan independently). Both legs carry the same `tb=`
+    * layout, so probes never distinguish folded from live. */
+  private def readAll(spark: SparkSession, dir: String): DataFrame = {
+    val v = CubeLog.view(spark, dir)
+    val roots = v.foldedDir.toSeq ++ v.liveBatches.map(_._2)
+    require(roots.nonEmpty, s"empty posting store: $dir")
+    roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** Pruned posting probe: the query terms' bucket ids are arithmetic
+    * constants ([[PostingStore.h64]] driver-side), so BOTH the fold and
+    * every live epoch are read under a static PartitionFilter — only the
+    * probed `tb=` directories are ever listed. */
+  def probe(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    val tbs = terms.map(t => PostingStore.h64(t) % NBuckets).distinct
+    readAll(spark, dir)
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+  }
+
+  /** The maintained corpus statistics: SUM over the additive stats rows
+    * (one per live epoch + one in the fold). A 1-row frame read from the
+    * reserved bucket only — BM25's globals without touching a posting. */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    readAll(spark, dir)
+      .filter(col("tb") === StatsBucket)
+      .agg(sum(col("tf")).as("n_docs"), sum(col("dl")).as("total_dl"))
+
+  /** Boolean-AND retrieval through the maintained index: group the pruned
+    * postings by doc, keep docs matching every term — identical semantics
+    * to `search_boolean_and` / `search_index_probe`. */
+  def booleanAnd(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    probe(spark, dir, terms)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+
+  /** BM25 top-k through the maintained index — [[graft.llm.Search]]'s
+    * fixed-point scorer (k1=1.2, b=0.75 as permille constants, every
+    * factor exact 64-bit integer math) with every input answered from
+    * the STORE: tf/dl from the pruned posting probe, df as a tiny
+    * aggregate of the same probe, N and avgdl from the additive stats
+    * rows. The corpus is never rescanned per query — the difference
+    * between an index and a query plan. */
+  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    val post = probe(spark, dir, terms)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    post.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats(spark, dir)))
+      .withColumn("term_score", expr(
+        "((n_docs * 1000000) div df) * tf * 2200 " +
+          "div (tf * 1000 + (1200 * (250 + (750 * ((dl * 1000 * n_docs) div total_dl)) " +
+          "div 1000)) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** RTBF for the retrieval index — the last persisted surface without
+    * it, and the one where "the model must forget the document" has a
+    * literal meaning: an erased doc that still ranks in search results
+    * is not erased. Returns posting rows removed.
+    *
+    * Bounded-rewrite shape, with the layout's honest cost stated: the
+    * index is TERM-keyed, so a DOC-keyed delete touches every bucket
+    * holding one of the doc's terms. The affected buckets are FOUND via
+    * a scan pruned to the two integer columns (doc_id, tb — a few % of
+    * index bytes; the [[VecStoreLog.eraseByIds]] pattern), then:
+    *
+    *  - live epochs: only epochs containing a hit are rewritten in place
+    *    (epoch dir names and the commit watermark untouched — replay and
+    *    fold semantics unchanged). The epoch's own stats row is
+    *    decremented in the same rewrite: each epoch's stats count its
+    *    own docs, so the correction is epoch-local by construction.
+    *  - the committed fold: only affected `tb=` partitions rewrite
+    *    (dynamic partition overwrite; untouched bucket dirs stay
+    *    byte-identical — PostingLogSpec asserts it), plus the reserved
+    *    stats partition, decremented by the erased docs' (count, Σdl)
+    *    recovered from the postings being erased. A bucket emptied by
+    *    the request keeps an explicit empty rewrite only if it had other
+    *    rows; fully-empty partitions are deleted.
+    *
+    * The rewrite share is |affected buckets| / NBuckets of a generation —
+    * at production bucket counts (sized so a bucket ≈ one parquet task)
+    * that is |distinct erased terms| buckets out of thousands, not a
+    * corpus rewrite. Idempotent: a replayed request finds zero hits. */
+  def eraseDocs(spark: SparkSession, dir: String, docIds: Seq[Long]): Long = {
+    if (docIds.isEmpty) return 0L
+    import spark.implicits._
+    val req = broadcast(docIds.toDF("doc_id"))
+    val v = CubeLog.view(spark, dir)
+    var removed = 0L
+
+    def rewriteRoot(root: String, wholeEpoch: Boolean): Unit = {
+      val slim = spark.read.parquet(root).select(col("doc_id"), col("tb"))
+        .filter(col("tb") =!= StatsBucket)
+      val affected = slim.join(req, Seq("doc_id"), "left_semi")
+        .select(col("tb").cast("long")).distinct().as[Long].collect().sorted
+      if (affected.isEmpty) return
+      // the slice to rewrite: affected buckets + the stats partition
+      val tbs: Seq[Long] = affected :+ StatsBucket
+      val cur0 = spark.read.parquet(root)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+      val cur = if (wholeEpoch) cur0 else cur0.filter(col("tb").isin(tbs: _*))
+      val hits = cur.filter(col("tb") =!= StatsBucket)
+        .join(req, Seq("doc_id"), "left_semi")
+      removed += hits.count()
+      // stats correction from the postings being erased: dl rides every
+      // posting, so one row per erased doc recovers (count, Σdl)
+      val gone = hits.select(col("doc_id"), col("dl")).distinct()
+        .agg(coalesce(count(lit(1)), lit(0L)).as("gone_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("gone_dl"))
+      val keptPost = cur.filter(col("tb") =!= StatsBucket)
+        .join(req, Seq("doc_id"), "left_anti")
+      val newStats = cur.filter(col("tb") === StatsBucket)
+        .agg(sum(col("tf")).as("tf0"), sum(col("dl")).as("dl0"))
+        .crossJoin(broadcast(gone))
+        .select(lit("").as("term"), lit(-1L).as("doc_id"),
+          (col("tf0") - col("gone_docs")).as("tf"),
+          (col("dl0") - col("gone_dl")).as("dl"),
+          lit(StatsBucket).as("tb"))
+      val kept = keptPost.unionByName(newStats)
+        .localCheckpoint(eager = true) // sever lineage from the files replaced
+      if (wholeEpoch)
+        kept.repartition(col("tb"))
+          .write.mode("overwrite").partitionBy("tb").parquet(root)
+      else {
+        Store.refreshMartPartitions(kept, root, "tb")
+        // a bucket whose every posting was erased writes no partition
+        // under dynamic overwrite — delete it explicitly (bounded driver
+        // work, ≤ |affected buckets| ids)
+        val remaining = kept.select(col("tb").cast("long")).distinct()
+          .as[Long].collect().toSet
+        val hfs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        affected.filterNot(remaining).foreach { b =>
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$root/tb=$b"), true)
+        }
+      }
+    }
+
+    // live epochs rewrite whole (tiny by cadence, and their stats row must
+    // move in the same commit); the fold rewrites only affected buckets
+    v.liveBatches.foreach { case (_, path) => rewriteRoot(path, wholeEpoch = true) }
+    v.foldedDir.foreach(f => rewriteRoot(f, wholeEpoch = false))
+    removed
+  }
+
+  // ---------------------------------------------------------------- //
+  // Registered queries                                               //
+  // ---------------------------------------------------------------- //
+
+  private val Terms = Seq("data", "join", "scan")
+
+  private lazy val root: String =
+    s"${sys.props("java.io.tmpdir")}/graft_posting_log/${java.util.UUID.randomUUID()}"
+
+  private def freshStoreDir(s: SparkSession, d: String, tag: String): String = {
+    val dir = s"$root/${new java.io.File(d).getName}_$tag"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+    dir
+  }
+
+  /** Land the corpus as three epoch slices (doc_id mod 3 — adversarial:
+    * every epoch carries docs of every kind), fold the first two, leave
+    * the third LIVE — the store state every registered probe answers
+    * from, so each oracle gates the fold leg AND the live leg at once. */
+  private def landedStore(s: SparkSession, d: String, tag: String): String = {
+    val dir = freshStoreDir(s, d, tag)
+    val docs = Tables.documentsParallel(s, d).select(col("doc_id"), col("text"))
+    (0L to 1L).foreach { e =>
+      appendBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === e), dir, e)
+    }
+    compact(s, dir)
+    appendBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), dir, 2L)
+    dir
+  }
+
+  private val built = scala.collection.mutable.Map.empty[String, String]
+  private def maintainedDir(s: SparkSession, d: String): String =
+    built.synchronized {
+      built.getOrElseUpdate(d, landedStore(s, d, "main"))
+    }
+
+  private val builtErased = scala.collection.mutable.Map.empty[String, String]
+  private def erasedDir(s: SparkSession, d: String): String =
+    builtErased.synchronized {
+      builtErased.getOrElseUpdate(d, landedStore(s, d, "erased"))
+    }
+
+  /** The build-once index probe's EXACT oracle answered through the
+    * maintained pipeline (land → watermark guard → fold → pruned probe
+    * over fold ∪ live epoch): hash equality with `search_index_probe`
+    * proves landings lose nothing, the fold merge is exact, and the live
+    * epoch is served without a rebuild. */
+  lazy val maintainedProbeQuery: GraftQuery =
+    q("search_maintained_probe", PostingStore.probeQuery.oracle.get) { (s, d) =>
+      booleanAnd(s, maintainedDir(s, d), Terms)
+    }
+
+  /** BM25 through the maintained index: tf/dl from the pruned probe, df
+    * from the same probe, N/avgdl from the ADDITIVE stats rows (fold row
+    * + live epoch row summed). Hash equality with `search_bm25_topk`'s
+    * corpus-scan oracle proves the maintained statistics are exact —
+    * the index answers ranked retrieval with zero corpus scans. */
+  lazy val bm25MaintainedQuery: GraftQuery =
+    q("search_bm25_maintained",
+      graft.llm.Search.all.find(_.name == "search_bm25_topk").get.oracle.get) {
+      (s, d) => bm25TopK(s, maintainedDir(s, d), Terms)
+    }
+
+  /** RTBF driven end-to-end as a registered query: the maintained store
+    * (fold + live epoch) with the [[ErasureStore]] deletion convention
+    * (doc_id ≡ 0 mod 37) replayed against BOTH surfaces, then the
+    * boolean-AND probe. The oracle's declarative survivor set proves the
+    * targeted bucket rewrite removed exactly the requested docs' postings
+    * and nothing else; PostingLogSpec asserts the physical half
+    * (untouched bucket dirs byte-identical, stats decremented exactly).
+    * Idempotent by replay on every invocation. */
+  lazy val eraseProbeQuery: GraftQuery =
+    q("search_erase_probe",
+      s"""WITH post AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE doc_id % 37 <> 0),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms
+         |  FROM post WHERE term IN (${Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1)
+         |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms
+         |FROM hits WHERE n_terms = ${Terms.size}""".stripMargin) { (s, d) =>
+      val dir = erasedDir(s, d)
+      val maxId = Tables.documents(s, d)
+        .agg(max(col("doc_id")).cast("long")).head().getLong(0)
+      eraseDocs(s, dir, ErasureStore.eraseIdsUpTo(maxId))
+      booleanAnd(s, dir, Terms)
+    }
+}
