@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Landing-cost sweep for INCREMENTAL dedup ([[DedupLog]]) vs re-running
+  * the batch dedup over the whole corpus-so-far — the number that decides
+  * whether a continuously-ingesting 100 TB pipeline can afford to keep
+  * its corpus deduplicated at all.
+  *
+  * Two regimes, both measured, because they answer different questions:
+  *
+  *  1. **Trend at growing corpus size** (the scale question): the sf
+  *     corpus replicated R× with replica-unique padding (~75 % of each
+  *     doc's shingle mass, so cross-replica Jaccard sits far below the
+  *     0.5 pair threshold and every replica is a self-contained dedup
+  *     world — the realistic "mostly-new docs, in-epoch duplicate
+  *     structure" workload). The corpus arrives as one epoch per
+  *     replica: the BATCH twin re-pays every prior epoch per landing
+  *     (re-shingle, re-band, re-pair — its wall grows with the corpus),
+  *     while the incremental landing pays its delta plus one narrow
+  *     scan of the stored signature state (33 × 8 B per doc; text is
+  *     never re-read) — its wall stays near-flat. Labels are asserted
+  *     EQUAL at every step; the cost comparison only means something
+  *     because the answers are identical.
+  *  2. **Fixed-size floor** (the overhead question): at one sf0.1 corpus
+  *     in 10 slices, both sides are job-latency-bound and the
+  *     incremental path's extra jobs (state write + view read + reduced
+  *     relabel) make it SLOWER than batch — re-dedup-from-scratch is the
+  *     right plan for small corpora, maintenance wins only once batch
+  *     cost clears the landing's fixed floor. The sweep prints both so
+  *     SCALING.md can state the crossover honestly instead of claiming
+  *     incremental is free.
+  *
+  * Run: `sbt "runMain graft.llm.DedupDeltaSweep"` (sf dir via
+  * SPARK_GRAFT_SF_DIR, default sf0.1; replicas via GRAFT_SWEEP_REPLICAS,
+  * default 8). Prints the SCALING.md tables.
+  */
+object DedupDeltaSweep {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-dedup-delta-sweep")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("GRAFT_SWEEP_REPLICAS", "8").toInt
+    val base = graft.ops.Tables.documentsParallel(spark, d)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = true)
+    val nBase = base.count()
+    val maxId = base.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+
+    def labelsOfBatch(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.clusterLabelsAuto(
+        Dedup.minhashPairs(docs).select(col("d1"), col("d2")))
+        .as[(Long, Long)].collect().toSet
+
+    // ---- part 1: growing corpus, one epoch per replica ----------------
+    // replica-unique padding ≈ 3× the doc's own length: cross-replica
+    // J ≈ |doc| / (|doc| + 2·|pad|) ≈ 0.14 — far below threshold
+    def replica(k: Int) = {
+      val pad = (1 to 16)
+        .map(i => s"replica $k unique padding block $i with filler words").mkString(" ")
+      base.select((col("doc_id") + lit((maxId + 1) * k.toLong)).as("doc_id"),
+        concat(col("text"), lit(" "), lit(pad)).as("text"))
+    }
+    println(s"part 1: corpus grows $nBase → ${nBase * replicas} docs " +
+      s"($replicas epochs of $nBase; ~75% replica-unique shingle mass)")
+    println("| epoch | corpus-so-far | landing wall ms | batch re-dedup wall ms | batch/landing |")
+    println("|---|---|---|---|---|")
+    val dir1 = s"${sys.props("java.io.tmpdir")}/graft_dedup_sweep_" +
+      s"${java.util.UUID.randomUUID()}"
+    var landTot = 0L; var batchTot = 0L
+    (0 until replicas).foreach { k =>
+      val slice = replica(k).localCheckpoint(eager = true)
+      val t0 = System.nanoTime()
+      DedupLog.appendEpoch(slice, dir1, k.toLong)
+      val incSet = DedupLog.labelsView(spark, dir1)
+        .as[(Long, Long)].collect().toSet
+      val landMs = (System.nanoTime() - t0) / 1000000L
+      landTot += landMs
+      val soFar = (0 to k).map(replica).reduce(_ unionByName _)
+        .localCheckpoint(eager = true)
+      val t1 = System.nanoTime()
+      val batchSet = labelsOfBatch(soFar)
+      val batchMs = (System.nanoTime() - t1) / 1000000L
+      batchTot += batchMs
+      require(incSet == batchSet, s"epoch $k: incremental labels diverge from batch")
+      println(f"| $k | ${nBase * (k + 1)} | $landMs | $batchMs | ${batchMs.toDouble / landMs}%.2f |")
+    }
+    println(f"part 1 cumulative: incremental $landTot ms vs batch-per-landing $batchTot ms (${batchTot.toDouble / landTot}%.2fx)")
+    val p1 = new org.apache.hadoop.fs.Path(dir1)
+    p1.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p1, true)
+
+    // ---- part 2: fixed-size floor (one corpus, 10 rank slices) --------
+    println()
+    println(s"part 2: fixed corpus $nBase docs in 10 slices (the job-latency floor)")
+    println("| epoch | corpus-so-far | landing wall ms | batch re-dedup wall ms |")
+    println("|---|---|---|---|")
+    val dir2 = s"${sys.props("java.io.tmpdir")}/graft_dedup_sweep_" +
+      s"${java.util.UUID.randomUUID()}"
+    var landTot2 = 0L; var batchTot2 = 0L
+    (0 until 10).foreach { e =>
+      val lo = (maxId + 1) * e / 10
+      val hi = (maxId + 1) * (e + 1) / 10
+      val slice = base.filter(col("doc_id") >= lit(lo) && col("doc_id") < lit(hi))
+      val t0 = System.nanoTime()
+      DedupLog.appendEpoch(slice, dir2, e.toLong)
+      val incSet = DedupLog.labelsView(spark, dir2)
+        .as[(Long, Long)].collect().toSet
+      val landMs = (System.nanoTime() - t0) / 1000000L
+      landTot2 += landMs
+      val soFar = base.filter(col("doc_id") < lit(hi))
+      val t1 = System.nanoTime()
+      val batchSet = labelsOfBatch(soFar)
+      val batchMs = (System.nanoTime() - t1) / 1000000L
+      batchTot2 += batchMs
+      require(incSet == batchSet, s"slice $e: incremental labels diverge from batch")
+      println(s"| $e | ${hi} | $landMs | $batchMs |")
+    }
+    println(f"part 2 cumulative: incremental $landTot2 ms vs batch-per-landing $batchTot2 ms (${batchTot2.toDouble / landTot2}%.2fx)")
+    val p2 = new org.apache.hadoop.fs.Path(dir2)
+    p2.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p2, true)
+    spark.stop()
+  }
+}
