@@ -36,7 +36,17 @@ object DocStore {
   /** Land `docs` (doc_id, text, ...) minus already-seen content under the
     * given stable batch id. Returns the number of newly landed documents. */
   def appendDeduped(spark: SparkSession, docs: DataFrame, baseDir: String,
-      batchId: Long): Long = {
+      batchId: Long): Long =
+    appendDedupedLanded(spark, docs, baseDir, batchId)
+      .map(_.count()).getOrElse(0L) // already localCheckpointed — cheap
+
+  /** [[appendDeduped]] returning the landed slice itself (None when the
+    * batch landed nothing) — [[graft.streaming.DocStream.startIndexedIngest]]
+    * feeds the SAME rows to the posting/dedup stores, so the derived
+    * surfaces can never index a document the bronze rejected as a
+    * re-crawl. The frame is already materialized (localCheckpoint). */
+  def appendDedupedLanded(spark: SparkSession, docs: DataFrame,
+      baseDir: String, batchId: Long): Option[DataFrame] = {
     val docsPath = s"$baseDir/docs"
     val indexPath = s"$baseDir/hash_index"
 
@@ -75,7 +85,7 @@ object DocStore {
     // indexExists says true and the next batch's parquet read fails with
     // "Unable to infer schema" — a poisoned store until manual cleanup
     val landed = fresh.count()
-    if (landed == 0L) return 0L
+    if (landed == 0L) return None
 
     // dynamic overwrite: a partial-failure replay rewrites batch_id=N with
     // the same rows instead of appending duplicates
@@ -86,7 +96,7 @@ object DocStore {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(indexPath)
-    landed
+    Some(fresh)
   }
 
   /** Incremental cross-batch NEAR-dedup: land only documents that are not

@@ -77,6 +77,47 @@ object DocStream {
       .outputMode("append")
       .start()
 
+  /** The full online corpus pipeline with the DERIVED surfaces maintained
+    * in the same landing: [[curate]] → bronze ([[graft.sources.DocStore]]
+    * history-exact-once) → the SAME landed slice feeds the maintained
+    * posting index ([[graft.sources.PostingLog]] — the corpus is
+    * searchable the moment it lands) and the incremental dedup state
+    * ([[graft.llm.DedupLog]] — near-dup clusters stay current without a
+    * batch re-dedup). Feeding the landed slice, not the raw batch, is
+    * load-bearing twice over: the derived stores can never index a
+    * document the bronze rejected as a historical re-crawl, and the
+    * per-batch work for both is delta-sized by construction.
+    *
+    * Replay safety is layered exactly like the stores themselves: the
+    * bronze's dynamic overwrite re-lands a replayed batch id onto itself
+    * and returns NOTHING fresh on a full replay, so the posting/dedup
+    * landings (each watermark-guarded besides) never see replayed rows
+    * twice. foreachBatch retries in order (batch N before N+1), which is
+    * the in-order landing contract [[graft.llm.DedupLog.appendEpoch]]
+    * documents. */
+  def startIndexedIngest(
+      docs: org.apache.spark.sql.DataFrame,
+      baseDir: String,
+      postingDir: String,
+      dedupDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+    curate(docs, watermark).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.sources.DocStore
+          .appendDedupedLanded(batch.sparkSession, batch, baseDir, batchId)
+          .foreach { landed =>
+            graft.sources.PostingLog.appendBatch(landed, postingDir, batchId)
+            graft.llm.DedupLog.appendEpoch(landed, dedupDir, batchId)
+          }
+        ()
+      }
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
   /** Windowed TRENDING-TOKEN detection over the document stream: tumbling
     * event-time windows of per-token counts, emitted only once the
     * watermark closes the window (append mode ⇒ exactly-once, late docs

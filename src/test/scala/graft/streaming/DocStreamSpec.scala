@@ -192,4 +192,69 @@ class DocStreamSpec extends SparkSpec {
         .collect().exists(_._1.after(t("2026-01-01 01:00:00"))))
     } finally q.stop()
   }
+
+  test("indexed ingest: bronze, posting index, and dedup state maintained from ONE landing; redelivery lands nothing") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("indexed_ingest").toString
+    val terms = Seq("data", "join", "scan")
+
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        new java.sql.Timestamp(t("2026-01-01 00:00:00").getTime + r.getAs[Long]("doc_id") * 1000),
+        r.getAs[String]("lang"), r.getAs[String]("source"), r.getAs[String]("text")))
+      .sortBy(_._1)
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val q = DocStream.startIndexedIngest(
+      mem.toDF().toDF("doc_id", "event_time", "lang", "source", "text"),
+      s"$dir/store", s"$dir/postings", s"$dir/dedup", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b1.take(30).toSeq); q.processAllAvailable() // redelivery
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val bronze = spark.read.parquet(s"$dir/store/docs")
+      .select(col("doc_id"), col("text")).localCheckpoint(eager = true)
+
+    // the posting index answers for EXACTLY the landed bronze
+    val viaIndex = graft.sources.PostingLog
+      .booleanAnd(spark, s"$dir/postings", terms)
+      .as[(Long, Long)].collect().toSet
+    val direct = bronze
+      .select(col("doc_id"), explode(graft.llm.TextAnalysis.words(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*)).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") === terms.size)
+      .as[(Long, Long)].collect().toSet
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty, "the term set must match some landed docs")
+    // maintained BM25 globals equal the bronze's truth (additive across epochs)
+    val stats = graft.sources.PostingLog.stats(spark, s"$dir/postings")
+      .as[(Long, Long)].head()
+    val truth = bronze
+      .select(size(graft.llm.TextAnalysis.words(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).as[(Long, Long)].head()
+    assert(stats === truth)
+
+    // the dedup state equals a batch-built store over the same bronze
+    val batchDir = java.nio.file.Files.createTempDirectory("indexed_batch").toString + "/st"
+    graft.llm.DedupLog.appendEpoch(bronze, batchDir, 0L)
+    val fromStream = graft.llm.DedupLog.labelsView(spark, s"$dir/dedup")
+      .as[(Long, Long)].collect().toSet
+    val fromBatch = graft.llm.DedupLog.labelsView(spark, batchDir)
+      .as[(Long, Long)].collect().toSet
+    assert(fromStream === fromBatch)
+    assert(fromStream.nonEmpty, "the corpus must contain near-dup clusters")
+
+    // the redelivered batch landed NOTHING anywhere: every bronze doc_id is
+    // unique and the dedup store holds exactly one signature per bronze doc
+    assert(bronze.select(countDistinct(col("doc_id"))).head.getLong(0) === bronze.count())
+    assert(graft.llm.DedupLog.sigsAll(spark, s"$dir/dedup").count() === bronze.count())
+  }
 }
