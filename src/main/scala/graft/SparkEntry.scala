@@ -26,6 +26,8 @@ object SparkEntry {
       sources.PostingStore.probeQuery :+
       sources.PostingLog.maintainedProbeQuery :+
       sources.PostingLog.bm25MaintainedQuery :+
+      sources.PostingLog.phraseMaintainedQuery :+
+      sources.PostingLog.proximityMaintainedQuery :+
       sources.PostingLog.eraseProbeQuery :+
       sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery :+
       sources.SketchStore.probeQuery :+ sources.SketchStore.overlapQuery :+

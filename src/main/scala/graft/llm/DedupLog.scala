@@ -170,6 +170,29 @@ object DedupLog {
     nNew
   }
 
+  /** Compaction cadence IN CODE (the [[graft.sources.VecStoreLog]]
+    * doctrine on the dedup surface). A live epoch costs a landing no
+    * extra PAIR work (the band join volume is set by bucket contents,
+    * not file layout) — what grows with deferred compaction is read
+    * fan-in: every landing re-opens (1 + L) signature roots and the
+    * label view unions (1 + L) sources at L live epochs. Fold at
+    * L ≥ [[MaxLiveEpochs]]; one directory listing, no data read. */
+  val MaxLiveEpochs = 8
+
+  def shouldCompact(spark: SparkSession, dir: String,
+      maxLive: Int = MaxLiveEpochs): Boolean =
+    CubeLog.view(spark, dir).liveBatches.size >= maxLive
+
+  /** Landing with the cadence applied automatically — the streaming
+    * foreachBatch path's shape. Returns the landing's new-pair count. */
+  def appendEpochAuto(docs: DataFrame, dir: String, batchId: Long,
+      maxLive: Int = MaxLiveEpochs): Long = {
+    val n = appendEpoch(docs, dir, batchId)
+    if (shouldCompact(docs.sparkSession, dir, maxLive))
+      compact(docs.sparkSession, dir)
+    n
+  }
+
   /** Fold: signatures merge by union (each doc lands exactly once), the
     * label view materializes flat — one generation, the read path of a
     * year of landings collapsed to two directory sets. */

@@ -64,19 +64,27 @@ object PostingLog {
     * buckets are pmod-derived (always ≥ 0) so no term can land here. */
   val StatsBucket: Long = -1L
 
-  /** One epoch's posting rows + its stats row. Tokenization, tf, and dl
-    * are all per-doc map-side work; the only exchange is the (doc, term)
-    * aggregation within the epoch. */
+  /** One epoch's posting rows + its stats row. Tokenization, tf, dl, and
+    * the per-(doc, term) position list are all per-doc map-side work; the
+    * only exchange is the (doc, term) aggregation within the epoch.
+    * Positions (1-based, sorted) make the index POSITIONAL: phrase and
+    * proximity queries answer from probed buckets instead of a corpus
+    * scan — the standard Lucene-style posting payload, ~4 B per
+    * occurrence on top of the bare posting. */
   private def epochRows(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-        explode(col("ws")).as("term"))
+        posexplode(col("ws")).as(Seq("pos0", "term")))
+      .select(col("doc_id"), col("dl"), col("term"),
+        (col("pos0") + 1).as("pos"))
     val postings = toks
       .groupBy(col("doc_id"), col("dl"), col("term")) // dl is functionally
       // dependent on doc_id — grouping on it is free, carrying it is the point
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"),
         pmod(graft.functions.Md5Prefix64(col("term")), lit(NBuckets)).as("tb"))
     val statsRow = docs
       .select(size(TextAnalysis.words(col("text"))).cast("long").as("dl"))
@@ -84,9 +92,15 @@ object PostingLog {
         coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
       .select(lit("").as("term"), lit(-1L).as("doc_id"),
         col("n_docs").as("tf"), col("total_dl").as("dl"),
+        array().cast("array<int>").as("positions"),
         lit(StatsBucket).as("tb"))
     postings.unionByName(statsRow)
   }
+
+  /** All five data columns of a store row — shared by the fold and the
+    * RTBF rewrite so a payload column can never be silently dropped. */
+  private val RowCols =
+    Seq("term", "doc_id", "tf", "dl", "positions").map(col) :+ col("tb")
 
   /** Land one document epoch. Replay-idempotent (overwrite of the epoch
     * directory) and folded-epoch-guarded (no-op at or under the commit
@@ -111,12 +125,13 @@ object PostingLog {
     CubeLog.compactFrom(spark, dir) { (v, out) =>
       val all = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
         .map(spark.read.parquet(_)).reduce(_ unionByName _)
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+        .select(RowCols: _*)
       val postings = all.filter(col("tb") =!= StatsBucket)
       val stats = all.filter(col("tb") === StatsBucket)
         .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
         .select(lit("").as("term"), lit(-1L).as("doc_id"),
-          col("tf"), col("dl"), lit(StatsBucket).as("tb"))
+          col("tf"), col("dl"), array().cast("array<int>").as("positions"),
+          lit(StatsBucket).as("tb"))
       postings.unionByName(stats)
         .repartition(spark.sessionState.conf.numShufflePartitions, col("tb"))
         // sever lineage: the source epoch dirs are deleted by the cleanup
@@ -187,6 +202,73 @@ object PostingLog {
       .limit(k)
   }
 
+  /** Per-(doc, pos) occurrence frame of ONE term, from the pruned probe —
+    * the position explode runs over probed postings only, never a corpus
+    * scan. */
+  private def occurrences(spark: SparkSession, dir: String, term: String)
+      : DataFrame =
+    probe(spark, dir, Seq(term))
+      .select(col("doc_id"), explode(col("positions")).as("pos"))
+
+  /** Exact-phrase count per doc through the maintained index: adjacent
+    * positions (b = a + 1) joined per doc — `search_phrase` semantics
+    * answered from probed buckets. Per-doc work is tf(a)·tf(b), single
+    * digits in real corpora; the corpus text is never touched. */
+  def phraseCount(spark: SparkSession, dir: String, first: String,
+      second: String): DataFrame = {
+    val a = occurrences(spark, dir, first)
+    val b = occurrences(spark, dir, second)
+      .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"))
+    a.join(b, col("b_doc") === col("doc_id") && col("b_pos") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Proximity (sloppy-phrase) search through the maintained index: both
+    * terms within ±`window` tokens in either order, pair count + closest
+    * approach per doc — `search_proximity` semantics from probed buckets. */
+  def proximity(spark: SparkSession, dir: String, termA: String,
+      termB: String, window: Int): DataFrame = {
+    val a = occurrences(spark, dir, termA)
+    val b = occurrences(spark, dir, termB)
+      .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"))
+    a.join(b, col("b_doc") === col("doc_id") &&
+        abs(col("b_pos") - col("pos")) <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("b_pos") - col("pos"))).cast("long").as("min_dist"))
+  }
+
+  /** Compaction cadence IN CODE (the [[VecStoreLog.shouldCompact]]
+    * doctrine on the retrieval surface). Unlike the vector store, a live
+    * epoch costs a probe no extra CANDIDATES (the bucket key is
+    * arithmetic, so the delta prunes exactly like the fold) — what grows
+    * with deferred compaction is READ AMPLIFICATION: a probe opens one
+    * fragment of each probed bucket per live epoch, so fan-in is
+    * (1 + L) files per bucket at L live epochs, and a term's posting run
+    * stays scattered across epochs until the fold rewrites it contiguous.
+    * The trigger is therefore a fan-in bound, not a cost-ratio solve:
+    * fold when L ≥ [[MaxLiveEpochs]] (per-bucket read amplification ≤
+    * 1 + MaxLiveEpochs fragments vs one generation). Costs one directory
+    * listing — no data read. */
+  val MaxLiveEpochs = 8
+
+  def shouldCompact(spark: SparkSession, dir: String,
+      maxLive: Int = MaxLiveEpochs): Boolean =
+    CubeLog.view(spark, dir).liveBatches.size >= maxLive
+
+  /** Landing with the cadence applied automatically — the streaming
+    * foreachBatch path calls this so probe fan-in stays bounded without
+    * an operator remembering to compact. Returns true when a fold ran. */
+  def appendBatchAuto(docs: DataFrame, dir: String, batchId: Long,
+      maxLive: Int = MaxLiveEpochs): Boolean = {
+    val s = docs.sparkSession
+    appendBatch(docs, dir, batchId)
+    val fold = shouldCompact(s, dir, maxLive)
+    if (fold) compact(s, dir)
+    fold
+  }
+
   /** RTBF for the retrieval index — the last persisted surface without
     * it, and the one where "the model must forget the document" has a
     * literal meaning: an erased doc that still ranks in search results
@@ -230,8 +312,7 @@ object PostingLog {
       if (affected.isEmpty) return
       // the slice to rewrite: affected buckets + the stats partition
       val tbs: Seq[Long] = affected :+ StatsBucket
-      val cur0 = spark.read.parquet(root)
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+      val cur0 = spark.read.parquet(root).select(RowCols: _*)
       val cur = if (wholeEpoch) cur0 else cur0.filter(col("tb").isin(tbs: _*))
       val hits = cur.filter(col("tb") =!= StatsBucket)
         .join(req, Seq("doc_id"), "left_semi")
@@ -249,6 +330,7 @@ object PostingLog {
         .select(lit("").as("term"), lit(-1L).as("doc_id"),
           (col("tf0") - col("gone_docs")).as("tf"),
           (col("dl0") - col("gone_dl")).as("dl"),
+          array().cast("array<int>").as("positions"),
           lit(StatsBucket).as("tb"))
       val kept = keptPost.unionByName(newStats)
         .localCheckpoint(eager = true) // sever lineage from the files replaced
@@ -339,6 +421,25 @@ object PostingLog {
     q("search_bm25_maintained",
       graft.llm.Search.all.find(_.name == "search_bm25_topk").get.oracle.get) {
       (s, d) => bm25TopK(s, maintainedDir(s, d), Terms)
+    }
+
+  /** Exact-phrase retrieval through the POSITIONAL maintained index:
+    * adjacent-position join over probed buckets (fold ∪ live epoch) —
+    * hash equality with `search_phrase`'s corpus-scan oracle proves the
+    * stored position lists are complete and ordered, per epoch and
+    * through the fold merge. */
+  lazy val phraseMaintainedQuery: GraftQuery =
+    q("search_phrase_maintained",
+      graft.llm.Search.all.find(_.name == "search_phrase").get.oracle.get) {
+      (s, d) => phraseCount(s, maintainedDir(s, d), "the", "data")
+    }
+
+  /** Proximity retrieval through the positional maintained index — the
+    * `search_proximity` corpus-scan oracle answered from probed buckets. */
+  lazy val proximityMaintainedQuery: GraftQuery =
+    q("search_proximity_maintained",
+      graft.llm.Search.all.find(_.name == "search_proximity").get.oracle.get) {
+      (s, d) => proximity(s, maintainedDir(s, d), "data", "scan", 4)
     }
 
   /** RTBF driven end-to-end as a registered query: the maintained store

@@ -142,4 +142,19 @@ class DedupLogSpec extends SparkSpec {
     // batch equality for the whole crafted corpus
     assert(after === batchLabels(docs))
   }
+
+  test("compaction cadence: fold fires exactly at the live-epoch bound; view unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_cadence_").toString + "/st"
+    (0L to 2L).foreach { e =>
+      DedupLog.appendEpochAuto(corpus.filter(pmod($"doc_id", lit(4L)) === e), dir, e, maxLive = 4)
+    }
+    assert(!DedupLog.shouldCompact(spark, dir, maxLive = 4), "3 live < bound 4")
+    val before = viewSet(dir)
+    DedupLog.appendEpochAuto(corpus.filter(pmod($"doc_id", lit(4L)) === 3L), dir, 3L, maxLive = 4)
+    assert(graft.sources.CubeLog.view(spark, dir).liveBatches.isEmpty,
+      "the 4th landing reaches the bound and must fold")
+    assert(graft.sources.CubeLog.view(spark, dir).gen === 1L)
+    assert(viewSet(dir) === batchLabels(corpus), "fold must preserve the incremental view")
+    assert(before.subsetOf(viewSet(dir)) || before.nonEmpty) // sanity: pre-fold view existed
+  }
 }

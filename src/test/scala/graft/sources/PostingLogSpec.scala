@@ -168,4 +168,59 @@ class PostingLogSpec extends SparkSpec {
     assert(PostingLog.booleanAnd(spark, dir, Seq(tB)).as[(Long, Long)]
       .collect().toSet === Set((2L, 1L)))
   }
+
+  test("positional probes: phrase and proximity through the index ≡ corpus-scan recompute") {
+    val dir = buildStore()
+    val post = corpusDocs
+      .select($"doc_id",
+        posexplode(TextAnalysis.words($"text")).as(Seq("pos0", "term")))
+      .select($"doc_id", $"term", ($"pos0" + 1).as("pos"))
+
+    val phrase = PostingLog.phraseCount(spark, dir, "the", "data")
+      .as[(Long, Long)].collect().toSet
+    val a = post.filter($"term" === "the").select($"doc_id", $"pos")
+    val b = post.filter($"term" === "data")
+      .select($"doc_id".as("b_doc"), $"pos".as("b_pos"))
+    val phraseDirect = a
+      .join(b, $"b_doc" === $"doc_id" && $"b_pos" === $"pos" + 1)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(phrase === phraseDirect)
+    assert(phrase.nonEmpty, "the phrase must occur for this test to bite")
+
+    val prox = PostingLog.proximity(spark, dir, "data", "scan", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val pa = post.filter($"term" === "data").select($"doc_id", $"pos")
+    val pb = post.filter($"term" === "scan")
+      .select($"doc_id".as("b_doc"), $"pos".as("b_pos"))
+    val proxDirect = pa
+      .join(pb, $"b_doc" === $"doc_id" && abs($"b_pos" - $"pos") <= 4)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), min(abs($"b_pos" - $"pos")).cast("long").as("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prox === proxDirect)
+    assert(prox.nonEmpty)
+  }
+
+  test("compaction cadence: fold fires exactly at the live-epoch bound; auto landing applies it") {
+    val dir = java.nio.file.Files.createTempDirectory("posting_cadence_").toString + "/idx"
+    val docs = corpusDocs
+    (0L to 2L).foreach { e =>
+      PostingLog.appendBatch(docs.filter(pmod($"doc_id", lit(4L)) === e), dir, e)
+    }
+    assert(!PostingLog.shouldCompact(spark, dir, maxLive = 4), "3 live < bound 4")
+    assert(PostingLog.appendBatchAuto(
+      docs.filter(pmod($"doc_id", lit(4L)) === 3L), dir, 3L, maxLive = 4),
+      "the 4th landing reaches the bound and must fold")
+    assert(CubeLog.view(spark, dir).liveBatches.isEmpty)
+    assert(CubeLog.view(spark, dir).gen === 1L)
+    // the folded store still answers exactly
+    val maintained = PostingLog.booleanAnd(spark, dir, terms)
+      .as[(Long, Long)].collect().toSet
+    val once = PostingStore.probe(spark, PostingStore.build(spark, sf0001), terms)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_terms"))
+      .filter($"n_terms" === terms.size)
+      .as[(Long, Long)].collect().toSet
+    assert(maintained === once)
+  }
 }
