@@ -39,12 +39,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    contents stay exactly-once over an at-least-once channel even
   *    across compactions.
   *  - [[compact]] orders: write `folded_gen=G+1` → commit marker (create
-  *    + atomic rename) → cleanup (delete old gen, folded batch dirs,
-  *    stale markers). A crash anywhere leaves a readable store:
-  *    before the marker, readers still use G* and the orphan G+1 dir is
-  *    overwritten by the next compaction; after the marker, the
+  *    + atomic rename) → cleanup. A crash anywhere leaves a readable
+  *    store: before the marker, readers still use G* and the orphan G+1
+  *    dir is overwritten by the next compaction; after the marker, the
   *    watermark already excludes the not-yet-deleted batch dirs and the
   *    next compaction finishes the cleanup.
+  *  - Cleanup keeps a GRACE GENERATION: generation G's fold, its marker,
+  *    and the batch dirs folded into G+1 survive until G+2 commits.
+  *    Concurrent readers holding a view at most one compaction old stay
+  *    fully readable, and a torn NEWEST marker falls back to a complete,
+  *    exactly-once G-view instead of failing (the loud failure now needs
+  *    two lost generations). Store size stays bounded: ≤ 2 folds +
+  *    ≤ 1 cycle of batch dirs.
   *
   * FILESYSTEM PRECONDITION: the commit step requires an ATOMIC,
   * fail-on-existing rename (HDFS, local FS — both true). Object stores
@@ -108,20 +114,22 @@ object CubeLog {
     val folded = kids
       .filter(st => st.isDirectory && st.getPath.getName == s"folded_gen=$gen")
       .map(_.getPath.toString).headOption
-    // The fallback is only SAFE while the skipped commit's cleanup has not
-    // run — serve-from-previous must never silently truncate. Two loud
-    // failure modes, both meaning "the store's true state is a newer
-    // generation whose watermark is unreadable; repair the marker, don't
-    // serve": (a) NO marker parses at all yet a corrupt marker's fold
-    // directory is present — the store was demonstrably compacted (a
-    // marker at a committed name means the atomic rename succeeded; its
-    // cleanup swept the older markers AND the folded batch dirs), so the
-    // gen-0 default view (live batches only) is missing every folded
-    // epoch; (b) an OLDER marker survived and resolves, but its own
-    // folded_gen dir is gone — direct evidence the newer commit's cleanup
-    // ran. A benign orphan fold (crash BEFORE its marker) trips neither:
-    // it has no marker file, and the previous generation's fold is intact.
-    // The pre-r12 behavior served the incomplete view silently.
+    // The fallback is SAFE exactly as far as the grace generation
+    // reaches: the compaction cleanup retains the previous fold, its
+    // marker, and the batch dirs folded this cycle until the NEXT commit,
+    // so falling back one generation serves the complete store
+    // exactly-once (previous fold + every retained epoch above its
+    // watermark). Beyond that, serve-from-previous would silently
+    // truncate — two loud failure modes, both meaning "the store's true
+    // state is a newer generation whose watermark is unreadable; repair
+    // the marker, don't serve": (a) NO marker parses at all yet a corrupt
+    // marker's fold directory is present — the store was demonstrably
+    // compacted and nothing older survives to fall back to, so the gen-0
+    // default view (live batches only) is missing every folded epoch;
+    // (b) a marker survived and resolves, but its own folded_gen dir is
+    // gone — its grace window has expired (two newer commits ran). A
+    // benign orphan fold (crash BEFORE its marker) trips neither: it has
+    // no marker file, and the previous generation's fold is intact.
     if (parsedCommits.nonEmpty && parsedCommits.forall(_._2.isEmpty)) {
       val withFold = parsedCommits.map(_._1).filter(g => kids.exists(st =>
         st.isDirectory && st.getPath.getName == s"folded_gen=$g"))
@@ -221,20 +229,42 @@ object CubeLog {
       s"cube commit for generation $newGen failed: marker rename returned " +
         s"false (marker already present, or non-atomic filesystem); store " +
         s"remains at generation ${v.gen} — resolve before recompacting")
-    // cleanup — readers already exclude everything deleted here. Swept
-    // from a FRESH listing, not the snapshot, so leftovers of a prior
-    // crashed run (orphan gens, folded-but-undeleted batch dirs, stale
-    // markers) are collected too.
+    // cleanup with a GRACE GENERATION (r12): the previous generation's
+    // fold + marker and the batch dirs folded THIS cycle survive exactly
+    // one more compaction cycle. Two failure modes this buys out of the
+    // design instead of out of luck:
+    //  - CONCURRENT READERS: on a cluster a probe races the offline
+    //    compactor by construction. A reader that resolved the
+    //    pre-commit view holds paths to the old fold and the batch dirs
+    //    this fold just absorbed — deleting them mid-read fails the
+    //    probe. With grace, any view at most one compaction old stays
+    //    fully readable (the contract: probes are short, folds are
+    //    rare); only the NEXT compaction sweeps it.
+    //  - TORN NEWEST MARKER: if generation G's marker content is later
+    //    corrupted, readers fall back to G−1 — whose fold AND live
+    //    epochs (> watermark(G−1), retained by the same grace) still
+    //    reconstruct the complete store, exactly-once. Before grace the
+    //    fallback target was already swept and the only honest move was
+    //    to fail loudly; that failure now needs TWO lost generations.
+    // Readers never double-count retained-but-folded batch dirs: the
+    // view filters live batches to id > watermark regardless of what is
+    // on disk. Swept from a FRESH listing, not the snapshot, so
+    // leftovers of a prior crashed run (orphan gens, expired-grace batch
+    // dirs, stale markers) are collected too. Store size stays bounded:
+    // ≤ 2 folds + ≤ 1 cycle of batch dirs.
     hfs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       val staleGen = n.startsWith("folded_gen=") &&
-        scala.util.Try(n.stripPrefix("folded_gen=").toLong).toOption.exists(_ != newGen)
+        scala.util.Try(n.stripPrefix("folded_gen=").toLong).toOption
+          .exists(g => g != newGen && g != v.gen)
       val foldedBatch = n.startsWith("batch_id=") &&
-        scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption.exists(_ <= newWatermark)
+        scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+          .exists(_ <= v.watermark)
       if (st.isDirectory && (staleGen || foldedBatch)) hfs.delete(st.getPath, true)
     }
     hfs.listStatus(commitsDir).foreach { st =>
-      val stale = scala.util.Try(st.getPath.getName.toLong).toOption.exists(_ < newGen)
+      val stale = scala.util.Try(st.getPath.getName.toLong).toOption
+        .exists(_ < v.gen)
       if (stale) hfs.delete(st.getPath, false)
     }
     newGen

@@ -51,25 +51,38 @@ class CubeCompactSpec extends SparkSpec {
     val gen = SketchStore.compact(spark, dir)
     assert(gen === 1L)
     assert(est() === before, "compaction must not change probe answers")
-    assert(dirNames(dir) === Set("folded_gen=1", "_cube_commits"),
-      "batch dirs must be swept after the fold commits")
+    // GRACE: the batch dirs this fold absorbed survive one cycle (a
+    // concurrent reader holding the pre-commit view still needs them);
+    // readers ignore them via the watermark regardless
+    assert(dirNames(dir) === Set("folded_gen=1", "_cube_commits",
+      "batch_id=0", "batch_id=1", "batch_id=2"))
 
-    // replay of a folded epoch: watermark guard no-ops — no dir, no change
+    // replay of a folded epoch: watermark guard no-ops — the retained dir
+    // is untouched, answers unchanged
     val events = graft.ops.Tables.events(spark, sf0001)
     SketchStore.appendBatch(events.filter(pmod($"user_id", lit(3L)) === 1L), dir, 1L)
-    assert(!dirNames(dir).contains("batch_id=1"), "folded epoch must not re-land")
     assert(est() === before, "post-compaction replay must stay exactly-once")
 
-    // a NEW epoch still lands and the next compaction folds it
+    // a NEW epoch still lands and the next compaction folds it; the
+    // grace-expired batch dirs (≤ the PREVIOUS watermark) are swept now,
+    // the previous fold and the just-folded epoch stay one more cycle
     SketchStore.appendBatch(events.limit(0), dir, 3L) // empty batch is harmless
     SketchStore.appendBatch(events.filter($"user_id" === 1L), dir, 4L)
     assert(dirNames(dir).contains("batch_id=4"))
     assert(SketchStore.compact(spark, dir) === 2L)
-    assert(dirNames(dir) === Set("folded_gen=2", "_cube_commits"))
+    assert(dirNames(dir) === Set("folded_gen=1", "folded_gen=2",
+      "batch_id=3", "batch_id=4", "_cube_commits")) // 3-4 grace-retained
     // user 1's rows were double-landed on purpose (epoch 1 carried them);
     // HLL forgives multiplicity, n_rows reflects the extra landing
     val after = est()
     assert(after.map(_._1) === before.map(_._1))
+
+    // a third cycle: generation 1's grace expires, the store stays
+    // bounded at ≤ 2 folds + ≤ 1 cycle of batch dirs
+    SketchStore.appendBatch(events.filter($"user_id" === 2L), dir, 5L)
+    assert(SketchStore.compact(spark, dir) === 3L)
+    assert(dirNames(dir) === Set("folded_gen=2", "folded_gen=3",
+      "batch_id=5", "_cube_commits"))
   }
 
   test("torn commit marker: readers fall back to the committed generation; the compactor errors instead of cleaning up") {
@@ -112,39 +125,55 @@ class CubeCompactSpec extends SparkSpec {
       "the store remains readable at the committed generation")
   }
 
-  test("marker corrupted AFTER its commit: readers fail loudly instead of serving a truncated fallback") {
-    // Scenario the benign torn-marker skip must NOT swallow: generation
-    // 2 committed and its cleanup ran (previous fold + folded batch dirs
-    // swept), then the gen-2 marker's CONTENT was corrupted by an FS
-    // fault. The fallback generation's inputs no longer exist — serving
-    // it would silently answer from live batches only.
+  test("marker corrupted AFTER its commit: the grace generation recovers COMPLETE data; loud only beyond it") {
+    // Generation 2 committed and its cleanup ran, then the gen-2 marker's
+    // CONTENT was corrupted by an FS fault. The grace generation makes
+    // this recoverable: cleanup retained gen 1's fold + marker AND the
+    // epochs gen 2 folded, so the fallback view (fold 1 + retained live
+    // epochs above watermark(1)) reconstructs the complete store
+    // exactly-once. The failure only becomes loud when the grace window
+    // itself is gone.
     val dir = Files.createTempDirectory("cube_corrupt_").toString + "/daily"
     landThree(SketchStore.appendBatch(_, dir, _))
+    def est() = SketchStore.readStore(spark, dir)
+      .groupBy($"day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("est"),
+        sum($"n_rows").as("n"))
+      .as[(java.sql.Date, Long, Long)].collect().toSet
     assert(SketchStore.compact(spark, dir) === 1L)
     SketchStore.appendBatch(
       graft.ops.Tables.events(spark, sf0001).filter($"user_id" === 1L), dir, 3L)
-    assert(SketchStore.compact(spark, dir) === 2L) // cleanup swept gen 1
+    assert(SketchStore.compact(spark, dir) === 2L)
+    val committed = est() // the complete gen-2 answers
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // corrupt the committed gen-2 marker in place (fold dir present)
+    // corrupt the committed gen-2 marker in place (fold dir present):
+    // readers fall back to generation 1 and STILL answer completely —
+    // epoch 3 is above watermark(1) and its dir survives under grace
     val m2 = new org.apache.hadoop.fs.Path(s"$dir/_cube_commits/2")
     hfs.create(m2, true).close() // now zero bytes
-    val errA = intercept[IllegalArgumentException](CubeLog.view(spark, dir))
-    assert(errA.getMessage.contains("unreadable"),
-      s"expected the corrupt-committed-marker failure, got: ${errA.getMessage}")
+    val v = CubeLog.view(spark, dir)
+    assert(v.gen === 1L, "readers must fall back to the grace generation")
+    assert(v.liveBatches.map(_._1) === Seq(3L),
+      "the grace-retained epoch must be live under the fallback view")
+    assert(est() === committed,
+      "the fallback view must reconstruct the complete store exactly-once")
 
-    // the other shape of the same loss: the corrupt marker's own fold is
-    // ALSO gone (a later crash), so the resolved fallback generation has
-    // no folded_gen dir — equally unrecoverable, equally loud
-    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/folded_gen=2"), true)
-    hfs.delete(m2, false)
-    val m1 = new org.apache.hadoop.fs.Path(s"$dir/_cube_commits/1")
-    val out = hfs.create(m1, true)
-    try out.write("2".getBytes("UTF-8")) finally out.close()
+    // beyond the grace window the loss is real and must be loud:
+    // (a) the fallback generation's fold is gone too — the resolved
+    // marker has no data behind it
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/folded_gen=1"), true)
+    val errA = intercept[IllegalArgumentException](CubeLog.view(spark, dir))
+    assert(errA.getMessage.contains("folded_gen=1 is missing"),
+      s"expected the missing-fold failure, got: ${errA.getMessage}")
+
+    // (b) NO marker parses at all while a committed fold exists — the
+    // gen-0 default view would silently drop every folded epoch
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/_cube_commits/1"), false)
     val errB = intercept[IllegalArgumentException](CubeLog.view(spark, dir))
-    assert(errB.getMessage.contains("folded_gen=1 is missing"),
-      s"expected the missing-fold failure, got: ${errB.getMessage}")
+    assert(errB.getMessage.contains("unreadable"),
+      s"expected the corrupt-committed-marker failure, got: ${errB.getMessage}")
   }
 
   test("HistStore: compacted store is row-identical to the batch build; replay exactly-once") {
@@ -165,7 +194,8 @@ class CubeCompactSpec extends SparkSpec {
     val storeRows = HistStore.readStore(spark, dir)
       .as[(java.sql.Date, String, Long, Long)].collect().toSet
     assert(storeRows === expect, "folded store must be row-identical to the batch build")
-    assert(dirNames(dir) === Set("folded_gen=1", "_cube_commits"))
+    assert(dirNames(dir) === Set("folded_gen=1", "_cube_commits",
+      "batch_id=0", "batch_id=1", "batch_id=2")) // grace-retained, reader-ignored
 
     // replay of folded epoch 0: SUM algebra does NOT forgive double-count
     // — the watermark guard must make it a no-op
@@ -196,7 +226,8 @@ class CubeCompactSpec extends SparkSpec {
     assert(rows(CubeLog.read(spark, dir)) === expect,
       "finalized store rows must equal the batch build")
     assert(rows(HeavyHitterStore.summaries(spark, dir)) === expect)
-    assert(dirNames(dir) === Set("folded_gen=1", "_cube_commits"))
+    assert(dirNames(dir) === Set("folded_gen=1", "_cube_commits",
+      "batch_id=0", "batch_id=1", "batch_id=2")) // grace-retained, reader-ignored
 
     // replay of a folded epoch: counts must not double
     HeavyHitterStore.appendBatch(
