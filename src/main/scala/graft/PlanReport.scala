@@ -154,6 +154,10 @@ object PlanReport {
       "Vocabulary growth: ONE corpus min-aggregate attributes each gram's first document (no ordered scan anywhere); the cumulative window reads only the ≤N/16-row bucket histogram.",
     "search_index_probe" ->
       "On-disk inverted index probe: the scan's PartitionFilters binds to the term-bucket partition column with bucket ids that are arithmetic constants of the query (computed driver-side from the same md5-prefix hash) — only the probed bucket directories are listed; the AND evaluates on the pruned postings alone.",
+    "search_maintained_probe" ->
+      "The MAINTAINED index probe (r12): two pruned scans — the committed fold AND the live epoch each carry the same static tb-bucket PartitionFilters (the bucket key is arithmetic, so a fresh unfolded epoch prunes exactly like the generation; no brute leg exists on this surface) — unioned before the doc-keyed AND count.",
+    "dedup_incremental_clusters" ->
+      "Incremental dedup read path (r12): the registered query is the LABEL VIEW only — per-source label scans (≪ corpus; pair-touched docs), a last-wins max_by per node, one window for cluster sizes. The corpus text appears NOWHERE in this plan: pair discovery already happened, epoch by epoch, at landing time — that is the entire point of maintaining dedup state.",
     "dedup_soft_weights" ->
       "Soft dedup: the MinHash pair graph and label propagation run on pair-touched docs only (≪ corpus); sizes re-aggregate the label frame; the corpus appears exactly once — the final doc-keyed left join attaching weights.",
     "meter_peak_coincidence" ->

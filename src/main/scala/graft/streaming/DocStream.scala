@@ -109,8 +109,11 @@ object DocStream {
         graft.sources.DocStore
           .appendDedupedLanded(batch.sparkSession, batch, baseDir, batchId)
           .foreach { landed =>
-            graft.sources.PostingLog.appendBatch(landed, postingDir, batchId)
-            graft.llm.DedupLog.appendEpoch(landed, dedupDir, batchId)
+            // the AUTO variants: each store folds itself at its own
+            // cadence bound, so read fan-in stays bounded without an
+            // operator remembering to compact
+            graft.sources.PostingLog.appendBatchAuto(landed, postingDir, batchId)
+            graft.llm.DedupLog.appendEpochAuto(landed, dedupDir, batchId)
           }
         ()
       }
