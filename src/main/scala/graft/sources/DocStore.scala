@@ -243,6 +243,69 @@ object DocStore {
     folded.count()
   }
 
+  /** RTBF for the bronze corpus + its hash index: remove the requested
+    * doc_ids' rows from the `docs` tree and their content hashes from
+    * `hash_index` — batch-partition-bounded on both trees (a 2-column
+    * pruned scan finds the affected `batch_id=` partitions, including
+    * the compacted `-1` history partition; only those rewrite, every
+    * other partition stays byte-identical). The hash comes off the index
+    * because md5(content) is content-derived personal data; semantics
+    * follow: erasure removes the doc AND its suppression state, so a
+    * later re-submission of the same content is a NEW landing (a new
+    * consent event), not a suppressed duplicate. Returns doc rows
+    * removed. Idempotent: a replayed request finds no rows. */
+  def eraseDocs(spark: SparkSession, baseDir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    val docsPath = s"$baseDir/docs"
+    val indexPath = s"$baseDir/hash_index"
+    val req = broadcast(ids.toDF("doc_id"))
+
+    val slim = spark.read.parquet(docsPath).select(col("doc_id"), col("batch_id"))
+    val affected = slim.join(req, Seq("doc_id"), "left_semi")
+      .select(col("batch_id").cast("long")).distinct().as[Long].collect().sorted
+    if (affected.isEmpty) return 0L
+    val slice = spark.read.parquet(docsPath)
+      .filter(col("batch_id").isin(affected: _*))
+    val hits = slice.join(req, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = true)
+    val removed = hits.count()
+    val goneHashes = broadcast(
+      hits.select(col("content_hash")).distinct().localCheckpoint(eager = true))
+    val keptDocs = slice.join(req, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    Store.refreshMartPartitions(keptDocs, docsPath, "batch_id")
+    // a batch partition fully emptied by the request writes nothing under
+    // dynamic overwrite — delete it explicitly
+    val remainingDocs = keptDocs.select(col("batch_id").cast("long"))
+      .distinct().as[Long].collect().toSet
+    val hfs = new org.apache.hadoop.fs.Path(docsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(remainingDocs).foreach { b =>
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$docsPath/batch_id=$b"), true)
+    }
+
+    // the index: the erased hashes' partitions (possibly the compacted -1
+    // history) rewrite minus those hashes
+    val idxSlim = spark.read.parquet(indexPath)
+      .select(col("content_hash"), col("batch_id"))
+    val idxAffected = idxSlim.join(goneHashes, Seq("content_hash"), "left_semi")
+      .select(col("batch_id").cast("long")).distinct().as[Long].collect().sorted
+    if (idxAffected.nonEmpty) {
+      val idxSlice = spark.read.parquet(indexPath)
+        .filter(col("batch_id").isin(idxAffected: _*))
+      val keptIdx = idxSlice.join(goneHashes, Seq("content_hash"), "left_anti")
+        .localCheckpoint(eager = true)
+      Store.refreshMartPartitions(keptIdx, indexPath, "batch_id")
+      val remainingIdx = keptIdx.select(col("batch_id").cast("long"))
+        .distinct().as[Long].collect().toSet
+      idxAffected.filterNot(remainingIdx).foreach { b =>
+        hfs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch_id=$b"), true)
+      }
+    }
+    removed
+  }
+
   /** True only when the index holds at least one real batch partition —
     * a directory containing nothing but _SUCCESS (e.g. left by a crashed
     * writer before the empty-batch guard existed) must read as absent, or

@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The orchestrated RTBF ([[CorpusRtbf.eraseEverywhere]]): one request
+  * cleans bronze, hash index, posting index, and dedup state; the audit
+  * receipt counts per surface; replays no-op everywhere; and erasure
+  * releases the content's suppression state (a re-submission of the same
+  * text lands as a NEW document — the hash left the index). */
+class CorpusRtbfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("data", "join", "scan")
+
+  test("one request erases every surface; replay no-ops; re-submission re-lands") {
+    val root = java.nio.file.Files.createTempDirectory("rtbf_").toString
+    val (bronze, postings, dedup) =
+      (s"$root/store", s"$root/postings", s"$root/dedup")
+    val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text").localCheckpoint(eager = true)
+
+    // land the corpus in two epochs through the same calls the indexed
+    // streaming ingest makes
+    (0L to 1L).foreach { e =>
+      DocStore.appendDedupedLanded(spark,
+        docs.filter(pmod($"doc_id", lit(2L)) === e), bronze, e)
+        .foreach { landed =>
+          PostingLog.appendBatch(landed, postings, e)
+          graft.llm.DedupLog.appendEpoch(landed, dedup, e)
+        }
+    }
+    val landedIds = spark.read.parquet(s"$bronze/docs")
+      .select($"doc_id").as[Long].collect().toSet
+
+    // the request: every 37th id, plus ids never landed (dup-dropped at
+    // ingest) — those must be a no-op, not an error
+    val ids = (0L to landedIds.max by 37L).toSeq
+    val requestedLanded = ids.filter(landedIds)
+    assert(requestedLanded.nonEmpty)
+    val erasedTexts = spark.read.parquet(s"$bronze/docs")
+      .filter($"doc_id".isin(requestedLanded: _*))
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+
+    val receipt = CorpusRtbf.eraseEverywhere(spark, ids, bronze, postings, dedup)
+    assert(receipt("bronze_docs") === requestedLanded.size.toLong)
+    assert(receipt("posting_index") > 0L)
+
+    // every surface clean
+    assert(spark.read.parquet(s"$bronze/docs")
+      .filter($"doc_id" % 37 === 0).count() === 0L)
+    val erasedHashes = erasedTexts.map(t => org.apache.commons.codec.digest
+      .DigestUtils.md5Hex(t._2)).toSet
+    val idxLeft = spark.read.parquet(s"$bronze/hash_index")
+      .select($"content_hash").as[String].collect().toSet
+    assert(erasedHashes.intersect(idxLeft).isEmpty,
+      "erased content hashes must leave the suppression index")
+    assert(PostingLog.probe(spark, postings, terms)
+      .filter($"doc_id" % 37 === 0).count() === 0L)
+    assert(graft.llm.DedupLog.sigsAll(spark, dedup)
+      .filter($"doc_id" % 37 === 0).count() === 0L)
+    assert(graft.llm.DedupLog.labelsView(spark, dedup)
+      .filter($"node" % 37 === 0 || $"label" % 37 === 0).count() === 0L)
+
+    // replay: all three surfaces report zero
+    val replay = CorpusRtbf.eraseEverywhere(spark, ids, bronze, postings, dedup)
+    assert(replay.values.forall(_ === 0L), s"replay must no-op, got $replay")
+
+    // the right to be forgotten is not the right to never be stored
+    // again: the SAME content re-submitted under a new doc_id is a new
+    // landing — its hash no longer suppresses it
+    val (gone, goneText) = erasedTexts.head
+    val resubmit = Seq((landedIds.max + 1000L, goneText)).toDF("doc_id", "text")
+    val n = DocStore.appendDeduped(spark, resubmit, bronze, 99L)
+    assert(n === 1L, s"re-submitted erased content must re-land (erased doc $gone)")
+  }
+}
