@@ -28,6 +28,7 @@ object SparkEntry {
       sources.PostingLog.bm25MaintainedQuery :+
       sources.PostingLog.phraseMaintainedQuery :+
       sources.PostingLog.proximityMaintainedQuery :+
+      sources.PostingLog.hybridMaintainedQuery :+
       sources.PostingLog.eraseProbeQuery :+
       sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery :+
       sources.SketchStore.probeQuery :+ sources.SketchStore.overlapQuery :+

@@ -35,7 +35,7 @@ object Search {
     * behind `search_bm25_topk` and the hybrid-fusion query. Output:
     * (doc_id, score_scaled), every factor exact 64-bit integer math (see
     * the `search_bm25_topk` commentary for the scaling derivation). */
-  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documentsParallel(s, d)
     val lens = docs.select(col("doc_id"),
       size(TextAnalysis.words(col("text"))).cast("long").as("dl"))
@@ -58,7 +58,7 @@ object Search {
   }
 
   /** The same scorer as DuckDB CTEs ending in `scored(doc_id, score)`. */
-  private def bm25ScoredSqlCtes: String = {
+  private[graft] def bm25ScoredSqlCtes: String = {
     val terms = inList(AndTerms)
     s"""post AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -442,6 +442,93 @@ object PostingLog {
       (s, d) => proximity(s, maintainedDir(s, d), "data", "scan", 4)
     }
 
+  /** Hybrid retrieval served ENTIRELY from maintained state — the
+    * two-tower stack with neither tower scanning raw data: the lexical
+    * leg is BM25 through this store's pruned posting probe (tf/df from
+    * probed buckets, globals from the additive stats rows), the semantic
+    * leg is the maintained ANN index's cell-pruned probe
+    * ([[VecStoreLog.probeTopK]]), and the K-row candidate lists fuse by
+    * reciprocal-rank fusion in exact integer arithmetic (the
+    * `search_hybrid_rrf` convention). At 100 TB this is the query a
+    * retrieval deployment actually runs: corpus text and raw embeddings
+    * were paid for ONCE, at landing; per query only probed buckets and
+    * probed cells are read. The oracle replicates both probes
+    * declaratively (BM25 CTEs + Lloyd/assignment/probe CTEs) and the
+    * fusion — hash equality proves the maintained stores answer the
+    * whole stack, not just each leg alone. */
+  lazy val hybridMaintainedQuery: GraftQuery = q("search_hybrid_maintained", {
+    val K = 20
+    val iters = graft.llm.Similarity.CentroidIters
+    val cos = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(list_zip($a.qv, $b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST($a.norm2 AS DOUBLE)) * sqrt(CAST($b.norm2 AS DOUBLE)))""".stripMargin
+    s"""WITH ${graft.llm.Search.bm25ScoredSqlCtes},
+       |bm AS (
+       |  SELECT doc_id, bm25_rank FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 1
+       |      ORDER BY score DESC, doc_id) AS bm25_rank
+       |    FROM scored) WHERE bm25_rank <= $K),
+       |${graft.llm.Similarity.quantizedSql},
+       |${graft.llm.Similarity.lloydCtes(iters, VecStore.CellK)},
+       |cents AS (SELECT c_id, cqv, cnorm2 FROM c$iters),
+       |vassigned AS (
+       |  SELECT vec_id, qv, norm2, c_id, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY CAST(list_sum(list_transform(list_zip(qv, cqv), p -> p[1] * p[2])) AS BIGINT)
+       |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
+       |  FROM qn, cents),
+       |vidx AS (SELECT vec_id, qv, norm2, c_id AS cell FROM vassigned WHERE cr = 1),
+       |vprobes AS (
+       |  SELECT vec_id, qv, norm2, c_id AS probe_cell FROM vassigned
+       |  WHERE vec_id = 0 AND cr <= ${VecStore.ProbeCells}),
+       |vscored AS (
+       |  SELECT b.vec_id, ${cos("a", "b")} AS cosine
+       |  FROM vprobes a JOIN vidx b ON a.probe_cell = b.cell
+       |    AND b.vec_id <> a.vec_id),
+       |vs AS (
+       |  SELECT doc_id, cos_rank FROM (
+       |    SELECT vec_id AS doc_id, row_number() OVER (PARTITION BY vec_id % 1
+       |      ORDER BY cosine DESC, vec_id) AS cos_rank
+       |    FROM vscored) WHERE cos_rank <= $K),
+       |fused AS (
+       |  SELECT doc_id, bm25_rank AS bm_r, cos_rank AS cos_r,
+       |    (CASE WHEN bm25_rank IS NULL THEN 0 ELSE 1000000 // (60 + bm25_rank) END
+       |     + CASE WHEN cos_rank IS NULL THEN 0 ELSE 1000000 // (60 + cos_rank) END)
+       |      AS rrf_scaled
+       |  FROM bm FULL OUTER JOIN vs USING (doc_id))
+       |SELECT doc_id, CAST(COALESCE(bm_r, 0) AS BIGINT) AS bm25_rank,
+       |  CAST(COALESCE(cos_r, 0) AS BIGINT) AS cos_rank,
+       |  CAST(rrf_scaled AS BIGINT) AS rrf_scaled
+       |FROM fused ORDER BY rrf_scaled DESC, doc_id LIMIT 10""".stripMargin
+  }) { (s, d) =>
+    val K = 20
+    import org.apache.spark.sql.expressions.Window
+    // lexical leg: BM25 through THIS store (already ordered + limited to
+    // K); the rank window reads the K-row frame only
+    val bmW = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    val bm = bm25TopK(s, maintainedDir(s, d), Terms, K)
+      .withColumn("bm25_rank", row_number().over(bmW).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    // semantic leg: the maintained ANN index's pruned probe — its rank
+    // column IS the cosine rank (per query; one query here)
+    val queries = graft.ops.Tables.embeddings(s, d)
+      .filter(col("vec_id") === 0).select(col("vec_id"), col("embedding"))
+    val vs = VecStoreLog.probeTopK(s, VecStoreLog.maintainedDir(s, d),
+        queries, VecStore.ProbeCells, k = K)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("cos_rank"))
+    bm.join(vs, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("cos_rank"), lit(0L)).as("cos_rank"),
+        (when(col("bm25_rank").isNull, 0L)
+          .otherwise(expr("1000000 div (60 + bm25_rank)"))
+          + when(col("cos_rank").isNull, 0L)
+            .otherwise(expr("1000000 div (60 + cos_rank)"))).as("rrf_scaled"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** RTBF driven end-to-end as a registered query: the maintained store
     * (fold + live epoch) with the [[ErasureStore]] deletion convention
     * (doc_id ≡ 0 mod 37) replayed against BOTH surfaces, then the

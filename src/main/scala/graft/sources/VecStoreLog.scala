@@ -345,7 +345,7 @@ object VecStoreLog {
   private lazy val root: String =
     s"${sys.props("java.io.tmpdir")}/graft_vecstore_log/${java.util.UUID.randomUUID()}"
   private val built = scala.collection.mutable.Map.empty[String, String]
-  private def maintainedDir(s: SparkSession, d: String): String =
+  private[sources] def maintainedDir(s: SparkSession, d: String): String =
     built.synchronized {
       built.getOrElseUpdate(d, {
         val dir = s"$root/${new java.io.File(d).getName}"
