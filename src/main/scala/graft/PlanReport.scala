@@ -156,6 +156,8 @@ object PlanReport {
       "On-disk inverted index probe: the scan's PartitionFilters binds to the term-bucket partition column with bucket ids that are arithmetic constants of the query (computed driver-side from the same md5-prefix hash) — only the probed bucket directories are listed; the AND evaluates on the pruned postings alone.",
     "search_maintained_probe" ->
       "The MAINTAINED index probe (r12): two pruned scans — the committed fold AND the live epoch each carry the same static tb-bucket PartitionFilters (the bucket key is arithmetic, so a fresh unfolded epoch prunes exactly like the generation; no brute leg exists on this surface) — unioned before the doc-keyed AND count.",
+    "search_hybrid_maintained" ->
+      "Hybrid retrieval from MAINTAINED state only (r12): the BM25 leg's scans carry tb-bucket PartitionFilters (postings + the reserved stats bucket), the ANN leg's index scan prunes to probed cell= directories, both legs are K-row TakeOrderedAndProject heads, and the RRF fusion joins two K-row lists — no corpus-text or raw-embedding scan exists anywhere in the plan.",
     "dedup_incremental_clusters" ->
       "Incremental dedup read path (r12): the registered query is the LABEL VIEW only — per-source label scans (≪ corpus; pair-touched docs), a last-wins max_by per node, one window for cluster sizes. The corpus text appears NOWHERE in this plan: pair discovery already happened, epoch by epoch, at landing time — that is the entire point of maintaining dedup state.",
     "dedup_soft_weights" ->
