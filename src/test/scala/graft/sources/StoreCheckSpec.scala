@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The store fsck ([[StoreCheck]]): healthy stores audit clean (info-only
+  * findings for expected log byproducts), and each deliberately-injected
+  * corruption is detected with the right severity — structural (torn
+  * markers inside vs beyond the grace window, missing folds, orphan
+  * folds) and semantic (stats drift, duplicate postings, dangling dedup
+  * labels after a signature-only delete). */
+class StoreCheckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def errorsOf(fs: Seq[StoreCheck.Finding]) = fs.filter(_.severity == "error")
+
+  private def postingStore(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("fsck_post_").toString + "/idx"
+    val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text")
+    (0L to 1L).foreach { e =>
+      PostingLog.appendBatch(docs.filter(pmod($"doc_id", lit(3L)) === e), dir, e)
+    }
+    PostingLog.compact(spark, dir)
+    PostingLog.appendBatch(docs.filter(pmod($"doc_id", lit(3L)) === 2L), dir, 2L)
+    dir
+  }
+
+  test("healthy posting store: zero errors; grace retention reports as info") {
+    val dir = postingStore()
+    val findings = StoreCheck.checkPostingLog(spark, dir)
+    assert(errorsOf(findings).isEmpty, s"unexpected errors: $findings")
+    assert(findings.exists(f => f.check == "grace-retained" && f.severity == "info"),
+      "the fold's grace-retained epochs must be reported as info")
+  }
+
+  test("stats drift and duplicate postings are detected as errors") {
+    val dir = postingStore()
+    // drift: re-land epoch 0's docs under a NEW epoch id (violates the
+    // one-epoch-per-doc landing contract) — both checks must fire
+    val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text")
+    PostingLog.appendBatch(docs.filter(pmod($"doc_id", lit(3L)) === 0L), dir, 7L)
+    val checks = StoreCheck.checkPostingLog(spark, dir).map(_.check).toSet
+    assert(checks.contains("duplicate-posting"))
+    // stats stay CONSISTENT under this corruption (the dup epoch brought
+    // its own stats row) — now corrupt the stats side alone: delete the
+    // live epoch 2's stats partition
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = CubeLog.view(spark, dir)
+    val ep2 = v.liveBatches.find(_._1 == 2L).get._2
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(
+      s"$ep2/tb=${PostingLog.StatsBucket}"), true))
+    val checks2 = StoreCheck.checkPostingLog(spark, dir).map(_.check).toSet
+    assert(checks2.contains("stats-drift"))
+  }
+
+  test("torn marker within the grace window is a warn; beyond it an error; missing fold an error") {
+    val dir = postingStore()
+    PostingLog.compact(spark, dir) // gen 2; gen 1 retained under grace
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m2 = new org.apache.hadoop.fs.Path(s"$dir/_cube_commits/2")
+    hfs.create(m2, true).close() // torn
+    val f1 = StoreCheck.checkCubeLog(spark, dir)
+    assert(f1.exists(f => f.check == "torn-marker" && f.severity == "warn"),
+      s"grace-covered torn marker must be a warn, got $f1")
+    // beyond grace: the fallback generation's fold is gone too
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/folded_gen=1"), true)
+    val f2 = StoreCheck.checkCubeLog(spark, dir)
+    assert(f2.exists(f => f.check == "torn-marker" && f.severity == "error") ||
+      f2.exists(f => f.check == "missing-fold" && f.severity == "error"),
+      s"unrecoverable loss must be an error, got $f2")
+    // separate store: committed marker resolves but its own fold deleted
+    val dir2 = postingStore()
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir2/folded_gen=1"), true)
+    val f3 = StoreCheck.checkCubeLog(spark, dir2)
+    assert(f3.exists(f => f.check == "missing-fold" && f.severity == "error"), s"$f3")
+  }
+
+  test("dedup store: clean audit, then a signature-only delete surfaces dangling labels") {
+    val dir = java.nio.file.Files.createTempDirectory("fsck_dedup_").toString + "/st"
+    val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text")
+    (0L to 1L).foreach { e =>
+      graft.llm.DedupLog.appendEpoch(docs.filter(pmod($"doc_id", lit(2L)) === e), dir, e)
+    }
+    assert(errorsOf(StoreCheck.checkDedupLog(spark, dir)).isEmpty)
+
+    // the RTBF failure mode: remove a labeled doc's signature partitions
+    // WITHOUT the label repair (bypassing eraseDocs)
+    val labeled = graft.llm.DedupLog.labelsView(spark, dir)
+      .select($"node").as[Long].head()
+    val v = CubeLog.view(spark, dir)
+    val roots = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)).map(r => s"$r/sigs")
+    roots.foreach { root =>
+      val cur = spark.read.parquet(root)
+      val kept = cur.filter($"doc_id" =!= labeled).localCheckpoint(eager = true)
+      kept.repartition($"sp").write.mode("overwrite").partitionBy("sp").parquet(root)
+    }
+    val findings = StoreCheck.checkDedupLog(spark, dir)
+    assert(findings.exists(_.check == "dangling-label-node") ||
+      findings.exists(_.check == "dangling-keeper"),
+      s"signature-only delete must surface dangling labels, got $findings")
+  }
+}
