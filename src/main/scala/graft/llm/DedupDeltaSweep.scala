@@ -63,16 +63,28 @@ object DedupDeltaSweep {
         .as[(Long, Long)].collect().toSet
 
     // ---- part 1: growing corpus, one epoch per replica ----------------
-    // replica-unique padding ≈ 3× the doc's own length: cross-replica
-    // J ≈ |doc| / (|doc| + 2·|pad|) ≈ 0.14 — far below threshold
-    def replica(k: Int) = {
-      val pad = (1 to 16)
-        .map(i => s"replica $k unique padding block $i with filler words").mkString(" ")
+    // each replica is the base corpus under a PER-REPLICA CHARACTER
+    // BIJECTION (letters and digits rotated by k): a bijection on
+    // characters preserves shingle equality WITHIN a replica exactly —
+    // every epoch's internal duplicate structure is the base corpus's —
+    // while a 14-char shingle survives across replicas only if it
+    // contains no rotated character at all, so cross-epoch near-dup
+    // pairs are negligible: the "mostly-new docs, in-epoch duplicate
+    // structure" crawl shape. (The first cut padded each replica with a
+    // tag string instead; measured cross-replica Jaccard was ~0.93, not
+    // the intended ≪0.5 — pads differing in one digit share almost all
+    // shingles. The rotation construction is exact, and the
+    // cross-replica-cluster count is asserted below, not assumed.)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val digit = "0123456789"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    def replica(k: Int) =
       base.select((col("doc_id") + lit((maxId + 1) * k.toLong)).as("doc_id"),
-        concat(col("text"), lit(" "), lit(pad)).as("text"))
-    }
+        translate(col("text"), alpha + digit,
+          rot(alpha, k) + rot(digit, k)).as("text"))
     println(s"part 1: corpus grows $nBase → ${nBase * replicas} docs " +
-      s"($replicas epochs of $nBase; ~75% replica-unique shingle mass)")
+      s"($replicas epochs; per-replica char bijection — in-epoch dup " +
+      "structure ≡ base corpus, cross-epoch shingle collisions negligible)")
     println("| epoch | corpus-so-far | landing wall ms | batch re-dedup wall ms | batch/landing |")
     println("|---|---|---|---|---|")
     val dir1 = s"${sys.props("java.io.tmpdir")}/graft_dedup_sweep_" +
@@ -96,6 +108,16 @@ object DedupDeltaSweep {
       println(f"| $k | ${nBase * (k + 1)} | $landMs | $batchMs | ${batchMs.toDouble / landMs}%.2f |")
     }
     println(f"part 1 cumulative: incremental $landTot ms vs batch-per-landing $batchTot ms (${batchTot.toDouble / landTot}%.2fx)")
+    // the workload claim is ASSERTED, not assumed: clusters must not span
+    // replicas (cross-epoch pairs would mean the bijection leaked shingles)
+    val spanning = DedupLog.labelsView(spark, dir1)
+      .filter((col("node") / lit((maxId + 1).toDouble)).cast("long")
+        =!= (col("label") / lit((maxId + 1).toDouble)).cast("long"))
+      .count()
+    val labeled = DedupLog.labelsView(spark, dir1).count()
+    println(s"cross-replica cluster memberships: $spanning of $labeled labeled docs")
+    require(spanning <= labeled / 100,
+      s"workload violated: $spanning cross-replica memberships")
     val p1 = new org.apache.hadoop.fs.Path(dir1)
     p1.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p1, true)
 

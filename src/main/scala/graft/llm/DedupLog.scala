@@ -122,6 +122,11 @@ object DedupLog {
     val sigsD = Dedup.sigsOf(docs.select(col("doc_id"), col("text")))
       .localCheckpoint(eager = true) // landing writes + joins reuse it;
     // eager because the epoch dir it lands in is about to be overwritten
+    // an empty epoch (empty micro-batch at stream start) must write
+    // NOTHING: a zero-row partitioned write leaves a sigs dir holding only
+    // _SUCCESS, which poisons every later schema-inferring read of the
+    // store (the DocStore empty-batch trap)
+    if (sigsD.isEmpty) return 0L
 
     val epochDir = s"$dir/batch_id=$batchId"
     // a REPLAYED live landing already has its own sigs on disk — exclude
@@ -248,21 +253,45 @@ object DedupLog {
         affected.filterNot(remaining).foreach { p =>
           hfs.delete(new org.apache.hadoop.fs.Path(s"$root/sp=$p"), true)
         }
+        // a sig root fully emptied by the request must not survive as a
+        // _SUCCESS-only directory — later schema-inferring reads die on it
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val anyLeft = hfs.listStatus(rootPath)
+          .exists(st => st.isDirectory && st.getPath.getName.startsWith("sp="))
+        if (!anyLeft) hfs.delete(rootPath, true)
       }
     }
-    if (removed == 0L) return 0L // nothing stored for these ids anywhere
+    // Crash repair: signature removal and label repair are two writes; a
+    // crash between them leaves labels referencing erased docs (the
+    // dangling-label RTBF leak StoreCheck flags). Gating the repair on
+    // removed > 0 alone would make the REPLAY of the same request skip
+    // it — so the repair also runs whenever any label source still
+    // mentions an erased node, which is exactly the crashed state.
+    val erasedStillLabeled = old
+      .join(req.select(col("doc_id").as("node")), Seq("node"), "left_semi")
+      .limit(1).count() > 0L
+    if (removed == 0L && !erasedStillLabeled) return 0L // true no-op replay
 
     // ---- label repair: re-resolve each touched component from the
     // survivors' own signatures ----------------------------------------
     val survivors = members
       .join(req.select(col("doc_id").as("node")), Seq("node"), "left_anti")
       .select(col("node").as("doc_id"))
-    val survSigs = sigsAll(spark, dir).join(survivors, Seq("doc_id"), "left_semi")
-      .localCheckpoint(eager = true)
-    val fix = Dedup.clusterLabelsAuto(
-      Dedup.minhashPairsFrom(survSigs, survSigs).select(col("d1"), col("d2")))
-      .withColumnRenamed("label", "new_label")
-      .localCheckpoint(eager = true)
+    // a fully-erased store has no sig roots left — the repair then drops
+    // every touched label (no survivor can pair)
+    val fix =
+      if (sigRoots(spark, dir).isEmpty)
+        spark.emptyDataFrame.withColumn("node", lit(0L))
+          .withColumn("new_label", lit(0L)).limit(0)
+      else {
+        val survSigs = sigsAll(spark, dir)
+          .join(survivors, Seq("doc_id"), "left_semi")
+          .localCheckpoint(eager = true)
+        Dedup.clusterLabelsAuto(
+          Dedup.minhashPairsFrom(survSigs, survSigs).select(col("d1"), col("d2")))
+          .withColumnRenamed("label", "new_label")
+          .localCheckpoint(eager = true)
+      }
 
     // node-based repair (not label-based): a member's STALE row at an
     // older epoch can carry a pre-merge label outside affectedLabels, and
@@ -280,9 +309,14 @@ object DedupLog {
         val untouchedRows = cur.join(touchedNodes, Seq("node"), "left_anti")
         val repaired = touched.join(fix, Seq("node"), "inner")
           .select(col("node"), col("new_label").as("label"))
-        untouchedRows.unionByName(repaired)
+        val next = untouchedRows.unionByName(repaired)
           .localCheckpoint(eager = true)
-          .write.mode("overwrite").parquet(src)
+        if (next.isEmpty) {
+          // every row of this source was erased/dropped: delete the dir
+          // rather than writing a _SUCCESS-only poison directory
+          val (hfs, p) = fsOf(spark, src)
+          hfs.delete(p, true)
+        } else next.write.mode("overwrite").parquet(src)
       }
     }
     removed

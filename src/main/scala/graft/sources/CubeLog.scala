@@ -133,8 +133,18 @@ object CubeLog {
     if (parsedCommits.nonEmpty && parsedCommits.forall(_._2.isEmpty)) {
       val withFold = parsedCommits.map(_._1).filter(g => kids.exists(st =>
         st.isDirectory && st.getPath.getName == s"folded_gen=$g"))
-      require(withFold.isEmpty,
-        s"cube store $dir: commit marker for generation ${withFold.max} " +
+      // One all-unparsable shape IS recoverable: a store compacted exactly
+      // once (the only marker is generation 1, now torn). Generation 1's
+      // cleanup deleted nothing — its snapshot watermark was −1 — so every
+      // epoch ever landed is still a live batch dir and the gen-0 default
+      // view below serves the COMPLETE store exactly-once. Any other
+      // all-unparsable state means a later commit's cleanup ran (markers
+      // below the latest commit's previous generation are swept, so two+
+      // unparsable markers ⇒ two lost generations) — loud.
+      val gen1OnlyTorn = parsedCommits.map(_._1) == Seq(1L)
+      require(withFold.isEmpty || gen1OnlyTorn,
+        s"cube store $dir: commit marker for generation " +
+          s"${if (withFold.isEmpty) -1 else withFold.max} " +
           "exists but is unreadable, no older marker survives, and its " +
           "folded_gen directory is present — that commit happened and its " +
           "cleanup swept the pre-fold state. Refusing to serve the live " +

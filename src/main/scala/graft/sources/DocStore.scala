@@ -253,7 +253,14 @@ object DocStore {
     * follow: erasure removes the doc AND its suppression state, so a
     * later re-submission of the same content is a NEW landing (a new
     * consent event), not a suppressed duplicate. Returns doc rows
-    * removed. Idempotent: a replayed request finds no rows. */
+    * removed. Idempotent AND crash-repairable by replaying the SAME
+    * request: the INDEX rewrites FIRST, because the doc rows are the only
+    * source of the erased hashes — were the docs rewritten first, a crash
+    * between the two writes would leave hashes whose documents no longer
+    * exist and no way to find them (the pre-r12 order). Index-first, a
+    * crash leaves doc rows that re-derive the hashes on replay; the
+    * transient window where content is unsuppressed-but-present closes at
+    * the replay, in the direction erasure law prefers. */
   def eraseDocs(spark: SparkSession, baseDir: String, ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
     import spark.implicits._
@@ -274,19 +281,11 @@ object DocStore {
       hits.select(col("content_hash")).distinct().localCheckpoint(eager = true))
     val keptDocs = slice.join(req, Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true)
-    Store.refreshMartPartitions(keptDocs, docsPath, "batch_id")
-    // a batch partition fully emptied by the request writes nothing under
-    // dynamic overwrite — delete it explicitly
-    val remainingDocs = keptDocs.select(col("batch_id").cast("long"))
-      .distinct().as[Long].collect().toSet
     val hfs = new org.apache.hadoop.fs.Path(docsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    affected.filterNot(remainingDocs).foreach { b =>
-      hfs.delete(new org.apache.hadoop.fs.Path(s"$docsPath/batch_id=$b"), true)
-    }
 
-    // the index: the erased hashes' partitions (possibly the compacted -1
-    // history) rewrite minus those hashes
+    // step 1 — the index: the erased hashes' partitions (possibly the
+    // compacted -1 history) rewrite minus those hashes
     val idxSlim = spark.read.parquet(indexPath)
       .select(col("content_hash"), col("batch_id"))
     val idxAffected = idxSlim.join(goneHashes, Seq("content_hash"), "left_semi")
@@ -303,7 +302,35 @@ object DocStore {
         hfs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch_id=$b"), true)
       }
     }
+
+    // step 2 — the docs themselves
+    Store.refreshMartPartitions(keptDocs, docsPath, "batch_id")
+    // a batch partition fully emptied by the request writes nothing under
+    // dynamic overwrite — delete it explicitly
+    val remainingDocs = keptDocs.select(col("batch_id").cast("long"))
+      .distinct().as[Long].collect().toSet
+    affected.filterNot(remainingDocs).foreach { b =>
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$docsPath/batch_id=$b"), true)
+    }
     removed
+  }
+
+  /** The slice a PAST landing of `batchId` left in the bronze, if any —
+    * the replay-repair input for [[graft.streaming.DocStream
+    * .startIndexedIngest]]: when a foreachBatch retry finds the bronze
+    * already committed ([[appendDedupedLanded]] returns None because the
+    * batch's hashes are now in the index), the derived stores must still
+    * land THESE rows, or a crash between the bronze write and the derived
+    * landings loses the batch from the index/dedup state forever. */
+  def landedSlice(spark: SparkSession, baseDir: String,
+      batchId: Long): Option[DataFrame] = {
+    val part = new org.apache.hadoop.fs.Path(s"$baseDir/docs/batch_id=$batchId")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(part)) return None
+    val rows = spark.read.parquet(s"$baseDir/docs")
+      .filter(col("batch_id") === batchId)
+      .localCheckpoint(eager = true)
+    if (rows.isEmpty) None else Some(rows)
   }
 
   /** True only when the index holds at least one real batch partition —

@@ -67,13 +67,17 @@ object StoreCheck {
       .toSet
     parsed.filter(_._2.isEmpty).foreach { case (g, _) =>
       val fallback = parsed.find { case (g2, wm) => g2 < g && wm.nonEmpty }
-      val recoverable = fallback.exists { case (g2, _) =>
+      // generation-1-only torn: gen 1's cleanup deleted nothing (snapshot
+      // watermark −1), so the gen-0 view of live batch dirs is complete —
+      // CubeLog.view serves it (see its all-unparsable carve-out)
+      val gen1Only = g == 1L && parsed.map(_._1) == Seq(1L)
+      val recoverable = gen1Only || fallback.exists { case (g2, _) =>
         g2 == 0L || foldGens.contains(g2) }
       if (recoverable)
         out += Finding("warn", "torn-marker",
           s"marker for generation $g unreadable; generation " +
-            s"${fallback.get._1} still covers recovery (grace window) — " +
-            "restore the marker (content = the fold's max batch id)")
+            s"${fallback.map(_._1).getOrElse(0L)} still covers recovery " +
+            "(grace window) — restore the marker (content = the fold's max batch id)")
       else
         out += Finding("error", "torn-marker",
           s"marker for generation $g unreadable and no readable generation " +

@@ -89,12 +89,16 @@ object DocStream {
     * per-batch work for both is delta-sized by construction.
     *
     * Replay safety is layered exactly like the stores themselves: the
-    * bronze's dynamic overwrite re-lands a replayed batch id onto itself
-    * and returns NOTHING fresh on a full replay, so the posting/dedup
-    * landings (each watermark-guarded besides) never see replayed rows
-    * twice. foreachBatch retries in order (batch N before N+1), which is
-    * the in-order landing contract [[graft.llm.DedupLog.appendEpoch]]
-    * documents. */
+    * bronze's dynamic overwrite re-lands a replayed batch id onto itself,
+    * and when the bronze already committed (a retry after a crash BETWEEN
+    * the bronze write and the derived landings — the at-least-once shape
+    * foreachBatch guarantees will happen eventually),
+    * [[graft.sources.DocStore.landedSlice]] re-derives the batch's landed
+    * rows from the bronze so the posting/dedup landings still run; both
+    * are overwrite-idempotent + watermark-guarded, so re-landing
+    * identical rows is a no-op in content. foreachBatch retries in order
+    * (batch N before N+1), which is the in-order landing contract
+    * [[graft.llm.DedupLog.appendEpoch]] documents. */
   def startIndexedIngest(
       docs: org.apache.spark.sql.DataFrame,
       baseDir: String,
@@ -108,6 +112,12 @@ object DocStream {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         graft.sources.DocStore
           .appendDedupedLanded(batch.sparkSession, batch, baseDir, batchId)
+          // a retry after the bronze committed: re-derive this batch's
+          // landed rows from the bronze — skipping here would lose the
+          // batch from the derived stores FOREVER (they are exactly-once
+          // under re-landing, so repair is just landing again)
+          .orElse(graft.sources.DocStore
+            .landedSlice(batch.sparkSession, baseDir, batchId))
           .foreach { landed =>
             // the AUTO variants: each store folds itself at its own
             // cadence bound, so read fan-in stays bounded without an

@@ -157,4 +157,33 @@ class DedupLogSpec extends SparkSpec {
     assert(viewSet(dir) === batchLabels(corpus), "fold must preserve the incremental view")
     assert(before.subsetOf(viewSet(dir)) || before.nonEmpty) // sanity: pre-fold view existed
   }
+
+  test("erase crash-repair: a replay after signature-only removal repairs the dangling labels") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_crash_").toString + "/st"
+    (0L to 1L).foreach { e =>
+      DedupLog.appendEpoch(corpus.filter(pmod($"doc_id", lit(2L)) === e), dir, e)
+    }
+    val maxId = corpus.agg(max($"doc_id").cast("long")).head().getLong(0)
+    val ids = graft.sources.ErasureStore.eraseIdsUpTo(maxId)
+
+    // crash-sim: the first half of eraseDocs ran (signatures removed),
+    // the label repair did not — inject by deleting sig rows directly
+    val req = ids.toSet
+    graft.sources.CubeLog.view(spark, dir).liveBatches.map(_._2).foreach { ep =>
+      val root = s"$ep/sigs"
+      val cur = spark.read.parquet(root)
+      val kept = cur.filter(!$"doc_id".isin(ids: _*)).localCheckpoint(eager = true)
+      kept.repartition($"sp").write.mode("overwrite").partitionBy("sp").parquet(root)
+    }
+    assert(DedupLog.labelsView(spark, dir).filter($"node" % 37 === 0).count() > 0,
+      "the crash state must actually dangle labels for this test to bite")
+
+    // the documented repair: replay the SAME request — zero sig rows
+    // removed, but the label repair must still run
+    assert(DedupLog.eraseDocs(spark, dir, ids) === 0L)
+    assert(viewSet(dir) === batchLabels(corpus.filter($"doc_id" % 37 =!= 0)))
+    // and the fsck agrees
+    assert(!graft.sources.StoreCheck.checkDedupLog(spark, dir)
+      .exists(_.severity == "error"))
+  }
 }

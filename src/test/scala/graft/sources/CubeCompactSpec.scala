@@ -125,6 +125,31 @@ class CubeCompactSpec extends SparkSpec {
       "the store remains readable at the committed generation")
   }
 
+  test("single-generation store with a torn marker serves the complete gen-0 view (nothing was ever swept)") {
+    val dir = Files.createTempDirectory("cube_gen1torn_").toString + "/daily"
+    landThree(SketchStore.appendBatch(_, dir, _))
+    def est() = SketchStore.readStore(spark, dir)
+      .groupBy($"day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("est"),
+        sum($"n_rows").as("n"))
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    val before = est()
+    assert(SketchStore.compact(spark, dir) === 1L)
+    // gen 1's cleanup deleted nothing (previous watermark was -1): tearing
+    // its marker must fall back to the COMPLETE gen-0 view, not fail
+    val m1 = new org.apache.hadoop.fs.Path(s"$dir/_cube_commits/1")
+    val hfs = m1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.create(m1, true).close() // zero bytes
+    val v = CubeLog.view(spark, dir)
+    assert(v.gen === 0L && v.watermark === -1L)
+    assert(v.liveBatches.map(_._1) === Seq(0L, 1L, 2L))
+    assert(est() === before, "the gen-0 fallback must serve every landed epoch")
+    // and the fsck classifies it as recoverable, not an error
+    val findings = StoreCheck.checkCubeLog(spark, dir)
+    assert(findings.exists(f => f.check == "torn-marker" && f.severity == "warn"),
+      s"gen-1-only torn marker must be a warn, got $findings")
+  }
+
   test("marker corrupted AFTER its commit: the grace generation recovers COMPLETE data; loud only beyond it") {
     // Generation 2 committed and its cleanup ran, then the gen-2 marker's
     // CONTENT was corrupted by an FS fault. The grace generation makes

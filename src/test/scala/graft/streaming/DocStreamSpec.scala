@@ -257,4 +257,45 @@ class DocStreamSpec extends SparkSpec {
     assert(bronze.select(countDistinct(col("doc_id"))).head.getLong(0) === bronze.count())
     assert(graft.llm.DedupLog.sigsAll(spark, s"$dir/dedup").count() === bronze.count())
   }
+
+  test("retry after the bronze committed still lands the derived stores (landedSlice repair)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("retry_repair").toString
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).limit(200)
+
+    // the foreachBatch body, factored as the stream runs it
+    def body(batch: org.apache.spark.sql.DataFrame, batchId: Long,
+        landDerived: Boolean): Unit =
+      graft.sources.DocStore
+        .appendDedupedLanded(spark, batch, s"$dir/store", batchId)
+        .orElse(graft.sources.DocStore.landedSlice(spark, s"$dir/store", batchId))
+        .foreach { landed =>
+          if (landDerived) {
+            graft.sources.PostingLog.appendBatchAuto(landed, s"$dir/postings", batchId)
+            graft.llm.DedupLog.appendEpochAuto(landed, s"$dir/dedup", batchId)
+          }
+        }
+
+    // batch 0: bronze commits, then the process "crashes" BEFORE the
+    // derived landings (landDerived = false)
+    body(docs, 0L, landDerived = false)
+    assert(spark.read.parquet(s"$dir/store/docs").count() > 0)
+    assert(!new java.io.File(s"$dir/postings").exists())
+
+    // the foreachBatch retry: appendDedupedLanded now returns None (the
+    // batch's hashes are in the index) — landedSlice must recover the rows
+    body(docs, 0L, landDerived = true)
+    val bronze = spark.read.parquet(s"$dir/store/docs").select($"doc_id", $"text")
+    val (n, dl) = graft.sources.PostingLog.stats(spark, s"$dir/postings")
+      .as[(Long, Long)].head()
+    assert(n === bronze.count(), "every bronze doc must be indexed after the retry")
+    assert(graft.llm.DedupLog.sigsAll(spark, s"$dir/dedup").count() === bronze.count())
+
+    // a batch that genuinely lands nothing (all dup content, new id) must
+    // NOT trigger the repair path or touch the derived stores
+    body(docs, 5L, landDerived = true)
+    assert(graft.sources.PostingLog.stats(spark, s"$dir/postings")
+      .as[(Long, Long)].head()._1 === n)
+  }
 }
