@@ -319,6 +319,10 @@ object DedupLog {
         } else next.write.mode("overwrite").parquet(src)
       }
     }
+    // the grace generation holds PRE-ERASE signatures and labels — purge
+    // it, or the erased docs' dedup state persists until a compaction a
+    // quiesced store never runs (and a torn-marker fallback serves it)
+    CubeLog.purgeGraceRetained(spark, dir)
     removed
   }
 

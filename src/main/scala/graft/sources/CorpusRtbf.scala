@@ -28,7 +28,17 @@ import org.apache.spark.sql.SparkSession
   * SAME request — completed surfaces no-op, incomplete ones finish.
   * That is the same at-least-once + idempotence discipline the landing
   * path uses, applied to deletion. Returns rows removed per surface
-  * (the audit receipt a deletion request legally needs). */
+  * (the audit receipt a deletion request legally needs).
+  *
+  * Residual-retention window: NONE. Every CubeLog-managed surface's
+  * erase ends with [[CubeLog.purgeGraceRetained]], so the
+  * grace-generation dirs (byte-level copies of PRE-erase state) are
+  * deleted in the same request — [[graft.sources.RtbfGraceSpec]]'s
+  * on-disk sweep is the proof. The purge costs that store its
+  * torn-marker fallback until its next compaction (a loud failure
+  * replaces the fallback), which is the correct side of the trade:
+  * a fallback that can resurrect erased documents is not a safety
+  * feature under erasure law. */
 object CorpusRtbf {
 
   def eraseEverywhere(

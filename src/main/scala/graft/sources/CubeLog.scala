@@ -279,4 +279,50 @@ object CubeLog {
     }
     newGen
   }
+
+  /** Delete every grace-retained directory NOW: fold generations other
+    * than the committed one, batch dirs at or under the commit watermark,
+    * and markers below the committed generation. An ERASE must end with
+    * this — the grace generation is a byte-level copy of PRE-ERASE state
+    * (the previous fold and the batch dirs it absorbed), so without the
+    * purge an erased document's rows persist on disk until the next
+    * compaction (which never fires on a quiesced store), and the
+    * torn-newest-marker fallback would SERVE them — an erased doc
+    * resurfacing in answers, the opposite of the erase's contract.
+    *
+    * The purge trades the grace guarantees away for this store until its
+    * next compaction, deliberately: a torn newest marker becomes a loud
+    * failure instead of a fallback (nothing older survives to fall back
+    * to), and a concurrent reader holding a pre-purge view can fail
+    * mid-read. Both costs are the right side of the trade — erasure law
+    * does not wait for a compaction cycle. NOT safe to run beside an
+    * in-flight compaction of the same store (it would delete the fold
+    * being written); erases and compactions are maintenance operations
+    * the operator serializes per store, exactly like two compactions.
+    * Idempotent. Returns directories deleted. */
+  def purgeGraceRetained(spark: SparkSession, dir: String): Long = {
+    val (hfs, p) = fs(spark, dir)
+    if (!hfs.exists(p)) return 0L
+    val v = view(spark, dir)
+    var dropped = 0L
+    hfs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val staleGen = n.startsWith("folded_gen=") &&
+        scala.util.Try(n.stripPrefix("folded_gen=").toLong).toOption
+          .exists(_ != v.gen)
+      val foldedBatch = n.startsWith("batch_id=") &&
+        scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+          .exists(_ <= v.watermark)
+      if (st.isDirectory && (staleGen || foldedBatch)) {
+        hfs.delete(st.getPath, true); dropped += 1
+      }
+    }
+    val commitsDir = new org.apache.hadoop.fs.Path(p, "_cube_commits")
+    if (hfs.exists(commitsDir)) hfs.listStatus(commitsDir).foreach { st =>
+      val stale = scala.util.Try(st.getPath.getName.toLong).toOption
+        .exists(_ < v.gen)
+      if (stale) { hfs.delete(st.getPath, false); dropped += 1 }
+    }
+    dropped
+  }
 }

@@ -243,29 +243,36 @@ object DocStore {
     folded.count()
   }
 
-  /** RTBF for the bronze corpus + its hash index: remove the requested
-    * doc_ids' rows from the `docs` tree and their content hashes from
-    * `hash_index` — batch-partition-bounded on both trees (a 2-column
-    * pruned scan finds the affected `batch_id=` partitions, including
-    * the compacted `-1` history partition; only those rewrite, every
-    * other partition stays byte-identical). The hash comes off the index
-    * because md5(content) is content-derived personal data; semantics
+  /** RTBF for the bronze corpus + its content-derived indexes: remove the
+    * requested doc_ids' rows from the `docs` tree, their content hashes
+    * from `hash_index` (exact-dedup stores), and their MinHash band rows
+    * from `sig_index` (near-dedup stores built by [[appendNearDeduped]] —
+    * a signature is as content-derived as the hash, and leaving it would
+    * keep re-submitted content suppressed by a document that no longer
+    * exists) — batch-partition-bounded on every tree (a 2-column pruned
+    * scan finds the affected `batch_id=` partitions, including the
+    * compacted `-1` history partition; only those rewrite, every other
+    * partition stays byte-identical). The indexes come off because
+    * md5/MinHash of content are content-derived personal data; semantics
     * follow: erasure removes the doc AND its suppression state, so a
     * later re-submission of the same content is a NEW landing (a new
     * consent event), not a suppressed duplicate. Returns doc rows
     * removed. Idempotent AND crash-repairable by replaying the SAME
-    * request: the INDEX rewrites FIRST, because the doc rows are the only
-    * source of the erased hashes — were the docs rewritten first, a crash
-    * between the two writes would leave hashes whose documents no longer
-    * exist and no way to find them (the pre-r12 order). Index-first, a
-    * crash leaves doc rows that re-derive the hashes on replay; the
-    * transient window where content is unsuppressed-but-present closes at
-    * the replay, in the direction erasure law prefers. */
+    * request: the hash INDEX rewrites FIRST, because the doc rows are the
+    * only source of the erased hashes — were the docs rewritten first, a
+    * crash between the two writes would leave hashes whose documents no
+    * longer exist and no way to find them (the pre-r12 order). The sig
+    * index is keyed by doc_id — the request itself — so its rewrite is
+    * replay-repairable in any order. Index-first, a crash leaves doc rows
+    * that re-derive the hashes on replay; the transient window where
+    * content is unsuppressed-but-present closes at the replay, in the
+    * direction erasure law prefers. */
   def eraseDocs(spark: SparkSession, baseDir: String, ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
     import spark.implicits._
     val docsPath = s"$baseDir/docs"
     val indexPath = s"$baseDir/hash_index"
+    val sigPath = s"$baseDir/sig_index"
     val req = broadcast(ids.toDF("doc_id"))
 
     val slim = spark.read.parquet(docsPath).select(col("doc_id"), col("batch_id"))
@@ -277,29 +284,53 @@ object DocStore {
     val hits = slice.join(req, Seq("doc_id"), "left_semi")
       .localCheckpoint(eager = true)
     val removed = hits.count()
-    val goneHashes = broadcast(
-      hits.select(col("content_hash")).distinct().localCheckpoint(eager = true))
     val keptDocs = slice.join(req, Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true)
     val hfs = new org.apache.hadoop.fs.Path(docsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // step 1 — the index: the erased hashes' partitions (possibly the
-    // compacted -1 history) rewrite minus those hashes
-    val idxSlim = spark.read.parquet(indexPath)
-      .select(col("content_hash"), col("batch_id"))
-    val idxAffected = idxSlim.join(goneHashes, Seq("content_hash"), "left_semi")
-      .select(col("batch_id").cast("long")).distinct().as[Long].collect().sorted
-    if (idxAffected.nonEmpty) {
-      val idxSlice = spark.read.parquet(indexPath)
-        .filter(col("batch_id").isin(idxAffected: _*))
-      val keptIdx = idxSlice.join(goneHashes, Seq("content_hash"), "left_anti")
-        .localCheckpoint(eager = true)
-      Store.refreshMartPartitions(keptIdx, indexPath, "batch_id")
-      val remainingIdx = keptIdx.select(col("batch_id").cast("long"))
-        .distinct().as[Long].collect().toSet
-      idxAffected.filterNot(remainingIdx).foreach { b =>
-        hfs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch_id=$b"), true)
+    // step 1a — the hash index: the erased hashes' partitions (possibly
+    // the compacted -1 history) rewrite minus those hashes. Near-dedup
+    // bronzes carry no content_hash column and no hash index — skipped.
+    if (indexExists(spark, indexPath) && hits.columns.contains("content_hash")) {
+      val goneHashes = broadcast(
+        hits.select(col("content_hash")).distinct().localCheckpoint(eager = true))
+      val idxSlim = spark.read.parquet(indexPath)
+        .select(col("content_hash"), col("batch_id"))
+      val idxAffected = idxSlim.join(goneHashes, Seq("content_hash"), "left_semi")
+        .select(col("batch_id").cast("long")).distinct().as[Long].collect().sorted
+      if (idxAffected.nonEmpty) {
+        val idxSlice = spark.read.parquet(indexPath)
+          .filter(col("batch_id").isin(idxAffected: _*))
+        val keptIdx = idxSlice.join(goneHashes, Seq("content_hash"), "left_anti")
+          .localCheckpoint(eager = true)
+        Store.refreshMartPartitions(keptIdx, indexPath, "batch_id")
+        val remainingIdx = keptIdx.select(col("batch_id").cast("long"))
+          .distinct().as[Long].collect().toSet
+        idxAffected.filterNot(remainingIdx).foreach { b =>
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch_id=$b"), true)
+        }
+      }
+    }
+
+    // step 1b — the MinHash band index of a near-dedup bronze: doc_id
+    // keys the band rows directly, so the pruned rewrite is the standard
+    // affected-partition shape
+    if (indexExists(spark, sigPath)) {
+      val sigSlim = spark.read.parquet(sigPath).select(col("doc_id"), col("batch_id"))
+      val sigAffected = sigSlim.join(req, Seq("doc_id"), "left_semi")
+        .select(col("batch_id").cast("long")).distinct().as[Long].collect().sorted
+      if (sigAffected.nonEmpty) {
+        val sigSlice = spark.read.parquet(sigPath)
+          .filter(col("batch_id").isin(sigAffected: _*))
+        val keptSig = sigSlice.join(req, Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = true)
+        Store.refreshMartPartitions(keptSig, sigPath, "batch_id")
+        val remainingSig = keptSig.select(col("batch_id").cast("long"))
+          .distinct().as[Long].collect().toSet
+        sigAffected.filterNot(remainingSig).foreach { b =>
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$sigPath/batch_id=$b"), true)
+        }
       }
     }
 

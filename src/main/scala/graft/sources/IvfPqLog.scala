@@ -52,6 +52,102 @@ object IvfPqLog {
   def appendBatch(embeddings: DataFrame, dir: String, batchId: Long): Long =
     VecStoreLog.appendBatch(embeddings, dir, batchId)
 
+  /** Coarse cells the committed generation probes out of
+    * ([[Similarity]]'s fixed IVFADC geometry: k = CentroidK = 8 cells,
+    * queries probe their top 3). */
+  val ProbeCells = 3
+  val CoarseK = 8
+
+  /** Measured per-candidate cost of the EXACT delta leg relative to the
+    * ADC leg (c_exact / c_adc), from graft.sources.IvfPqDeltaSweep on
+    * this geometry: the delta leg's 64-dim codegen'd fixed-point dot is
+    * CHEAPER per candidate than the ADC leg's 8 × (array_position over
+    * 32 ids + element_at) interpreted array ops, but both are dominated
+    * by per-row join machinery, so the measured ratio sits near parity.
+    * Pinned ≥ 1.0 deliberately: overestimating the delta's cost folds
+    * EARLIER, so the probe-cost guarantee holds even if the true ratio
+    * is below the measurement floor. */
+  val AdcExactCostRatio = 1.0
+
+  /** Probe-cost guarantee of the maintained store ([[VecStoreLog
+    * .MaxProbeRatio]]'s doctrine on the compressed index). */
+  val MaxProbeRatio = 1.3
+
+  /** Compaction cadence IN CODE, derived from the probe-cost guarantee —
+    * the [[VecStoreLog.shouldCompact]] bound with the ADC-vs-exact cost
+    * ratio ρ weighting the delta leg: a maintained probe costs
+    * s·B·c_adc + D·c_exact (s = probed share = [[ProbeCells]]/k, B base
+    * codes, D live delta rows scored exactly per query), the all-folded
+    * twin costs s·(B + D)·c_adc, so the ratio is (s + ρf)/(s(1 + f))
+    * with f = D/B and ρ = c_exact/c_adc — and it exceeds r exactly when
+    * f > s(r−1)/(ρ − r·s). When ρ ≤ r·s the ratio is capped at
+    * ρ/s < r for ANY delta and the guarantee cannot break; the
+    * budget-share floor (f ≥ s) then still forces folds so the epoch
+    * file count stays bounded. Unlike the uncompressed store the fold
+    * here RETRAINS sub-codebooks (residual distributions drift), so the
+    * trigger is also what bounds retraining frequency: at the default
+    * geometry (s = 3/8, ρ = 1, r = 1.3) it solves to f ≥ 0.22 — a fold
+    * every ~22 % of corpus growth. Costs two parquet metadata counts —
+    * no data read. A store with no committed generation compacts on any
+    * live data (it cannot answer probes until a first fold exists). */
+  /** The delta-fraction trigger f* solved from the bound (pure
+    * arithmetic — IvfPqLogSpec pins both sides of the boundary through
+    * the real store): capped regime (ρ ≤ r·s) falls back to the
+    * budget-share floor s; otherwise min(derived, s) so the epoch file
+    * count stays bounded even when the derived threshold is loose. */
+  def deltaTrigger(maxRatio: Double = MaxProbeRatio,
+      costRatio: Double = AdcExactCostRatio): Double = {
+    val s = ProbeCells.toDouble / CoarseK
+    if (costRatio <= maxRatio * s) s
+    else math.min(s * (maxRatio - 1.0) / (costRatio - maxRatio * s), s)
+  }
+
+  def shouldCompact(spark: SparkSession, dir: String,
+      maxRatio: Double = MaxProbeRatio,
+      costRatio: Double = AdcExactCostRatio): Boolean = {
+    val v = CubeLog.view(spark, dir)
+    if (v.liveBatches.isEmpty) false
+    else v.foldedDir match {
+      case None => true
+      case Some(f) =>
+        val base = spark.read.parquet(s"$f/codes").count()
+        val delta = spark.read.parquet(v.liveBatches.map(_._2): _*).count()
+        delta.toDouble >= base.toDouble * deltaTrigger(maxRatio, costRatio)
+    }
+  }
+
+  /** Landing with the cadence applied automatically — the streaming
+    * foreachBatch landing path calls this, so the exact delta leg stays
+    * bounded by code instead of operator discipline. Returns true when a
+    * retraining fold ran. */
+  def appendBatchAuto(embeddings: DataFrame, dir: String, batchId: Long,
+      maxRatio: Double = MaxProbeRatio): Boolean = {
+    val s = embeddings.sparkSession
+    appendBatch(embeddings, dir, batchId)
+    val fold = shouldCompact(s, dir, maxRatio)
+    if (fold) compact(s, dir)
+    fold
+  }
+
+  /** foreachBatch landing hook of the streaming loop: the meter wire's
+    * derived embedding side channel landed as a train-free delta epoch
+    * (the [[VecStoreLog.landWireEpoch]] twin on the compressed index). */
+  def landWireEpoch(parsed: DataFrame, dir: String, batchId: Long): Long =
+    appendBatch(VecStoreLog.readingEmbeddings(parsed), dir, batchId)
+
+  /** One offline retraining fold with its cost surfaced: (corpus rows in
+    * the new generation, coarse k, wall ms) — the attribution numbers for
+    * the streaming sweep's note. */
+  def compactWithStats(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val t0 = System.nanoTime()
+    compact(spark, dir)
+    val wall = (System.nanoTime() - t0) / 1000000L
+    val f = CubeLog.view(spark, dir).foldedDir.getOrElse(
+      sys.error(s"maintained IVF-PQ store $dir has no generation after compact"))
+    (spark.read.parquet(s"$f/codes").count(),
+      spark.read.parquet(s"$f/cells").count(), wall)
+  }
+
   /** Retraining compaction: fold base ∪ delta into a new IVFADC
     * generation under the CubeLog crash-safe ordering. */
   def compact(spark: SparkSession, dir: String): Long =
@@ -167,6 +263,10 @@ object IvfPqLog {
         }
       }
     }
+    // the grace generation holds PRE-ERASE codes and quantized vectors —
+    // purge it, or erased embeddings' derivatives persist until a
+    // compaction a quiesced store never runs
+    CubeLog.purgeGraceRetained(spark, dir)
     removed
   }
 

@@ -71,14 +71,14 @@ object PostingLog {
     * proximity queries answer from probed buckets instead of a corpus
     * scan — the standard Lucene-style posting payload, ~4 B per
     * occurrence on top of the bare posting. */
-  private def epochRows(docs: DataFrame): DataFrame = {
+  private def postingRows(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
         posexplode(col("ws")).as(Seq("pos0", "term")))
       .select(col("doc_id"), col("dl"), col("term"),
         (col("pos0") + 1).as("pos"))
-    val postings = toks
+    toks
       .groupBy(col("doc_id"), col("dl"), col("term")) // dl is functionally
       // dependent on doc_id — grouping on it is free, carrying it is the point
       .agg(count(lit(1)).as("tf"),
@@ -86,16 +86,23 @@ object PostingLog {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("positions"),
         pmod(graft.functions.Md5Prefix64(col("term")), lit(NBuckets)).as("tb"))
-    val statsRow = docs
-      .select(size(TextAnalysis.words(col("text"))).cast("long").as("dl"))
+  }
+
+  /** The epoch's additive stats row, derived FROM its postings — not from
+    * the doc frame — so a doc counts iff it holds ≥ 1 posting. Counting
+    * the doc frame instead would count null-text docs that land zero
+    * postings, and then the erase (which recovers its stats decrement
+    * from the postings being erased) and the fsck recount (which counts
+    * docs over postings) would both drift from the landing permanently. */
+  private def statsRowOf(postings: DataFrame): DataFrame =
+    postings
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
       .select(lit("").as("term"), lit(-1L).as("doc_id"),
         col("n_docs").as("tf"), col("total_dl").as("dl"),
         array().cast("array<int>").as("positions"),
         lit(StatsBucket).as("tb"))
-    postings.unionByName(statsRow)
-  }
 
   /** All five data columns of a store row — shared by the fold and the
     * RTBF rewrite so a payload column can never be silently dropped. */
@@ -108,11 +115,20 @@ object PostingLog {
   def appendBatch(docs: DataFrame, dir: String, batchId: Long): Long = {
     val s = docs.sparkSession
     if (CubeLog.isFolded(s, dir, batchId)) return 0L
-    val rows = epochRows(docs)
-      .repartition(s.sessionState.conf.numShufflePartitions, col("tb"))
-    rows.write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$dir/batch_id=$batchId")
-    1L
+    val postings = postingRows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // an empty epoch (empty micro-batch at stream start, or all-null
+      // text) must land NOTHING — else every empty micro-batch leaves a
+      // live epoch dir holding one zero stats row, counting toward the
+      // shouldCompact fan-in bound forever (the DedupLog.appendEpoch guard)
+      if (postings.isEmpty) return 0L
+      postings.unionByName(statsRowOf(postings))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("tb"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$dir/batch_id=$batchId")
+      1L
+    } finally postings.unpersist()
   }
 
   /** Fold live epochs (plus the previous fold) into the next generation:
@@ -356,6 +372,11 @@ object PostingLog {
     // move in the same commit); the fold rewrites only affected buckets
     v.liveBatches.foreach { case (_, path) => rewriteRoot(path, wholeEpoch = true) }
     v.foldedDir.foreach(f => rewriteRoot(f, wholeEpoch = false))
+    // the grace generation is PRE-ERASE state (the previous fold + the
+    // batch dirs it absorbed) — purge it, or the erased docs' postings
+    // persist on disk until a compaction that a quiesced store never runs,
+    // and a torn-marker fallback would serve them
+    CubeLog.purgeGraceRetained(spark, dir)
     removed
   }
 

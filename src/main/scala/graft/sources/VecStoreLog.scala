@@ -339,6 +339,10 @@ object VecStoreLog {
         }
       }
     }
+    // the grace generation holds PRE-ERASE vectors (the previous fold +
+    // the batch dirs it absorbed) — purge it, or erased embeddings persist
+    // until a compaction a quiesced store never runs
+    CubeLog.purgeGraceRetained(spark, dir)
     removed
   }
 

@@ -163,6 +163,30 @@ class DocStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/docs").count() === 2L)
   }
 
+  test("eraseDocs on a near-dedup bronze removes the band rows: re-submitted content re-lands") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstore-near-erase").toString
+    assert(DocStore.appendNearDeduped(spark,
+      Seq((1L, baseA), (3L, baseE)).toDF("doc_id", "text"), dir, 1L) === 2L)
+
+    // erase doc 1: its doc row AND its sig_index band rows must go —
+    // leaving the band rows would keep re-submitted content suppressed by
+    // a document that no longer exists (erasure removes suppression state)
+    assert(DocStore.eraseDocs(spark, dir, Seq(1L)) === 1L)
+    assert(spark.read.parquet(s"$dir/docs").select("doc_id")
+      .as[Long].collect().toSet === Set(3L))
+    assert(spark.read.parquet(s"$dir/sig_index")
+      .filter(col("doc_id") === 1L).count() === 0L,
+      "erased doc's MinHash band rows survive in sig_index")
+    assert(spark.read.parquet(s"$dir/sig_index").count() === 8L)
+
+    // the same content re-submitted is a NEW landing, not a suppressed dup
+    assert(DocStore.appendNearDeduped(spark,
+      Seq((10L, vary(baseA))).toDF("doc_id", "text"), dir, 2L) === 1L)
+    // idempotent replay of the request
+    assert(DocStore.eraseDocs(spark, dir, Seq(1L)) === 0L)
+  }
+
   test("null-text rows are rejected, not re-landed forever") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("docstore-null").toString

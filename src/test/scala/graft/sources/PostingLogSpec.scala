@@ -223,4 +223,27 @@ class PostingLogSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(maintained === once)
   }
+
+  test("stats count only docs with postings; empty epochs land nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("posting_stats_").toString + "/idx"
+
+    // a null-text doc lands zero postings — it must not count in the
+    // stats row either, or the erase decrement (recovered from postings)
+    // and the fsck recount (over postings) drift from the landing forever
+    val withNull = Seq((1L, "alpha beta alpha"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(PostingLog.appendBatch(withNull, dir, 0L) === 1L)
+    val st = PostingLog.stats(spark, dir).head()
+    assert(st.getLong(0) === 1L, s"n_docs must count posting-bearing docs only, saw ${st.getLong(0)}")
+    assert(st.getLong(1) === 3L)
+    val findings = StoreCheck.checkPostingLog(spark, dir)
+    assert(!findings.exists(_.check == "stats-drift"), findings.mkString("; "))
+
+    // an empty epoch (empty micro-batch, or all-null text) lands NOTHING:
+    // no epoch dir, no zero stats row, no cadence fan-in contribution
+    assert(PostingLog.appendBatch(withNull.limit(0), dir, 1L) === 0L)
+    assert(PostingLog.appendBatch(
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"), dir, 2L) === 0L)
+    assert(CubeLog.view(spark, dir).liveBatches.map(_._1) === Seq(0L))
+  }
 }
