@@ -44,7 +44,8 @@ object SparkEntry {
       sources.IvfPqLog.maintainedProbeQuery :+
       sources.IvfPqLog.eraseProbeQuery :+
       llm.DedupLog.incrementalClustersQuery :+
-      llm.DedupLog.incrementalEraseQuery
+      llm.DedupLog.incrementalEraseQuery :+
+      sources.CorpusRtbf.eraseEverywhereQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

@@ -58,6 +58,33 @@ object Dedup {
   private[llm] def collapseForShape(maxGroup: Long, n: Long): Boolean =
     maxGroup * maxGroup >= n
 
+  /** The batch-vs-maintained dedup regime chooser (the [[chooseStar]] /
+    * [[collapseForShape]] doctrine on the MAINTENANCE axis) — r12 shipped
+    * both regimes answer-identical (DedupDeltaSweep asserts label
+    * equality at every step) but left the choice a deployment knob; this
+    * makes it a measured boundary. The corrected DedupDeltaSweep run
+    * (SCALING.md "Incremental dedup", sf0.1 base × char-bijection
+    * replicas) fits: batch re-dedup wall ≈ [[BatchDedupInterceptMs]] +
+    * [[BatchDedupSlopeUsPerDoc]]·N µs (re-shingle + re-band + re-pair the
+    * whole corpus-so-far, linear), incremental landing ≈
+    * [[MaintainedLandingFloorMs]] near-flat (+12 % over 8× corpus
+    * growth). Maintained wins once the batch line clears the landing
+    * floor — at these constants N* ≈ 28 K docs, matching the sweep's
+    * observed ~30 K crossover. Below it the incremental path's extra
+    * sequential jobs (state write + view read + reduced relabel) are pure
+    * overhead; above it the batch plan re-pays the whole corpus per
+    * landing and stops being runnable long before 100 TB. Both regimes
+    * produce identical labels, so the choice never changes answers —
+    * only the plan (DedupLogSpec pins equality through the real store). */
+  private[graft] val MaintainedLandingFloorMs = 4400.0
+  private[graft] val BatchDedupInterceptMs = 1575.0
+  private[graft] val BatchDedupSlopeUsPerDoc = 100.0
+
+  private[graft] def chooseMaintained(corpusRows: Long, epochRows: Long): Boolean =
+    BatchDedupInterceptMs +
+      BatchDedupSlopeUsPerDoc * (corpusRows + epochRows) / 1000.0 >=
+      MaintainedLandingFloorMs
+
   /** The MinHash-LSH near-dup pair frame (d1 < d2, est_jaccard ≥ 0.5) —
     * shared by `dedup_minhash_lsh` and the cluster/keeper assignment.
     *

@@ -57,6 +57,43 @@ object DedupLog {
     * requested ids' partitions, [[graft.sources.MeterBronze]]'s rule. */
   val SigParts = 16L
 
+  /** The partition count a store was landed at, persisted in an `_sp`
+    * sidecar (the `_hh_k` / `_nb` discipline): sp = doc_id mod SigParts,
+    * so landing epochs at two different counts into one store mixes two
+    * partition layouts — each internally valid, so nothing fails until
+    * an RTBF rewrite silently rewrites more (or fewer) partitions than
+    * the bounded-rewrite contract states. Every landing records the
+    * count and validates on mismatch. */
+  def storedSigParts(s: SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_sp")
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def spMismatchMsg(dir: String, stored: Long): String =
+    s"dedup store $dir was landed at $stored signature partitions but " +
+      s"this library partitions at doc_id mod $SigParts — landing would " +
+      "mix two layouts in one store and break the bounded-rewrite " +
+      "contract. Refold the store at the new count or run the library " +
+      "version that landed it"
+
+  private def persistSigParts(s: SparkSession, dir: String): Unit =
+    storedSigParts(s, dir) match {
+      case Some(stored) =>
+        require(stored == SigParts, spMismatchMsg(dir, stored))
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(dir, "_sp")
+        val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.mkdirs(p.getParent)
+        val out = hfs.create(p, true)
+        try out.write(SigParts.toString.getBytes("UTF-8")) finally out.close()
+    }
+
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -118,6 +155,7 @@ object DedupLog {
     * Watermark-guarded like every cube landing. */
   def appendEpoch(docs: DataFrame, dir: String, batchId: Long): Long = {
     val spark = docs.sparkSession
+    persistSigParts(spark, dir) // fail loudly BEFORE mixing two layouts
     if (CubeLog.isFolded(spark, dir, batchId)) return 0L
     val sigsD = Dedup.sigsOf(docs.select(col("doc_id"), col("text")))
       .localCheckpoint(eager = true) // landing writes + joins reuse it;
@@ -197,6 +235,61 @@ object DedupLog {
       compact(docs.sparkSession, dir)
     n
   }
+
+  /** The BATCH-REGIME landing — the small-corpus side of
+    * [[Dedup.chooseMaintained]]: land the epoch's signatures exactly like
+    * [[appendEpoch]], then relabel the WHOLE corpus from stored
+    * signatures (one full band self-join + resolver) instead of the
+    * reduced incremental relabel. Below the measured crossover the
+    * incremental path's extra sequential jobs (old-view read + affected-
+    * component reduction) cost more than simply re-resolving everything;
+    * this leg skips them while keeping the SAME store layout, so the
+    * regimes can interleave epoch by epoch as the corpus crosses the
+    * boundary and every reader/eraser/fold is oblivious to which regime
+    * landed which epoch. Answer-identical to [[appendEpoch]] (both
+    * resolve the same pair set; DedupLogSpec pins a mixed-regime store
+    * against the batch answer). Text is still never re-read — the full
+    * relabel runs over stored signatures, which is what makes even the
+    * batch regime cheaper here than a true from-scratch re-dedup.
+    * Coverage is monotone (landings only add pairs), so a full relabel
+    * at this epoch overrides every node an older epoch labeled — no
+    * stale row can shadow through the last-wins view. Returns the label
+    * rows written. */
+  def appendEpochBatch(docs: DataFrame, dir: String, batchId: Long): Long = {
+    val spark = docs.sparkSession
+    persistSigParts(spark, dir)
+    if (CubeLog.isFolded(spark, dir, batchId)) return 0L
+    val sigsD = Dedup.sigsOf(docs.select(col("doc_id"), col("text")))
+      .localCheckpoint(eager = true)
+    if (sigsD.isEmpty) return 0L
+    writeSigs(sigsD, s"$dir/batch_id=$batchId/sigs")
+    val all = sigsAll(spark, dir).localCheckpoint(eager = true)
+    val labels = Dedup.clusterLabelsAuto(
+      Dedup.minhashPairsFrom(all, all).select(col("d1"), col("d2")))
+      .localCheckpoint(eager = true)
+    val n = labels.count()
+    // a pair-free corpus writes no label dir (the _SUCCESS-only poison
+    // guard); older labels cannot exist either — pairs are monotone
+    if (n > 0L)
+      labels.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId/labels")
+    n
+  }
+
+  /** [[appendEpochBatch]] with the compaction cadence applied. */
+  def appendEpochBatchAuto(docs: DataFrame, dir: String, batchId: Long,
+      maxLive: Int = MaxLiveEpochs): Long = {
+    val n = appendEpochBatch(docs, dir, batchId)
+    if (shouldCompact(docs.sparkSession, dir, maxLive))
+      compact(docs.sparkSession, dir)
+    n
+  }
+
+  /** Documents currently in the store (= stored signature rows) — the
+    * corpus size [[Dedup.chooseMaintained]] consults per landing.
+    * Parquet metadata counts only; 0 for an empty store. */
+  def storedDocRows(spark: SparkSession, dir: String): Long =
+    if (sigRoots(spark, dir).isEmpty) 0L
+    else sigsAll(spark, dir).count()
 
   /** Fold: signatures merge by union (each doc lands exactly once), the
     * label view materializes flat — one generation, the read path of a

@@ -58,13 +58,17 @@ object Search {
   }
 
   /** The same scorer as DuckDB CTEs ending in `scored(doc_id, score)`. */
-  private[graft] def bm25ScoredSqlCtes: String = {
+  private[graft] def bm25ScoredSqlCtes: String = bm25ScoredSqlCtesFrom("documents")
+
+  /** [[bm25ScoredSqlCtes]] over an arbitrary doc source CTE — the
+    * erase-everywhere oracle scores the SURVIVOR corpus through it. */
+  private[graft] def bm25ScoredSqlCtesFrom(src: String): String = {
     val terms = inList(AndTerms)
     s"""post AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $src),
        |lens AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-       |  FROM documents),
+       |  FROM $src),
        |stats AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),

@@ -64,6 +64,47 @@ object PostingLog {
     * buckets are pmod-derived (always ≥ 0) so no term can land here. */
   val StatsBucket: Long = -1L
 
+  /** The bucket count a store was landed at, persisted beside the data
+    * in an `_nb` sidecar (the `_hh_k` discipline,
+    * [[HeavyHitterStore.storedK]]): the bucket key is h64(term) mod
+    * NBuckets, so a probe against a store landed at a DIFFERENT count
+    * prunes to the wrong `tb=` directory and silently returns false
+    * negatives — every landing records the count and every probe
+    * validates it (fail loudly, never wrong-bucket answers). */
+  def storedNBuckets(s: SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_nb")
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def nbMismatchMsg(dir: String, stored: Long): String =
+    s"posting store $dir was landed at $stored term buckets but this " +
+      s"library's bucket key is h64(term) mod $NBuckets — probes would " +
+      "prune to the wrong tb= directory and return FALSE NEGATIVES. " +
+      "Rebucket the store (one fold at the new count — the key is " +
+      "arithmetic) or run the library version that landed it"
+
+  private def persistNBuckets(s: SparkSession, dir: String): Unit =
+    storedNBuckets(s, dir) match {
+      case Some(stored) =>
+        require(stored == NBuckets, nbMismatchMsg(dir, stored))
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(dir, "_nb")
+        val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.mkdirs(p.getParent)
+        val out = hfs.create(p, true)
+        try out.write(NBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+
+  private def requireNBuckets(s: SparkSession, dir: String): Unit =
+    storedNBuckets(s, dir).foreach(stored =>
+      require(stored == NBuckets, nbMismatchMsg(dir, stored)))
+
   /** One epoch's posting rows + its stats row. Tokenization, tf, dl, and
     * the per-(doc, term) position list are all per-doc map-side work; the
     * only exchange is the (doc, term) aggregation within the epoch.
@@ -114,6 +155,7 @@ object PostingLog {
     * watermark) — the [[CubeLog]] exactly-once landing contract. */
   def appendBatch(docs: DataFrame, dir: String, batchId: Long): Long = {
     val s = docs.sparkSession
+    persistNBuckets(s, dir) // fail loudly BEFORE mixing two bucket layouts
     if (CubeLog.isFolded(s, dir, batchId)) return 0L
     val postings = postingRows(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -172,6 +214,7 @@ object PostingLog {
     * every live epoch are read under a static PartitionFilter — only the
     * probed `tb=` directories are ever listed. */
   def probe(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    requireNBuckets(spark, dir) // a mismatched layout = silent false negatives
     val tbs = terms.map(t => PostingStore.h64(t) % NBuckets).distinct
     readAll(spark, dir)
       .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
@@ -477,13 +520,47 @@ object PostingLog {
     * declaratively (BM25 CTEs + Lloyd/assignment/probe CTEs) and the
     * fusion — hash equality proves the maintained stores answer the
     * whole stack, not just each leg alone. */
-  lazy val hybridMaintainedQuery: GraftQuery = q("search_hybrid_maintained", {
+  /** The hybrid oracle parameterized by SURVIVOR predicates on each
+    * stored leg (never the query side — the right to query survives an
+    * erase) and an optional per-surface audit-receipt projection. The
+    * codebook CTEs train over the FULL corpus even under survivors:
+    * [[VecStoreLog.eraseByIds]] documents that an erase does NOT retrain
+    * centroids (no vector is recoverable from k coarse aggregates), so
+    * the oracle must assign survivors through the pre-erase codebook —
+    * only the INDEX rows filter. */
+  private[sources] def hybridOracleSql(docSurv: String, vecSurv: String,
+      withReceipt: Boolean): String = {
     val K = 20
     val iters = graft.llm.Similarity.CentroidIters
     val cos = (a: String, b: String) =>
       s"""CAST(list_sum(list_transform(list_zip($a.qv, $b.qv), p -> p[1] * p[2])) AS BIGINT)
          |      / (sqrt(CAST($a.norm2 AS DOUBLE)) * sqrt(CAST($b.norm2 AS DOUBLE)))""".stripMargin
-    s"""WITH ${graft.llm.Search.bm25ScoredSqlCtes},
+    val receiptCte = if (!withReceipt) "" else
+      s""",
+         |receipt AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM (SELECT MIN(doc_id) AS k FROM documents
+         |       WHERE text IS NOT NULL GROUP BY text) WHERE k % 37 = 0)
+         |      AS bronze_removed,
+         |    (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id,
+         |         unnest(string_split(text, ' ')) AS term FROM documents)
+         |       WHERE doc_id % 37 = 0) AS posting_removed,
+         |    (SELECT COUNT(*) FROM documents WHERE doc_id % 37 = 0)
+         |      AS dedup_removed,
+         |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 37 = 0)
+         |      AS vec_removed,
+         |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 37 = 0)
+         |      AS ivfpq_removed)""".stripMargin
+    val receiptCols = if (!withReceipt) "" else
+      s""",
+         |  CAST(r.bronze_removed AS BIGINT) AS bronze_removed,
+         |  CAST(r.posting_removed AS BIGINT) AS posting_removed,
+         |  CAST(r.dedup_removed AS BIGINT) AS dedup_removed,
+         |  CAST(r.vec_removed AS BIGINT) AS vec_removed,
+         |  CAST(r.ivfpq_removed AS BIGINT) AS ivfpq_removed""".stripMargin
+    val receiptFrom = if (withReceipt) " CROSS JOIN receipt r" else ""
+    s"""WITH docs_src AS (SELECT * FROM documents WHERE $docSurv),
+       |${graft.llm.Search.bm25ScoredSqlCtesFrom("docs_src")},
        |bm AS (
        |  SELECT doc_id, bm25_rank FROM (
        |    SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 1
@@ -498,7 +575,8 @@ object PostingLog {
        |    ORDER BY CAST(list_sum(list_transform(list_zip(qv, cqv), p -> p[1] * p[2])) AS BIGINT)
        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
        |  FROM qn, cents),
-       |vidx AS (SELECT vec_id, qv, norm2, c_id AS cell FROM vassigned WHERE cr = 1),
+       |vidx AS (SELECT vec_id, qv, norm2, c_id AS cell FROM vassigned
+       |  WHERE cr = 1 AND ($vecSurv)),
        |vprobes AS (
        |  SELECT vec_id, qv, norm2, c_id AS probe_cell FROM vassigned
        |  WHERE vec_id = 0 AND cr <= ${VecStore.ProbeCells}),
@@ -516,27 +594,34 @@ object PostingLog {
        |    (CASE WHEN bm25_rank IS NULL THEN 0 ELSE 1000000 // (60 + bm25_rank) END
        |     + CASE WHEN cos_rank IS NULL THEN 0 ELSE 1000000 // (60 + cos_rank) END)
        |      AS rrf_scaled
-       |  FROM bm FULL OUTER JOIN vs USING (doc_id))
+       |  FROM bm FULL OUTER JOIN vs USING (doc_id))$receiptCte
        |SELECT doc_id, CAST(COALESCE(bm_r, 0) AS BIGINT) AS bm25_rank,
        |  CAST(COALESCE(cos_r, 0) AS BIGINT) AS cos_rank,
-       |  CAST(rrf_scaled AS BIGINT) AS rrf_scaled
-       |FROM fused ORDER BY rrf_scaled DESC, doc_id LIMIT 10""".stripMargin
-  }) { (s, d) =>
-    val K = 20
+       |  CAST(rrf_scaled AS BIGINT) AS rrf_scaled$receiptCols
+       |FROM fused$receiptFrom ORDER BY rrf_scaled DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** The two-tower probe over ANY (posting store, vector store) pair:
+    * BM25 through the pruned posting probe, cosine through the
+    * maintained ANN index's cell-pruned probe, RRF fusion in exact
+    * integer arithmetic — shared by the maintained hybrid query and the
+    * erase-everywhere query (which probes the same stores AFTER the
+    * orchestrated erase). */
+  private[sources] def hybridRrf(s: SparkSession, postingDir: String,
+      vecDir: String, d: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // lexical leg: BM25 through THIS store (already ordered + limited to
-    // K); the rank window reads the K-row frame only
+    // lexical leg: BM25 through the posting store (already ordered +
+    // limited to K); the rank window reads the K-row frame only
     val bmW = Window.partitionBy(pmod(col("doc_id"), lit(1)))
       .orderBy(col("score_scaled").desc, col("doc_id"))
-    val bm = bm25TopK(s, maintainedDir(s, d), Terms, K)
+    val bm = bm25TopK(s, postingDir, Terms, k)
       .withColumn("bm25_rank", row_number().over(bmW).cast("long"))
       .select(col("doc_id"), col("bm25_rank"))
     // semantic leg: the maintained ANN index's pruned probe — its rank
     // column IS the cosine rank (per query; one query here)
     val queries = graft.ops.Tables.embeddings(s, d)
       .filter(col("vec_id") === 0).select(col("vec_id"), col("embedding"))
-    val vs = VecStoreLog.probeTopK(s, VecStoreLog.maintainedDir(s, d),
-        queries, VecStore.ProbeCells, k = K)
+    val vs = VecStoreLog.probeTopK(s, vecDir, queries, VecStore.ProbeCells, k = k)
       .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("cos_rank"))
     bm.join(vs, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -549,6 +634,12 @@ object PostingLog {
       .orderBy(col("rrf_scaled").desc, col("doc_id"))
       .limit(10)
   }
+
+  lazy val hybridMaintainedQuery: GraftQuery =
+    q("search_hybrid_maintained",
+      hybridOracleSql("TRUE", "TRUE", withReceipt = false)) { (s, d) =>
+      hybridRrf(s, maintainedDir(s, d), VecStoreLog.maintainedDir(s, d), d)
+    }
 
   /** RTBF driven end-to-end as a registered query: the maintained store
     * (fold + live epoch) with the [[ErasureStore]] deletion convention

@@ -179,4 +179,134 @@ object StoreCheck {
           "keeper re-election did not run after an erase")
     out.toSeq
   }
+
+  /** Sample size for the quantized-norm recompute — norm2 is derived
+    * (FixedPointDot(qv, qv)) and 64 ints/row, so the bound keeps the
+    * check metadata-cheap while still catching a rewrite that changed qv
+    * without recomputing norm2. */
+  private val NormSampleRows = 1000
+
+  private def normDrift(vecs: DataFrame): Long =
+    vecs.select(col("qv"), col("norm2")).limit(NormSampleRows)
+      .filter(graft.functions.FixedPointDot(col("qv"), col("qv")) =!= col("norm2"))
+      .count()
+
+  /** Semantic audit of a [[VecStoreLog]] store: the committed
+    * generation's `_centroids` codebook must exist, every `cell=`
+    * partition must map to a trained centroid (an orphan cell dir after
+    * an erase serves vectors no probe can reach), and vec_ids are unique
+    * store-wide (fold ∪ live epochs — the landing contract). No norm
+    * check here: the generation stores RAW embeddings (qv/norm2 are
+    * derived at probe time), so there is no stored derived value to
+    * drift — unlike [[IvfPqLog]]'s quantized vectors tree. */
+  def checkVecStoreLog(spark: SparkSession, dir: String): Seq[Finding] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    out ++= checkCubeLog(spark, dir)
+    if (out.exists(_.severity == "error")) return out.toSeq
+    val v = CubeLog.view(spark, dir)
+    val (hfs, _) = fsOf(spark, dir)
+    v.foldedDir.foreach { f =>
+      if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$f/_centroids")))
+        out += Finding("error", "missing-centroids",
+          s"committed generation $f has no _centroids codebook — probes " +
+            "cannot rank cells; retrain (compact) or restore the sidecar")
+      else {
+        import spark.implicits._
+        val centIds = VecStore.centroids(spark, f)
+          .select(col("c_id").cast("long")).as[Long].collect().toSet
+        val cellDirs = hfs.listStatus(new org.apache.hadoop.fs.Path(f))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+          .flatMap(st => scala.util.Try(
+            st.getPath.getName.stripPrefix("cell=").toLong).toOption)
+        cellDirs.filterNot(centIds).foreach { c =>
+          out += Finding("error", "orphan-cell",
+            s"cell=$c holds vectors but no trained centroid has id $c — " +
+              "no probe can ever rank into it (unreachable vectors); refold")
+        }
+      }
+    }
+    val roots = v.foldedDir.toSeq ++ v.liveBatches.map(_._2)
+    if (roots.nonEmpty) {
+      val ids = roots.map(r => spark.read.parquet(r).select(col("vec_id")))
+        .reduce(_ unionByName _)
+      val dupes = ids.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).count()
+      if (dupes > 0)
+        out += Finding("error", "duplicate-vector",
+          s"$dupes vec_id(s) stored more than once across fold ∪ live epochs " +
+            "— a vector landed in two epochs; probe candidates duplicate")
+    }
+    out.toSeq
+  }
+
+  /** Semantic audit of an [[IvfPqLog]] store: the committed generation's
+    * four artifacts must all exist (cells, cells_packed,
+    * codebooks_packed, codes, vectors), codes↔vectors referential
+    * integrity holds in BOTH directions on (vec_id, cell) — a targeted
+    * cell rewrite that cleaned one tree but not the other is the RTBF
+    * failure mode here — coarse cell ids map to trained centroids on
+    * both trees, vec_ids are unique, and quantized norms recompute
+    * (sampled). */
+  def checkIvfPqLog(spark: SparkSession, dir: String): Seq[Finding] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    out ++= checkCubeLog(spark, dir)
+    if (out.exists(_.severity == "error")) return out.toSeq
+    val v = CubeLog.view(spark, dir)
+    val (hfs, _) = fsOf(spark, dir)
+    val intact = v.foldedDir.filter { f =>
+      val missing = Seq("cells", "cells_packed", "codebooks_packed", "codes",
+        "vectors").filterNot(sub =>
+        hfs.exists(new org.apache.hadoop.fs.Path(s"$f/$sub")))
+      if (missing.nonEmpty)
+        out += Finding("error", "missing-artifact",
+          s"committed generation $f is missing ${missing.mkString(", ")} — " +
+            "the ADC probe cannot run; refold")
+      missing.isEmpty
+    }
+    intact.foreach { f =>
+      import spark.implicits._
+      val codes = spark.read.parquet(s"$f/codes")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      val vecs = spark.read.parquet(s"$f/vectors")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      val codesOnly = codes.join(vecs, Seq("vec_id", "cell"), "left_anti").count()
+      val vecsOnly = vecs.join(codes, Seq("vec_id", "cell"), "left_anti").count()
+      if (codesOnly > 0)
+        out += Finding("error", "codes-without-vector",
+          s"$codesOnly code row(s) have no matching (vec_id, cell) in vectors " +
+            "— an erase cleaned vectors but not codes: erased content still " +
+            "ranks in the ADC shortlist (RTBF leak) or the rerank will drop it silently")
+      if (vecsOnly > 0)
+        out += Finding("error", "vector-without-code",
+          s"$vecsOnly vector row(s) have no matching (vec_id, cell) in codes " +
+            "— an erase cleaned codes but not vectors: erased embeddings " +
+            "persist on disk (RTBF leak)")
+      val centIds = spark.read.parquet(s"$f/cells")
+        .select(col("c_id").cast("long")).as[Long].collect().toSet
+      Seq("codes", "vectors").foreach { sub =>
+        val cellDirs = hfs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$f/$sub"))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+          .flatMap(st => scala.util.Try(
+            st.getPath.getName.stripPrefix("cell=").toLong).toOption)
+        cellDirs.filterNot(centIds).foreach { c =>
+          out += Finding("error", "orphan-cell",
+            s"$sub/cell=$c exists but no coarse centroid has id $c — " +
+              "unreachable by any probe; refold")
+        }
+      }
+      val dupes = codes.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).count()
+      if (dupes > 0)
+        out += Finding("error", "duplicate-code",
+          s"$dupes vec_id(s) encoded more than once in the generation — " +
+            "ADC candidates duplicate")
+      val drift = normDrift(spark.read.parquet(s"$f/vectors"))
+      if (drift > 0)
+        out += Finding("error", "norm-drift",
+          s"$drift sampled vector(s) carry norm2 ≠ dot(qv, qv) — the exact " +
+            "rerank is wrong; refold")
+    }
+    out.toSeq
+  }
 }

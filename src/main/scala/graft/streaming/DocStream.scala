@@ -123,7 +123,19 @@ object DocStream {
             // cadence bound, so read fan-in stays bounded without an
             // operator remembering to compact
             graft.sources.PostingLog.appendBatchAuto(landed, postingDir, batchId)
-            graft.llm.DedupLog.appendEpochAuto(landed, dedupDir, batchId)
+            // dedup regime per landing, from the MEASURED boundary
+            // (Dedup.chooseMaintained — below the crossover a full
+            // relabel from stored signatures beats the incremental
+            // machinery's extra sequential jobs; both regimes are
+            // answer-identical and share one store layout, so flipping
+            // mid-stream as the corpus crosses ~28 K docs is invisible
+            // to every reader, eraser, and fold)
+            val spark = landed.sparkSession
+            val corpusRows = graft.llm.DedupLog.storedDocRows(spark, dedupDir)
+            if (graft.llm.Dedup.chooseMaintained(corpusRows, landed.count()))
+              graft.llm.DedupLog.appendEpochAuto(landed, dedupDir, batchId)
+            else
+              graft.llm.DedupLog.appendEpochBatchAuto(landed, dedupDir, batchId)
           }
         ()
       }

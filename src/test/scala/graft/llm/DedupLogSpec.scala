@@ -186,4 +186,59 @@ class DedupLogSpec extends SparkSpec {
     assert(!graft.sources.StoreCheck.checkDedupLog(spark, dir)
       .exists(_.severity == "error"))
   }
+
+  test("chooseMaintained: measured boundary pinned both sides; mixed-regime store ≡ the batch answer") {
+    // the measured crossover (SCALING.md "Incremental dedup"): batch
+    // re-dedup wall 1575 ms + 100 µs/doc clears the ~4400 ms landing
+    // floor at 28,250 docs — the chooser must flip exactly there
+    assert(!Dedup.chooseMaintained(28249L, 0L), "one doc under the boundary: batch")
+    assert(Dedup.chooseMaintained(28250L, 0L), "at the boundary: maintained")
+    // epoch rows count toward the batch side's corpus (a batch re-dedup
+    // pays for the arriving epoch too)
+    assert(Dedup.chooseMaintained(20000L, 8250L))
+    assert(!Dedup.chooseMaintained(20000L, 8249L))
+
+    // regimes interleave in ONE store (the wiring flips mid-stream as the
+    // corpus crosses the boundary): batch → incremental → batch landings
+    // must equal the batch dedup of the full corpus, through the same
+    // last-wins label view
+    val corpus = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text").localCheckpoint(eager = true)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_mixed_").toString + "/st"
+    DedupLog.appendEpochBatch(corpus.filter(pmod($"doc_id", lit(3L)) === 0L), dir, 0L)
+    DedupLog.appendEpoch(corpus.filter(pmod($"doc_id", lit(3L)) === 1L), dir, 1L)
+    DedupLog.appendEpochBatch(corpus.filter(pmod($"doc_id", lit(3L)) === 2L), dir, 2L)
+    val mixed = DedupLog.labelsView(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val batch = Dedup.clusterLabelsAuto(
+      Dedup.minhashPairs(corpus).select($"d1", $"d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(mixed === batch,
+      "a store landed under interleaved regimes must answer the batch truth")
+    assert(mixed.nonEmpty)
+    // and the store stays foldable + fsck-clean like any other
+    DedupLog.compact(spark, dir)
+    assert(DedupLog.labelsView(spark, dir).as[(Long, Long)].collect().toSet === batch)
+    assert(!graft.sources.StoreCheck.checkDedupLog(spark, dir)
+      .exists(_.severity == "error"))
+  }
+
+  test("a store landed at a different signature-partition count fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_sp_").toString + "/st"
+    val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text")
+    DedupLog.appendEpoch(docs.filter($"doc_id" < 100), dir, 0L)
+    assert(DedupLog.storedSigParts(spark, dir).contains(DedupLog.SigParts),
+      "the first landing must persist the _sp layout sidecar")
+    // simulate a store landed by a build with a different SigParts: a
+    // further landing would mix two partition layouts in one store
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_sp")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(p, true)
+    try out.write("4".getBytes("UTF-8")) finally out.close()
+    val ex = intercept[IllegalArgumentException] {
+      DedupLog.appendEpoch(docs.filter($"doc_id" >= 100 && $"doc_id" < 200), dir, 1L)
+    }
+    assert(ex.getMessage.contains("mix two layouts"))
+  }
 }

@@ -17,8 +17,11 @@ class CorpusRtbfSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("rtbf_").toString
     val (bronze, postings, dedup) =
       (s"$root/store", s"$root/postings", s"$root/dedup")
+    val (vec, ivfpq) = (s"$root/vec", s"$root/ivfpq")
     val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
       .select($"doc_id", $"text").localCheckpoint(eager = true)
+    val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+      .select($"vec_id", $"label", $"embedding").localCheckpoint(eager = true)
 
     // land the corpus in two epochs through the same calls the indexed
     // streaming ingest makes
@@ -29,7 +32,11 @@ class CorpusRtbfSpec extends SparkSpec {
           PostingLog.appendBatch(landed, postings, e)
           graft.llm.DedupLog.appendEpoch(landed, dedup, e)
         }
+      VecStoreLog.appendBatch(emb.filter(pmod($"vec_id", lit(2L)) === e), vec, e)
+      IvfPqLog.appendBatch(emb.filter(pmod($"vec_id", lit(2L)) === e), ivfpq, e)
     }
+    VecStoreLog.compact(spark, vec, cellK = Some(VecStore.CellK))
+    IvfPqLog.compact(spark, ivfpq)
     val landedIds = spark.read.parquet(s"$bronze/docs")
       .select($"doc_id").as[Long].collect().toSet
 
@@ -42,9 +49,12 @@ class CorpusRtbfSpec extends SparkSpec {
       .filter($"doc_id".isin(requestedLanded: _*))
       .select($"doc_id", $"text").as[(Long, String)].collect()
 
-    val receipt = CorpusRtbf.eraseEverywhere(spark, ids, bronze, postings, dedup)
+    val receipt = CorpusRtbf.eraseEverywhere(spark, ids, bronze, postings, dedup,
+      vec, ivfpq)
     assert(receipt("bronze_docs") === requestedLanded.size.toLong)
     assert(receipt("posting_index") > 0L)
+    assert(receipt("vec_index") > 0L)
+    assert(receipt("ivfpq_index") > 0L)
 
     // every surface clean
     assert(spark.read.parquet(s"$bronze/docs")
@@ -61,9 +71,19 @@ class CorpusRtbfSpec extends SparkSpec {
       .filter($"doc_id" % 37 === 0).count() === 0L)
     assert(graft.llm.DedupLog.labelsView(spark, dedup)
       .filter($"node" % 37 === 0 || $"label" % 37 === 0).count() === 0L)
+    // both vector surfaces clean: no erased id in any stored leg
+    assert(VecStoreLog.vectors(spark, vec)
+      .filter($"vec_id" % 37 === 0).count() === 0L)
+    val ivfGen = CubeLog.view(spark, ivfpq).foldedDir.get
+    Seq("codes", "vectors").foreach { sub =>
+      assert(spark.read.parquet(s"$ivfGen/$sub")
+        .filter($"vec_id" % 37 === 0).count() === 0L,
+        s"ivfpq $sub must not hold erased ids")
+    }
 
-    // replay: all three surfaces report zero
-    val replay = CorpusRtbf.eraseEverywhere(spark, ids, bronze, postings, dedup)
+    // replay: all five surfaces report zero
+    val replay = CorpusRtbf.eraseEverywhere(spark, ids, bronze, postings, dedup,
+      vec, ivfpq)
     assert(replay.values.forall(_ === 0L), s"replay must no-op, got $replay")
 
     // the right to be forgotten is not the right to never be stored

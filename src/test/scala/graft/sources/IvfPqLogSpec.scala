@@ -111,5 +111,56 @@ class IvfPqLogSpec extends SparkSpec {
     assert(out.filter(col("vec_id").isin(req: _*)).count() === 0L)
     // replay: no hits, nothing rewritten
     assert(IvfPqLog.eraseByIds(spark, dir, req) === 0L)
+
+    // the full fsck is clean after the erase (codes↔vectors referential
+    // integrity both ways, orphan cells, norm drift)
+    val findings = StoreCheck.checkIvfPqLog(spark, dir)
+    assert(!findings.exists(_.severity == "error"), findings.mkString("; "))
+  }
+
+  test("compaction cadence: the derived trigger fires exactly at the boundary; auto landing folds") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cadence_").toString + "/idx"
+    val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+
+    // the derived trigger is a real fraction at the default geometry:
+    // strictly positive, and never looser than the budget-share floor s
+    val s = IvfPqLog.ProbeCells.toDouble / IvfPqLog.CoarseK
+    val trig = IvfPqLog.deltaTrigger()
+    assert(trig > 0.0 && trig <= s, s"trigger $trig out of (0, $s]")
+    // capped regime: when the exact delta leg is cheap enough that the
+    // probe-cost ratio can never exceed r, the budget-share floor holds
+    assert(IvfPqLog.deltaTrigger(maxRatio = 1.3, costRatio = 0.1) === s)
+
+    // a store with no committed generation must fold on any live data —
+    // it cannot answer probes until a first generation exists
+    IvfPqLog.appendBatch(emb.filter(col("vec_id") % 2 === 0), dir, 0L)
+    assert(IvfPqLog.shouldCompact(spark, dir))
+    IvfPqLog.compact(spark, dir)
+    assert(!IvfPqLog.shouldCompact(spark, dir), "no live epochs — nothing to fold")
+
+    val gen = CubeLog.view(spark, dir).foldedDir.get
+    val base = spark.read.parquet(s"$gen/codes").count()
+    val boundary = math.ceil(base * trig).toLong
+    assert(boundary >= 2L, "corpus too small to pin the boundary")
+
+    // fresh ids (shifted out of the base range), deterministic slices
+    val fresh = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      col("label"), col("embedding"))
+    IvfPqLog.appendBatch(fresh.orderBy(col("vec_id")).limit((boundary - 1).toInt),
+      dir, 1L)
+    assert(!IvfPqLog.shouldCompact(spark, dir),
+      s"delta ${boundary - 1} of base $base is UNDER the trigger $trig — no fold")
+
+    // one more row reaches the boundary exactly; the auto landing must
+    // land it AND fold, leaving a fresh generation with no live epochs
+    assert(IvfPqLog.appendBatchAuto(
+      fresh.orderBy(col("vec_id").desc).limit(1), dir, 2L),
+      s"delta $boundary of base $base is AT the trigger — the auto landing folds")
+    val v = CubeLog.view(spark, dir)
+    assert(v.liveBatches.isEmpty && v.gen === 2L)
+    assert(spark.read.parquet(s"${v.foldedDir.get}/codes").count() === base + boundary)
+    // the retrained store still answers
+    assert(IvfPqLog.probeTopK(spark, dir).count() > 0L)
   }
 }

@@ -224,6 +224,27 @@ class PostingLogSpec extends SparkSpec {
     assert(maintained === once)
   }
 
+  test("a store landed at a different bucket count fails loudly, not false negatives") {
+    val dir = buildStore()
+    assert(PostingLog.storedNBuckets(spark, dir).contains(PostingLog.NBuckets),
+      "the first landing must persist the _nb layout sidecar")
+    // simulate a store landed by a build with a different NBuckets: the
+    // sidecar says 8, this library's key is mod 16 — a probe would prune
+    // to the wrong tb= dir and silently return nothing for half the terms
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_nb")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(p, true)
+    try out.write("8".getBytes("UTF-8")) finally out.close()
+    val exProbe = intercept[IllegalArgumentException] {
+      PostingLog.probe(spark, dir, terms).count()
+    }
+    assert(exProbe.getMessage.contains("FALSE NEGATIVES"))
+    val exLand = intercept[IllegalArgumentException] {
+      PostingLog.appendBatch(corpusDocs.limit(5), dir, 9L)
+    }
+    assert(exLand.getMessage.contains("FALSE NEGATIVES"))
+  }
+
   test("stats count only docs with postings; empty epochs land nothing") {
     val dir = java.nio.file.Files.createTempDirectory("posting_stats_").toString + "/idx"
 

@@ -141,6 +141,8 @@ class RtbfGraceSpec extends SparkSpec {
     assert(batches === Set(3L), s"grace batch dirs must be purged, saw $batches")
     assert(idRowsOnDisk(dir, "vec_id", erasedIds) === 0L,
       "an erased vector survives on disk (grace retention leak)")
+    val findings = StoreCheck.checkVecStoreLog(spark, dir)
+    assert(!findings.exists(_.severity == "error"), findings.mkString("; "))
   }
 
   test("ivfpq erase purges grace dirs; no erased code or quantized vector anywhere on disk") {
@@ -158,5 +160,7 @@ class RtbfGraceSpec extends SparkSpec {
     assert(folds === Set(2L), s"grace folds must be purged, saw $folds")
     assert(idRowsOnDisk(dir, "vec_id", erasedIds) === 0L,
       "an erased id's code/vector survives on disk (grace retention leak)")
+    val findings = StoreCheck.checkIvfPqLog(spark, dir)
+    assert(!findings.exists(_.severity == "error"), findings.mkString("; "))
   }
 }

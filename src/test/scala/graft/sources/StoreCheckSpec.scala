@@ -104,4 +104,77 @@ class StoreCheckSpec extends SparkSpec {
       findings.exists(_.check == "dangling-keeper"),
       s"signature-only delete must surface dangling labels, got $findings")
   }
+
+  private def corpusVecs = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+    .select($"vec_id", $"label", $"embedding")
+
+  test("vec store: clean audit after land→fold→erase; injected orphan cell, missing codebook, norm drift detected") {
+    val dir = java.nio.file.Files.createTempDirectory("fsck_vec_").toString + "/st"
+    (0L to 1L).foreach { e =>
+      VecStoreLog.appendBatch(corpusVecs.filter(pmod($"vec_id", lit(2L)) === e), dir, e)
+    }
+    VecStoreLog.compact(spark, dir, cellK = Some(VecStore.CellK))
+    VecStoreLog.appendBatch(corpusVecs.filter($"vec_id" < 10)
+      .select(($"vec_id" + 50000L).as("vec_id"), $"label", $"embedding"), dir, 2L)
+    assert(errorsOf(StoreCheck.checkVecStoreLog(spark, dir)).isEmpty)
+    // an ERASE must leave the audit clean too (the erase specs' contract)
+    VecStoreLog.eraseByIds(spark, dir, Seq(0L, 37L, 74L))
+    assert(errorsOf(StoreCheck.checkVecStoreLog(spark, dir)).isEmpty)
+
+    val gen = CubeLog.view(spark, dir).foldedDir.get
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // orphan cell: a cell dir with an id no trained centroid has
+    val someCell = new java.io.File(gen.stripPrefix("file:")).listFiles()
+      .filter(_.getName.startsWith("cell=")).head
+    val orphan = new org.apache.hadoop.fs.Path(s"$gen/cell=999")
+    org.apache.hadoop.fs.FileUtil.copy(hfs, new org.apache.hadoop.fs.Path(
+      someCell.getPath), hfs, orphan, false, spark.sparkContext.hadoopConfiguration)
+    assert(StoreCheck.checkVecStoreLog(spark, dir).exists(_.check == "orphan-cell"))
+    hfs.delete(orphan, true)
+    // duplicate vector: the same ids landed in a second live epoch
+    VecStoreLog.appendBatch(corpusVecs.filter($"vec_id" < 10)
+      .select(($"vec_id" + 50000L).as("vec_id"), $"label", $"embedding"), dir, 3L)
+    assert(StoreCheck.checkVecStoreLog(spark, dir).exists(_.check == "duplicate-vector"))
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch_id=3"), true)
+    // missing codebook: the generation loses _centroids
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$gen/_centroids"), true)
+    assert(StoreCheck.checkVecStoreLog(spark, dir).exists(_.check == "missing-centroids"))
+  }
+
+  test("ivfpq store: clean audit after land→fold→erase; one-tree-only erase caught both ways; missing artifact detected") {
+    val dir = java.nio.file.Files.createTempDirectory("fsck_ivfpq_").toString + "/st"
+    IvfPqLog.appendBatch(corpusVecs, dir, 0L)
+    IvfPqLog.compact(spark, dir)
+    assert(errorsOf(StoreCheck.checkIvfPqLog(spark, dir)).isEmpty)
+    IvfPqLog.eraseByIds(spark, dir, Seq(0L, 37L, 74L))
+    assert(errorsOf(StoreCheck.checkIvfPqLog(spark, dir)).isEmpty)
+
+    val gen = CubeLog.view(spark, dir).foldedDir.get
+    // the RTBF failure mode: clean ONE tree only (bypassing eraseByIds) —
+    // referential integrity must fire in the matching direction
+    val someId = spark.read.parquet(s"$gen/codes")
+      .select($"vec_id").as[Long].head()
+    def rewriteWithout(sub: String, id: Long): Unit = {
+      val cur = spark.read.parquet(s"$gen/$sub")
+      val kept = cur.filter($"vec_id" =!= id).localCheckpoint(eager = true)
+      Store.refreshMartPartitions(kept, s"$gen/$sub", "cell")
+    }
+    rewriteWithout("vectors", someId)
+    assert(StoreCheck.checkIvfPqLog(spark, dir).exists(_.check == "codes-without-vector"))
+    rewriteWithout("codes", someId)
+    assert(errorsOf(StoreCheck.checkIvfPqLog(spark, dir)).isEmpty,
+      "both trees cleaned — integrity restored")
+    val otherId = spark.read.parquet(s"$gen/codes")
+      .select($"vec_id").as[Long].head()
+    rewriteWithout("codes", otherId)
+    assert(StoreCheck.checkIvfPqLog(spark, dir).exists(_.check == "vector-without-code"))
+    rewriteWithout("vectors", otherId)
+
+    // missing artifact
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$gen/codebooks_packed"), true)
+    assert(StoreCheck.checkIvfPqLog(spark, dir).exists(_.check == "missing-artifact"))
+  }
 }

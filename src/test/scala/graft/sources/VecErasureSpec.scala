@@ -91,6 +91,11 @@ class VecErasureSpec extends SparkSpec {
     assert(VecStoreLog.eraseByIds(spark, dir, ids) === 0L)
     assert(before.keys.forall(c => snapshot(s"$fold/$c") === snapAfter(c)),
       "a zero-hit replay must not rewrite any cell")
+
+    // the full fsck is clean after the erase (orphan cells, norm drift,
+    // duplicate vectors would all be error findings)
+    val findings = StoreCheck.checkVecStoreLog(spark, dir)
+    assert(!findings.exists(_.severity == "error"), findings.mkString("; "))
   }
 
   test("a cell fully emptied by the request has its directory deleted; the store still answers") {
