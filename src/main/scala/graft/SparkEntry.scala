@@ -29,6 +29,7 @@ object SparkEntry {
       sources.PostingLog.phraseMaintainedQuery :+
       sources.PostingLog.proximityMaintainedQuery :+
       sources.PostingLog.hybridMaintainedQuery :+
+      sources.PostingLog.hybridMultiQuery :+
       sources.PostingLog.eraseProbeQuery :+
       sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery :+
       sources.SketchStore.probeQuery :+ sources.SketchStore.overlapQuery :+

@@ -641,6 +641,162 @@ object PostingLog {
       hybridRrf(s, maintainedDir(s, d), VecStoreLog.maintainedDir(s, d), d)
     }
 
+  /** The serving query set of the multi-query hybrid: three queries,
+    * each with its own term set and its own query vector — the vector's
+    * id IS the query id, the `hybridRrf` convention generalized. */
+  private val MultiQuerySet: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("data", "join", "scan"),
+    50L -> Seq("hash", "merge", "sort"),
+    100L -> Seq("stream", "window", "batch"))
+
+  /** BM25 over a SET of queries through one pruned probe: the postings of
+    * every query's terms are read once (union of term buckets, still a
+    * static PartitionFilter), then fan out to their queries through a
+    * broadcast (query_id, term) map — df stays term-global, tf/dl ride
+    * the probed postings, N/avgdl come from the additive stats rows. One
+    * scan, |queries| rankings: the plan shape a serving deployment runs,
+    * where per-query index reads are the latency budget. */
+  def bm25TopKMulti(spark: SparkSession, dir: String,
+      querySet: Seq[(Long, Seq[String])], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val allTerms = querySet.flatMap(_._2).distinct
+    val post = probe(spark, dir, allTerms)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    post.join(broadcast(dfreq), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats(spark, dir)))
+      .withColumn("term_score", expr(
+        "((n_docs * 1000000) div df) * tf * 2200 " +
+          "div (tf * 1000 + (1200 * (250 + (750 * ((dl * 1000 * n_docs) div total_dl)) " +
+          "div 1000)) div 1000)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_scaled"))
+      .withColumn("bm25_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_scaled").desc, col("doc_id"))).cast("long"))
+      .filter(col("bm25_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"))
+  }
+
+  /** Hybrid retrieval for a QUERY SET, entirely from maintained state —
+    * the multi-query generalization of [[hybridMaintainedQuery]] (whose
+    * one-query fusion used a degenerate rank window). Three queries,
+    * each with its own terms and its own vector, answered in ONE plan:
+    * one pruned posting probe fanning out per query (BM25 ranks
+    * partitioned by query_id), one multi-query ANN probe (the maintained
+    * store ranks per query natively), RRF fused per (query_id, doc_id),
+    * top-10 per query. This is the shape a serving deployment runs — per
+    * batch of queries, only probed term buckets and probed cells are
+    * read, once, regardless of |queries|. The oracle replicates both
+    * towers and the per-query fusion declaratively. */
+  lazy val hybridMultiQuery: GraftQuery = q("search_hybrid_multiquery", {
+    val K = 20
+    val iters = graft.llm.Similarity.CentroidIters
+    val qidList = MultiQuerySet.map(_._1).mkString(", ")
+    val valuesRows = MultiQuerySet
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val allTerms = MultiQuerySet.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val cos = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(list_zip($a.qv, $b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |      / (sqrt(CAST($a.norm2 AS DOUBLE)) * sqrt(CAST($b.norm2 AS DOUBLE)))""".stripMargin
+    s"""WITH qterms(query_id, term) AS (VALUES $valuesRows),
+       |post AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |lens AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM post WHERE term IN ($allTerms) GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |qscored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    SUM(((s.n_docs * 1000000) // df.df) * tf.tf * 2200
+       |        // (tf.tf * 1000 +
+       |            (1200 * (250 + (750 * ((l.dl * 1000 * s.n_docs) // s.total_dl))
+       |              // 1000)) // 1000)) AS score
+       |  FROM tf JOIN qterms q ON tf.term = q.term
+       |  JOIN df ON tf.term = df.term
+       |  JOIN lens l ON tf.doc_id = l.doc_id CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |bm AS (
+       |  SELECT query_id, doc_id, bm25_rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS bm25_rank
+       |    FROM qscored) WHERE bm25_rank <= $K),
+       |${graft.llm.Similarity.quantizedSql},
+       |${graft.llm.Similarity.lloydCtes(iters, VecStore.CellK)},
+       |cents AS (SELECT c_id, cqv, cnorm2 FROM c$iters),
+       |vassigned AS (
+       |  SELECT vec_id, qv, norm2, c_id, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY CAST(list_sum(list_transform(list_zip(qv, cqv), p -> p[1] * p[2])) AS BIGINT)
+       |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
+       |  FROM qn, cents),
+       |vidx AS (SELECT vec_id, qv, norm2, c_id AS cell FROM vassigned WHERE cr = 1),
+       |vprobes AS (
+       |  SELECT vec_id, qv, norm2, c_id AS probe_cell FROM vassigned
+       |  WHERE vec_id IN ($qidList) AND cr <= ${VecStore.ProbeCells}),
+       |vscored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id, ${cos("a", "b")} AS cosine
+       |  FROM vprobes a JOIN vidx b ON a.probe_cell = b.cell
+       |    AND b.vec_id <> a.vec_id),
+       |vs AS (
+       |  SELECT query_id, doc_id, cos_rank FROM (
+       |    SELECT query_id, vec_id AS doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS cos_rank
+       |    FROM vscored) WHERE cos_rank <= $K),
+       |fused AS (
+       |  SELECT query_id, doc_id, bm25_rank AS bm_r, cos_rank AS cos_r,
+       |    (CASE WHEN bm25_rank IS NULL THEN 0 ELSE 1000000 // (60 + bm25_rank) END
+       |     + CASE WHEN cos_rank IS NULL THEN 0 ELSE 1000000 // (60 + cos_rank) END)
+       |      AS rrf_scaled
+       |  FROM bm FULL OUTER JOIN vs USING (query_id, doc_id)),
+       |final AS (
+       |  SELECT query_id, doc_id, bm_r, cos_r, rrf_scaled,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_scaled DESC, doc_id) AS rr
+       |  FROM fused)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  CAST(COALESCE(bm_r, 0) AS BIGINT) AS bm25_rank,
+       |  CAST(COALESCE(cos_r, 0) AS BIGINT) AS cos_rank,
+       |  CAST(rrf_scaled AS BIGINT) AS rrf_scaled
+       |FROM final WHERE rr <= 10""".stripMargin
+  }) { (s, d) =>
+    val K = 20
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopKMulti(s, maintainedDir(s, d), MultiQuerySet, K)
+    val qids = MultiQuerySet.map(_._1)
+    val queries = graft.ops.Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(qids: _*)).select(col("vec_id"), col("embedding"))
+    val vs = VecStoreLog.probeTopK(s, VecStoreLog.maintainedDir(s, d),
+        queries, VecStore.ProbeCells, k = K)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("cos_rank"))
+    bm.join(vs, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        col("bm25_rank"), col("cos_rank"),
+        (when(col("bm25_rank").isNull, 0L)
+          .otherwise(expr("1000000 div (60 + bm25_rank)"))
+          + when(col("cos_rank").isNull, 0L)
+            .otherwise(expr("1000000 div (60 + cos_rank)"))).as("rrf_scaled"))
+      .withColumn("rr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_scaled").desc, col("doc_id"))))
+      .filter(col("rr") <= 10)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("cos_rank"), lit(0L)).as("cos_rank"),
+        col("rrf_scaled"))
+  }
+
   /** RTBF driven end-to-end as a registered query: the maintained store
     * (fold + live epoch) with the [[ErasureStore]] deletion convention
     * (doc_id ≡ 0 mod 37) replayed against BOTH surfaces, then the

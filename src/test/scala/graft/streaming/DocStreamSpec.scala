@@ -298,4 +298,114 @@ class DocStreamSpec extends SparkSpec {
     assert(graft.sources.PostingLog.stats(spark, s"$dir/postings")
       .as[(Long, Long)].head()._1 === n)
   }
+
+  test("erase-everywhere lands mid-stream: later epochs compose, re-crawled content re-lands, final state ≡ batch truth") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("erase_midstream").toString
+    val terms = Seq("data", "join", "scan")
+
+    val all = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        new java.sql.Timestamp(t("2026-01-01 00:00:00").getTime + r.getAs[Long]("doc_id") * 1000),
+        r.getAs[String]("lang"), r.getAs[String]("source"), r.getAs[String]("text")))
+      .sortBy(_._1)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val recrawlId = all.map(_._1).max + 1000L
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val q = DocStream.startIndexedIngest(
+      mem.toDF().toDF("doc_id", "event_time", "lang", "source", "text"),
+      s"$dir/store", s"$dir/postings", s"$dir/dedup", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+
+      // the deletion request arrives WHILE the stream is live: the two
+      // side vector stores (the other surfaces of the orchestrated
+      // request) are tiny builds beside the text stores
+      val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+        .select($"vec_id", $"label", $"embedding")
+      graft.sources.VecStoreLog.appendBatch(emb, s"$dir/vec", 0L)
+      graft.sources.VecStoreLog.compact(spark, s"$dir/vec",
+        cellK = Some(graft.sources.VecStore.CellK))
+      graft.sources.IvfPqLog.appendBatch(emb, s"$dir/ivfpq", 0L)
+      graft.sources.IvfPqLog.compact(spark, s"$dir/ivfpq")
+      val landed1 = spark.read.parquet(s"$dir/store/docs")
+        .select($"doc_id").as[Long].collect().toSet
+      val b1Max = b1.map(_._1).max
+      val ids = (0L to b1Max by 37L).toSeq
+      val receipt = graft.sources.CorpusRtbf.eraseEverywhere(spark, ids,
+        s"$dir/store", s"$dir/postings", s"$dir/dedup", s"$dir/vec", s"$dir/ivfpq")
+      assert(receipt("bronze_docs") === ids.count(landed1).toLong)
+
+      // pick an ERASED doc whose text is globally unique (a corpus twin
+      // would suppress the re-crawl through ordinary dedup, which is not
+      // what this test measures)
+      val uniqueTexts = all.groupBy(_._5).filter(_._2.length == 1).keySet
+      val goneText = b1.find(d => d._1 % 37 == 0 && landed1(d._1) &&
+        uniqueTexts(d._5)).get._5
+      val maxId = all.map(_._1).max
+
+      // the stream keeps landing AFTER the erase; one far-future doc
+      // advances the watermark so b1's hashes age out of the BOUNDED
+      // streaming dedup state — beyond the horizon, the hash INDEX is
+      // what decides a re-crawl, and the erase just removed the hash
+      val pusher = (maxId + 500L,
+        new java.sql.Timestamp(t("2026-01-01 12:00:00").getTime),
+        "en", "pusher", b1.find(d => uniqueTexts(d._5) && d._1 % 37 != 0).get._5)
+      mem.addData(b2.toSeq :+ pusher); q.processAllAvailable()
+
+      // the re-crawl of ERASED content, past the horizon: erasure removed
+      // its suppression state, so it must re-land as a NEW document
+      val recrawl = (recrawlId,
+        new java.sql.Timestamp(t("2026-01-01 12:30:00").getTime),
+        "en", "recrawl", goneText)
+      mem.addData(Seq(recrawl)); q.processAllAvailable()
+    } finally q.stop()
+
+    val bronze = spark.read.parquet(s"$dir/store/docs")
+      .select($"doc_id", $"text").localCheckpoint(eager = true)
+    val b1Max = b1.map(_._1).max
+    assert(bronze.filter($"doc_id" % 37 === 0 && $"doc_id" <= b1Max).count() === 0L,
+      "erased ids must stay gone through the later landings")
+    assert(bronze.filter($"doc_id" === recrawlId).count() === 1L,
+      "re-crawled erased content must re-land: erasure removed suppression state")
+
+    // final derived state ≡ the bronze truth, exactly as if no erase had
+    // interleaved: the posting index answers for the landed bronze…
+    val viaIndex = graft.sources.PostingLog
+      .booleanAnd(spark, s"$dir/postings", terms)
+      .as[(Long, Long)].collect().toSet
+    val direct = bronze
+      .select($"doc_id", explode(graft.llm.TextAnalysis.words($"text")).as("term"))
+      .filter($"term".isin(terms: _*)).distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .filter($"n" === terms.size)
+      .as[(Long, Long)].collect().toSet
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+    // …its stats match the bronze…
+    val stats = graft.sources.PostingLog.stats(spark, s"$dir/postings")
+      .as[(Long, Long)].head()
+    val truth = bronze
+      .select(size(graft.llm.TextAnalysis.words($"text")).cast("long").as("dl"))
+      .agg(count(lit(1)), sum($"dl")).as[(Long, Long)].head()
+    assert(stats === truth)
+    // …and the dedup labels equal a batch-built store over the final bronze
+    val batchDir = java.nio.file.Files.createTempDirectory("erase_mid_batch").toString + "/st"
+    graft.llm.DedupLog.appendEpoch(bronze, batchDir, 0L)
+    assert(graft.llm.DedupLog.labelsView(spark, s"$dir/dedup")
+      .as[(Long, Long)].collect().toSet ===
+      graft.llm.DedupLog.labelsView(spark, batchDir)
+        .as[(Long, Long)].collect().toSet)
+
+    // both text stores fsck clean after the interleaved erase + landings
+    Seq(graft.sources.StoreCheck.checkPostingLog(spark, s"$dir/postings"),
+      graft.sources.StoreCheck.checkDedupLog(spark, s"$dir/dedup")).foreach { f =>
+      assert(!f.exists(_.severity == "error"), f.mkString("; "))
+    }
+  }
 }
