@@ -31,6 +31,8 @@ object SparkEntry {
       sources.PostingLog.hybridMaintainedQuery :+
       sources.PostingLog.hybridMultiQuery :+
       sources.PostingLog.eraseProbeQuery :+
+      sources.PostingLog.expireProbeQuery :+
+      llm.DedupLog.expireClustersQuery :+
       sources.ErasureStore.eraseQuery :+ sources.MeterBronze.eraseQuery :+
       sources.SketchStore.probeQuery :+ sources.SketchStore.overlapQuery :+
       sources.SketchStore.rollupQuery :+

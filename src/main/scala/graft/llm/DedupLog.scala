@@ -125,6 +125,15 @@ object DedupLog {
   def sigsAll(spark: SparkSession, dir: String): DataFrame = {
     val roots = sigRoots(spark, dir)
     require(roots.nonEmpty, s"empty dedup store: $dir")
+    roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .drop("sp", "chunk_date")
+  }
+
+  /** [[sigsAll]] keeping the retention axis (chunked stores) — the fold
+    * reads through this so dates survive compaction. */
+  private def sigsAllRaw(spark: SparkSession, dir: String): DataFrame = {
+    val roots = sigRoots(spark, dir)
+    require(roots.nonEmpty, s"empty dedup store: $dir")
     roots.map(spark.read.parquet(_)).reduce(_ unionByName _).drop("sp")
   }
 
@@ -144,16 +153,37 @@ object DedupLog {
       .agg(max_by(col("label"), col("ep")).as("label"))
   }
 
-  private def writeSigs(sigs: DataFrame, out: String): Unit =
+  private def writeSigs(sigs: DataFrame, out: String): Unit = {
+    // chunked stores carry the retention axis OUTER so expiring a crawl
+    // day is one directory delete per root (the DocStore.chunked layout)
+    val parts =
+      if (sigs.columns.contains("chunk_date")) Seq("chunk_date", "sp")
+      else Seq("sp")
     sigs.withColumn("sp", pmod(col("doc_id"), lit(SigParts)))
-      .repartition(col("sp"))
-      .write.mode("overwrite").partitionBy("sp").parquet(out)
+      .repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(out)
+  }
 
   /** Land one document epoch: store its signatures, discover the pairs
     * it creates (delta × committed ∪ delta × delta), and relabel ONLY
     * the touched components. Returns the number of new verified pairs.
     * Watermark-guarded like every cube landing. */
-  def appendEpoch(docs: DataFrame, dir: String, batchId: Long): Long = {
+  def appendEpoch(docs: DataFrame, dir: String, batchId: Long): Long =
+    appendEpochImpl(docs, dir, batchId, chunked = false)
+
+  /** [[appendEpoch]] with the calendar axis: `docs` must carry a
+    * `crawl_date` DATE column; stored signatures ride under
+    * `chunk_date=<d>/sp=<p>` so [[expireBefore]] can drop a crawl day
+    * driver-side. Pairing, labels, cadence, and RTBF are identical —
+    * only the signature layout gains the axis. */
+  def appendEpochChunked(docs: DataFrame, dir: String, batchId: Long): Long = {
+    require(docs.columns.contains("crawl_date"),
+      "appendEpochChunked needs a crawl_date column (the retention axis)")
+    appendEpochImpl(docs, dir, batchId, chunked = true)
+  }
+
+  private def appendEpochImpl(docs: DataFrame, dir: String, batchId: Long,
+      chunked: Boolean): Long = {
     val spark = docs.sparkSession
     persistSigParts(spark, dir) // fail loudly BEFORE mixing two layouts
     if (CubeLog.isFolded(spark, dir, batchId)) return 0L
@@ -174,9 +204,15 @@ object DedupLog {
       .filterNot(_.endsWith(s"/batch_id=$batchId/sigs")) match {
       case Seq() => None
       case roots =>
-        Some(roots.map(spark.read.parquet(_)).reduce(_ unionByName _).drop("sp"))
+        Some(roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+          .drop("sp", "chunk_date"))
     }
-    writeSigs(sigsD, s"$epochDir/sigs")
+    val toWrite =
+      if (chunked) sigsD.join(
+        docs.select(col("doc_id"), col("crawl_date").cast("date").as("chunk_date")),
+        Seq("doc_id"))
+      else sigsD
+    writeSigs(toWrite, s"$epochDir/sigs")
 
     // ---- pair discovery: delta bands ⋈ all bands ----------------------
     val all = prior.map(_.unionByName(sigsD)).getOrElse(sigsD)
@@ -296,7 +332,9 @@ object DedupLog {
     * year of landings collapsed to two directory sets. */
   def compact(spark: SparkSession, dir: String): Long =
     CubeLog.compactFrom(spark, dir) { (_, out) =>
-      val sigs = sigsAll(spark, dir).localCheckpoint(eager = true)
+      // raw keeps chunk_date on chunked stores — the retention axis
+      // survives the fold (it IS the expiry key)
+      val sigs = sigsAllRaw(spark, dir).localCheckpoint(eager = true)
       val labels = labelsView(spark, dir).localCheckpoint(eager = true)
       writeSigs(sigs, s"$out/sigs")
       labels.write.mode("overwrite").parquet(s"$out/labels")
@@ -329,28 +367,46 @@ object DedupLog {
     val members = old.join(affectedLabels, Seq("label"), "left_semi")
       .localCheckpoint(eager = true)
 
-    // ---- signature removal, sp-partition-bounded per source ----------
+    // ---- signature removal, partition-bounded per source --------------
+    // (sp= on flat stores; (chunk_date=, sp=) composites on chunked ones)
     sigRoots(spark, dir).foreach { root =>
-      val slim = spark.read.parquet(root).select(col("doc_id"), col("sp"))
+      val rootDf = spark.read.parquet(root)
+      val chunked = rootDf.columns.contains("chunk_date")
+      val slim = rootDf.select(col("doc_id"), col("sp"))
       val affected = slim.join(req, Seq("doc_id"), "left_semi")
         .select(col("sp").cast("long")).distinct().as[Long].collect().sorted
       if (affected.nonEmpty) {
-        val slice = spark.read.parquet(root).filter(col("sp").isin(affected: _*))
+        val slice = rootDf.filter(col("sp").isin(affected: _*))
         removed += slice.join(req, Seq("doc_id"), "left_semi").count()
         val kept = slice.join(req, Seq("doc_id"), "left_anti")
           .localCheckpoint(eager = true)
-        Store.refreshMartPartitions(kept, root, "sp")
-        val remaining = kept.select(col("sp").cast("long")).distinct()
-          .as[Long].collect().toSet
         val (hfs, _) = fsOf(spark, root)
-        affected.filterNot(remaining).foreach { p =>
-          hfs.delete(new org.apache.hadoop.fs.Path(s"$root/sp=$p"), true)
+        if (chunked) {
+          // snapshot the slice's composite partitions BEFORE the rewrite
+          // deletes the files the slice plan points at
+          val before = slice.select(col("chunk_date").cast("string"),
+            col("sp").cast("long")).distinct().as[(String, Long)].collect()
+          Store.refreshMartPartitionsBy(kept, root, Seq("chunk_date", "sp"))
+          val remaining = kept.select(col("chunk_date").cast("string"),
+            col("sp").cast("long")).distinct().as[(String, Long)].collect().toSet
+          before.filterNot(remaining).foreach { case (d, p) =>
+            hfs.delete(
+              new org.apache.hadoop.fs.Path(s"$root/chunk_date=$d/sp=$p"), true)
+          }
+        } else {
+          Store.refreshMartPartitions(kept, root, "sp")
+          val remaining = kept.select(col("sp").cast("long")).distinct()
+            .as[Long].collect().toSet
+          affected.filterNot(remaining).foreach { p =>
+            hfs.delete(new org.apache.hadoop.fs.Path(s"$root/sp=$p"), true)
+          }
         }
         // a sig root fully emptied by the request must not survive as a
         // _SUCCESS-only directory — later schema-inferring reads die on it
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val anyLeft = hfs.listStatus(rootPath)
-          .exists(st => st.isDirectory && st.getPath.getName.startsWith("sp="))
+          .exists(st => st.isDirectory && (st.getPath.getName.startsWith("sp=")
+            || st.getPath.getName.startsWith("chunk_date=")))
         if (!anyLeft) hfs.delete(rootPath, true)
       }
     }
@@ -365,8 +421,21 @@ object DedupLog {
       .limit(1).count() > 0L
     if (removed == 0L && !erasedStillLabeled) return 0L // true no-op replay
 
-    // ---- label repair: re-resolve each touched component from the
-    // survivors' own signatures ----------------------------------------
+    repairLabels(spark, dir, req, members)
+    // the grace generation holds PRE-ERASE signatures and labels — purge
+    // it, or the erased docs' dedup state persists until a compaction a
+    // quiesced store never runs (and a torn-marker fallback serves it)
+    CubeLog.purgeGraceRetained(spark, dir)
+    removed
+  }
+
+  /** Label repair after signatures left the store (erase OR retention
+    * expiry): re-resolve each touched component from the survivors' own
+    * signatures — `req` is the removed doc ids, `members` the pre-removal
+    * rows of every component a removed doc belonged to (captured BEFORE
+    * the signatures went). */
+  private def repairLabels(spark: SparkSession, dir: String,
+      req: DataFrame, members: DataFrame): Unit = {
     val survivors = members
       .join(req.select(col("doc_id").as("node")), Seq("node"), "left_anti")
       .select(col("node").as("doc_id"))
@@ -412,11 +481,69 @@ object DedupLog {
         } else next.write.mode("overwrite").parquet(src)
       }
     }
-    // the grace generation holds PRE-ERASE signatures and labels — purge
-    // it, or the erased docs' dedup state persists until a compaction a
-    // quiesced store never runs (and a torn-marker fallback serves it)
-    CubeLog.purgeGraceRetained(spark, dir)
-    removed
+  }
+
+  /** Retention on the dedup state (chunked stores only): drop every
+    * signature chunk strictly BEFORE `cutoff` from every sig root on
+    * disk — driver-side date-directory deletes, zero signature rows
+    * rewritten — then repair the labels of every component that lost an
+    * expired member (the [[eraseDocs]] repair over the post-expiry
+    * survivors: splits re-resolve, keepers re-elect, pairless survivors
+    * drop out — exactly the batch answer over the retained corpus).
+    * Retention differs from RTBF in its bound, not its semantics: the
+    * signature side is O(dropped dirs); only the label side pays a
+    * rewrite, sized by the touched components. Idempotent; returns
+    * date-dirs dropped. */
+  def expireBefore(spark: SparkSession, dir: String, cutoff: String): Long = {
+    require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"cutoff must be an ISO date: $cutoff")
+    val roots = sigRoots(spark, dir)
+    if (roots.isEmpty) return 0L
+    require(spark.read.parquet(roots.head).columns.contains("chunk_date"),
+      s"dedup store $dir has no retention axis — land through " +
+        "appendEpochChunked to expire by crawl date")
+    // the expired ids + the pre-expiry label state, captured BEFORE the
+    // drops (the slices are date-pruned reads — bounded by what expires)
+    import spark.implicits._
+    val expiredIds = roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .filter(col("chunk_date") < lit(cutoff).cast("date"))
+      .select(col("doc_id")).distinct().localCheckpoint(eager = true)
+    val old = labelsView(spark, dir).localCheckpoint(eager = true)
+    val affectedLabels = old
+      .join(expiredIds.select(col("doc_id").as("node")), Seq("node"), "left_semi")
+      .select(col("label")).distinct()
+    val members = old.join(affectedLabels, Seq("label"), "left_semi")
+      .localCheckpoint(eager = true)
+
+    // drop the date slices — on EVERY dir on disk (grace copies included;
+    // retention is a storage policy, transient copies expire too)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var dropped = 0L
+    hfs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("batch_id=") ||
+          st.getPath.getName.startsWith("folded_gen=")))
+      .map(st => new org.apache.hadoop.fs.Path(st.getPath, "sigs"))
+      .filter(hfs.exists)
+      .foreach { sigDir =>
+        hfs.listStatus(sigDir)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("chunk_date="))
+          .foreach { st =>
+            val d = st.getPath.getName.stripPrefix("chunk_date=")
+            if (d < cutoff) { hfs.delete(st.getPath, true); dropped += 1 }
+          }
+        // a sig root fully emptied by the expiry must not survive as a
+        // _SUCCESS-only directory (the schema-inference poison)
+        val anyLeft = hfs.listStatus(sigDir)
+          .exists(st => st.isDirectory &&
+            st.getPath.getName.startsWith("chunk_date="))
+        if (!anyLeft) hfs.delete(sigDir, true)
+      }
+    if (expiredIds.limit(1).count() > 0L)
+      repairLabels(spark, dir, broadcast(expiredIds), members)
+    dropped
   }
 
   /** The `dedup_clusters` output shape over the maintained label view. */
@@ -474,6 +601,57 @@ object DedupLog {
     q("dedup_incremental_clusters",
       Dedup.all.find(_.name == "dedup_clusters").get.oracle.get) { (s, d) =>
       clusters(s, maintainedDir(s, d))
+    }
+
+  private val builtExpired = scala.collection.mutable.Map.empty[String, String]
+  private def expiredDir(s: SparkSession, d: String): String =
+    builtExpired.synchronized {
+      builtExpired.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}_expired"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val docs = Tables.documentsParallel(s, d).select(col("doc_id"), col("text"))
+          .withColumn("crawl_date", date_add(lit("2026-01-01").cast("date"),
+            pmod(col("doc_id"), lit(3L)).cast("int")))
+        appendEpochChunked(docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), dir, 0L)
+        compact(s, dir)
+        appendEpochChunked(docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), dir, 1L)
+        dir
+      })
+    }
+
+  /** Calendar retention on the dedup state as a registered query: the
+    * chunked store (three synthetic crawl days by doc_id mod 3, epochs
+    * sliced mod 2 so every day spans fold AND live legs) expires its
+    * first day — signature date-dirs drop driver-side, the label table
+    * repairs for every component that lost an expired member — then
+    * answers the cluster view. The oracle is the batch cluster fixpoint
+    * over the RETAINED corpus (crawl day ≥ cutoff ⟺ doc_id % 3 ≠ 0):
+    * hash equality proves splits, keeper re-election, and pairless
+    * drop-out resolve exactly as a from-scratch dedup of the retained
+    * corpus would. Idempotent expiry per invocation. */
+  lazy val expireClustersQuery: GraftQuery =
+    q("dedup_expire_clusters",
+      s"""WITH RECURSIVE docs_surv AS (
+         |  SELECT * FROM documents WHERE doc_id % 3 <> 0),
+         |${Dedup.minhashPairsSqlCtes(from = "docs_surv")},
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         |labeled AS (
+         |  SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_keeper
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_keeper,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_keeper) AS BIGINT) AS cluster_size,
+         |  doc_id <> cluster_keeper AS is_duplicate
+         |FROM labeled""".stripMargin) { (s, d) =>
+      val dir = expiredDir(s, d)
+      expireBefore(s, dir, "2026-01-02")
+      clusters(s, dir)
     }
 
   /** RTBF through the maintained dedup state as a registered query: the

@@ -55,10 +55,53 @@ object PostingLog {
   /** Same bucket count as the build-once store — probes are comparable.
     * At 100 TB this is the knob that bounds BOTH probe fan-in and the
     * RTBF rewrite share (a delete touches ≤ |distinct terms erased|
-    * buckets, each 1/NBuckets of a generation); deployments size it so a
-    * bucket is one comfortable parquet task (~150 MB), exactly
-    * [[VecStoreLog.EpochRowsPerFile]]'s rule on the vector side. */
+    * buckets, each 1/NBuckets of a generation); deployments size it with
+    * [[bucketsFor]] so a bucket is one comfortable parquet task
+    * (~150 MB), exactly [[VecStoreLog.EpochRowsPerFile]]'s rule on the
+    * vector side. */
   val NBuckets: Long = 16L
+
+  /** Target on-disk bytes per term bucket: ~150 MB — one comfortable
+    * parquet task, the [[VecStoreLog.EpochRowsPerFile]] rule on the
+    * retrieval axis. */
+  val TargetBucketBytes: Long = 150L * 1024L * 1024L
+
+  /** Estimated on-disk index bytes per corpus TOKEN: each token carries
+    * one 4-byte position plus its amortized share of the posting row
+    * (term/doc_id/tf/dl after parquet dictionary+RLE encoding).
+    * Calibrated against a real store built from the test corpus
+    * (PostingLogSpec asserts the measurement stays inside a generous
+    * band — the constant is an ESTIMATE for sizing, not accounting; being
+    * 2× off makes buckets 75 or 300 MB, both fine task sizes). */
+  val BytesPerToken: Long = 16L
+
+  /** Constant-rewrite-unit sizing rule (the [[ErasureStore.bucketsFor]] /
+    * `VecStore.cellKFor` doctrine on the retrieval axis): smallest
+    * power-of-two bucket count ≥ the [[NBuckets]] parallelism floor that
+    * keeps a bucket's estimated bytes (nDocs · avgDl · [[BytesPerToken]]
+    * / buckets) at or under [[TargetBucketBytes]] — so probe fan-in AND
+    * the per-term RTBF rewrite unit stay CONSTANT BYTES as the corpus
+    * grows, not a constant fraction of a growing index. Power-of-two
+    * keeps a future split local (each bucket divides in two).
+    *
+    * RESIZE PATH (why changing the count is cheap): the bucket key is
+    * ARITHMETIC (h64(term) mod buckets — no trained state), so
+    * rebucketing is exactly ONE fold at the new count: read the current
+    * generation, repartition on the new pmod, write, commit — the
+    * [[compact]] machinery with a different partition expression, no
+    * retraining, no probe downtime (the old generation serves until the
+    * marker commits). The `_nb` sidecar makes the transition loud: a
+    * probe from a build with the old constant fails with the rebucket
+    * instruction instead of wrong-bucket false negatives. */
+  def bucketsFor(nDocs: Long, avgDl: Long): Long = {
+    require(nDocs > 0 && avgDl > 0,
+      s"bucketsFor($nDocs, $avgDl): corpus and doc length must be positive")
+    val bytes = nDocs * avgDl * BytesPerToken
+    val need = (bytes + TargetBucketBytes - 1) / TargetBucketBytes
+    var b = NBuckets
+    while (b < need) b *= 2
+    b
+  }
 
   /** Reserved partition for the additive corpus-stats rows. Probe term
     * buckets are pmod-derived (always ≥ 0) so no term can land here. */
@@ -361,6 +404,11 @@ object PostingLog {
     import spark.implicits._
     val req = broadcast(docIds.toDF("doc_id"))
     val v = CubeLog.view(spark, dir)
+    // calendar-chunked stores carry the retention axis — their rewrite is
+    // date-sliced (a doc's postings live in exactly its crawl chunk)
+    val anyRoot = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)).headOption
+    if (anyRoot.exists(r => spark.read.parquet(r).columns.contains("chunk_date")))
+      return eraseDocsChunked(spark, dir, req)
     var removed = 0L
 
     def rewriteRoot(root: String, wholeEpoch: Boolean): Unit = {
@@ -419,6 +467,192 @@ object PostingLog {
     // batch dirs it absorbed) — purge it, or the erased docs' postings
     // persist on disk until a compaction that a quiesced store never runs,
     // and a torn-marker fallback would serve them
+    CubeLog.purgeGraceRetained(spark, dir)
+    removed
+  }
+
+  // ---------------------------------------------------------------- //
+  // Calendar-chunked twin (r13): [[DocStore.appendDedupedChunked]]'s
+  // retention discipline on the DERIVED retrieval index — r12 gave the
+  // corpus bronze calendar chunks, but the postings of an expired crawl
+  // day lived on until RTBF'd. Layout per root:
+  //
+  //   batch_id=<N>/chunk_date=<D>/tb=<B>/    live epoch postings
+  //   folded_gen=<G>/chunk_date=<D>/tb=<B>/  merged postings
+  //
+  // chunk_date OUTER so expiring a crawl day is ONE directory delete per
+  // root; tb still prunes probes statically (partition pruning applies at
+  // any nesting level). The additive stats rows are PER DATE
+  // ((chunk_date=D, tb=-1) — readers still just SUM them), so expiry
+  // decrements the BM25 globals exactly, by construction: each date's
+  // stats row lives inside the dropped directory.
+  // ---------------------------------------------------------------- //
+
+  /** [[RowCols]] + the retention axis — shared by the chunked fold and
+    * the chunked RTBF rewrite. */
+  private val ChunkCols =
+    Seq("term", "doc_id", "tf", "dl", "positions", "tb", "chunk_date")
+
+  private def postingRowsChunked(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("crawl_date").cast("date").as("chunk_date"),
+        TextAnalysis.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("chunk_date"),
+        size(col("ws")).cast("long").as("dl"),
+        posexplode(col("ws")).as(Seq("pos0", "term")))
+      .select(col("doc_id"), col("chunk_date"), col("dl"), col("term"),
+        (col("pos0") + 1).as("pos"))
+    toks
+      .groupBy(col("doc_id"), col("chunk_date"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"),
+        pmod(graft.functions.Md5Prefix64(col("term")), lit(NBuckets)).as("tb"),
+        col("chunk_date"))
+  }
+
+  /** Per-DATE additive stats rows of an epoch, from its postings. */
+  private def statsRowsChunkedOf(postings: DataFrame): DataFrame =
+    postings
+      .groupBy(col("chunk_date"), col("doc_id")).agg(max(col("dl")).as("dl"))
+      .groupBy(col("chunk_date"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
+      .select(lit("").as("term"), lit(-1L).as("doc_id"),
+        col("n_docs").as("tf"), col("total_dl").as("dl"),
+        array().cast("array<int>").as("positions"),
+        lit(StatsBucket).as("tb"), col("chunk_date"))
+
+  /** [[appendBatch]] with the calendar axis: `docs` must carry a
+    * `crawl_date` DATE column. Same landing contract (replay overwrite +
+    * watermark guard + empty guard + `_nb` sidecar). */
+  def appendBatchChunked(docs: DataFrame, dir: String, batchId: Long): Long = {
+    val s = docs.sparkSession
+    require(docs.columns.contains("crawl_date"),
+      "appendBatchChunked needs a crawl_date column (the retention axis)")
+    persistNBuckets(s, dir)
+    if (CubeLog.isFolded(s, dir, batchId)) return 0L
+    val postings = postingRowsChunked(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (postings.isEmpty) return 0L
+      postings.unionByName(statsRowsChunkedOf(postings))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("chunk_date"), col("tb"))
+        .write.mode("overwrite").partitionBy("chunk_date", "tb")
+        .parquet(s"$dir/batch_id=$batchId")
+      1L
+    } finally postings.unpersist()
+  }
+
+  /** Fold for the chunked layout: postings merge by union, stats sum PER
+    * DATE — the date axis survives compaction (it IS the retention key). */
+  def compactChunked(spark: SparkSession, dir: String): Long =
+    CubeLog.compactFrom(spark, dir) { (v, out) =>
+      val all = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
+        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .select(ChunkCols.map(col): _*)
+      val postings = all.filter(col("tb") =!= StatsBucket)
+      // per-date stats: SUM the per-epoch rows (additive), one row per date
+      val statsSum = all.filter(col("tb") === StatsBucket)
+        .groupBy(col("chunk_date"))
+        .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+        .select(lit("").as("term"), lit(-1L).as("doc_id"),
+          col("tf"), col("dl"), array().cast("array<int>").as("positions"),
+          lit(StatsBucket).as("tb"), col("chunk_date"))
+      postings.unionByName(statsSum)
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("chunk_date"), col("tb"))
+        .localCheckpoint(eager = true)
+        .write.mode("overwrite").partitionBy("chunk_date", "tb").parquet(out)
+    }
+
+  /** Retention: drop every chunk strictly BEFORE `cutoff` (ISO date) from
+    * EVERY root on disk — the committed fold, live epochs, AND
+    * grace-retained dirs (retention is a storage policy, it applies to
+    * transient copies too). Driver-side directory deletes, zero rows
+    * read; the per-date stats rows are dropped WITH their date, so the
+    * BM25 globals decrement exactly. Idempotent; returns date-dirs
+    * dropped. */
+  def expireBefore(spark: SparkSession, dir: String, cutoff: String): Long = {
+    require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"cutoff must be an ISO date: $cutoff")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(root)) return 0L
+    var dropped = 0L
+    hfs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("batch_id=") ||
+          st.getPath.getName.startsWith("folded_gen=")))
+      .foreach { r =>
+        hfs.listStatus(r.getPath)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("chunk_date="))
+          .foreach { st =>
+            val d = st.getPath.getName.stripPrefix("chunk_date=")
+            // lexicographic = chronological for ISO dates
+            if (d < cutoff) { hfs.delete(st.getPath, true); dropped += 1 }
+          }
+      }
+    dropped
+  }
+
+  /** RTBF on the chunked layout: a doc's postings live in exactly its
+    * crawl date's chunk, so the rewrite unit is the AFFECTED DATE SLICES
+    * (≤ |distinct crawl dates of the erased docs| per root) — each
+    * rewritten minus the requested docs with its stats row corrected,
+    * every other date directory byte-identical. Grace dirs purged like
+    * every erase. Called through [[eraseDocs]], which dispatches on the
+    * store's schema. */
+  private def eraseDocsChunked(spark: SparkSession, dir: String,
+      req: DataFrame): Long = {
+    import spark.implicits._
+    val v = CubeLog.view(spark, dir)
+    var removed = 0L
+    (v.liveBatches.map(_._2) ++ v.foldedDir.toSeq).foreach { root =>
+      val slim = spark.read.parquet(root).select(col("doc_id"), col("chunk_date"))
+      val dates = slim.join(req, Seq("doc_id"), "left_semi")
+        .select(col("chunk_date").cast("string")).distinct()
+        .as[String].collect().sorted
+      if (dates.nonEmpty) {
+        val cur = spark.read.parquet(root)
+          .filter(col("chunk_date").cast("string").isin(dates: _*))
+          .select(ChunkCols.map(col): _*)
+        val hits = cur.filter(col("tb") =!= StatsBucket)
+          .join(req, Seq("doc_id"), "left_semi")
+        removed += hits.count()
+        val gone = hits.select(col("chunk_date"), col("doc_id"), col("dl")).distinct()
+          .groupBy(col("chunk_date"))
+          .agg(count(lit(1)).as("gone_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("gone_dl"))
+        val keptPost = cur.filter(col("tb") =!= StatsBucket)
+          .join(req, Seq("doc_id"), "left_anti")
+        val newStats = cur.filter(col("tb") === StatsBucket)
+          .groupBy(col("chunk_date"))
+          .agg(sum(col("tf")).as("tf0"), sum(col("dl")).as("dl0"))
+          .join(broadcast(gone), Seq("chunk_date"), "left")
+          .select(lit("").as("term"), lit(-1L).as("doc_id"),
+            (col("tf0") - coalesce(col("gone_docs"), lit(0L))).as("tf"),
+            (col("dl0") - coalesce(col("gone_dl"), lit(0L))).as("dl"),
+            array().cast("array<int>").as("positions"),
+            lit(StatsBucket).as("tb"), col("chunk_date"))
+          .filter(col("tf") > 0L) // a date fully erased writes no stats row
+        val kept = keptPost.unionByName(newStats)
+          .localCheckpoint(eager = true)
+        Store.refreshMartPartitionsBy(kept, root, Seq("chunk_date", "tb"))
+        // a date slice fully emptied by the request writes nothing under
+        // dynamic overwrite — delete its directory explicitly
+        val remaining = kept.select(col("chunk_date").cast("string"))
+          .distinct().as[String].collect().toSet
+        val hfs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        dates.filterNot(remaining).foreach { d =>
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$root/chunk_date=$d"), true)
+        }
+      }
+    }
     CubeLog.purgeGraceRetained(spark, dir)
     removed
   }
@@ -796,6 +1030,48 @@ object PostingLog {
         coalesce(col("cos_rank"), lit(0L)).as("cos_rank"),
         col("rrf_scaled"))
   }
+
+  private val builtExpired = scala.collection.mutable.Map.empty[String, String]
+  private def expiredDir(s: SparkSession, d: String): String =
+    builtExpired.synchronized {
+      builtExpired.getOrElseUpdate(d, {
+        val dir = freshStoreDir(s, d, "expired")
+        val docs = Tables.documentsParallel(s, d)
+          .select(col("doc_id"), col("text"))
+          .withColumn("crawl_date", date_add(lit("2026-01-01").cast("date"),
+            pmod(col("doc_id"), lit(3L)).cast("int")))
+        appendBatchChunked(docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), dir, 0L)
+        compactChunked(s, dir)
+        appendBatchChunked(docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), dir, 1L)
+        dir
+      })
+    }
+
+  /** Calendar retention driven end-to-end as a registered query: the
+    * chunked store (fold + live epoch, three synthetic crawl days by
+    * doc_id mod 3) expires its first day — a driver-side directory drop
+    * per root, zero posting rows rewritten — then answers the boolean-AND
+    * probe. The oracle's declarative survivor set (crawl day ≥ cutoff ⟺
+    * doc_id % 3 ≠ 0, the date assignment's own arithmetic) proves the
+    * drop removed exactly the expired day's postings from fold AND live
+    * legs; ChunkedRetentionSpec pins the physical half (stats rows
+    * decremented exactly, every root's date dir gone). Expiry replays
+    * idempotently per invocation. */
+  lazy val expireProbeQuery: GraftQuery =
+    q("search_expire_probe",
+      s"""WITH post AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms
+         |  FROM post WHERE term IN (${Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1)
+         |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms
+         |FROM hits WHERE n_terms = ${Terms.size}""".stripMargin) { (s, d) =>
+      val dir = expiredDir(s, d)
+      expireBefore(s, dir, "2026-01-02")
+      booleanAnd(s, dir, Terms)
+    }
 
   /** RTBF driven end-to-end as a registered query: the maintained store
     * (fold + live epoch) with the [[ErasureStore]] deletion convention

@@ -108,14 +108,21 @@ object Store {
     * produces — at 100 TB a daily refresh rewrites one day, not the mart.
     * The conf is set per-write and restored (it is session-wide). */
   def refreshMartPartitions(
-      updatedSlice: DataFrame, dir: String, partitionCol: String): Unit = {
+      updatedSlice: DataFrame, dir: String, partitionCol: String): Unit =
+    refreshMartPartitionsBy(updatedSlice, dir, Seq(partitionCol))
+
+  /** [[refreshMartPartitions]] for composite partitioning (e.g. the
+    * calendar-chunked stores' (chunk_date, bucket) trees): dynamic
+    * overwrite of exactly the composite partitions present in the slice. */
+  def refreshMartPartitionsBy(
+      updatedSlice: DataFrame, dir: String, partitionCols: Seq[String]): Unit = {
     val spark = updatedSlice.sparkSession
     val key = "spark.sql.sources.partitionOverwriteMode"
     val before = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
     try updatedSlice
-      .repartition(col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
     finally before match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

@@ -245,6 +245,39 @@ class PostingLogSpec extends SparkSpec {
     assert(exLand.getMessage.contains("FALSE NEGATIVES"))
   }
 
+  test("bucketsFor: NBuckets floor, power-of-two, ~150MB target; BytesPerToken calibrated on a real store") {
+    // rule properties
+    assert(PostingLog.bucketsFor(1L, 1L) === PostingLog.NBuckets, "parallelism floor")
+    val big = PostingLog.bucketsFor(1000000000L, 500L) // 1B docs × 500 tokens × 16B = 8TB
+    assert((big & (big - 1)) === 0L, "power of two")
+    assert(big >= 8L * 1024L * 1024L * 1024L * 1024L / PostingLog.TargetBucketBytes / 2,
+      "a 1B-doc corpus needs tens of thousands of buckets, not 16")
+    // monotone in both inputs
+    assert(PostingLog.bucketsFor(2000000L, 100L) <= PostingLog.bucketsFor(4000000L, 100L))
+    assert(PostingLog.bucketsFor(2000000L, 100L) <= PostingLog.bucketsFor(2000000L, 200L))
+    // the estimated bucket never exceeds the target at the chosen count
+    val (n, dl) = (123456789L, 300L)
+    val b = PostingLog.bucketsFor(n, dl)
+    assert(n * dl * PostingLog.BytesPerToken / b <= PostingLog.TargetBucketBytes)
+
+    // BytesPerToken calibration: a real store over the test corpus must
+    // land within a generous band of the estimate (sizing, not accounting
+    // — 2× off still yields fine task sizes; 10× off means the model is
+    // wrong and buckets degenerate)
+    val dir = buildStore()
+    def du(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+      else if (f.getName.endsWith(".parquet")) f.length() else 0L
+    // measure the READER view only (grace-retained dirs are transient copies)
+    val bytes = CubeLog.view(spark, dir).dataPaths
+      .map(p => du(new java.io.File(p.stripPrefix("file:")))).sum
+    val (nDocs, totalDl) = PostingLog.stats(spark, dir).as[(Long, Long)].head()
+    val measured = bytes.toDouble / totalDl
+    assert(measured <= PostingLog.BytesPerToken * 4.0 &&
+      measured >= PostingLog.BytesPerToken / 8.0,
+      f"measured $measured%.1f B/token vs pinned ${PostingLog.BytesPerToken} — recalibrate")
+  }
+
   test("stats count only docs with postings; empty epochs land nothing") {
     val dir = java.nio.file.Files.createTempDirectory("posting_stats_").toString + "/idx"
 
