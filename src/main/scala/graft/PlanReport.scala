@@ -211,7 +211,13 @@ object PlanReport {
     "vecstore_live_delta_probe" ->
       "The maintained index probed MID-STREAM: the plan unions the two legs — the committed generation's cell equi-join (dynamic pruning lists only probed cell directories) and the live delta's broadcast BNLJ (every delta vector scored against the broadcast query set, cell-UNpruned by design: the delta is compaction-cadence-bounded and the brute leg is exact, so fresh vectors are retrievable with no recall penalty). One rank window over the union; n_cands records both legs' candidate volume per query.",
     "meter_forecast_conformal" ->
-      "Split conformal: one staging pass feeds both splits (localCheckpoint); the calibration rank window partitions by meter (≤ cal-days×96 rows per partition); qhat joins back as a 1-row-per-meter frame; coverage is one combinable conditional aggregate. No global sort, no corpus-sized window.")
+      "Split conformal: one staging pass feeds both splits (localCheckpoint); the calibration rank window partitions by meter (≤ cal-days×96 rows per partition); qhat joins back as a 1-row-per-meter frame; coverage is one combinable conditional aggregate. No global sort, no corpus-sized window.",
+    "search_hybrid_multiquery" ->
+      "The serving-shape hybrid (r13): ONE pruned posting scan (static tb PartitionFilters over the union of all queries' term buckets) fans out to its queries through a broadcast (query_id, term) join — |queries| rankings, one index read; the ANN leg's single cell-pruned probe ranks per query natively; RRF fuses two K-row-per-query lists with every window partitioned by query_id. Adding a query adds broadcast rows, never a scan.",
+    "corpus_erase_everywhere" ->
+      "The post-erase hybrid probe over the orchestrated-RTBF stores (r13): identical shape to search_hybrid_maintained — tb-pruned BM25 leg, cell-pruned ANN leg, K-row RRF fusion — with the five per-surface audit receipts attached as literal columns (zero plan cost). The five-store erase itself (bounded rewrites + grace purge on every surface) ran inside the query before this plan; the survivor-filtered oracle hashing equal IS the proof one deletion request cleaned bronze, postings, dedup state, and both vector indexes.",
+    "search_expire_probe" ->
+      "Calendar retention on the posting index (r13): the post-expiry probe is the ordinary pruned boolean-AND — static tb PartitionFilters under the chunk_date layout, fold ∪ live unioned. The expiry itself was a driver-side date-directory drop (zero rows read, per-date stats rows gone WITH their chunk); the retained-corpus oracle hashing equal proves the drop removed exactly the expired day from both legs.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -431,7 +431,18 @@ object Similarity {
     * [[PqK]] smallest vec_ids, update is the exact truncated mean per
     * dimension (`div` ≡ DuckDB `//`). Returns (m, c_id, cqv, cnorm2). */
   private def pqTrain(subs: DataFrame): DataFrame = {
-    val cb0 = subs.filter(col("vec_id") < PqK)
+    // seeds = the sub-vectors of the PqK SMALLEST vec_ids PRESENT (the
+    // [[lloydCentroids]] doctrine, which r12 applied to the coarse
+    // codebook but not here): `vec_id < PqK` assumes ids dense from 0 —
+    // true for the corpus tables, FALSE for a maintained store fed by a
+    // stream whose ids compose (meter, second). There it seeded ZERO
+    // sub-codebooks, every pqAssign join emptied, and the streaming
+    // sweep's mid-run IVF-PQ fold committed a generation with EMPTY codes
+    // (an unreadable store — caught live by ingest+ivfpq-index).
+    // Identical seeds and bit-identical codebooks on dense-from-0 corpora.
+    val seedIds = subs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(PqK)
+    val cb0 = subs.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cqv"))
       .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
     val dimSums = (0 until PqSubDim).map(i => sum(col("sv")(i)).as(s"s$i"))
@@ -493,7 +504,7 @@ object Similarity {
          |cb0 AS (
          |  SELECT m, vec_id AS c_id, sv AS cqv,
          |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS cnorm2
-         |  FROM subs WHERE vec_id < $PqK),
+         |  FROM subs WHERE vec_id IN (SELECT DISTINCT vec_id FROM subs ORDER BY vec_id LIMIT $PqK)),
          |a1 AS (
          |  SELECT s.vec_id, s.m, s.sv, cb.c_id, row_number() OVER (
          |    PARTITION BY s.vec_id, s.m
@@ -689,7 +700,7 @@ object Similarity {
          |cb0 AS (
          |  SELECT m, vec_id AS c_id, sv AS cqv,
          |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS cnorm2
-         |  FROM subs WHERE vec_id < $PqK),
+         |  FROM subs WHERE vec_id IN (SELECT DISTINCT vec_id FROM subs ORDER BY vec_id LIMIT $PqK)),
          |pqa1 AS (
          |  SELECT s.vec_id, s.m, s.sv, cb.c_id, row_number() OVER (
          |    PARTITION BY s.vec_id, s.m

@@ -164,6 +164,21 @@ object CubeLog {
           .toOption.map(_ -> st.getPath.toString)
       }
       .filter(_._1 > watermark)
+      // an epoch dir whose every entry is hidden (`_temporary` only — no
+      // data files, no visible subdirs) is a landing IN FLIGHT: the
+      // offline compactor and concurrent probes race foreachBatch by
+      // design, and listing a half-written epoch crashes the reader
+      // (UNABLE_TO_INFER_SCHEMA — the ivfpq streaming sweep caught it
+      // live). Excluding it is exactly-once, not loss: the landing either
+      // completes (visible on the next view) or its batch is replayed.
+      // foreachBatch is serial, so only the LATEST epoch can be in
+      // flight — the fold's watermark never skips past a pending id.
+      .filter { case (_, p) =>
+        hfs.listStatus(new org.apache.hadoop.fs.Path(p)).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+      }
       .sortBy(_._1)
     val roots = kids
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -161,6 +161,13 @@ object IvfPqLog {
       val all = (base.toSeq ++ delta).reduce(_ unionByName _)
         .localCheckpoint(eager = true) // the source dirs are swept below
       val (qe, cents, cbRow, _, codes) = Similarity.ivfPqTrainFramesFrom(all)
+      // fail BEFORE the commit marker, never after: an empty codebook
+      // (training bug, empty input) would write _SUCCESS-only codes dirs
+      // and commit an UNREADABLE generation — crash-before-marker leaves
+      // the previous generation serving and the orphan fold swept later
+      require(cents.limit(1).count() == 1L && cbRow.limit(1).count() == 1L,
+        s"IVF-PQ fold over $dir trained an empty codebook — refusing to " +
+          "commit an unreadable generation (is the input empty?)")
       cents.coalesce(1).write.mode("overwrite").parquet(s"$out/cells")
       Similarity.centsRow(cents).coalesce(1).write.mode("overwrite")
         .parquet(s"$out/cells_packed")

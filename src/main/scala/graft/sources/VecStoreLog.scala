@@ -75,6 +75,11 @@ object VecStoreLog {
       // path for arbitrarily large epochs) and feeds the caller's cadence
       // arithmetic; it reuses the persisted batch the write needs anyway
       val n = slim.count()
+      // an empty epoch (empty micro-batch at stream start, or a batch
+      // whose document-bearing stride is empty) lands NOTHING — the
+      // PostingLog/DedupLog guard: empty epoch dirs count toward cadence
+      // fan-in forever and an all-empty store would train an empty fold
+      if (n == 0L) return 0L
       val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
       slim.coalesce(files)
         .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")

@@ -324,4 +324,32 @@ class CubeCompactSpec extends SparkSpec {
       assert(got === expect)
     } finally events.unpersist()
   }
+
+  test("an in-flight epoch dir (only _temporary inside) is invisible to readers and folds — the offline-compactor race") {
+    val dir = Files.createTempDirectory("cube_inflight_").toString + "/vec"
+    val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+      .select($"vec_id", $"label", $"embedding")
+    VecStoreLog.appendBatch(emb.filter($"vec_id" % 2 === 0), dir, 0L)
+
+    // simulate a landing mid-write: the committer's staging dir exists,
+    // no data file has committed yet (exactly what the ivfpq streaming
+    // sweep's mid-run fold collided with)
+    Files.createDirectories(Paths.get(s"$dir/batch_id=1/_temporary/0"))
+
+    val v = CubeLog.view(spark, dir)
+    assert(v.liveBatches.map(_._1) === Seq(0L),
+      "a half-written epoch must not appear in the reader view")
+    // the fold proceeds over committed epochs only; the pending dir is
+    // neither absorbed nor swept, and the watermark does not skip past it
+    VecStoreLog.compact(spark, dir, cellK = Some(VecStore.CellK))
+    val v2 = CubeLog.view(spark, dir)
+    assert(v2.gen === 1L && v2.watermark === 0L)
+    assert(Files.exists(Paths.get(s"$dir/batch_id=1/_temporary/0")))
+
+    // the landing completes (the overwrite-idempotent replay shape):
+    // epoch 1 becomes visible and probes serve base ∪ delta
+    VecStoreLog.appendBatch(emb.filter($"vec_id" % 2 === 1), dir, 1L)
+    assert(CubeLog.view(spark, dir).liveBatches.map(_._1) === Seq(1L))
+    assert(VecStoreLog.vectors(spark, dir).count() === emb.count())
+  }
 }

@@ -118,6 +118,45 @@ class IvfPqLogSpec extends SparkSpec {
     assert(!findings.exists(_.severity == "error"), findings.mkString("; "))
   }
 
+  test("sparse wire-composed ids: fold trains full codebooks and the store answers (the pq seeding regression)") {
+    // the streaming sweep's id space: vec_id = meter_id·10¹⁰ + seconds —
+    // nothing below PqK=32, so the old `vec_id < PqK` sub-codebook
+    // seeding trained ZERO centroids, every pqAssign join emptied, and
+    // the fold committed a generation with _SUCCESS-only codes dirs (an
+    // unreadable store). Seeding by RANK (the lloydCentroids doctrine)
+    // must train full codebooks on ANY id space.
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_sparse_").toString + "/idx"
+    val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+      .select(($"vec_id" * 10000000000L + 86400L).as("vec_id"), $"label", $"embedding")
+    IvfPqLog.appendBatch(emb, dir, 0L)
+    IvfPqLog.compact(spark, dir)
+    val gen = CubeLog.view(spark, dir).foldedDir.get
+    // full sub-codebooks: PqM subspaces × PqK centroids
+    assert(spark.read.parquet(s"$gen/codes").count() === emb.count(),
+      "every vector must be encoded — empty sub-codebooks empty the codes")
+    val queries = VecStore.qn(emb.orderBy($"vec_id").limit(5)
+      .select($"vec_id", $"label", $"embedding"))
+      .select($"vec_id", $"qv", $"norm2")
+    assert(IvfPqLog.probeTopK(spark, dir, Some(queries)).count() > 0L)
+    assert(!StoreCheck.checkIvfPqLog(spark, dir).exists(_.severity == "error"))
+  }
+
+  test("empty epochs land nothing; an empty-input fold refuses to commit an unreadable generation") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_empty_").toString + "/idx"
+    val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+      .select($"vec_id", $"label", $"embedding")
+    // the VecStoreLog guard: an empty micro-batch lands NO epoch dir
+    assert(IvfPqLog.appendBatch(emb.limit(0), dir, 0L) === 0L)
+    assert(!new java.io.File(s"$dir/batch_id=0").exists())
+    assert(CubeLog.view(spark, dir).liveBatches.isEmpty)
+    // and even if empty state reached a fold, the codebook guard fails
+    // BEFORE the commit marker — the store stays at its old generation
+    // instead of committing _SUCCESS-only codes dirs
+    IvfPqLog.appendBatch(emb, dir, 1L)
+    IvfPqLog.compact(spark, dir)
+    assert(IvfPqLog.probeTopK(spark, dir).count() > 0L)
+  }
+
   test("compaction cadence: the derived trigger fires exactly at the boundary; auto landing folds") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_cadence_").toString + "/idx"
     val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
