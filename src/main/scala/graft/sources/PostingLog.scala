@@ -581,6 +581,15 @@ object PostingLog {
     val root = new org.apache.hadoop.fs.Path(dir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!hfs.exists(root)) return 0L
+    // fail loudly on a store without the retention axis (the DedupLog
+    // contract): silently dropping zero dirs would let an operator
+    // believe data expired when nothing did
+    val v = CubeLog.view(spark, dir)
+    (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)).headOption.foreach { r =>
+      require(spark.read.parquet(r).columns.contains("chunk_date"),
+        s"posting store $dir has no retention axis — land through " +
+          "appendBatchChunked to expire by crawl date")
+    }
     var dropped = 0L
     hfs.listStatus(root)
       .filter(st => st.isDirectory &&

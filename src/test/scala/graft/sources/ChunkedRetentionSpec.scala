@@ -107,6 +107,23 @@ class ChunkedRetentionSpec extends SparkSpec {
     assert(!StoreCheck.checkPostingLog(spark, dir).exists(_.severity == "error"))
   }
 
+  test("expiry against a store without the retention axis fails loudly on both stores") {
+    val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text")
+    val pDir = java.nio.file.Files.createTempDirectory("flat_post_").toString + "/idx"
+    PostingLog.appendBatch(docs.limit(50), pDir, 0L)
+    val exP = intercept[IllegalArgumentException] {
+      PostingLog.expireBefore(spark, pDir, "2026-01-02")
+    }
+    assert(exP.getMessage.contains("retention axis"))
+    val dDir = java.nio.file.Files.createTempDirectory("flat_dedup_").toString + "/st"
+    graft.llm.DedupLog.appendEpoch(docs.limit(50), dDir, 0L)
+    val exD = intercept[IllegalArgumentException] {
+      graft.llm.DedupLog.expireBefore(spark, dDir, "2026-01-02")
+    }
+    assert(exD.getMessage.contains("retention axis"))
+  }
+
   test("dedup store: chunked landings label like batch; expiry drops a day and repairs labels; erase still works") {
     val docs = datedDocs.localCheckpoint(eager = true)
     val dir = java.nio.file.Files.createTempDirectory("dedup_chunk_").toString + "/st"
