@@ -182,10 +182,26 @@ object DedupLog {
     appendEpochImpl(docs, dir, batchId, chunked = true)
   }
 
+  /** One store, ONE retention-axis layout: landing a chunked epoch into a
+    * flat store (or vice versa) would mix two sig schemas whose
+    * unionByName fails at the NEXT compact/expire — fail loudly at the
+    * landing instead (the `_sp` mismatch discipline on the axis). */
+  private def requireAxisConsistent(spark: SparkSession, dir: String,
+      chunked: Boolean): Unit =
+    sigRoots(spark, dir).headOption.foreach { r =>
+      val storeChunked = spark.read.parquet(r).columns.contains("chunk_date")
+      require(storeChunked == chunked,
+        s"dedup store $dir was landed ${if (storeChunked) "WITH" else "WITHOUT"} " +
+          s"the chunk_date retention axis but this landing is " +
+          s"${if (chunked) "calendar-chunked" else "flat"} — one store keeps " +
+          "one layout; land through the matching append variant")
+    }
+
   private def appendEpochImpl(docs: DataFrame, dir: String, batchId: Long,
       chunked: Boolean): Long = {
     val spark = docs.sparkSession
     persistSigParts(spark, dir) // fail loudly BEFORE mixing two layouts
+    requireAxisConsistent(spark, dir, chunked)
     if (CubeLog.isFolded(spark, dir, batchId)) return 0L
     val sigsD = Dedup.sigsOf(docs.select(col("doc_id"), col("text")))
       .localCheckpoint(eager = true) // landing writes + joins reuse it;
@@ -294,11 +310,23 @@ object DedupLog {
   def appendEpochBatch(docs: DataFrame, dir: String, batchId: Long): Long = {
     val spark = docs.sparkSession
     persistSigParts(spark, dir)
+    // the batch regime serves BOTH layouts: docs carrying a crawl_date
+    // land chunked (the axis joins onto the sigs exactly as the
+    // incremental regime's chunked landing does), docs without it land
+    // flat — and either way the landing must match the store's layout, or
+    // sigsAllRaw's unionByName dies at the next compact/expire
+    val chunked = docs.columns.contains("crawl_date")
+    requireAxisConsistent(spark, dir, chunked)
     if (CubeLog.isFolded(spark, dir, batchId)) return 0L
     val sigsD = Dedup.sigsOf(docs.select(col("doc_id"), col("text")))
       .localCheckpoint(eager = true)
     if (sigsD.isEmpty) return 0L
-    writeSigs(sigsD, s"$dir/batch_id=$batchId/sigs")
+    val toWrite =
+      if (chunked) sigsD.join(
+        docs.select(col("doc_id"),
+          col("crawl_date").cast("date").as("chunk_date")), Seq("doc_id"))
+      else sigsD
+    writeSigs(toWrite, s"$dir/batch_id=$batchId/sigs")
     val all = sigsAll(spark, dir).localCheckpoint(eager = true)
     val labels = Dedup.clusterLabelsAuto(
       Dedup.minhashPairsFrom(all, all).select(col("d1"), col("d2")))

@@ -164,20 +164,29 @@ object CubeLog {
           .toOption.map(_ -> st.getPath.toString)
       }
       .filter(_._1 > watermark)
-      // an epoch dir whose every entry is hidden (`_temporary` only — no
-      // data files, no visible subdirs) is a landing IN FLIGHT: the
-      // offline compactor and concurrent probes race foreachBatch by
-      // design, and listing a half-written epoch crashes the reader
-      // (UNABLE_TO_INFER_SCHEMA — the ivfpq streaming sweep caught it
-      // live). Excluding it is exactly-once, not loss: the landing either
+      // a landing IN FLIGHT must be invisible: the offline compactor and
+      // concurrent probes race foreachBatch by design, and listing a
+      // half-written epoch either crashes the reader
+      // (UNABLE_TO_INFER_SCHEMA on a _temporary-only dir — the ivfpq
+      // streaming sweep caught it live) or, worse, SERVES a partially-
+      // committed landing silently (task files promoted, _SUCCESS not yet
+      // written). Visibility therefore requires BOTH a committer marker —
+      // `_SUCCESS` at the epoch root (flat/partitioned writes), or inside
+      // an immediate visible subdir for multi-artifact epochs (DedupLog's
+      // `sigs/`) — AND at least one visible entry (a marker-only dir is a
+      // fully-expired epoch: nothing left to serve). Excluding an
+      // uncommitted epoch is exactly-once, not loss: the landing either
       // completes (visible on the next view) or its batch is replayed.
       // foreachBatch is serial, so only the LATEST epoch can be in
       // flight — the fold's watermark never skips past a pending id.
       .filter { case (_, p) =>
-        hfs.listStatus(new org.apache.hadoop.fs.Path(p)).exists { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
+        val entries = hfs.listStatus(new org.apache.hadoop.fs.Path(p))
+        def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+        val hasData = entries.exists(st => visible(st.getPath.getName))
+        def committed = entries.exists(_.getPath.getName == "_SUCCESS") ||
+          entries.exists(st => st.isDirectory && visible(st.getPath.getName) &&
+            hfs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        hasData && committed
       }
       .sortBy(_._1)
     val roots = kids
@@ -322,9 +331,15 @@ object CubeLog {
     var dropped = 0L
     hfs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
+      // STRICTLY OLDER generations only: a folded_gen dir with gen >
+      // committed is an IN-FLIGHT fold (the streaming design runs
+      // compactions in a side thread beside landings) or a benign crash
+      // orphan — grace state is always the PREVIOUS generation, so
+      // deleting a newer dir here would destroy a fold being written,
+      // never purge pre-erase state. The next compaction sweeps orphans.
       val staleGen = n.startsWith("folded_gen=") &&
         scala.util.Try(n.stripPrefix("folded_gen=").toLong).toOption
-          .exists(_ != v.gen)
+          .exists(_ < v.gen)
       val foldedBatch = n.startsWith("batch_id=") &&
         scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
           .exists(_ <= v.watermark)

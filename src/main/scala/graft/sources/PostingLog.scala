@@ -225,6 +225,7 @@ object PostingLog {
   def compact(spark: SparkSession, dir: String): Long =
     CubeLog.compactFrom(spark, dir) { (v, out) =>
       val all = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
+        .filter(hasDataDirs(spark, _)) // a fully-expired fold root folds as zero rows
         .map(spark.read.parquet(_)).reduce(_ unionByName _)
         .select(RowCols: _*)
       val postings = all.filter(col("tb") =!= StatsBucket)
@@ -240,14 +241,37 @@ object PostingLog {
         .write.mode("overwrite").partitionBy("tb").parquet(out)
     }
 
+  /** True iff the root still holds at least one data partition dir. A
+    * root reduced to its `_SUCCESS` marker (every chunk_date expired out
+    * of a committed fold) must read as data-free, not crash the next
+    * schema-inferring read — the [[DocStore]] `_SUCCESS`-only poison
+    * guard applied on the READ side, since the fold root cannot simply be
+    * deleted (the commit marker resolves it by name). */
+  private def hasDataDirs(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.exists(p) && hfs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory && (n.startsWith("tb=") || n.startsWith("chunk_date="))
+    }
+  }
+
+  /** The view's roots that actually hold data — fully-expired roots are
+    * skipped (see [[hasDataDirs]]); live epochs emptied by expiry are
+    * already invisible at the [[CubeLog.view]] level. */
+  private def dataRoots(spark: SparkSession, dir: String): Seq[String] = {
+    val v = CubeLog.view(spark, dir)
+    (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
+      .filter(hasDataDirs(spark, _))
+  }
+
   /** Every probe-readable root — the committed fold + live epoch dirs —
     * as ONE unioned frame, read per root (sibling roots cannot share a
     * single partition-discovery pass; partition pruning on `tb` applies
     * to each root's scan independently). Both legs carry the same `tb=`
     * layout, so probes never distinguish folded from live. */
   private def readAll(spark: SparkSession, dir: String): DataFrame = {
-    val v = CubeLog.view(spark, dir)
-    val roots = v.foldedDir.toSeq ++ v.liveBatches.map(_._2)
+    val roots = dataRoots(spark, dir)
     require(roots.nonEmpty, s"empty posting store: $dir")
     roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
@@ -406,7 +430,7 @@ object PostingLog {
     val v = CubeLog.view(spark, dir)
     // calendar-chunked stores carry the retention axis — their rewrite is
     // date-sliced (a doc's postings live in exactly its crawl chunk)
-    val anyRoot = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)).headOption
+    val anyRoot = dataRoots(spark, dir).headOption
     if (anyRoot.exists(r => spark.read.parquet(r).columns.contains("chunk_date")))
       return eraseDocsChunked(spark, dir, req)
     var removed = 0L
@@ -462,7 +486,8 @@ object PostingLog {
     // live epochs rewrite whole (tiny by cadence, and their stats row must
     // move in the same commit); the fold rewrites only affected buckets
     v.liveBatches.foreach { case (_, path) => rewriteRoot(path, wholeEpoch = true) }
-    v.foldedDir.foreach(f => rewriteRoot(f, wholeEpoch = false))
+    v.foldedDir.filter(hasDataDirs(spark, _))
+      .foreach(f => rewriteRoot(f, wholeEpoch = false))
     // the grace generation is PRE-ERASE state (the previous fold + the
     // batch dirs it absorbed) — purge it, or the erased docs' postings
     // persist on disk until a compaction that a quiesced store never runs,
@@ -551,6 +576,7 @@ object PostingLog {
   def compactChunked(spark: SparkSession, dir: String): Long =
     CubeLog.compactFrom(spark, dir) { (v, out) =>
       val all = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
+        .filter(hasDataDirs(spark, _)) // a fully-expired fold root folds as zero rows
         .map(spark.read.parquet(_)).reduce(_ unionByName _)
         .select(ChunkCols.map(col): _*)
       val postings = all.filter(col("tb") =!= StatsBucket)
@@ -584,8 +610,7 @@ object PostingLog {
     // fail loudly on a store without the retention axis (the DedupLog
     // contract): silently dropping zero dirs would let an operator
     // believe data expired when nothing did
-    val v = CubeLog.view(spark, dir)
-    (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)).headOption.foreach { r =>
+    dataRoots(spark, dir).headOption.foreach { r =>
       require(spark.read.parquet(r).columns.contains("chunk_date"),
         s"posting store $dir has no retention axis — land through " +
           "appendBatchChunked to expire by crawl date")
@@ -629,6 +654,16 @@ object PostingLog {
         val cur = spark.read.parquet(root)
           .filter(col("chunk_date").cast("string").isin(dates: _*))
           .select(ChunkCols.map(col): _*)
+        // snapshot the slice's (chunk_date, tb) composite partitions
+        // BEFORE the rewrite (the dynamic overwrite deletes the files this
+        // plan reads): a composite whose postings ALL belong to erased
+        // docs is neither rewritten (kept has no rows for it) nor covered
+        // by the date-level delete below when its date keeps other
+        // buckets — comparing date sets alone left those postings on disk
+        // and probe-servable, an RTBF leak (the DedupLog.eraseDocs
+        // `before` discipline, r14)
+        val beforeParts = cur.select(col("chunk_date").cast("string"),
+            col("tb").cast("long")).distinct().as[(String, Long)].collect()
         val hits = cur.filter(col("tb") =!= StatsBucket)
           .join(req, Seq("doc_id"), "left_semi")
         removed += hits.count()
@@ -651,13 +686,18 @@ object PostingLog {
         val kept = keptPost.unionByName(newStats)
           .localCheckpoint(eager = true)
         Store.refreshMartPartitionsBy(kept, root, Seq("chunk_date", "tb"))
-        // a date slice fully emptied by the request writes nothing under
-        // dynamic overwrite — delete its directory explicitly
-        val remaining = kept.select(col("chunk_date").cast("string"))
-          .distinct().as[String].collect().toSet
+        // composites and dates fully emptied by the request write nothing
+        // under dynamic overwrite — delete each explicitly (bounded driver
+        // work, ≤ |slice composites| ids)
+        val remaining = kept.select(col("chunk_date").cast("string"),
+            col("tb").cast("long")).distinct().as[(String, Long)].collect().toSet
         val hfs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        dates.filterNot(remaining).foreach { d =>
+        beforeParts.filterNot(remaining).foreach { case (d, b) =>
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$root/chunk_date=$d/tb=$b"), true)
+        }
+        val remainingDates = remaining.map(_._1)
+        dates.filterNot(remainingDates).foreach { d =>
           hfs.delete(new org.apache.hadoop.fs.Path(s"$root/chunk_date=$d"), true)
         }
       }
