@@ -44,8 +44,10 @@ object SparkEntry {
       sources.VecStoreLog.maintainedProbeQuery :+
       sources.VecStoreLog.liveDeltaProbeQuery :+
       sources.VecStoreLog.eraseProbeQuery :+
+      sources.VecStoreLog.expireProbeQuery :+
       sources.IvfPqLog.maintainedProbeQuery :+
       sources.IvfPqLog.eraseProbeQuery :+
+      sources.IvfPqLog.expireProbeQuery :+
       llm.DedupLog.incrementalClustersQuery :+
       llm.DedupLog.incrementalEraseQuery :+
       sources.CorpusRtbf.eraseEverywhereQuery

@@ -52,6 +52,12 @@ object IvfPqLog {
   def appendBatch(embeddings: DataFrame, dir: String, batchId: Long): Long =
     VecStoreLog.appendBatch(embeddings, dir, batchId)
 
+  /** [[appendBatch]] with the calendar retention axis (the
+    * [[VecStoreLog.appendBatchChunked]] landing verbatim — raw delta
+    * epochs are layout-identical across both vector stores). */
+  def appendBatchChunked(embeddings: DataFrame, dir: String, batchId: Long): Long =
+    VecStoreLog.appendBatchChunked(embeddings, dir, batchId)
+
   /** Coarse cells the committed generation probes out of
     * ([[Similarity]]'s fixed IVFADC geometry: k = CentroidK = 8 cells,
     * queries probe their top 3). */
@@ -183,6 +189,82 @@ object IvfPqLog {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
     }
 
+  /** Retraining fold for the CALENDAR-CHUNKED layout: identical training
+    * (coarse Lloyd + residual sub-codebooks over base ∪ delta) but both
+    * cell-partitioned trees land the retention axis INNER
+    * (`codes/cell=K/chunk_date=D/`, `vectors/cell=K/chunk_date=D/`) — the
+    * ADC probe prunes on cell exactly as before, while expiring a crawl
+    * day is bounded directory deletes on both trees. */
+  def compactChunked(spark: SparkSession, dir: String): Long =
+    CubeLog.compactFrom(spark, dir) { (v, out) =>
+      val base = v.foldedDir.map(f => spark.read.parquet(s"$f/vectors")
+        .select(col("vec_id"), col("label"), col("qv"), col("norm2"),
+          col("chunk_date")))
+      val delta = v.liveBatches.map(_._2).map(p =>
+        VecStore.qn(spark.read.parquet(p)
+          .select(col("vec_id"), col("label"), col("embedding"), col("chunk_date")))
+          .select(col("vec_id"), col("label"), col("qv"), col("norm2"),
+            col("chunk_date")))
+      val all = (base.toSeq ++ delta).reduce(_ unionByName _)
+        .localCheckpoint(eager = true) // the source dirs are swept below
+      val dates = all.select(col("vec_id"), col("chunk_date"))
+      val (qe, cents, cbRow, _, codes) = Similarity.ivfPqTrainFramesFrom(
+        all.select(col("vec_id"), col("label"), col("qv"), col("norm2")))
+      require(cents.limit(1).count() == 1L && cbRow.limit(1).count() == 1L,
+        s"IVF-PQ fold over $dir trained an empty codebook — refusing to " +
+          "commit an unreadable generation (is the input empty?)")
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$out/cells")
+      Similarity.centsRow(cents).coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/cells_packed")
+      cbRow.coalesce(1).write.mode("overwrite").parquet(s"$out/codebooks_packed")
+      val n = spark.sessionState.conf.numShufflePartitions
+      codes.join(dates, Seq("vec_id"))
+        .repartition(n, col("cell"), col("chunk_date"))
+        .write.mode("overwrite").partitionBy("cell", "chunk_date")
+        .parquet(s"$out/codes")
+      qe.join(codes.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .join(dates, Seq("vec_id"))
+        .repartition(n, col("cell"), col("chunk_date"))
+        .write.mode("overwrite").partitionBy("cell", "chunk_date")
+        .parquet(s"$out/vectors")
+    }
+
+  /** Retention on the compressed index: drop every chunk strictly BEFORE
+    * `cutoff` from every root on disk — live epochs, both generation
+    * trees (`codes` and `vectors`), grace copies. Driver-side directory
+    * deletes, zero rows read; codebooks stay (retrained at the next
+    * fold); refuses to empty the committed generation. Idempotent;
+    * returns dirs dropped. */
+  def expireBefore(spark: SparkSession, dir: String, cutoff: String): Long = {
+    require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"cutoff must be an ISO date: $cutoff")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(root)) return 0L
+    val v = CubeLog.view(spark, dir)
+    (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)).headOption.foreach { r =>
+      require(VecStoreLog.isChunkedRoot(spark, r),
+        s"IVF-PQ store $dir has no retention axis — land through " +
+          "appendBatchChunked to expire by crawl date")
+    }
+    v.foldedDir.foreach { f =>
+      val codesDir = new org.apache.hadoop.fs.Path(s"$f/codes")
+      val cells =
+        if (hfs.exists(codesDir)) hfs.listStatus(codesDir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      val anySurvives = cells.exists(c => hfs.listStatus(c.getPath).exists { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith("chunk_date=") &&
+          n.stripPrefix("chunk_date=") >= cutoff
+      })
+      require(cells.isEmpty || anySurvives,
+        s"expiry at $cutoff would empty the committed generation of $dir — " +
+          "drop the store instead of serving an index with no codes")
+    }
+    VecStoreLog.expireDateDirs(hfs, root, cutoff)
+  }
+
   /** Probe the maintained store: ADC over the committed generation's
     * probed cells ∪ exact-l2 over the live delta, re-ranked together.
     * `queryVecs` (vec_id, qv, norm2) decouples the query set from the
@@ -246,26 +328,67 @@ object IvfPqLog {
     val v = CubeLog.view(spark, dir)
     var removed = VecStoreLog.eraseFromLiveEpochs(spark, v, req)
     v.foldedDir.foreach { f =>
-      val affected = spark.read.parquet(s"$f/codes")
-        .select(col("vec_id"), col("cell"))
-        .join(req, Seq("vec_id"), "left_semi")
-        .select(col("cell").cast("long")).distinct().as[Long].collect().sorted
-      if (affected.nonEmpty) {
-        val hfs = new org.apache.hadoop.fs.Path(f)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Seq("codes", "vectors").foreach { sub =>
-          val path = s"$f/$sub"
-          val slice = spark.read.parquet(path)
-            .filter(col("cell").isin(affected: _*))
-          if (sub == "vectors")
-            removed += slice.join(req, Seq("vec_id"), "left_semi").count()
-          val kept = slice.join(req, Seq("vec_id"), "left_anti")
-            .localCheckpoint(eager = true)
-          Store.refreshMartPartitions(kept, path, "cell")
-          val remaining = kept.select(col("cell").cast("long")).distinct()
-            .as[Long].collect().toSet
-          affected.filterNot(remaining).foreach { c =>
-            hfs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+      val hfs = new org.apache.hadoop.fs.Path(f)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (VecStoreLog.isChunkedRoot(spark, f)) {
+        // chunked generation: the rewrite unit is the affected
+        // (cell, chunk_date) COMPOSITE on BOTH trees (codes and vectors
+        // partition identically — same rows, same keys); rewriting whole
+        // affected cells would churn every other crawl day of those
+        // cells. Composites found once on the codes tree (its two partition
+        // columns + vec_id — the cheapest scan), then both trees rewrite.
+        val affComp = spark.read.parquet(s"$f/codes")
+          .select(col("vec_id"), col("cell"), col("chunk_date"))
+          .join(req, Seq("vec_id"), "left_semi")
+          .select(col("cell").cast("long"), col("chunk_date").cast("string"))
+          .distinct().as[(Long, String)].collect().sorted
+        if (affComp.nonEmpty) {
+          val cond = affComp.map { case (c, dd) =>
+            col("cell") === c && col("chunk_date") === lit(dd).cast("date")
+          }.reduce(_ || _) // partition predicates only — pruned at listing
+          Seq("codes", "vectors").foreach { sub =>
+            val path = s"$f/$sub"
+            val slice = spark.read.parquet(path).filter(cond)
+            if (sub == "vectors")
+              removed += slice.join(req, Seq("vec_id"), "left_semi").count()
+            val kept = slice.join(req, Seq("vec_id"), "left_anti")
+              .localCheckpoint(eager = true)
+            Store.refreshMartPartitionsBy(kept, path, Seq("cell", "chunk_date"))
+            val remaining = kept.select(col("cell").cast("long"),
+                col("chunk_date").cast("string")).distinct()
+              .as[(Long, String)].collect().toSet
+            affComp.filterNot(remaining).foreach { case (c, dd) =>
+              hfs.delete(
+                new org.apache.hadoop.fs.Path(s"$path/cell=$c/chunk_date=$dd"), true)
+            }
+            affComp.map(_._1).distinct.foreach { c =>
+              val cellDir = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
+              if (hfs.exists(cellDir) && !hfs.listStatus(cellDir).exists(st =>
+                st.isDirectory && st.getPath.getName.startsWith("chunk_date=")))
+                hfs.delete(cellDir, true)
+            }
+          }
+        }
+      } else {
+        val affected = spark.read.parquet(s"$f/codes")
+          .select(col("vec_id"), col("cell"))
+          .join(req, Seq("vec_id"), "left_semi")
+          .select(col("cell").cast("long")).distinct().as[Long].collect().sorted
+        if (affected.nonEmpty) {
+          Seq("codes", "vectors").foreach { sub =>
+            val path = s"$f/$sub"
+            val slice = spark.read.parquet(path)
+              .filter(col("cell").isin(affected: _*))
+            if (sub == "vectors")
+              removed += slice.join(req, Seq("vec_id"), "left_semi").count()
+            val kept = slice.join(req, Seq("vec_id"), "left_anti")
+              .localCheckpoint(eager = true)
+            Store.refreshMartPartitions(kept, path, "cell")
+            val remaining = kept.select(col("cell").cast("long")).distinct()
+              .as[Long].collect().toSet
+            affected.filterNot(remaining).foreach { c =>
+              hfs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+            }
           }
         }
       }
@@ -347,6 +470,48 @@ object IvfPqLog {
       val emb = graft.ops.Tables.embeddings(s, d)
       val maxId = emb.agg(max(col("vec_id")).cast("long")).head().getLong(0)
       eraseByIds(s, dir, ErasureStore.eraseIdsUpTo(maxId))
+      val queries = VecStore.qn(emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("label"), col("embedding")))
+        .select(col("vec_id"), col("qv"), col("norm2"))
+      probeTopK(s, dir, Some(queries))
+    }
+
+  private val builtExpired = scala.collection.mutable.Map.empty[String, String]
+  private def expiredDir(s: SparkSession, d: String): String =
+    builtExpired.synchronized {
+      builtExpired.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}_expired"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val emb = VecStoreLog.withCrawlDates(
+          graft.ops.Tables.embeddingsParallel(s, d)
+            .select(col("vec_id"), col("label"), col("embedding")))
+        (0L to 2L).foreach { epoch =>
+          appendBatchChunked(emb.filter(pmod(col("vec_id"), lit(3L)) === epoch),
+            dir, epoch)
+        }
+        compactChunked(s, dir)
+        dir
+      })
+    }
+
+  /** Calendar retention on the compressed index as a registered query —
+    * the PQ-code half of the r13 verdict's top item (an expired crawl
+    * day's codes and quantized vectors stayed ADC-servable): the chunked
+    * store folds over the FULL corpus (codebooks train pre-expiry — expiry
+    * never retrains, the eraseByIds doctrine), then its first crawl day
+    * expires: bounded directory drops on BOTH generation trees, zero rows
+    * rewritten. The oracle trains over the full corpus and filters only
+    * the encoded rows to the survivor set (crawl day ≥ cutoff ⟺
+    * vec_id % 3 ≠ 0), with the query set deliberately unfiltered — hash
+    * equality proves expired codes score in no ADC shortlist, expired
+    * vectors rerank nowhere, and surviving distances re-derive exactly.
+    * Idempotent expiry per invocation. */
+  lazy val expireProbeQuery: GraftQuery =
+    q("ivfpq_expire_probe", Similarity.ivfPqOracleFor("vec_id % 3 <> 0")) { (s, d) =>
+      val dir = expiredDir(s, d)
+      expireBefore(s, dir, "2026-01-02")
+      val emb = graft.ops.Tables.embeddings(s, d)
       val queries = VecStore.qn(emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id"), col("label"), col("embedding")))
         .select(col("vec_id"), col("qv"), col("norm2"))

@@ -98,6 +98,30 @@ object VecStore {
     appendThrough(qe, cents, dir)
   }
 
+  /** [[build]] with the calendar retention axis: `embeddings` carries a
+    * `chunk_date` DATE column that survives assignment and lands as the
+    * INNER partition under each cell (`cell=K/chunk_date=D/`) — cell
+    * stays OUTER so probes prune directories exactly like the flat
+    * layout, while expiring a crawl day is ≤ k driver-side directory
+    * deletes (one per cell holding that day). Training ignores the axis;
+    * a vector's cell is its nearest centroid either way. */
+  private[sources] def buildChunked(embeddings: DataFrame, dir: String,
+      cellK: Int): Unit = {
+    val qe = qn(embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      col("chunk_date")))
+      .localCheckpoint(eager = false) // feeds training AND assignment
+    val cents = Similarity.lloydCentroids(
+      qe.select(col("vec_id"), col("qv"), col("norm2")),
+      cellK, Similarity.CentroidIters)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
+    val n = qe.sparkSession.sessionState.conf.numShufflePartitions
+    Similarity.assignRanked(qe, cents)
+      .select(col("vec_id"), col("label"), col("embedding"), col("chunk_date"),
+        expr("ranked[0].id").as("cell"))
+      .repartition(n, col("cell"), col("chunk_date"))
+      .write.mode("append").partitionBy("cell", "chunk_date").parquet(dir)
+  }
+
   /** Additive append: assign through the STORED centroids (no retrain) and
     * land new vectors in their cell partitions without touching existing
     * files. */

@@ -61,11 +61,51 @@ object VecStoreLog {
     * by many tasks instead of funneling through a single writer. */
   val EpochRowsPerFile = 500000L
 
+  /** True iff a store root carries the calendar retention axis — decided
+    * from DIRECTORY NAMES (two bounded listings, never a partition
+    * discovery pass): epoch roots hold `chunk_date=` children directly,
+    * generation roots hold them under `cell=` (this store) or
+    * `codes/cell=` ([[IvfPqLog]]'s artifact tree). */
+  private[sources] def isChunkedRoot(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) return false
+    def hasDateChild(d: org.apache.hadoop.fs.Path): Boolean =
+      hfs.exists(d) && hfs.listStatus(d).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("chunk_date="))
+    val kids = hfs.listStatus(p).filter(_.isDirectory)
+    def firstCellOf(d: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] =
+      if (!hfs.exists(d)) None
+      else hfs.listStatus(d).find(st =>
+        st.isDirectory && st.getPath.getName.startsWith("cell=")).map(_.getPath)
+    kids.exists(st => st.getPath.getName.startsWith("chunk_date=")) ||
+      firstCellOf(p).exists(hasDateChild) ||
+      firstCellOf(new org.apache.hadoop.fs.Path(p, "codes")).exists(hasDateChild)
+  }
+
+  /** One store, ONE retention-axis layout (the DedupLog `_sp` discipline
+    * on the axis): mixing a flat epoch into a chunked store — or vice
+    * versa — would break the fold's unionByName and the expiry's
+    * directory contract at a distance; fail loudly at the landing. */
+  private[sources] def requireAxis(spark: SparkSession, dir: String,
+      chunked: Boolean): Unit = {
+    val v = CubeLog.view(spark, dir)
+    (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)).headOption.foreach { r =>
+      val stored = isChunkedRoot(spark, r)
+      require(stored == chunked,
+        s"vector store $dir was landed ${if (stored) "WITH" else "WITHOUT"} " +
+          s"the chunk_date retention axis but this landing is " +
+          s"${if (chunked) "calendar-chunked" else "flat"} — one store keeps " +
+          "one layout; land through the matching append variant")
+    }
+  }
+
   /** Land one delta epoch. Replay-idempotent (overwrite) and
     * folded-epoch-guarded (no-op at or under the commit watermark).
     * Returns the rows landed (0 when the watermark guard no-ops). */
   def appendBatch(embeddings: DataFrame, dir: String, batchId: Long,
       rowsPerFile: Long = EpochRowsPerFile): Long = {
+    requireAxis(embeddings.sparkSession, dir, chunked = false)
     if (CubeLog.isFolded(embeddings.sparkSession, dir, batchId)) return 0L
     val slim = embeddings.select(col("vec_id"), col("label"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -234,6 +274,140 @@ object VecStoreLog {
       VecStore.build(all, out, k)
     }
 
+  // ---------------------------------------------------------------- //
+  // Calendar-chunked twin (r14): the retention axis the TEXT surfaces
+  // earned in r13, on the raw ANN index — expiring a crawl day used to
+  // drop its text, postings, and signatures while its EMBEDDINGS lived
+  // on in both vector indexes until an explicit RTBF id list arrived
+  // (the r13 verdict's top item). Layout per root:
+  //
+  //   batch_id=<N>/chunk_date=<D>/          live delta epochs
+  //   folded_gen=<G>/cell=<K>/chunk_date=<D>/  the trained generation
+  //
+  // cell stays OUTER so probes prune directories exactly like the flat
+  // store; chunk_date INNER makes expiring a day ≤ k directory deletes
+  // per generation (one per cell holding that day) plus one per epoch —
+  // TimescaleDB drop_chunks (01_create_schema.sql:98-101) on the ANN
+  // axis. The codebook is NOT touched by expiry (k coarse aggregates —
+  // no vector is recoverable from it; the next retraining fold re-derives
+  // it over the retained corpus anyway, the eraseByIds doctrine).
+  // ---------------------------------------------------------------- //
+
+  /** [[appendBatch]] with the calendar axis: `embeddings` must carry a
+    * `crawl_date` DATE column. Same landing contract (replay overwrite,
+    * watermark guard, empty guard, multi-file sizing). */
+  def appendBatchChunked(embeddings: DataFrame, dir: String, batchId: Long,
+      rowsPerFile: Long = EpochRowsPerFile): Long = {
+    require(embeddings.columns.contains("crawl_date"),
+      "appendBatchChunked needs a crawl_date column (the retention axis)")
+    requireAxis(embeddings.sparkSession, dir, chunked = true)
+    if (CubeLog.isFolded(embeddings.sparkSession, dir, batchId)) return 0L
+    val slim = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      col("crawl_date").cast("date").as("chunk_date"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = slim.count()
+      if (n == 0L) return 0L
+      val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+      slim.repartition(files, col("chunk_date"))
+        .write.mode("overwrite").partitionBy("chunk_date")
+        .parquet(s"$dir/batch_id=$batchId")
+      n
+    } finally slim.unpersist()
+  }
+
+  /** Retraining fold for the chunked layout: train over base ∪ delta
+    * exactly like [[compact]], land cells with the date axis INNER — the
+    * retention key survives every fold. */
+  def compactChunked(spark: SparkSession, dir: String,
+      cellK: Option[Int] = None): Long =
+    CubeLog.compactFrom(spark, dir) { (v, out) =>
+      val cols = Seq("vec_id", "label", "embedding", "chunk_date").map(col)
+      val all = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
+        .map(p => spark.read.parquet(p).select(cols: _*))
+        .reduce(_ unionByName _)
+        .localCheckpoint(eager = true) // sever lineage from swept dirs
+      val k = cellK.getOrElse(VecStore.cellKFor(all.count()))
+      VecStore.buildChunked(all, out, k)
+    }
+
+  /** Retention: drop every chunk strictly BEFORE `cutoff` (ISO date) from
+    * EVERY root on disk — live epochs (`chunk_date=` at the root), the
+    * committed generation (`cell=K/chunk_date=`), and grace-retained dirs.
+    * Driver-side directory deletes, zero vector rows read; a cell whose
+    * every date expired has its directory removed; the codebook stays
+    * (retrained at the next fold). Refuses to empty the committed
+    * generation entirely — a store with no probeable vectors should be
+    * dropped, not silently served. Idempotent; returns dirs dropped. */
+  def expireBefore(spark: SparkSession, dir: String, cutoff: String): Long = {
+    require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"cutoff must be an ISO date: $cutoff")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(root)) return 0L
+    val v = CubeLog.view(spark, dir)
+    (v.foldedDir.toSeq ++ v.liveBatches.map(_._2)).headOption.foreach { r =>
+      require(isChunkedRoot(spark, r),
+        s"vector store $dir has no retention axis — land through " +
+          "appendBatchChunked to expire by crawl date")
+    }
+    // refuse a cutoff that would leave the committed generation empty
+    v.foldedDir.foreach { f =>
+      val cells = hfs.listStatus(new org.apache.hadoop.fs.Path(f))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      val anySurvives = cells.exists(c => hfs.listStatus(c.getPath).exists { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith("chunk_date=") &&
+          n.stripPrefix("chunk_date=") >= cutoff
+      })
+      require(cells.isEmpty || anySurvives,
+        s"expiry at $cutoff would empty the committed generation of $dir — " +
+          "drop the store instead of serving an index with no vectors")
+    }
+    expireDateDirs(hfs, root, cutoff)
+  }
+
+  /** The shared directory-drop sweep: every `chunk_date=` dir before the
+    * cutoff, directly under each `batch_id=`/`folded_gen=` root or nested
+    * one `cell=` level down (and under [[IvfPqLog]]'s codes/vectors
+    * subtrees), goes; cell dirs emptied by the sweep go too. */
+  private[sources] def expireDateDirs(hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, cutoff: String): Long = {
+    var dropped = 0L
+    def dropUnder(d: org.apache.hadoop.fs.Path): Unit =
+      hfs.listStatus(d)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("chunk_date="))
+        .foreach { st =>
+          // lexicographic = chronological for ISO dates
+          if (st.getPath.getName.stripPrefix("chunk_date=") < cutoff) {
+            hfs.delete(st.getPath, true); dropped += 1
+          }
+        }
+    def dropCells(d: org.apache.hadoop.fs.Path): Unit =
+      hfs.listStatus(d)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .foreach { cellDir =>
+          dropUnder(cellDir.getPath)
+          val anyLeft = hfs.listStatus(cellDir.getPath).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("chunk_date="))
+          if (!anyLeft) hfs.delete(cellDir.getPath, true)
+        }
+    hfs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("batch_id=") ||
+          st.getPath.getName.startsWith("folded_gen=")))
+      .foreach { r =>
+        dropUnder(r.getPath) // live epoch layout
+        dropCells(r.getPath) // this store's generation layout
+        Seq("codes", "vectors").foreach { sub => // IvfPqLog's artifact trees
+          val p = new org.apache.hadoop.fs.Path(r.getPath, sub)
+          if (hfs.exists(p)) dropCells(p)
+        }
+      }
+    dropped
+  }
+
   /** Top-k probe over the MAINTAINED store: cell-pruned candidates from
     * the committed generation ∪ brute-scored candidates from the live
     * delta, ranked together. `n_cands` counts both legs — the pruning
@@ -301,8 +475,11 @@ object VecStoreLog {
       v: CubeLog.View, req: DataFrame): Long = {
     var removed = 0L
     v.liveBatches.foreach { case (_, path) =>
-      val epoch = spark.read.parquet(path)
-        .select(col("vec_id"), col("label"), col("embedding"))
+      val raw = spark.read.parquet(path)
+      val chunked = raw.columns.contains("chunk_date")
+      val epochCols = Seq("vec_id", "label", "embedding") ++
+        (if (chunked) Seq("chunk_date") else Nil)
+      val epoch = raw.select(epochCols.map(col): _*)
       val hits = epoch.join(req, Seq("vec_id"), "left_semi").count()
       if (hits > 0L) {
         removed += hits
@@ -310,7 +487,13 @@ object VecStoreLog {
           .localCheckpoint(eager = true) // sever lineage from the files replaced below
         val files = math.max(1L,
           (kept.count() + EpochRowsPerFile - 1) / EpochRowsPerFile).toInt
-        kept.coalesce(files).write.mode("overwrite").parquet(path)
+        // whole-epoch overwrite (mode delete-then-write) either way — the
+        // chunked epoch keeps its retention axis through the rewrite
+        if (chunked)
+          kept.repartition(files, col("chunk_date"))
+            .write.mode("overwrite").partitionBy("chunk_date").parquet(path)
+        else
+          kept.coalesce(files).write.mode("overwrite").parquet(path)
       }
     }
     removed
@@ -323,24 +506,65 @@ object VecStoreLog {
     val v = CubeLog.view(spark, dir)
     var removed = eraseFromLiveEpochs(spark, v, req)
     v.foldedDir.foreach { f =>
-      val affected = spark.read.parquet(f).select(col("vec_id"), col("cell"))
-        .join(req, Seq("vec_id"), "left_semi")
-        .select(col("cell").cast("long")).distinct().as[Long].collect().sorted
-      if (affected.nonEmpty) {
-        // static PartitionFilter: only affected cell dirs are listed/read
-        val slice = spark.read.parquet(f)
-          .filter(col("cell").isin(affected: _*))
-          .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
-        removed += slice.join(req, Seq("vec_id"), "left_semi").count()
-        val kept = slice.join(req, Seq("vec_id"), "left_anti")
-          .localCheckpoint(eager = true)
-        Store.refreshMartPartitions(kept, f, "cell")
-        val remaining = kept.select(col("cell").cast("long")).distinct()
-          .as[Long].collect().toSet
-        val hfs = new org.apache.hadoop.fs.Path(f)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        affected.filterNot(remaining).foreach { c =>
-          hfs.delete(new org.apache.hadoop.fs.Path(s"$f/cell=$c"), true)
+      val hfs = new org.apache.hadoop.fs.Path(f)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (isChunkedRoot(spark, f)) {
+        // chunked generation: the rewrite unit is the affected
+        // (cell, chunk_date) COMPOSITE — a vector lives in exactly one, so
+        // rewriting whole affected cells would churn every OTHER crawl
+        // day of those cells for nothing (VecChunkedRetentionSpec pins
+        // day-level byte-identity). Snapshot the composites BEFORE the
+        // dynamic overwrite (the PostingLog.eraseDocsChunked discipline);
+        // a composite fully emptied by the request writes nothing and is
+        // deleted explicitly, as is a cell left date-less.
+        val affComp = spark.read.parquet(f)
+          .select(col("vec_id"), col("cell"), col("chunk_date"))
+          .join(req, Seq("vec_id"), "left_semi")
+          .select(col("cell").cast("long"), col("chunk_date").cast("string"))
+          .distinct().as[(Long, String)].collect().sorted
+        if (affComp.nonEmpty) {
+          val cond = affComp.map { case (c, dd) =>
+            col("cell") === c && col("chunk_date") === lit(dd).cast("date")
+          }.reduce(_ || _) // partition predicates only — pruned at listing
+          val slice = spark.read.parquet(f).filter(cond)
+            .select(col("vec_id"), col("label"), col("embedding"),
+              col("cell"), col("chunk_date"))
+          removed += slice.join(req, Seq("vec_id"), "left_semi").count()
+          val kept = slice.join(req, Seq("vec_id"), "left_anti")
+            .localCheckpoint(eager = true)
+          Store.refreshMartPartitionsBy(kept, f, Seq("cell", "chunk_date"))
+          val remaining = kept.select(col("cell").cast("long"),
+              col("chunk_date").cast("string")).distinct()
+            .as[(Long, String)].collect().toSet
+          affComp.filterNot(remaining).foreach { case (c, dd) =>
+            hfs.delete(
+              new org.apache.hadoop.fs.Path(s"$f/cell=$c/chunk_date=$dd"), true)
+          }
+          affComp.map(_._1).distinct.foreach { c =>
+            val cellDir = new org.apache.hadoop.fs.Path(s"$f/cell=$c")
+            if (hfs.exists(cellDir) && !hfs.listStatus(cellDir).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith("chunk_date=")))
+              hfs.delete(cellDir, true)
+          }
+        }
+      } else {
+        val affected = spark.read.parquet(f).select(col("vec_id"), col("cell"))
+          .join(req, Seq("vec_id"), "left_semi")
+          .select(col("cell").cast("long")).distinct().as[Long].collect().sorted
+        if (affected.nonEmpty) {
+          // static PartitionFilter: only affected cell dirs are listed/read
+          val slice = spark.read.parquet(f)
+            .filter(col("cell").isin(affected: _*))
+            .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+          removed += slice.join(req, Seq("vec_id"), "left_semi").count()
+          val kept = slice.join(req, Seq("vec_id"), "left_anti")
+            .localCheckpoint(eager = true)
+          Store.refreshMartPartitions(kept, f, "cell")
+          val remaining = kept.select(col("cell").cast("long")).distinct()
+            .as[Long].collect().toSet
+          affected.filterNot(remaining).foreach { c =>
+            hfs.delete(new org.apache.hadoop.fs.Path(s"$f/cell=$c"), true)
+          }
         }
       }
     }
@@ -405,17 +629,19 @@ object VecStoreLog {
     }
 
   /** The live-delta store's declarative truth, parameterized by the
-    * SURVIVOR predicate over stored vectors: the committed generation
-    * holds epochs 0-1 (the codebook trained on ALL of them — training
-    * precedes any erase), epoch 2 is a live unfolded delta; `survivors`
+    * SURVIVOR predicate over stored vectors and by which corpus slice is
+    * the FOLDED base vs the live delta: the codebook trains over the base
+    * slice only (training precedes any erase or expiry), `survivors`
     * filters both stored legs (never the query set — probing for an
     * erased vector's neighbors stays legal; its ROWS must be gone). */
-  private def liveDeltaSql(survivors: String): String = {
+  private def liveDeltaSql(survivors: String,
+      basePred: String = "vec_id % 3 < 2",
+      deltaPred: String = "vec_id % 3 = 2"): String = {
     val iters = Similarity.CentroidIters
     val k = VecStore.CellK
     val pc = VecStore.ProbeCells
     s"""WITH ${Similarity.quantizedSql},
-       |qb AS (SELECT * FROM qn WHERE vec_id % 3 < 2),
+       |qb AS (SELECT * FROM qn WHERE $basePred),
        |${Similarity.lloydCtes(iters, k, src = "qb")},
        |cents AS (SELECT c_id, cqv, cnorm2 FROM c$iters),
        |bassigned AS (
@@ -437,7 +663,7 @@ object VecStoreLog {
        |probes AS (
        |  SELECT vec_id, qv, norm2, c_id AS probe_cell FROM qassigned WHERE cr <= $pc),
        |delta AS (SELECT vec_id, label, qv, norm2 FROM qn
-       |  WHERE vec_id % 3 = 2 AND ($survivors)),
+       |  WHERE ($deltaPred) AND ($survivors)),
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS label,
        |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
@@ -511,6 +737,56 @@ object VecStoreLog {
       val maxId = emb.agg(max(col("vec_id")).cast("long")).head().getLong(0)
       eraseByIds(s, dir, ErasureStore.eraseIdsUpTo(maxId))
       val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+      probeTopK(s, dir, queries, VecStore.ProbeCells)
+    }
+
+  /** The synthetic crawl calendar shared by the vector expiry fixtures:
+    * three days by id mod 3 — the corpus-table convention
+    * ([[PostingLog.expireProbeQuery]]'s date assignment on the doc side). */
+  private[sources] def withCrawlDates(emb: DataFrame): DataFrame =
+    emb.withColumn("crawl_date", date_add(lit("2026-01-01").cast("date"),
+      pmod(col("vec_id"), lit(3L)).cast("int")))
+
+  private val builtExpired = scala.collection.mutable.Map.empty[String, String]
+  private def expiredDir(s: SparkSession, d: String): String =
+    builtExpired.synchronized {
+      builtExpired.getOrElseUpdate(d, {
+        val dir = s"$root/${new java.io.File(d).getName}_expired"
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+        val emb = withCrawlDates(Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), col("label"), col("embedding")))
+        // epochs sliced mod 2 so EVERY crawl day spans fold AND live legs:
+        // expiry must drop date dirs from the generation's cell tree and
+        // from a raw epoch dir in the same sweep
+        appendBatchChunked(emb.filter(pmod(col("vec_id"), lit(2L)) === 0L), dir, 0L)
+        compactChunked(s, dir, cellK = Some(VecStore.CellK))
+        appendBatchChunked(emb.filter(pmod(col("vec_id"), lit(2L)) === 1L), dir, 1L)
+        dir
+      })
+    }
+
+  /** Calendar retention on the ANN index driven end-to-end as a
+    * registered query — the r13 verdict's top item (expiring a crawl day
+    * dropped its text, postings, and signatures but left its EMBEDDINGS
+    * probe-servable): the chunked store (generation trained on the even
+    * half, odd half live, three synthetic crawl days by vec_id mod 3)
+    * expires its first day — directory drops on the generation's
+    * `cell=K/chunk_date=` tree and the live epoch alike, zero vector rows
+    * rewritten, codebook untouched — then answers the maintained probe.
+    * The oracle trains over the even half (the store's own training
+    * corpus), filters BOTH stored legs to the survivor set (crawl day ≥
+    * cutoff ⟺ vec_id % 3 ≠ 0, the date assignment's own arithmetic), and
+    * keeps the full query set: hash equality proves expired embeddings
+    * rank in neither leg and surviving candidate counts and ranks
+    * re-derive exactly. Idempotent expiry per invocation. */
+  lazy val expireProbeQuery: GraftQuery =
+    q("vecstore_expire_probe", liveDeltaSql("vec_id % 3 <> 0",
+      basePred = "vec_id % 2 = 0", deltaPred = "vec_id % 2 = 1")) { (s, d) =>
+      val dir = expiredDir(s, d)
+      expireBefore(s, dir, "2026-01-02")
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
         .select(col("vec_id"), col("embedding"))
       probeTopK(s, dir, queries, VecStore.ProbeCells)
     }
