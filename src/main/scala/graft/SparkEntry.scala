@@ -50,7 +50,8 @@ object SparkEntry {
       sources.IvfPqLog.expireProbeQuery :+
       llm.DedupLog.incrementalClustersQuery :+
       llm.DedupLog.incrementalEraseQuery :+
-      sources.CorpusRtbf.eraseEverywhereQuery
+      sources.CorpusRtbf.eraseEverywhereQuery :+
+      sources.CorpusRtbf.expireEverywhereQuery
 
   /** Flagship: the reference's billing mart end-to-end (generate → LAG
     * staging → two-level agg + dim joins + tariff). Driver smoke-checks

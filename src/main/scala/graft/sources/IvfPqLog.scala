@@ -154,6 +154,16 @@ object IvfPqLog {
       spark.read.parquet(s"$f/cells").count(), wall)
   }
 
+  /** Encoded rows the store currently answers from (fold codes + live
+    * delta epochs, read per root) — the retention receipt's audit number. */
+  def storedRows(spark: SparkSession, dir: String): Long = {
+    val v = CubeLog.view(spark, dir)
+    val folded = v.foldedDir
+      .map(f => spark.read.parquet(s"$f/codes").count()).getOrElse(0L)
+    folded + v.liveBatches.map(_._2)
+      .map(p => spark.read.parquet(p).count()).sum
+  }
+
   /** Retraining compaction: fold base ∪ delta into a new IVFADC
     * generation under the CubeLog crash-safe ordering. */
   def compact(spark: SparkSession, dir: String): Long =

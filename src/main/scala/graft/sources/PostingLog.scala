@@ -287,6 +287,11 @@ object PostingLog {
       .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
   }
 
+  /** Posting rows the store currently holds (stats rows excluded) — the
+    * audit number a retention receipt reports per surface. */
+  def postingRowCount(spark: SparkSession, dir: String): Long =
+    readAll(spark, dir).filter(col("tb") =!= StatsBucket).count()
+
   /** The maintained corpus statistics: SUM over the additive stats rows
     * (one per live epoch + one in the fold). A 1-row frame read from the
     * reserved bucket only — BM25's globals without touching a posting. */
@@ -811,37 +816,74 @@ object PostingLog {
     * centroids (no vector is recoverable from k coarse aggregates), so
     * the oracle must assign survivors through the pre-erase codebook —
     * only the INDEX rows filter. */
+  /** The erase query's audit-receipt truth: rows REMOVED per surface,
+    * each re-derived from the corpus tables under the [[ErasureStore]]
+    * request convention. */
+  private def eraseReceiptSelect: (String, Seq[String]) = (
+    s"""    (SELECT COUNT(*) FROM (SELECT MIN(doc_id) AS k FROM documents
+       |       WHERE text IS NOT NULL GROUP BY text) WHERE k % 37 = 0)
+       |      AS bronze_removed,
+       |    (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id,
+       |         unnest(string_split(text, ' ')) AS term FROM documents)
+       |       WHERE doc_id % 37 = 0) AS posting_removed,
+       |    (SELECT COUNT(*) FROM documents WHERE doc_id % 37 = 0)
+       |      AS dedup_removed,
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 37 = 0)
+       |      AS vec_removed,
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 37 = 0)
+       |      AS ivfpq_removed""".stripMargin,
+    Seq("bronze_removed", "posting_removed", "dedup_removed",
+      "vec_removed", "ivfpq_removed"))
+
+  /** The expiry query's audit-receipt truth: rows each surface still
+    * HOLDS after the cutoff (retention receipts count survivors — the
+    * drops themselves are directory deletes that read no rows), under the
+    * fixtures' crawl calendar (day = 2026-01-01 + id mod 3, cutoff
+    * 2026-01-02 ⟺ survivors id % 3 ≠ 0). */
+  private def expireReceiptSelect: (String, Seq[String]) = (
+    s"""    (SELECT COUNT(*) FROM (SELECT MIN(doc_id) AS k FROM documents
+       |       WHERE text IS NOT NULL GROUP BY text) WHERE k % 3 <> 0)
+       |      AS bronze_remaining,
+       |    (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id,
+       |         unnest(string_split(text, ' ')) AS term FROM documents)
+       |       WHERE doc_id % 3 <> 0) AS posting_remaining,
+       |    (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0)
+       |      AS dedup_remaining,
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0)
+       |      AS vec_remaining,
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0)
+       |      AS ivfpq_remaining""".stripMargin,
+    Seq("bronze_remaining", "posting_remaining", "dedup_remaining",
+      "vec_remaining", "ivfpq_remaining"))
+
   private[sources] def hybridOracleSql(docSurv: String, vecSurv: String,
-      withReceipt: Boolean): String = {
+      withReceipt: Boolean): String =
+    hybridOracleSqlWith(docSurv, vecSurv,
+      if (withReceipt) Some(eraseReceiptSelect) else None)
+
+  /** [[hybridOracleSql]] with the EXPIRY receipt columns (retained-row
+    * counts per surface) — the `corpus_expire_everywhere` truth. */
+  private[sources] def hybridExpireOracleSql(docSurv: String,
+      vecSurv: String): String =
+    hybridOracleSqlWith(docSurv, vecSurv, Some(expireReceiptSelect))
+
+  private def hybridOracleSqlWith(docSurv: String, vecSurv: String,
+      receipt: Option[(String, Seq[String])]): String = {
     val K = 20
     val iters = graft.llm.Similarity.CentroidIters
     val cos = (a: String, b: String) =>
       s"""CAST(list_sum(list_transform(list_zip($a.qv, $b.qv), p -> p[1] * p[2])) AS BIGINT)
          |      / (sqrt(CAST($a.norm2 AS DOUBLE)) * sqrt(CAST($b.norm2 AS DOUBLE)))""".stripMargin
-    val receiptCte = if (!withReceipt) "" else
+    val receiptCte = receipt.fold("") { case (sel, _) =>
       s""",
          |receipt AS (
          |  SELECT
-         |    (SELECT COUNT(*) FROM (SELECT MIN(doc_id) AS k FROM documents
-         |       WHERE text IS NOT NULL GROUP BY text) WHERE k % 37 = 0)
-         |      AS bronze_removed,
-         |    (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id,
-         |         unnest(string_split(text, ' ')) AS term FROM documents)
-         |       WHERE doc_id % 37 = 0) AS posting_removed,
-         |    (SELECT COUNT(*) FROM documents WHERE doc_id % 37 = 0)
-         |      AS dedup_removed,
-         |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 37 = 0)
-         |      AS vec_removed,
-         |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 37 = 0)
-         |      AS ivfpq_removed)""".stripMargin
-    val receiptCols = if (!withReceipt) "" else
-      s""",
-         |  CAST(r.bronze_removed AS BIGINT) AS bronze_removed,
-         |  CAST(r.posting_removed AS BIGINT) AS posting_removed,
-         |  CAST(r.dedup_removed AS BIGINT) AS dedup_removed,
-         |  CAST(r.vec_removed AS BIGINT) AS vec_removed,
-         |  CAST(r.ivfpq_removed AS BIGINT) AS ivfpq_removed""".stripMargin
-    val receiptFrom = if (withReceipt) " CROSS JOIN receipt r" else ""
+         |$sel)""".stripMargin
+    }
+    val receiptCols = receipt.fold("") { case (_, names) =>
+      names.map(n => s"  CAST(r.$n AS BIGINT) AS $n").mkString(",\n", ",\n", "")
+    }
+    val receiptFrom = if (receipt.nonEmpty) " CROSS JOIN receipt r" else ""
     s"""WITH docs_src AS (SELECT * FROM documents WHERE $docSurv),
        |${graft.llm.Search.bm25ScoredSqlCtesFrom("docs_src")},
        |bm AS (
