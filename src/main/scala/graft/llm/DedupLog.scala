@@ -339,6 +339,17 @@ object DedupLog {
     n
   }
 
+  /** [[appendEpochAuto]] for the calendar-chunked layout — [[compact]]
+    * already preserves the axis (sigsAllRaw keeps chunk_date), so the
+    * cadence composes unchanged. The chunked streaming loop calls THIS. */
+  def appendEpochChunkedAuto(docs: DataFrame, dir: String, batchId: Long,
+      maxLive: Int = MaxLiveEpochs): Long = {
+    val n = appendEpochChunked(docs, dir, batchId)
+    if (shouldCompact(docs.sparkSession, dir, maxLive))
+      compact(docs.sparkSession, dir)
+    n
+  }
+
   /** [[appendEpochBatch]] with the compaction cadence applied. */
   def appendEpochBatchAuto(docs: DataFrame, dir: String, batchId: Long,
       maxLive: Int = MaxLiveEpochs): Long = {

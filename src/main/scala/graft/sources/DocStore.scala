@@ -402,7 +402,17 @@ object DocStore {
     * same dynamic-overwrite idiom — a replayed batch rewrites exactly its
     * own (date, batch) composite partitions. Returns docs landed. */
   def appendDedupedChunked(spark: SparkSession, docs: DataFrame,
-      baseDir: String, batchId: Long): Long = {
+      baseDir: String, batchId: Long): Long =
+    appendDedupedChunkedLanded(spark, docs, baseDir, batchId)
+      .map(_.count()).getOrElse(0L) // already localCheckpointed — cheap
+
+  /** [[appendDedupedChunked]] returning the landed slice itself (None when
+    * the batch landed nothing) — the chunked streaming loop
+    * ([[graft.streaming.DocStream.startIndexedIngestChunked]]) feeds the
+    * SAME rows to the derived stores, exactly like the flat
+    * [[appendDedupedLanded]]. */
+  def appendDedupedChunkedLanded(spark: SparkSession, docs: DataFrame,
+      baseDir: String, batchId: Long): Option[DataFrame] = {
     require(docs.columns.contains("crawl_date"),
       "appendDedupedChunked needs a crawl_date column (the retention axis)")
     val docsPath = s"$baseDir/docs"
@@ -424,7 +434,7 @@ object DocStore {
     val fresh = fresh0.withColumn("batch_id", lit(batchId))
       .localCheckpoint(eager = true)
     val landed = fresh.count()
-    if (landed == 0L) return 0L
+    if (landed == 0L) return None
     fresh.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("chunk_date", "batch_id").parquet(docsPath)
@@ -432,7 +442,7 @@ object DocStore {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("chunk_date", "batch_id").parquet(indexPath)
-    landed
+    Some(fresh)
   }
 
   /** Retention: drop every chunk strictly BEFORE `cutoff` (ISO date) from

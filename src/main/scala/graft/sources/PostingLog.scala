@@ -599,6 +599,19 @@ object PostingLog {
         .write.mode("overwrite").partitionBy("chunk_date", "tb").parquet(out)
     }
 
+  /** [[appendBatchAuto]] for the chunked layout — same fan-in cadence
+    * bound (a live epoch's read amplification is layout-independent), the
+    * fold is [[compactChunked]] so the retention axis survives. The
+    * chunked streaming loop calls THIS per micro-batch. */
+  def appendBatchChunkedAuto(docs: DataFrame, dir: String, batchId: Long,
+      maxLive: Int = MaxLiveEpochs): Boolean = {
+    val s = docs.sparkSession
+    appendBatchChunked(docs, dir, batchId)
+    val fold = shouldCompact(s, dir, maxLive)
+    if (fold) compactChunked(s, dir)
+    fold
+  }
+
   /** Retention: drop every chunk strictly BEFORE `cutoff` (ISO date) from
     * EVERY root on disk — the committed fold, live epochs, AND
     * grace-retained dirs (retention is a storage policy, it applies to

@@ -28,6 +28,47 @@ import org.apache.spark.sql.functions._
   */
 object DocStream {
 
+  /** Document-bearing stride of the meter wire — matches
+    * [[graft.sources.VecStoreLog.WireEmbeddingStride]]: 1 reading in 16
+    * carries an attached document, the realistic LLM-pipeline ratio where
+    * the corpus stream is a side channel of a much faster event stream. */
+  val WireDocStride = 16
+
+  /** Token count and vocabulary of the derived wire document. The vocab
+    * is alphabetic and stopword-bearing so the synthetic docs flow through
+    * the REAL curation gate ([[curate]]'s Gopher rules) instead of a
+    * bypass; 12 words keeps P[no stopword in 64 draws] negligible. */
+  private val WireDocTokens = 64
+  private val WireDocVocab = Seq("the", "a", "data", "join", "scan", "grid",
+    "meter", "stream", "batch", "window", "merge", "index")
+
+  /** The document side channel of the parsed meter wire, derived
+    * DETERMINISTICALLY so the streaming corpus loop can land real epochs
+    * without a crawler in the container ([[graft.sources.VecStoreLog
+    * .readingEmbeddings]]'s convention on the TEXT surface): every
+    * [[WireDocStride]]-th meter's readings are document-bearing; doc_id
+    * composes (meter, second) injectively, event_time is the reading's
+    * own timestamp (so the chunked loop's crawl day is the CONTENT's
+    * day), and the text is a [[WireDocTokens]]-token xxhash64 projection
+    * over a fixed vocabulary — pure codegen'd built-ins, no UDF, so the
+    * derivation never bounds the landing rate. A real deployment swaps
+    * this projection for its crawler's columns; everything downstream
+    * (curation, bronze, posting, dedup, retention) only sees the
+    * (doc_id, event_time, lang, source, text) shape. */
+  def readingDocs(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(pmod(col("meter_id"), lit(WireDocStride)) === 0)
+      .select(col("meter_id").cast("long").as("m"),
+        unix_timestamp(col("reading_timestamp")).as("ts_s"),
+        col("reading_timestamp").as("event_time"))
+      .select(
+        (col("m") * lit(10000000000L) + col("ts_s")).as("doc_id"),
+        col("event_time"), lit("en").as("lang"), lit("wire").as("source"),
+        expr(s"""array_join(transform(sequence(0, ${WireDocTokens - 1}),
+                |  i -> element_at(array(${WireDocVocab.map(w => s"'$w'").mkString(", ")}),
+                |    CAST(pmod(xxhash64(m, ts_s, i), ${WireDocVocab.size}) AS INT) + 1)),
+                |  ' ')""".stripMargin).as("text"))
+
   /** Curate a document stream: hash → watermark → in-horizon exact dedup
     * → policy gate. Works identically on a batch frame (minus the
     * watermark/dedup state semantics), which the spec exploits. */
@@ -134,6 +175,62 @@ object DocStream {
             val corpusRows = graft.llm.DedupLog.storedDocRows(spark, dedupDir)
             if (graft.llm.Dedup.chooseMaintained(corpusRows, landed.count()))
               graft.llm.DedupLog.appendEpochAuto(landed, dedupDir, batchId)
+            else
+              graft.llm.DedupLog.appendEpochBatchAuto(landed, dedupDir, batchId)
+          }
+        ()
+      }
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  /** [[startIndexedIngest]] landing the CALENDAR-CHUNKED layouts — the
+    * stream-maintained corpus earns the "retention = directory drop"
+    * story the batch path has ([[graft.sources.DocStore
+    * .appendDedupedChunked]], `PostingLog.appendBatchChunked`,
+    * `DedupLog.appendEpochChunked`): every surface lands under the
+    * document's crawl day (`chunk_date=`), so
+    * [[graft.sources.CorpusRtbf.expireEverywhere]] can age the streamed
+    * corpus out with driver-side deletes. The crawl day is the document's
+    * EVENT date (its crawl timestamp), not the landing wall-clock — a
+    * late-arriving document lands in ITS day, so expiry cuts by content
+    * age, and replays land in the same chunk they landed in first
+    * (exactly-once needs the partition key replay-stable).
+    *
+    * Same layered replay safety as the flat loop: chunked bronze dynamic
+    * overwrite, `landedSlice` crash repair (the chunked docs tree exposes
+    * the same batch_id axis; its `chunk_date` partition column maps back
+    * to `crawl_date` for the derived landings), auto-cadence folds on
+    * both derived stores with the chunked fold so the retention axis
+    * survives compaction, and the measured batch-vs-maintained dedup
+    * regime chooser — the batch regime lands the axis too
+    * ([[graft.llm.DedupLog.appendEpochBatch]]). */
+  def startIndexedIngestChunked(
+      docs: org.apache.spark.sql.DataFrame,
+      baseDir: String,
+      postingDir: String,
+      dedupDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+    curate(docs, watermark).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val dated = batch.withColumn("crawl_date", to_date(col("event_time")))
+        graft.sources.DocStore
+          .appendDedupedChunkedLanded(batch.sparkSession, dated, baseDir, batchId)
+          .orElse(graft.sources.DocStore
+            .landedSlice(batch.sparkSession, baseDir, batchId)
+            // the crash-repair slice read back from the chunked bronze
+            // carries chunk_date (the partition column); the derived
+            // landings expect the crawl_date input convention
+            .map(_.withColumn("crawl_date", col("chunk_date"))))
+          .foreach { landed =>
+            graft.sources.PostingLog.appendBatchChunkedAuto(landed, postingDir, batchId)
+            val spark = landed.sparkSession
+            val corpusRows = graft.llm.DedupLog.storedDocRows(spark, dedupDir)
+            if (graft.llm.Dedup.chooseMaintained(corpusRows, landed.count()))
+              graft.llm.DedupLog.appendEpochChunkedAuto(landed, dedupDir, batchId)
             else
               graft.llm.DedupLog.appendEpochBatchAuto(landed, dedupDir, batchId)
           }

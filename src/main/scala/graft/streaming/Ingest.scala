@@ -36,6 +36,29 @@ object Ingest {
     StructField("reading_production_milliwatts", LongType),
     StructField("status", StringType)))
 
+  /** PRODUCTION DEFAULT wire format (r14): the BINARY (Avro) wire.
+    * Decided from the sweep, not taste (STREAMING_LATENCY.md): at the
+    * reference's 160 K rec/s anchor the JSON wire is parse-bound at
+    * proc/input ~0.93 while the binary twin sustains ~1.01 on identical
+    * data and validation, and at 640 K the per-core decode gap is ~6×
+    * (avro-core ~86 K rows/s/core vs from_json ~13-17 K). The reference's
+    * snappy-compressed JSON (producer/meter_simulator.py:244-250) stays
+    * fully supported as the COMPAT wire for interop with its producers.
+    * Override per deployment with SPARK_GRAFT_WIRE=json|avro; the sweep's
+    * `ingest-default-wire` row exercises whatever this resolves to. */
+  def DefaultWireFormat: String = sys.env.getOrElse("SPARK_GRAFT_WIRE", "avro")
+
+  /** Decode + validate through the CONFIGURED wire — the one dispatch
+    * point the gold loop, the sweep, and a deployment share, so switching
+    * the wire is a config change, not a code edit. */
+  def parseAndValidateWire(raw: DataFrame,
+      format: String = DefaultWireFormat): DataFrame = format match {
+    case "avro" => parseAndValidateAvro(raw)
+    case "json" => parseAndValidate(raw)
+    case other => throw new IllegalArgumentException(
+      s"unknown wire format '$other' — supported: json (reference compat), avro (default)")
+  }
+
   /** Parse the `value` JSON column and apply the consumer's validation:
     * required meter_id + reading_timestamp; malformed JSON ⇒ null struct ⇒
     * dropped. Drop counts are exposed through `observe("ingest", …)`

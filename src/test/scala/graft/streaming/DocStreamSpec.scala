@@ -299,6 +299,96 @@ class DocStreamSpec extends SparkSpec {
       .as[(Long, Long)].head()._1 === n)
   }
 
+  test("chunked indexed ingest: stream-built chunked stores ≡ batch-built; retention = directory drops on the streamed corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("indexed_chunked").toString
+    val terms = Seq("data", "join", "scan")
+
+    // three crawl DAYS by doc_id mod 3, fed day by day (event times stay
+    // monotone across micro-batches, so the watermark never drops a day)
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        (id, new java.sql.Timestamp(
+          t("2026-01-01 00:00:00").getTime + (id % 3) * 86400000L + id * 1000),
+          r.getAs[String]("lang"), r.getAs[String]("source"), r.getAs[String]("text"))
+      }
+    val byDay = docs.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.sortBy(_._1))
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val q = DocStream.startIndexedIngestChunked(
+      mem.toDF().toDF("doc_id", "event_time", "lang", "source", "text"),
+      s"$dir/store", s"$dir/postings", s"$dir/dedup", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      byDay.foreach { day => mem.addData(day.toSeq); q.processAllAvailable() }
+      // redelivery of the last day: at-least-once, nothing may re-land
+      mem.addData(byDay.last.take(20).toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def bronzeNow() = spark.read.parquet(s"$dir/store/docs")
+      .select(col("doc_id"), col("text")).localCheckpoint(eager = true)
+    def directTruth(b: org.apache.spark.sql.DataFrame) = b
+      .select(col("doc_id"), explode(graft.llm.TextAnalysis.words(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*)).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") === terms.size)
+      .as[(Long, Long)].collect().toSet
+
+    val bronze = bronzeNow()
+    assert(bronze.select(countDistinct(col("doc_id"))).head.getLong(0) === bronze.count())
+    // the streamed bronze carries the retention axis: one chunk per day
+    val days = spark.read.parquet(s"$dir/store/docs")
+      .select(col("chunk_date").cast("string")).distinct().as[String].collect().toSet
+    assert(days === Set("2026-01-01", "2026-01-02", "2026-01-03"))
+
+    // stream-built chunked posting store ≡ a batch-built chunked store
+    // over the same landed corpus (one epoch, same layout)
+    val batchPost = java.nio.file.Files.createTempDirectory("chunked_batch_post").toString + "/idx"
+    graft.sources.PostingLog.appendBatchChunked(
+      spark.read.parquet(s"$dir/store/docs")
+        .select(col("doc_id"), col("text"), col("chunk_date").as("crawl_date")),
+      batchPost, 0L)
+    assert(graft.sources.PostingLog.booleanAnd(spark, s"$dir/postings", terms)
+      .as[(Long, Long)].collect().toSet ===
+      graft.sources.PostingLog.booleanAnd(spark, batchPost, terms)
+        .as[(Long, Long)].collect().toSet)
+    assert(graft.sources.PostingLog.stats(spark, s"$dir/postings")
+      .as[(Long, Long)].head() ===
+      graft.sources.PostingLog.stats(spark, batchPost).as[(Long, Long)].head())
+    assert(graft.sources.PostingLog.booleanAnd(spark, s"$dir/postings", terms)
+      .as[(Long, Long)].collect().toSet === directTruth(bronze))
+
+    // dedup labels ≡ a batch-built store over the same bronze
+    val batchDedup = java.nio.file.Files.createTempDirectory("chunked_batch_dedup").toString + "/st"
+    graft.llm.DedupLog.appendEpoch(bronze, batchDedup, 0L)
+    assert(graft.llm.DedupLog.labelsView(spark, s"$dir/dedup")
+      .as[(Long, Long)].collect().toSet ===
+      graft.llm.DedupLog.labelsView(spark, batchDedup).as[(Long, Long)].collect().toSet)
+
+    // retention on the STREAMED corpus: one cutoff, three surfaces, all
+    // driver-side directory drops; every surface answers the survivor truth
+    graft.sources.DocStore.expireBefore(spark, s"$dir/store", "2026-01-02")
+    graft.sources.PostingLog.expireBefore(spark, s"$dir/postings", "2026-01-02")
+    graft.llm.DedupLog.expireBefore(spark, s"$dir/dedup", "2026-01-02")
+    val surv = bronzeNow()
+    assert(surv.filter(pmod(col("doc_id"), lit(3L)) === 0L).count() === 0L)
+    assert(graft.sources.PostingLog.booleanAnd(spark, s"$dir/postings", terms)
+      .as[(Long, Long)].collect().toSet === directTruth(surv))
+    val survDedup = java.nio.file.Files.createTempDirectory("chunked_surv_dedup").toString + "/st"
+    graft.llm.DedupLog.appendEpoch(surv, survDedup, 0L)
+    assert(graft.llm.DedupLog.labelsView(spark, s"$dir/dedup")
+      .as[(Long, Long)].collect().toSet ===
+      graft.llm.DedupLog.labelsView(spark, survDedup).as[(Long, Long)].collect().toSet)
+    Seq(graft.sources.StoreCheck.checkPostingLog(spark, s"$dir/postings"),
+      graft.sources.StoreCheck.checkDedupLog(spark, s"$dir/dedup")).foreach { f =>
+      assert(!f.exists(_.severity == "error"), f.mkString("; "))
+    }
+  }
+
   test("erase-everywhere lands mid-stream: later epochs compose, re-crawled content re-lands, final state ≡ batch truth") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
