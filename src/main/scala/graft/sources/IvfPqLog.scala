@@ -164,6 +164,20 @@ object IvfPqLog {
       .map(p => spark.read.parquet(p).count()).sum
   }
 
+  /** Distinct vec ids the store currently answers from (fold codes ∪ live
+    * epochs) — the cross-surface fsck's comparison frame. */
+  def storedIds(spark: SparkSession, dir: String): DataFrame = {
+    val v = CubeLog.view(spark, dir)
+    val folded = v.foldedDir.map(f =>
+      spark.read.parquet(s"$f/codes").select(col("vec_id")))
+    val live = v.liveBatches.map(_._2).map(p =>
+      spark.read.parquet(p).select(col("vec_id")))
+    (folded.toSeq ++ live)
+      .reduceOption(_ unionByName _)
+      .map(_.distinct())
+      .getOrElse(throw new IllegalArgumentException(s"empty IVF-PQ store: $dir"))
+  }
+
   /** Retraining compaction: fold base ∪ delta into a new IVFADC
     * generation under the CubeLog crash-safe ordering. */
   def compact(spark: SparkSession, dir: String): Long =

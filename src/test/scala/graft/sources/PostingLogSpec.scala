@@ -224,25 +224,32 @@ class PostingLogSpec extends SparkSpec {
     assert(maintained === once)
   }
 
-  test("a store landed at a different bucket count fails loudly, not false negatives") {
+  test("the bucket count is a store property: probes prune each root at its OWN recorded count (r14)") {
     val dir = buildStore()
     assert(PostingLog.storedNBuckets(spark, dir).contains(PostingLog.NBuckets),
       "the first landing must persist the _nb layout sidecar")
-    // simulate a store landed by a build with a different NBuckets: the
-    // sidecar says 8, this library's key is mod 16 — a probe would prune
-    // to the wrong tb= dir and silently return nothing for half the terms
+    val before = PostingLog.probe(spark, dir, terms)
+      .select($"term", $"doc_id").as[(String, Long)].collect().toSet
+    // pre-r14 the store-level count was a compile-time contract and a
+    // mismatch failed loudly; now every root records the count its tb=
+    // layout was written at, so even a corrupted/foreign STORE sidecar
+    // cannot send a probe to the wrong bucket of a self-describing root
     val p = new org.apache.hadoop.fs.Path(s"$dir/_nb")
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = hfs.create(p, true)
     try out.write("8".getBytes("UTF-8")) finally out.close()
-    val exProbe = intercept[IllegalArgumentException] {
-      PostingLog.probe(spark, dir, terms).count()
-    }
-    assert(exProbe.getMessage.contains("FALSE NEGATIVES"))
-    val exLand = intercept[IllegalArgumentException] {
-      PostingLog.appendBatch(corpusDocs.limit(5), dir, 9L)
-    }
-    assert(exLand.getMessage.contains("FALSE NEGATIVES"))
+    assert(PostingLog.probe(spark, dir, terms)
+      .select($"term", $"doc_id").as[(String, Long)].collect().toSet === before,
+      "self-describing roots answer exactly under a wrong store sidecar")
+    // …and a NEW landing now buckets at the (flipped) store count — the
+    // store is mid-resize by definition, which probes handle per root; an
+    // explicit conflicting count still fails loudly (RebucketSpec)
+    PostingLog.appendBatch(corpusDocs.limit(50)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text"), dir, 9L)
+    assert(PostingLog.probe(spark, dir, terms)
+      .select($"term", $"doc_id").as[(String, Long)].collect().toSet
+      .filterNot(_._2 >= 900000L) === before,
+      "a mixed-count store still answers the old roots exactly")
   }
 
   test("bucketsFor: NBuckets floor, power-of-two, ~150MB target; BytesPerToken calibrated on a real store") {

@@ -105,6 +105,85 @@ class StoreCheckSpec extends SparkSpec {
       s"signature-only delete must surface dangling labels, got $findings")
   }
 
+  test("chunked posting store: per-date stats drift caught even when global sums cancel; axis mixing flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("fsck_chunk_").toString + "/idx"
+    val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text")
+      .withColumn("crawl_date", date_add(lit("2026-01-01").cast("date"),
+        pmod($"doc_id", lit(2L)).cast("int")))
+    PostingLog.appendBatchChunked(docs, dir, 0L)
+    PostingLog.compactChunked(spark, dir)
+    assert(errorsOf(StoreCheck.checkPostingLog(spark, dir)).isEmpty)
+
+    // MOVE one populated tb dir from day 1 to day 2 (where that bucket is
+    // re-named to an unused high id so no collision): per-date recounts
+    // shift in opposite directions while the GLOBAL doc/dl sums stay
+    // exactly equal — the pre-r14 global check cannot see this
+    val gen = CubeLog.view(spark, dir).foldedDir.get.stripPrefix("file:")
+    val d1 = new java.io.File(s"$gen/chunk_date=2026-01-01")
+    val src = d1.listFiles().find(f => f.getName.startsWith("tb=") &&
+      f.getName != "tb=-1").get
+    val dst = new java.io.File(s"$gen/chunk_date=2026-01-02/tb=99")
+    assert(src.renameTo(dst))
+    val errs = errorsOf(StoreCheck.checkPostingLog(spark, dir))
+    assert(errs.exists(_.check == "stats-drift-per-date"),
+      s"per-date drift must be caught; got $errs")
+    assert(dst.renameTo(src)) // restore
+    assert(errorsOf(StoreCheck.checkPostingLog(spark, dir)).isEmpty)
+
+    // a FLAT epoch dir inside the chunked store: the mixed-axis error
+    val flatDocs = docs.select(($"doc_id" + 700000L).as("doc_id"), $"text")
+    // bypass the landing guard by writing the epoch shape directly
+    val flatDir = java.nio.file.Files.createTempDirectory("fsck_flat_src_").toString + "/idx"
+    PostingLog.appendBatch(flatDocs.limit(50), flatDir, 0L)
+    val flatEpoch = new java.io.File(flatDir, "batch_id=0")
+    assert(flatEpoch.renameTo(new java.io.File(dir, "batch_id=5")))
+    assert(errorsOf(StoreCheck.checkPostingLog(spark, dir))
+      .exists(_.check == "mixed-retention-axis"))
+  }
+
+  test("cross-surface fsck: the bronze→derived crash window is named with its repair; an RTBF leak is flagged; repair converges") {
+    val base = java.nio.file.Files.createTempDirectory("fsck_corpus_").toString
+    val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text").limit(300).localCheckpoint(eager = true)
+    val (b0, b1) = (docs.filter(pmod($"doc_id", lit(2L)) === 0L),
+      docs.filter(pmod($"doc_id", lit(2L)) === 1L))
+
+    // batch 0 lands everywhere; batch 1 commits bronze then "crashes"
+    // before the derived landings — the startIndexedIngest crash window
+    val landed0 = DocStore.appendDedupedLanded(spark, b0, s"$base/bronze", 0L).get
+    PostingLog.appendBatch(landed0, s"$base/postings", 0L)
+    graft.llm.DedupLog.appendEpoch(landed0, s"$base/dedup", 0L)
+    DocStore.appendDedupedLanded(spark, b1, s"$base/bronze", 1L)
+    val crashed = StoreCheck.checkCorpus(spark, s"$base/bronze",
+      s"$base/postings", s"$base/dedup")
+    val missing = crashed.filter(_.check == "derived-missing")
+    assert(missing.size === 2, s"both derived surfaces must flag; got $crashed")
+    assert(missing.forall(f => f.detail.contains("landedSlice") && f.detail.contains("1")),
+      "the finding names the repair path and the affected batch id")
+
+    // the named repair: landedSlice re-derives batch 1, the idempotent
+    // landings finish — the fsck converges to clean
+    val slice = DocStore.landedSlice(spark, s"$base/bronze", 1L).get
+    PostingLog.appendBatch(slice, s"$base/postings", 1L)
+    graft.llm.DedupLog.appendEpoch(slice, s"$base/dedup", 1L)
+    assert(errorsOf(StoreCheck.checkCorpus(spark, s"$base/bronze",
+      s"$base/postings", s"$base/dedup")).isEmpty)
+
+    // the opposite direction: bronze forgets a doc, the derived stores
+    // still serve its derivatives — the RTBF leak finding
+    val victim = landed0.select($"doc_id").as[Long].head(1).toSeq
+    DocStore.eraseDocs(spark, s"$base/bronze", victim)
+    val leaked = StoreCheck.checkCorpus(spark, s"$base/bronze",
+      s"$base/postings", s"$base/dedup")
+    assert(leaked.count(_.check == "derived-orphan") === 2, s"got $leaked")
+    // finishing the orchestrated erase clears it
+    PostingLog.eraseDocs(spark, s"$base/postings", victim)
+    graft.llm.DedupLog.eraseDocs(spark, s"$base/dedup", victim)
+    assert(errorsOf(StoreCheck.checkCorpus(spark, s"$base/bronze",
+      s"$base/postings", s"$base/dedup")).isEmpty)
+  }
+
   private def corpusVecs = graft.ops.Tables.embeddingsParallel(spark, sf0001)
     .select($"vec_id", $"label", $"embedding")
 
