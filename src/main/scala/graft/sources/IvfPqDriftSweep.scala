@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.llm.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Recall under MAINTENANCE DRIFT for the maintained IVF-PQ store — the
+  * question the r13 verdict left open: [[IvfPqLog]]'s recall was only
+  * ever measured on the build-once geometry; does retraining-at-cadence
+  * hold recall flat as the corpus grows AND its distribution drifts?
+  *
+  * Protocol: the corpus doubles per cycle with a DRIFTED delta (each
+  * cycle's vectors are dimension-rotated and offset by a deterministic
+  * per-cycle xxhash64 drift — residual distributions genuinely move, the
+  * case PQ retraining exists for). Every cycle lands through the SHIPPED
+  * auto-cadence path ([[IvfPqLog.appendBatchAuto]] — folds fire at the
+  * code-derived trigger f* = s(r−1)/(ρ−rs), never by the sweep's hand),
+  * then recall@5 of the maintained probe is measured against the exact
+  * l2 truth over the CURRENT corpus for a fixed query panel.
+  *
+  * The counterfactual that makes the table an argument rather than a
+  * number: after the last cycle the final corpus is re-encoded under the
+  * CYCLE-0 codebooks ([[Similarity.ivfPqEncodeWith]] — same arithmetic,
+  * training frozen at the original distribution) and probed identically.
+  * retrain-at-cadence − frozen = what the folds BUY.
+  *
+  * Run: `sbt "runMain graft.sources.IvfPqDriftSweep"` (sf dir via
+  * SPARK_GRAFT_SF_DIR, default sf0.1; cycles via SPARK_GRAFT_DRIFT_CYCLES,
+  * default 5). Prints the SCALING.md table.
+  */
+object IvfPqDriftSweep {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ivfpq-drift-sweep")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cycles = sys.env.getOrElse("SPARK_GRAFT_DRIFT_CYCLES", "5").toInt
+
+    val base = graft.ops.Tables.embeddingsParallel(spark, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint(eager = true)
+    val n0 = base.count()
+    val span = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+
+    // cycle i's delta: ids shifted into a fresh range; embeddings
+    // dimension-rotated by i and offset by a per-(cycle, dim) drift —
+    // deterministic, and a genuine distribution shift (residuals move)
+    def deltaOf(i: Int): DataFrame = base.select(
+      (col("vec_id") + lit(i * span)).as("vec_id"), col("label"),
+      expr(s"""transform(sequence(0, 63), j -> CAST(
+              |  element_at(embedding, CAST(pmod(j + $i, 64) AS INT) + 1) * 0.85
+              |  + (pmod(xxhash64(${i}L, j), 2001) - 1000) / 4000.0 AS FLOAT))"""
+        .stripMargin).as("embedding"))
+
+    // fixed query panel: base-corpus ids, present at every cycle
+    val queries = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint(eager = true)
+    val qVecs = VecStore.qn(queries).select(col("vec_id"), col("qv"), col("norm2"))
+      .localCheckpoint(eager = true)
+
+    def recallOf(ann: DataFrame, corpus: DataFrame): Double = {
+      val qq = qVecs.select(col("vec_id").as("query_id"),
+        col("qv").as("qqv"), col("norm2").as("qnorm2"))
+      val truth = VecStore.qn(corpus).as("b")
+        .join(broadcast(qq.as("a")), col("b.vec_id") =!= col("a.query_id"))
+        .select(col("a.query_id"), col("b.vec_id"),
+          (col("a.qnorm2")
+            - lit(2) * graft.functions.FixedPointDot(col("a.qqv"), col("b.qv"))
+            + col("b.norm2")).as("l2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("l2"), col("vec_id"))))
+        .filter(col("rk") <= Similarity.PqTopK)
+        .select(col("query_id"), col("vec_id"))
+      val hits = truth.join(
+        ann.select(col("query_id"), col("vec_id"), lit(1).as("h")),
+        Seq("query_id", "vec_id"), "left")
+        .agg(sum(coalesce(col("h"), lit(0))).cast("double"),
+          count(lit(1)).cast("double")).as[(Double, Double)].head()
+      hits._1 / hits._2
+    }
+
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_drift_" +
+      s"${java.util.UUID.randomUUID()}"
+    var corpus = spark.emptyDataFrame
+    println(s"base n=$n0, ${cycles + 1} cycles (corpus grows by n0 per cycle, " +
+      "drifted); landings via appendBatchAuto — folds fire at the derived cadence")
+    println("| cycle | corpus n | committed gen | live epochs | recall@5 (maintained) |")
+    println("|---|---|---|---|---|")
+    (0 to cycles).foreach { i =>
+      val delta = if (i == 0) base else deltaOf(i)
+      corpus = (if (i == 0) delta else corpus.unionByName(delta))
+        .localCheckpoint(eager = true)
+      IvfPqLog.appendBatchAuto(delta, dir, i.toLong)
+      val v = CubeLog.view(spark, dir)
+      val ann = IvfPqLog.probeTopK(spark, dir, Some(qVecs))
+      val r = recallOf(ann, corpus)
+      println(f"| $i | ${corpus.count()} | ${v.gen} | ${v.liveBatches.size} | $r%.3f |")
+    }
+
+    // frozen-codebook counterfactual: cycle-0 artifacts, final corpus
+    val (_, cents0, cbRow0, _, _) =
+      Similarity.ivfPqTrainFramesFrom(VecStore.qn(base)
+        .select(col("vec_id"), col("label"), col("qv"), col("norm2")))
+    val frozenCodes = Similarity.ivfPqEncodeWith(
+      VecStore.qn(corpus).select(col("vec_id"), col("label"), col("qv"), col("norm2")),
+      cents0, cbRow0).localCheckpoint(eager = true)
+    val frozenProbe = Similarity.ivfPqProbeFrom(
+      Similarity.centsRow(cents0), cbRow0, frozenCodes,
+      VecStore.qn(corpus).select(col("vec_id"), col("label"), col("qv"), col("norm2")),
+      Some(qVecs))
+    println(f"frozen cycle-0 codebooks over the final corpus: recall@5 " +
+      f"${recallOf(frozenProbe, corpus)}%.3f (retrain-at-cadence minus this " +
+      "= what the folds buy)")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.stop()
+  }
+}

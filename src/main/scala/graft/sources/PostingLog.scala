@@ -1085,17 +1085,15 @@ object PostingLog {
     * broadcast (query_id, term) map — df stays term-global, tf/dl ride
     * the probed postings, N/avgdl come from the additive stats rows. One
     * scan, |queries| rankings: the plan shape a serving deployment runs,
-    * where per-query index reads are the latency budget. */
-  def bm25TopKMulti(spark: SparkSession, dir: String,
-      querySet: Seq[(Long, Seq[String])], k: Int = 10): DataFrame = {
-    import spark.implicits._
+    * where per-query index reads are the latency budget. `allTerms` is
+    * the serving batch's vocabulary, collected once by the caller — the
+    * bucket filter is a driver-computed partition predicate by nature. */
+  private def bm25TopKTerms(spark: SparkSession, dir: String,
+      qterms: DataFrame, allTerms: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val allTerms = querySet.flatMap(_._2).distinct
     val post = probe(spark, dir, allTerms)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qterms = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
-      .toDF("query_id", "term")
     post.join(broadcast(dfreq), "term")
       .join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats(spark, dir)))
@@ -1110,6 +1108,57 @@ object PostingLog {
           .orderBy(col("score_scaled").desc, col("doc_id"))).cast("long"))
       .filter(col("bm25_rank") <= k)
       .select(col("query_id"), col("doc_id"), col("bm25_rank"))
+  }
+
+  def bm25TopKMulti(spark: SparkSession, dir: String,
+      querySet: Seq[(Long, Seq[String])], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qterms = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    bm25TopKTerms(spark, dir, qterms, querySet.flatMap(_._2).distinct, k)
+  }
+
+  /** Hybrid retrieval for a QUERY-SET FRAME — the serving-shape API (r14,
+    * generalizing the fixed three-query form): `queries` is a DataFrame
+    * (query_id, terms ARRAY<STRING>, embedding ARRAY<FLOAT>) and the
+    * whole batch answers in ONE plan — one pruned pass over the posting
+    * tower (union of the batch's term buckets, fanned out per query
+    * through a broadcast (query_id, term) map) and one pruned pass over
+    * the ANN tower (the maintained store ranks per query natively), RRF-
+    * fused per (query_id, doc_id), top-`k` per query. Per serving batch
+    * only probed term buckets and probed cells are read, ONCE, regardless
+    * of |queries|. The batch's term vocabulary is collected driver-side
+    * (bounded by the serving batch) because bucket pruning is a
+    * driver-computed partition filter by nature. */
+  def hybridTopKSet(s: SparkSession, postingDir: String, vecDir: String,
+      queries: DataFrame, probeCells: Int = VecStore.ProbeCells,
+      candK: Int = 20, k: Int = 10): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qset = queries.select(col("query_id"), col("terms"), col("embedding"))
+      .localCheckpoint(eager = true) // vocabulary collect + both towers read it
+    val allTerms = qset.select(explode(col("terms")).as("t"))
+      .distinct().as[String].collect().toSeq
+    val qterms = qset.select(col("query_id"), explode(col("terms")).as("term"))
+    val bm = bm25TopKTerms(s, postingDir, qterms, allTerms, candK)
+    val vs = VecStoreLog.probeTopK(s, vecDir,
+        qset.select(col("query_id").as("vec_id"), col("embedding")),
+        probeCells, k = candK)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("cos_rank"))
+    bm.join(vs, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        (when(col("bm25_rank").isNull, 0L)
+          .otherwise(expr("1000000 div (60 + bm25_rank)"))
+          + when(col("cos_rank").isNull, 0L)
+            .otherwise(expr("1000000 div (60 + cos_rank)"))).as("rrf_scaled"))
+      .withColumn("rr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_scaled").desc, col("doc_id"))))
+      .filter(col("rr") <= k)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("cos_rank"), lit(0L)).as("cos_rank"),
+        col("rrf_scaled"))
   }
 
   /** Hybrid retrieval for a QUERY SET, entirely from maintained state —
@@ -1201,30 +1250,17 @@ object PostingLog {
        |  CAST(rrf_scaled AS BIGINT) AS rrf_scaled
        |FROM final WHERE rr <= 10""".stripMargin
   }) { (s, d) =>
-    val K = 20
-    import org.apache.spark.sql.expressions.Window
-    val bm = bm25TopKMulti(s, maintainedDir(s, d), MultiQuerySet, K)
-    val qids = MultiQuerySet.map(_._1)
+    import s.implicits._
+    // the serving-shape entry: the query set is a FRAME (per-query terms
+    // + query vector joined from the embeddings table by id), answered by
+    // hybridTopKSet in one plan for the whole batch
+    val termsDf = MultiQuerySet.toDF("query_id", "terms")
     val queries = graft.ops.Tables.embeddings(s, d)
-      .filter(col("vec_id").isin(qids: _*)).select(col("vec_id"), col("embedding"))
-    val vs = VecStoreLog.probeTopK(s, VecStoreLog.maintainedDir(s, d),
-        queries, VecStore.ProbeCells, k = K)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("rank").cast("long").as("cos_rank"))
-    bm.join(vs, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        col("bm25_rank"), col("cos_rank"),
-        (when(col("bm25_rank").isNull, 0L)
-          .otherwise(expr("1000000 div (60 + bm25_rank)"))
-          + when(col("cos_rank").isNull, 0L)
-            .otherwise(expr("1000000 div (60 + cos_rank)"))).as("rrf_scaled"))
-      .withColumn("rr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("rrf_scaled").desc, col("doc_id"))))
-      .filter(col("rr") <= 10)
-      .select(col("query_id"), col("doc_id"),
-        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
-        coalesce(col("cos_rank"), lit(0L)).as("cos_rank"),
-        col("rrf_scaled"))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .join(broadcast(termsDf), Seq("query_id"))
+      .select(col("query_id"), col("terms"), col("embedding"))
+    hybridTopKSet(s, maintainedDir(s, d), VecStoreLog.maintainedDir(s, d),
+      queries, candK = 20, k = 10)
   }
 
   private val builtExpired = scala.collection.mutable.Map.empty[String, String]
