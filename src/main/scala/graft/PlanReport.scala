@@ -213,11 +213,17 @@ object PlanReport {
     "meter_forecast_conformal" ->
       "Split conformal: one staging pass feeds both splits (localCheckpoint); the calibration rank window partitions by meter (≤ cal-days×96 rows per partition); qhat joins back as a 1-row-per-meter frame; coverage is one combinable conditional aggregate. No global sort, no corpus-sized window.",
     "search_hybrid_multiquery" ->
-      "The serving-shape hybrid (r13): ONE pruned posting scan (static tb PartitionFilters over the union of all queries' term buckets) fans out to its queries through a broadcast (query_id, term) join — |queries| rankings, one index read; the ANN leg's single cell-pruned probe ranks per query natively; RRF fuses two K-row-per-query lists with every window partitioned by query_id. Adding a query adds broadcast rows, never a scan.",
+      "The serving-shape hybrid, generalized to a QUERY-SET FRAME in r14 (PostingLog.hybridTopKSet — queries as a DataFrame of (query_id, terms, embedding)): ONE pruned posting scan (static tb PartitionFilters over the union of the batch's term buckets) fans out to its queries through a broadcast (query_id, term) join — |queries| rankings, one index read; the ANN leg's single cell-pruned probe ranks per query natively; RRF fuses two K-row-per-query lists with every window partitioned by query_id. Adding a query adds broadcast rows, never a scan.",
     "corpus_erase_everywhere" ->
       "The post-erase hybrid probe over the orchestrated-RTBF stores (r13): identical shape to search_hybrid_maintained — tb-pruned BM25 leg, cell-pruned ANN leg, K-row RRF fusion — with the five per-surface audit receipts attached as literal columns (zero plan cost). The five-store erase itself (bounded rewrites + grace purge on every surface) ran inside the query before this plan; the survivor-filtered oracle hashing equal IS the proof one deletion request cleaned bronze, postings, dedup state, and both vector indexes.",
     "search_expire_probe" ->
-      "Calendar retention on the posting index (r13): the post-expiry probe is the ordinary pruned boolean-AND — static tb PartitionFilters under the chunk_date layout, fold ∪ live unioned. The expiry itself was a driver-side date-directory drop (zero rows read, per-date stats rows gone WITH their chunk); the retained-corpus oracle hashing equal proves the drop removed exactly the expired day from both legs.")
+      "Calendar retention on the posting index (r13): the post-expiry probe is the ordinary pruned boolean-AND — static tb PartitionFilters under the chunk_date layout, fold ∪ live unioned. The expiry itself was a driver-side date-directory drop (zero rows read, per-date stats rows gone WITH their chunk); the retained-corpus oracle hashing equal proves the drop removed exactly the expired day from both legs.",
+    "vecstore_expire_probe" ->
+      "Calendar retention on the ANN index (r14): the post-expiry probe is the ordinary maintained probe — cell-pruned base leg (cell stays the OUTER partition under the chunked cell=K/chunk_date=D layout, so pruning is unchanged) ∪ brute live-delta leg. The expiry was bounded directory drops on the generation's cell tree and the live epoch (codebook untouched); the survivor-filtered live-delta oracle hashing equal proves expired embeddings rank in neither leg.",
+    "ivfpq_expire_probe" ->
+      "Calendar retention on the compressed index (r14): the post-expiry probe is the ordinary ADC path — codes joined ON the cell id under the chunked codes/cell=K/chunk_date=D layout, shortlist, exact rerank against the vectors tree. Expiry dropped (cell, date) composites on BOTH generation trees driver-side; the full-corpus-trained survivor-filtered oracle hashing equal proves expired codes score in no shortlist and expired vectors rerank nowhere.",
+    "corpus_expire_everywhere" ->
+      "ONE retention cutoff orchestrated across all five surfaces (r14, the retention twin of corpus_erase_everywhere): the post-expiry plan is the same two-tower hybrid probe (tb-pruned BM25 leg over per-date stats that decremented by construction, cell-pruned ANN leg) with the five RETAINED-row counts as literal receipt columns. The expiry itself was driver-side directory drops on every surface (dedup labels repaired for components that lost expired members); the survivor-corpus oracle re-deriving both towers AND every receipt count proves one cutoff aged the whole corpus out coherently.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
