@@ -274,6 +274,12 @@ object DocStore {
     val indexPath = s"$baseDir/hash_index"
     val sigPath = s"$baseDir/sig_index"
     val req = broadcast(ids.toDF("doc_id"))
+    // calendar-chunked bronzes ([[appendDedupedChunked]]) partition BOTH
+    // trees by (chunk_date, batch_id) — their rewrite must keep the axis
+    // (a batch_id-only dynamic overwrite would write a CONFLICTING flat
+    // layout beside the chunked one); dispatched to the composite twin
+    if (spark.read.parquet(docsPath).columns.contains("chunk_date"))
+      return eraseDocsChunked(spark, baseDir, req)
 
     val slim = spark.read.parquet(docsPath).select(col("doc_id"), col("batch_id"))
     val affected = slim.join(req, Seq("doc_id"), "left_semi")
@@ -343,6 +349,79 @@ object DocStore {
     affected.filterNot(remainingDocs).foreach { b =>
       hfs.delete(new org.apache.hadoop.fs.Path(s"$docsPath/batch_id=$b"), true)
     }
+    removed
+  }
+
+  /** RTBF on the calendar-chunked bronze: the rewrite unit is the
+    * affected (chunk_date, batch_id) COMPOSITE on both trees — a doc
+    * lives in exactly its crawl day's chunk, so the composites are found
+    * via 3-column pruned scans, snapshotted BEFORE the dynamic overwrite
+    * (which deletes the files those plans read), rewritten minus the
+    * request, and deleted explicitly when fully emptied (dynamic
+    * overwrite writes nothing for them — the PostingLog.eraseDocsChunked
+    * leak lesson), along with date dirs left batch-less. Hash-index
+    * semantics match the flat path: the erased content's hashes leave
+    * the suppression index FIRST (index-before-docs crash ordering), so
+    * a re-crawl after the erase is a new landing. Idempotent. */
+  private def eraseDocsChunked(spark: SparkSession, baseDir: String,
+      req: DataFrame): Long = {
+    import spark.implicits._
+    val docsPath = s"$baseDir/docs"
+    val indexPath = s"$baseDir/hash_index"
+    val parts = Seq("chunk_date", "batch_id")
+
+    def composites(df: DataFrame): Array[(String, Long)] =
+      df.select(col("chunk_date").cast("string"), col("batch_id").cast("long"))
+        .distinct().as[(String, Long)].collect()
+
+    def compCond(cs: Array[(String, Long)]) =
+      cs.map { case (d, b) =>
+        col("chunk_date") === lit(d).cast("date") && col("batch_id") === b
+      }.reduce(_ || _) // partition predicates only — pruned at listing
+
+    def rewriteTree(path: String, cs: Array[(String, Long)],
+        keepPred: DataFrame => DataFrame): Unit = {
+      val hfs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val slice = spark.read.parquet(path).filter(compCond(cs))
+      val kept = keepPred(slice).localCheckpoint(eager = true)
+      Store.refreshMartPartitionsBy(kept, path, parts)
+      val remaining = composites(kept).toSet
+      cs.filterNot(remaining).foreach { case (d, b) =>
+        hfs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/chunk_date=$d/batch_id=$b"), true)
+      }
+      cs.map(_._1).distinct.foreach { d =>
+        val dateDir = new org.apache.hadoop.fs.Path(s"$path/chunk_date=$d")
+        if (hfs.exists(dateDir) && !hfs.listStatus(dateDir).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_id=")))
+          hfs.delete(dateDir, true)
+      }
+    }
+
+    val affected = composites(spark.read.parquet(docsPath)
+      .select(col("doc_id"), col("chunk_date"), col("batch_id"))
+      .join(req, Seq("doc_id"), "left_semi"))
+    if (affected.isEmpty) return 0L
+    val hits = spark.read.parquet(docsPath).filter(compCond(affected))
+      .join(req, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = true)
+    val removed = hits.count()
+
+    // step 1 — the hash index first (the flat path's crash ordering: doc
+    // rows re-derive erased hashes on replay; the reverse order strands
+    // unfindable hashes)
+    val goneHashes = broadcast(
+      hits.select(col("content_hash")).distinct().localCheckpoint(eager = true))
+    if (chunkedExists(spark, indexPath)) {
+      val idxAffected = composites(spark.read.parquet(indexPath)
+        .join(goneHashes, Seq("content_hash"), "left_semi"))
+      if (idxAffected.nonEmpty)
+        rewriteTree(indexPath, idxAffected,
+          _.join(goneHashes, Seq("content_hash"), "left_anti"))
+    }
+    // step 2 — the docs themselves
+    rewriteTree(docsPath, affected, _.join(req, Seq("doc_id"), "left_anti"))
     removed
   }
 

@@ -94,4 +94,78 @@ class CorpusRtbfSpec extends SparkSpec {
     val n = DocStore.appendDeduped(spark, resubmit, bronze, 99L)
     assert(n === 1L, s"re-submitted erased content must re-land (erased doc $gone)")
   }
+
+  test("governance lifecycle composes on one chunked corpus: expire a day, then erase survivors, cross-surface fsck clean throughout") {
+    val root = java.nio.file.Files.createTempDirectory("rtbf_lifecycle_").toString
+    val (bronze, postings, dedup) =
+      (s"$root/store", s"$root/postings", s"$root/dedup")
+    val (vec, ivfpq) = (s"$root/vec", s"$root/ivfpq")
+    val docs = graft.ops.Tables.documentsParallel(spark, sf0001)
+      .select($"doc_id", $"text")
+      .withColumn("crawl_date", date_add(lit("2026-01-01").cast("date"),
+        pmod($"doc_id", lit(3L)).cast("int")))
+      .localCheckpoint(eager = true)
+    val emb = VecStoreLog.withCrawlDates(
+      graft.ops.Tables.embeddingsParallel(spark, sf0001)
+        .select($"vec_id", $"label", $"embedding")).localCheckpoint(eager = true)
+
+    // all five surfaces land CHUNKED on one crawl calendar
+    (0L to 1L).foreach { e =>
+      DocStore.appendDedupedChunkedLanded(spark,
+        docs.filter(pmod($"doc_id", lit(2L)) === e), bronze, e)
+        .foreach { landed =>
+          PostingLog.appendBatchChunked(
+            landed.withColumn("crawl_date", $"chunk_date"), postings, e)
+          graft.llm.DedupLog.appendEpochChunked(
+            landed.withColumn("crawl_date", $"chunk_date"), dedup, e)
+        }
+      VecStoreLog.appendBatchChunked(emb.filter(pmod($"vec_id", lit(2L)) === e), vec, e)
+      IvfPqLog.appendBatchChunked(emb.filter(pmod($"vec_id", lit(2L)) === e), ivfpq, e)
+    }
+    VecStoreLog.compactChunked(spark, vec, cellK = Some(VecStore.CellK))
+    IvfPqLog.compactChunked(spark, ivfpq)
+
+    def fsckAll(): Unit = {
+      val findings =
+        StoreCheck.checkCorpus(spark, bronze, postings, dedup, Some(vec), Some(ivfpq)) ++
+          StoreCheck.checkPostingLog(spark, postings) ++
+          StoreCheck.checkDedupLog(spark, dedup) ++
+          StoreCheck.checkVecStoreLog(spark, vec) ++
+          StoreCheck.checkIvfPqLog(spark, ivfpq)
+      assert(!findings.exists(_.severity == "error"), findings.mkString("; "))
+    }
+    fsckAll()
+
+    // phase 1 — retention: one cutoff ages day 1 out of every surface
+    val dropped = CorpusRtbf.expireEverywhere(spark, "2026-01-02",
+      bronze, postings, dedup, vec, ivfpq)
+    assert(dropped.values.forall(_ > 0L), s"every surface drops dirs: $dropped")
+    fsckAll()
+    assert(spark.read.parquet(s"$bronze/docs")
+      .filter($"chunk_date" < lit("2026-01-02").cast("date")).count() === 0L)
+
+    // phase 2 — RTBF on the retained corpus: a survivor id list through
+    // every surface (incl. the chunked bronze composite rewrite)
+    val survivors = spark.read.parquet(s"$bronze/docs")
+      .select($"doc_id").as[Long].collect().toSet
+    val req = survivors.toSeq.sorted.take(7)
+    val receipt = CorpusRtbf.eraseEverywhere(spark, req,
+      bronze, postings, dedup, vec, ivfpq)
+    assert(receipt("bronze_docs") === req.size.toLong)
+    fsckAll()
+    assert(spark.read.parquet(s"$bronze/docs")
+      .filter($"doc_id".isin(req: _*)).count() === 0L)
+    assert(CorpusRtbf.eraseEverywhere(spark, req,
+      bronze, postings, dedup, vec, ivfpq).values.forall(_ === 0L), "replay no-ops")
+
+    // phase 3 — retention again AFTER the erase (the operations commute
+    // on the store state they both leave behind)
+    CorpusRtbf.expireEverywhere(spark, "2026-01-03", bronze, postings, dedup,
+      vec, ivfpq)
+    fsckAll()
+    val left = spark.read.parquet(s"$bronze/docs")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(left.nonEmpty && left.forall(id => id % 3 == 2 && !req.contains(id)),
+      "only day-3 survivors outside the erase request remain")
+  }
 }

@@ -54,6 +54,52 @@ class DocStoreChunkedSpec extends SparkSpec {
       .filter(col("doc_id") === 9L).count() === 1L)
   }
 
+  test("RTBF on the chunked bronze keeps the composite layout: affected (date, batch) rewrites only, suppression released, expiry still works") {
+    val dir = java.nio.file.Files.createTempDirectory("docstore_cerase").toString
+    DocStore.appendDedupedChunked(spark,
+      docs((1L, "target", "2026-01-01"), (2L, "bystander", "2026-01-01")), dir, 1L)
+    DocStore.appendDedupedChunked(spark,
+      docs((3L, "other-day", "2026-01-02")), dir, 2L)
+
+    def snap(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified())
+      walk(new java.io.File(p)).toMap
+    }
+    val untouched = s"$dir/docs/chunk_date=2026-01-02"
+    val before = snap(untouched)
+
+    // erase doc 1: only its (2026-01-01, batch 1) composite rewrites, the
+    // other day stays byte-identical, and the tree stays CHUNKED (the
+    // pre-r14 flat-partitioned rewrite wrote a conflicting batch_id=
+    // layout beside the chunk_date= dirs)
+    assert(DocStore.eraseDocs(spark, dir, Seq(1L)) === 1L)
+    val topLevel = new java.io.File(s"$dir/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(topLevel.forall(_.startsWith("chunk_date=")),
+      s"the rewrite must keep the composite layout; found ${topLevel.mkString(",")}")
+    assert(snap(untouched) === before, "the unaffected day stays byte-identical")
+    val left = spark.read.parquet(s"$dir/docs")
+    assert(left.count() === 2L && left.filter(col("doc_id") === 1L).count() === 0L)
+    assert(spark.read.parquet(s"$dir/hash_index").count() === 2L,
+      "the erased content's hash must leave the suppression index")
+    assert(DocStore.eraseDocs(spark, dir, Seq(1L)) === 0L, "replay no-ops")
+
+    // suppression released: the erased content re-lands as a new doc
+    assert(DocStore.appendDedupedChunked(spark,
+      docs((9L, "target", "2026-01-03")), dir, 3L) === 1L)
+    // a whole batch erased: its composite dir is deleted, not left empty
+    assert(DocStore.eraseDocs(spark, dir, Seq(9L)) === 1L)
+    assert(!new java.io.File(s"$dir/docs/chunk_date=2026-01-03").exists,
+      "a date left batch-less by the erase is deleted on both trees")
+    assert(!new java.io.File(s"$dir/hash_index/chunk_date=2026-01-03").exists)
+    // retention still composes after the erase
+    assert(DocStore.expireBefore(spark, dir, "2026-01-02") === 2L)
+    assert(spark.read.parquet(s"$dir/docs").count() === 1L)
+  }
+
   test("compactIndexChunked folds per date, keeps the retention key, stays exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("docstore_cchunk").toString
     (1 to 3).foreach { i =>
