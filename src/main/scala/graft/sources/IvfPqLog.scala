@@ -141,6 +141,22 @@ object IvfPqLog {
   def landWireEpoch(parsed: DataFrame, dir: String, batchId: Long): Long =
     appendBatch(VecStoreLog.readingEmbeddings(parsed), dir, batchId)
 
+  /** [[appendBatchAuto]] for the chunked layout — the fold is
+    * [[compactChunked]] so the retention axis survives retraining. */
+  def appendBatchChunkedAuto(embeddings: DataFrame, dir: String, batchId: Long,
+      maxRatio: Double = MaxProbeRatio): Boolean = {
+    val s = embeddings.sparkSession
+    appendBatchChunked(embeddings, dir, batchId)
+    val fold = shouldCompact(s, dir, maxRatio)
+    if (fold) compactChunked(s, dir)
+    fold
+  }
+
+  /** [[landWireEpoch]] for the chunked layout (crawl day = the reading's
+    * own date — the [[VecStoreLog.landWireEpochChunked]] twin). */
+  def landWireEpochChunked(parsed: DataFrame, dir: String, batchId: Long): Long =
+    VecStoreLog.landWireEpochChunked(parsed, dir, batchId)
+
   /** One offline retraining fold with its cost surfaced: (corpus rows in
     * the new generation, coarse k, wall ms) — the attribution numbers for
     * the streaming sweep's note. */

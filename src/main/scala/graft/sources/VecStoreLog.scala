@@ -213,16 +213,27 @@ object VecStoreLog {
     * everything downstream (epoch landing, cadence, fold, probe, RTBF)
     * only sees the (vec_id, label, embedding) shape. */
   def readingEmbeddings(parsed: DataFrame): DataFrame =
-    parsed
+    readingEmbeddingsCore(parsed, withDate = false)
+
+  /** [[readingEmbeddings]] with the retention axis: crawl day = the
+    * READING's own date (content age, never landing wall-clock), so the
+    * chunked landing's partition key is replay-stable. */
+  private def readingEmbeddingsCore(parsed: DataFrame,
+      withDate: Boolean): DataFrame = {
+    val base = parsed
       .filter(pmod(col("meter_id"), lit(WireEmbeddingStride)) === 0)
       .select(col("meter_id").cast("long").as("m"),
-        unix_timestamp(col("reading_timestamp")).as("ts_s"))
-      .select(
-        (col("m") * lit(10000000000L) + col("ts_s")).as("vec_id"),
-        pmod(col("m"), lit(7)).cast("int").as("label"),
-        expr(s"""transform(sequence(0, ${WireEmbeddingDims - 1}),
-                |  i -> CAST((pmod(xxhash64(m, ts_s, i), 2001) - 1000) / 1000.0
-                |       AS FLOAT))""".stripMargin).as("embedding"))
+        unix_timestamp(col("reading_timestamp")).as("ts_s"),
+        to_date(col("reading_timestamp")).as("crawl_date"))
+    val cols = Seq(
+      (col("m") * lit(10000000000L) + col("ts_s")).as("vec_id"),
+      pmod(col("m"), lit(7)).cast("int").as("label"),
+      expr(s"""transform(sequence(0, ${WireEmbeddingDims - 1}),
+              |  i -> CAST((pmod(xxhash64(m, ts_s, i), 2001) - 1000) / 1000.0
+              |       AS FLOAT))""".stripMargin).as("embedding")) ++
+      (if (withDate) Seq(col("crawl_date")) else Nil)
+    base.select(cols: _*)
+  }
 
   /** foreachBatch landing hook of the streaming gold loop: derive the
     * wire's embedding side channel, land it as epoch `batchId` (replay-
@@ -330,6 +341,28 @@ object VecStoreLog {
       val k = cellK.getOrElse(VecStore.cellKFor(all.count()))
       VecStore.buildChunked(all, out, k)
     }
+
+  /** [[appendBatchAuto]] for the chunked layout — the same derived
+    * cadence trigger (probe cost is layout-independent: the delta leg is
+    * brute either way), the fold is [[compactChunked]] so the retention
+    * axis survives. The chunked streaming loop calls THIS. */
+  def appendBatchChunkedAuto(embeddings: DataFrame, dir: String, batchId: Long,
+      probeCells: Int = -1): Boolean = {
+    val s = embeddings.sparkSession
+    appendBatchChunked(embeddings, dir, batchId)
+    val fold = shouldCompact(s, dir, probeCells)
+    if (fold) compactChunked(s, dir)
+    fold
+  }
+
+  /** [[landWireEpoch]] for the chunked layout: the derived embedding side
+    * channel lands with its crawl day = the READING's own date (content
+    * age, not landing wall-clock — the [[graft.streaming.DocStream
+    * .startIndexedIngestChunked]] convention), so a stream-maintained ANN
+    * index can be aged out by [[expireBefore]] like every other surface. */
+  def landWireEpochChunked(parsed: DataFrame, dir: String, batchId: Long): Long =
+    appendBatchChunked(readingEmbeddingsCore(parsed, withDate = true),
+      dir, batchId)
 
   /** Retention: drop every chunk strictly BEFORE `cutoff` (ISO date) from
     * EVERY root on disk — live epochs (`chunk_date=` at the root), the

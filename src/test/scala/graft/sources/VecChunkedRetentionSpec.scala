@@ -130,6 +130,54 @@ class VecChunkedRetentionSpec extends SparkSpec {
     assert(!StoreCheck.checkVecStoreLog(spark, chunk).exists(_.severity == "error"))
   }
 
+  test("chunked auto-cadence landings ≡ one chunked batch fold on both stores; the wire side channel carries its reading's date") {
+    // auto-cadence drive: epochs land through the *ChunkedAuto variants,
+    // folds fire at each store's own derived trigger — end state must
+    // answer exactly like a single chunked batch build of the same corpus
+    val queries = emb.filter($"vec_id" % 50 === 0).select($"vec_id", $"embedding")
+    val auto = Files.createTempDirectory("vec_chunk_auto_").toString + "/st"
+    val batch = Files.createTempDirectory("vec_chunk_batch_").toString + "/st"
+    (0L to 3L).foreach { e =>
+      VecStoreLog.appendBatchChunkedAuto(
+        dated.filter(pmod($"vec_id", lit(4L)) === e), auto, e)
+    }
+    // the auto path must have folded at least once (first landing folds:
+    // a store with no generation cannot answer probes at all)
+    assert(CubeLog.view(spark, auto).gen >= 1L)
+    VecStoreLog.appendBatchChunked(dated, batch, 0L)
+    VecStoreLog.compactChunked(spark, batch, cellK = None)
+    // compare at the same trained k: refold the auto store over the full
+    // corpus (cellKFor(n) both sides) — training is deterministic, so the
+    // two stores answer identically
+    VecStoreLog.compactChunked(spark, auto, cellK = None)
+    def probeSet(dir: String) =
+      VecStoreLog.probeTopK(spark, dir, queries, VecStore.ProbeCells)
+        .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(probeSet(auto) === probeSet(batch),
+      "auto-cadence chunked landings must converge to the batch-built answers")
+    // retention composes on the auto-built store
+    assert(VecStoreLog.expireBefore(spark, auto, "2026-01-02") > 0L)
+    assert(!StoreCheck.checkVecStoreLog(spark, auto).exists(_.severity == "error"))
+
+    // the chunked wire landing: crawl day derives from the READING's own
+    // timestamp (replay-stable), ids stay the injective (meter, second)
+    // composition of the flat side channel
+    val parsed = Seq(
+      (16, java.sql.Timestamp.valueOf("2026-03-01 10:00:00")),
+      (32, java.sql.Timestamp.valueOf("2026-03-02 11:30:00")),
+      (33, java.sql.Timestamp.valueOf("2026-03-02 12:00:00"))) // stride miss
+      .toDF("meter_id", "reading_timestamp")
+    val wireDir = Files.createTempDirectory("vec_wire_chunk_").toString + "/st"
+    assert(VecStoreLog.landWireEpochChunked(parsed, wireDir, 0L) === 2L)
+    val landed = spark.read.parquet(s"$wireDir/batch_id=0")
+      .select($"vec_id", $"chunk_date".cast("string")).as[(Long, String)]
+      .collect().toMap
+    assert(landed.values.toSet === Set("2026-03-01", "2026-03-02"))
+    assert(landed.keySet ===
+      VecStoreLog.readingEmbeddings(parsed).select($"vec_id").as[Long].collect().toSet,
+      "the chunked side channel lands the same ids as the flat one")
+  }
+
   test("IvfPqLog: chunked fold probes like flat; expiry drops a day from BOTH generation trees; chunk-aware erase") {
     def probeSet(dir: String) =
       IvfPqLog.probeTopK(spark, dir).select($"query_id", $"vec_id", $"rank")
