@@ -164,35 +164,53 @@ object CubeLog {
           .toOption.map(_ -> st.getPath.toString)
       }
       .filter(_._1 > watermark)
-      // a landing IN FLIGHT must be invisible: the offline compactor and
-      // concurrent probes race foreachBatch by design, and listing a
-      // half-written epoch either crashes the reader
-      // (UNABLE_TO_INFER_SCHEMA on a _temporary-only dir — the ivfpq
-      // streaming sweep caught it live) or, worse, SERVES a partially-
-      // committed landing silently (task files promoted, _SUCCESS not yet
-      // written). Visibility therefore requires BOTH a committer marker —
-      // `_SUCCESS` at the epoch root (flat/partitioned writes), or inside
-      // an immediate visible subdir for multi-artifact epochs (DedupLog's
-      // `sigs/`) — AND at least one visible entry (a marker-only dir is a
-      // fully-expired epoch: nothing left to serve). Excluding an
-      // uncommitted epoch is exactly-once, not loss: the landing either
-      // completes (visible on the next view) or its batch is replayed.
-      // foreachBatch is serial, so only the LATEST epoch can be in
-      // flight — the fold's watermark never skips past a pending id.
-      .filter { case (_, p) =>
-        val entries = hfs.listStatus(new org.apache.hadoop.fs.Path(p))
-        def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
-        val hasData = entries.exists(st => visible(st.getPath.getName))
-        def committed = entries.exists(_.getPath.getName == "_SUCCESS") ||
-          entries.exists(st => st.isDirectory && visible(st.getPath.getName) &&
-            hfs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        hasData && committed
-      }
       .sortBy(_._1)
+    // a landing IN FLIGHT must be invisible: the offline compactor and
+    // concurrent probes race foreachBatch by design, and listing a
+    // half-written epoch either crashes the reader
+    // (UNABLE_TO_INFER_SCHEMA on a _temporary-only dir — the ivfpq
+    // streaming sweep caught it live) or, worse, SERVES a partially-
+    // committed landing silently (task files promoted, _SUCCESS not yet
+    // written). foreachBatch is serial, so ONLY the latest epoch can be
+    // in flight — it alone is hidden when its committer marker
+    // (`_SUCCESS` at the epoch root for flat/partitioned writes, or
+    // inside an immediate visible subdir for multi-artifact epochs like
+    // DedupLog's `sigs/`) has not landed yet; excluding it is
+    // exactly-once, not loss — the landing either completes (visible on
+    // the next view) or its batch is replayed. An OLDER epoch with data
+    // but no marker cannot be in flight: it is either a crashed landing
+    // whose batch was never replayed, or a deployment that disabled the
+    // success marker (mapreduce.fileoutputcommitter.marksuccessfuljobs
+    // =false, common on object stores) — both must fail LOUDLY, because
+    // silently hiding every non-latest epoch serves committed data as
+    // missing forever with no error. A marker-only dir (no visible
+    // entries) is a fully-expired epoch: nothing left to serve.
+    val maxLiveId = if (live.isEmpty) Long.MinValue else live.last._1
+    val visibleLive = live.filter { case (id, p) =>
+      val entries = hfs.listStatus(new org.apache.hadoop.fs.Path(p))
+      def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+      val hasData = entries.exists(st => visible(st.getPath.getName))
+      def committed = entries.exists(_.getPath.getName == "_SUCCESS") ||
+        entries.exists(st => st.isDirectory && visible(st.getPath.getName) &&
+          hfs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      if (!hasData) false
+      else if (committed) true
+      else {
+        require(id == maxLiveId,
+          s"cube store $dir: epoch batch_id=$id has data but no _SUCCESS " +
+            "marker and a NEWER epoch exists, so it cannot be in flight " +
+            "(landings are serial). Either the landing crashed and its " +
+            "batch was never replayed, or the committer's success marker " +
+            "is disabled (mapreduce.fileoutputcommitter." +
+            "marksuccessfuljobs=false) — refusing to silently hide " +
+            "committed data; replay the batch or restore the marker")
+        false // the latest epoch: may be mid-landing, invisible until committed
+      }
+    }
     val roots = kids
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
-    View(roots, folded, live, watermark, gen)
+    View(roots, folded, visibleLive, watermark, gen)
   }
 
   /** True iff `batchId` is already inside the committed fold — the
@@ -244,6 +262,16 @@ object CubeLog {
     val (hfs, p) = fs(spark, dir)
     val newGen = v.gen + 1
     val newWatermark = (v.watermark +: v.liveBatches.map(_._1)).max
+    // clear a crash orphan of the SAME generation before writing: some
+    // writers land the generation with mode("append") per subtree
+    // (VecStore.build/buildChunked append cell partitions), and
+    // purgeGraceRetained deliberately keeps newer-gen orphans — so a fold
+    // that crashed mid-write would otherwise have this retry append the
+    // full corpus ON TOP of its partial files and commit a generation
+    // with duplicate rows. The orphan is uncommitted by construction
+    // (newGen > committed gen), so deleting it loses nothing.
+    val orphan = new org.apache.hadoop.fs.Path(p, s"folded_gen=$newGen")
+    if (hfs.exists(orphan)) hfs.delete(orphan, true)
     write(v, s"$dir/folded_gen=$newGen")
     // commit marker: content first to a temp name, then atomic rename
     val commitsDir = new org.apache.hadoop.fs.Path(p, "_cube_commits")

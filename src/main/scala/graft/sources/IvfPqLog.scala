@@ -287,21 +287,10 @@ object IvfPqLog {
         s"IVF-PQ store $dir has no retention axis — land through " +
           "appendBatchChunked to expire by crawl date")
     }
-    v.foldedDir.foreach { f =>
-      val codesDir = new org.apache.hadoop.fs.Path(s"$f/codes")
-      val cells =
-        if (hfs.exists(codesDir)) hfs.listStatus(codesDir)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        else Array.empty[org.apache.hadoop.fs.FileStatus]
-      val anySurvives = cells.exists(c => hfs.listStatus(c.getPath).exists { st =>
-        val n = st.getPath.getName
-        st.isDirectory && n.startsWith("chunk_date=") &&
-          n.stripPrefix("chunk_date=") >= cutoff
-      })
-      require(cells.isEmpty || anySurvives,
-        s"expiry at $cutoff would empty the committed generation of $dir — " +
-          "drop the store instead of serving an index with no codes")
-    }
+    // refuse a cutoff that would leave the serving state empty — the
+    // committed generation's code tree, or the live epochs of a
+    // never-folded store (same guard shape as VecStoreLog)
+    VecStoreLog.requireSurvivor(spark, dir, v, cutoff, "codes")
     VecStoreLog.expireDateDirs(hfs, root, cutoff)
   }
 

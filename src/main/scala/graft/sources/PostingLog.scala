@@ -158,6 +158,13 @@ object PostingLog {
   private def resolveLandingCount(s: SparkSession, dir: String,
       requested: Long): Long = {
     val stored = storedNBuckets(s, dir)
+    // same validation as rebucket: an explicit first-landing count becomes
+    // the PERMANENT store layout, so a non-power-of-two here would silently
+    // forfeit the local-split property bucketsFor/rebucket guarantee
+    require(requested <= 0 || (requested & (requested - 1)) == 0,
+      s"posting store $dir: requested bucket count $requested must be a " +
+        "positive power of two (keeps future splits local — the bucketsFor " +
+        "sizing rule, matching rebucket's contract)")
     require(requested <= 0 || stored.forall(_ == requested),
       s"posting store $dir was landed at ${stored.getOrElse(NBuckets)} term " +
         s"buckets but this landing requests $requested — changing the count " +

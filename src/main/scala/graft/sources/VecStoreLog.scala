@@ -384,20 +384,56 @@ object VecStoreLog {
         s"vector store $dir has no retention axis — land through " +
           "appendBatchChunked to expire by crawl date")
     }
-    // refuse a cutoff that would leave the committed generation empty
-    v.foldedDir.foreach { f =>
-      val cells = hfs.listStatus(new org.apache.hadoop.fs.Path(f))
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      val anySurvives = cells.exists(c => hfs.listStatus(c.getPath).exists { st =>
-        val n = st.getPath.getName
-        st.isDirectory && n.startsWith("chunk_date=") &&
-          n.stripPrefix("chunk_date=") >= cutoff
-      })
-      require(cells.isEmpty || anySurvives,
-        s"expiry at $cutoff would empty the committed generation of $dir — " +
-          "drop the store instead of serving an index with no vectors")
-    }
+    // refuse a cutoff that would leave the serving state empty — the
+    // committed generation, or the live epochs of a never-folded store
+    requireSurvivor(spark, dir, v, cutoff, "vectors")
     expireDateDirs(hfs, root, cutoff)
+  }
+
+  /** Survivor scan for the refuse-to-empty guard: `(anyDateDirs,
+    * anySurviving)` over every `chunk_date=` dir under `root` — direct,
+    * one `cell=` level down, or under [[IvfPqLog]]'s codes/vectors
+    * subtrees (the same shapes [[expireDateDirs]] sweeps). */
+  private[sources] def dateDirStats(hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, cutoff: String): (Boolean, Boolean) = {
+    var any = false
+    var survives = false
+    def scanDirect(d: org.apache.hadoop.fs.Path): Unit =
+      hfs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("chunk_date=")) {
+          any = true
+          if (n.stripPrefix("chunk_date=") >= cutoff) survives = true
+        }
+      }
+    def scanCells(d: org.apache.hadoop.fs.Path): Unit =
+      hfs.listStatus(d)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .foreach(c => scanDirect(c.getPath))
+    scanDirect(root)
+    scanCells(root)
+    Seq("codes", "vectors").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(root, sub)
+      if (hfs.exists(p)) { scanDirect(p); scanCells(p) }
+    }
+    (any, survives)
+  }
+
+  /** The refuse-to-empty guard shared by both vector stores' retention:
+    * a cutoff must leave ≥1 probeable chunk in the store's SERVING state —
+    * the committed generation when one exists, else the live epochs (a
+    * never-folded store emptied by retention would fail every probe:
+    * exactly the state the contract says to drop, not silently serve). */
+  private[sources] def requireSurvivor(spark: SparkSession, dir: String,
+      v: CubeLog.View, cutoff: String, what: String): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val guarded = v.foldedDir.map(Seq(_)).getOrElse(v.liveBatches.map(_._2))
+    val stats = guarded.map(r =>
+      dateDirStats(hfs, new org.apache.hadoop.fs.Path(r), cutoff))
+    require(!stats.exists(_._1) || stats.exists(_._2),
+      s"expiry at $cutoff would empty $dir — drop the store instead of " +
+        s"serving an index with no $what")
   }
 
   /** The shared directory-drop sweep: every `chunk_date=` dir before the

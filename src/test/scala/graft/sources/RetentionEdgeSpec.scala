@@ -25,6 +25,26 @@ import java.nio.file.Files
   *  5. [[CubeLog.purgeGraceRetained]] deletes STRICTLY OLDER generations
   *     only — a folded_gen dir newer than the committed one is an
   *     in-flight fold a concurrent erase must not destroy.
+  *
+  * r15 hardening (the r14 advice items):
+  *
+  *  6. only the LATEST epoch may hide behind a missing `_SUCCESS` (it
+  *     alone can be in flight — landings are serial); an OLDER epoch with
+  *     data but no marker is a crashed-unreplayed landing or a disabled
+  *     committer marker, and the view fails LOUDLY instead of silently
+  *     serving committed data as missing forever;
+  *  7. [[CubeLog.compactFrom]] clears a crash-orphaned output generation
+  *     before the writer runs — append-mode fold writers (the VecStore
+  *     build shape) must not stack the full corpus on top of a previous
+  *     attempt's partial files and commit duplicates;
+  *  8. the refuse-to-empty retention guard also protects a NEVER-FOLDED
+  *     chunked store: live epochs are its serving state, and a cutoff
+  *     sweeping every live date would leave a store whose every probe
+  *     fails "empty";
+  *  9. an explicit FIRST-landing bucket count is validated like
+  *     [[PostingLog.rebucket]]'s (positive power of two) — it becomes the
+  *     permanent store layout, so a count that forfeits the local-split
+  *     property must be refused at the door.
   */
 class RetentionEdgeSpec extends SparkSpec {
   import spark.implicits._
@@ -189,5 +209,79 @@ class RetentionEdgeSpec extends SparkSpec {
     assert(!new File(s"$dir/batch_id=0").exists() && !new File(s"$dir/batch_id=1").exists(),
       "grace-retained batch dirs at or under the watermark are purged")
     assert(new File(s"$dir/batch_id=2").exists(), "live epochs above the watermark stay")
+  }
+
+  test("an OLDER epoch with data but no _SUCCESS fails the view loudly — only the latest may be in flight") {
+    val dir = Files.createTempDirectory("cube_vis_old_").toString + "/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/batch_id=0")
+    // epoch 1: data promoted, marker never landed (crash, or a deployment
+    // with marksuccessfuljobs=false)
+    val part = new File(s"$dir/batch_id=0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val stale = new File(s"$dir/batch_id=1")
+    assert(stale.mkdirs())
+    java.nio.file.Files.copy(part.toPath, new File(stale, part.getName).toPath)
+    // while 1 is the LATEST epoch it is merely invisible (may be mid-landing)
+    assert(CubeLog.view(spark, dir).liveBatches.map(_._1) === Seq(0L))
+    // a newer committed epoch lands → 1 can no longer be in flight
+    Seq((3L, "c")).toDF("k", "v").write.parquet(s"$dir/batch_id=2")
+    val ex = intercept[IllegalArgumentException] { CubeLog.view(spark, dir) }
+    assert(ex.getMessage.contains("no _SUCCESS") &&
+      ex.getMessage.contains("batch_id=1"))
+    // restoring the marker heals the store
+    assert(new File(stale, "_SUCCESS").createNewFile())
+    assert(CubeLog.view(spark, dir).liveBatches.map(_._1) === Seq(0L, 1L, 2L))
+  }
+
+  test("compactFrom clears a crash-orphaned output generation before an append-mode writer runs") {
+    val dir = Files.createTempDirectory("cube_orphan_").toString + "/store"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$dir/batch_id=0")
+    // crash sim: a previous fold attempt wrote PARTIAL output, died before
+    // the marker; purgeGraceRetained deliberately keeps newer-gen orphans
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/folded_gen=1")
+    CubeLog.compactFrom(spark, dir) { (v, out) =>
+      spark.read.parquet((v.foldedDir.toSeq ++ v.liveBatches.map(_._2)): _*)
+        .write.mode("append").parquet(out) // the VecStore.build append shape
+    }
+    val folded = spark.read.parquet(s"$dir/folded_gen=1")
+    assert(folded.count() === 2L,
+      "the retry must not append the corpus on top of the partial files")
+    assert(folded.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("retention refuses to empty a never-folded chunked store (live epochs are its serving state)") {
+    val dated = VecStoreLog.withCrawlDates(
+      graft.ops.Tables.embeddingsParallel(spark, sf0001)
+        .select($"vec_id", $"label", $"embedding").limit(300))
+    val dir = Files.createTempDirectory("vec_nofold_").toString + "/st"
+    VecStoreLog.appendBatchChunked(dated, dir, 0L)
+    val ex = intercept[IllegalArgumentException] {
+      VecStoreLog.expireBefore(spark, dir, "2027-01-01")
+    }
+    assert(ex.getMessage.contains("would empty"))
+    // a cutoff with live survivors proceeds normally
+    assert(VecStoreLog.expireBefore(spark, dir, "2026-01-02") > 0L)
+    assert(spark.read.parquet(s"$dir/batch_id=0")
+      .filter($"chunk_date" < lit("2026-01-02").cast("date")).count() === 0L)
+
+    val pq = Files.createTempDirectory("ivfpq_nofold_").toString + "/st"
+    IvfPqLog.appendBatchChunked(dated, pq, 0L)
+    val exPq = intercept[IllegalArgumentException] {
+      IvfPqLog.expireBefore(spark, pq, "2027-01-01")
+    }
+    assert(exPq.getMessage.contains("would empty"))
+  }
+
+  test("an explicit first-landing bucket count must be a positive power of two") {
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").limit(20)
+    val dir = Files.createTempDirectory("posting_pow2_").toString + "/st"
+    val ex = intercept[IllegalArgumentException] {
+      PostingLog.appendBatch(docs, dir, 0L, nBuckets = 1000L)
+    }
+    assert(ex.getMessage.contains("power of two"))
+    // a power of two lands, and becomes the store's permanent count
+    PostingLog.appendBatch(docs, dir, 0L, nBuckets = 8L)
+    assert(PostingLog.storedNBuckets(spark, dir) === Some(8L))
   }
 }
