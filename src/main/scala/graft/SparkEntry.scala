@@ -42,6 +42,7 @@ object SparkEntry {
       sources.HeavyHitterStore.probeQuery :+
       sources.HeavyHitterStore.maintainedProbeQuery :+
       sources.VecStoreLog.maintainedProbeQuery :+
+      sources.VecStoreLog.multiQueryProbeQuery :+
       sources.VecStoreLog.liveDeltaProbeQuery :+
       sources.VecStoreLog.eraseProbeQuery :+
       sources.VecStoreLog.expireProbeQuery :+

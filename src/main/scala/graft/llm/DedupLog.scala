@@ -203,6 +203,7 @@ object DedupLog {
     persistSigParts(spark, dir) // fail loudly BEFORE mixing two layouts
     requireAxisConsistent(spark, dir, chunked)
     if (CubeLog.isFolded(spark, dir, batchId)) return 0L
+    CubeLog.claimEpoch(spark, dir, batchId) // single-writer guard
     val sigsD = Dedup.sigsOf(docs.select(col("doc_id"), col("text")))
       .localCheckpoint(eager = true) // landing writes + joins reuse it;
     // eager because the epoch dir it lands in is about to be overwritten
@@ -210,7 +211,10 @@ object DedupLog {
     // NOTHING: a zero-row partitioned write leaves a sigs dir holding only
     // _SUCCESS, which poisons every later schema-inferring read of the
     // store (the DocStore empty-batch trap)
-    if (sigsD.isEmpty) return 0L
+    if (sigsD.isEmpty) {
+      CubeLog.releaseClaim(spark, dir, batchId) // no epoch will commit
+      return 0L
+    }
 
     val epochDir = s"$dir/batch_id=$batchId"
     // a REPLAYED live landing already has its own sigs on disk — exclude
@@ -318,6 +322,7 @@ object DedupLog {
     val chunked = docs.columns.contains("crawl_date")
     requireAxisConsistent(spark, dir, chunked)
     if (CubeLog.isFolded(spark, dir, batchId)) return 0L
+    CubeLog.claimEpoch(spark, dir, batchId) // single-writer guard
     val sigsD = Dedup.sigsOf(docs.select(col("doc_id"), col("text")))
       .localCheckpoint(eager = true)
     if (sigsD.isEmpty) return 0L

@@ -395,7 +395,7 @@ object Similarity {
   private val PqM = 8        // subspaces
   private val PqSubDim = 8   // dims per subspace (8 × 8 = 64)
   private val PqK = 32       // centroids per sub-codebook (5-bit codes)
-  private val PqShortlist = 50
+  private[graft] val PqShortlist = 50
   private[graft] val PqTopK = 5
 
   /** Sub-vector explode shared by the PQ queries: each `keep`-keyed row of
@@ -784,11 +784,14 @@ object Similarity {
   /** Train the IVFADC artifacts from an already-quantized corpus frame
     * (vec_id, label, qv, norm2) — the entry the MAINTAINED index
     * ([[graft.sources.IvfPqLog]]) retrains through at each fold, where
-    * the corpus is base ∪ delta rather than a table read. */
-  private[graft] def ivfPqTrainFramesFrom(qe0: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    * the corpus is base ∪ delta rather than a table read. `coarseK`
+    * defaults to the fixed oracle geometry; the maintained store's folds
+    * pass the √n-derived count ([[graft.sources.IvfPqLog.coarseKFor]]). */
+  private[graft] def ivfPqTrainFramesFrom(qe0: DataFrame,
+      coarseK: Int = CentroidK): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
       val qe = qe0.localCheckpoint(eager = false)
       // coarse cells: the IVF family's cosine Lloyd, assignment map-side
-      val cents = lloydCentroids(qe, CentroidK, CentroidIters)
+      val cents = lloydCentroids(qe, coarseK, CentroidIters)
       val centPick = "cqvs[CAST(array_position(cids, ranked[0].id) AS INT) - 1]"
       val resid = assignRanked(qe, cents)
         .select(col("vec_id"), col("label"),
@@ -841,8 +844,10 @@ object Similarity {
     * un-probed cells either way. */
   private[graft] def ivfPqProbeFrom(centsPacked: DataFrame, cbRow: DataFrame,
       codes: DataFrame, vecs: DataFrame,
-      queryVecs: Option[DataFrame] = None): DataFrame = {
-      // queries: top-3 probed cells, one residual per probed cell — by
+      queryVecs: Option[DataFrame] = None,
+      probeCells: Int = 3, shortlist: Int = PqShortlist): DataFrame = {
+      // queries: top-`probeCells` probed cells (default = the fixed
+      // oracle geometry's 3), one residual per probed cell — by
       // default the query set and the rerank vectors both come from
       // `vecs`, so the persisted-index probe never touches anything but
       // index artifacts; an RTBF caller passes the query set explicitly
@@ -850,7 +855,7 @@ object Similarity {
       val qsrc = queryVecs.getOrElse(vecs.filter(col("vec_id") % 50 === 0))
       val qprobe = assignRankedPacked(qsrc, centsPacked)
         .select(col("vec_id").as("query_id"), col("qv"), col("cids"), col("cqvs"),
-          explode(expr("slice(ranked, 1, 3)")).as("pr"))
+          explode(expr(s"slice(ranked, 1, $probeCells)")).as("pr"))
         .select(col("query_id"), col("pr.id").as("pcell"),
           expr("zip_with(qv, cqvs[CAST(array_position(cids, pr.id) AS INT) - 1], (x, c) -> x - c)")
             .as("rv"))
@@ -877,7 +882,7 @@ object Similarity {
       val short = scored
         .withColumn("arank", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
-        .filter(col("arank") <= PqShortlist)
+        .filter(col("arank") <= shortlist)
       val qvecs = qsrc
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("norm2").as("qnorm2"))
       val cvecs = vecs.select(col("vec_id"), col("qv").as("cqv2"), col("norm2").as("cnorm2c"))

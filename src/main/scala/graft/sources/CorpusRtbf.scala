@@ -59,13 +59,45 @@ object CorpusRtbf {
       postingDir: String,
       dedupDir: String,
       vecDir: String,
-      ivfpqDir: String): Map[String, Long] =
-    Map(
+      ivfpqDir: String,
+      verified: Boolean = false): Map[String, Long] = {
+    val receipt = Map(
       "bronze_docs" -> DocStore.eraseDocs(spark, bronzeDir, ids),
       "posting_index" -> PostingLog.eraseDocs(spark, postingDir, ids),
       "dedup_state" -> graft.llm.DedupLog.eraseDocs(spark, dedupDir, ids),
       "vec_index" -> VecStoreLog.eraseByIds(spark, vecDir, ids),
       "ivfpq_index" -> IvfPqLog.eraseByIds(spark, ivfpqDir, ids))
+    if (!verified) receipt
+    else receipt ++ fsckReceipt(spark, bronzeDir, postingDir, dedupDir,
+      vecDir, ivfpqDir)
+  }
+
+  /** The VERIFIED mode's audit tail (r15): the cross-surface fsck
+    * ([[StoreCheck.checkCorpus]] — bronze↔derived in both directions,
+    * which is exactly where an erase/retention drive that missed a
+    * surface shows up) plus each maintained store's own fsck, folded into
+    * the receipt as severity counts. A clean run carries
+    * `fsck_errors = 0`; a nonzero count means the orchestration left the
+    * corpus inconsistent and the receipt SAYS so — the audit artifact and
+    * the integrity check are one document. */
+  def fsckReceipt(
+      spark: SparkSession,
+      bronzeDir: String,
+      postingDir: String,
+      dedupDir: String,
+      vecDir: String,
+      ivfpqDir: String): Map[String, Long] = {
+    val findings =
+      StoreCheck.checkCorpus(spark, bronzeDir, postingDir, dedupDir,
+        Some(vecDir), Some(ivfpqDir)) ++
+        StoreCheck.checkPostingLog(spark, postingDir) ++
+        StoreCheck.checkDedupLog(spark, dedupDir) ++
+        StoreCheck.checkVecStoreLog(spark, vecDir) ++
+        StoreCheck.checkIvfPqLog(spark, ivfpqDir)
+    Map(
+      "fsck_errors" -> findings.count(_.severity == "error").toLong,
+      "fsck_warnings" -> findings.count(_.severity == "warn").toLong)
+  }
 
   /** ONE retention cutoff, EVERY surface — the retention twin of
     * [[eraseEverywhere]] (r14; the r13 verdict's #3 missing item). The
@@ -88,13 +120,18 @@ object CorpusRtbf {
       postingDir: String,
       dedupDir: String,
       vecDir: String,
-      ivfpqDir: String): Map[String, Long] =
-    Map(
+      ivfpqDir: String,
+      verified: Boolean = false): Map[String, Long] = {
+    val receipt = Map(
       "bronze_docs" -> DocStore.expireBefore(spark, bronzeDir, cutoff),
       "posting_index" -> PostingLog.expireBefore(spark, postingDir, cutoff),
       "dedup_state" -> graft.llm.DedupLog.expireBefore(spark, dedupDir, cutoff),
       "vec_index" -> VecStoreLog.expireBefore(spark, vecDir, cutoff),
       "ivfpq_index" -> IvfPqLog.expireBefore(spark, ivfpqDir, cutoff))
+    if (!verified) receipt
+    else receipt ++ fsckReceipt(spark, bronzeDir, postingDir, dedupDir,
+      vecDir, ivfpqDir)
+  }
 
   /** Rows each surface still holds — the auditable half of a retention
     * receipt (expiry itself reads no rows, so the receipt counts
@@ -256,8 +293,13 @@ object CorpusRtbf {
         }
         VecStoreLog.compactChunked(s, vec, cellK = Some(VecStore.CellK))
         IvfPqLog.compactChunked(s, ivfpq)
-        expireEverywhere(s, "2026-01-02", bronze, posting, dedup, vec, ivfpq)
-        val counts = retainedCounts(s, bronze, posting, dedup, vec, ivfpq)
+        // the VERIFIED drive (r15): the cutoff ends with the cross-surface
+        // + per-store fscks; the receipt carries the clean bit the oracle
+        // checks as a column
+        val receipt = expireEverywhere(s, "2026-01-02", bronze, posting,
+          dedup, vec, ivfpq, verified = true)
+        val counts = retainedCounts(s, bronze, posting, dedup, vec, ivfpq) +
+          ("fsck_errors" -> receipt("fsck_errors"))
         (dirs, counts)
       })
     }
@@ -290,5 +332,6 @@ object CorpusRtbf {
         .withColumn("dedup_remaining", lit(counts("dedup_state")))
         .withColumn("vec_remaining", lit(counts("vec_index")))
         .withColumn("ivfpq_remaining", lit(counts("ivfpq_index")))
+        .withColumn("fsck_errors", lit(counts("fsck_errors")))
     }
 }

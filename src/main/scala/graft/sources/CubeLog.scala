@@ -218,6 +218,111 @@ object CubeLog {
   def isFolded(spark: SparkSession, dir: String, batchId: Long): Boolean =
     batchId <= view(spark, dir).watermark
 
+  // ---------------------------------------------------------------- //
+  // Single-writer guard (r15): the commit watermark guards REPLAYS of
+  // folded epochs, but nothing stopped two CONCURRENT jobs from landing
+  // the same epoch id into one store — both pass the watermark check,
+  // both mode("overwrite") into batch_id=N, and the interleaved task
+  // files corrupt the epoch silently. Every landing now claims its
+  // epoch first: an atomic create of `_claims/<id>` carrying the
+  // writer's token. Exactly one creator wins; a loser whose token
+  // differs fails LOUDLY while the epoch is incomplete (the winner is
+  // mid-write or died — indistinguishable, so a human or the fsck
+  // decides via releaseClaim), and proceeds as an idempotent replay
+  // once the epoch carries its _SUCCESS. Claims of folded epochs are
+  // swept with their batch dirs at compaction.
+  // ---------------------------------------------------------------- //
+
+  /** This job's claim token: `SPARK_GRAFT_WRITER` when set (a production
+    * deployment gives each logical writer — e.g. one streaming query —
+    * a stable token such as its checkpoint path, so a restarted driver
+    * reclaims its own torn claims and self-heals), else a per-process
+    * UUID (two distinct processes never collide silently). */
+  lazy val defaultWriter: String = sys.env.getOrElse("SPARK_GRAFT_WRITER",
+    s"proc-${java.util.UUID.randomUUID()}")
+
+  private def claimPath(dir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"_claims/$batchId")
+
+  private def readToken(hfs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = hfs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+  }
+
+  /** Claim epoch `batchId` of the store at `dir` for `writer`, or fail
+    * loudly if another writer holds it and its landing is not complete.
+    * Atomic create (no overwrite) is the arbiter — HDFS-atomic; on object
+    * stores without atomic create the claim degrades to best-effort
+    * detection, still catching every non-simultaneous overlap. */
+  def claimEpoch(spark: SparkSession, dir: String, batchId: Long,
+      writer: String = defaultWriter): Unit = {
+    val (hfs, _) = fs(spark, dir)
+    val p = claimPath(dir, batchId)
+    hfs.mkdirs(p.getParent)
+    val created =
+      try {
+        val out = hfs.create(p, false) // no overwrite — the atomic arbiter
+        try { out.write(writer.getBytes("UTF-8")); true } finally out.close()
+      } catch { case _: java.io.IOException => false }
+    if (created) return
+    val holder = readToken(hfs, p)
+    if (holder == writer) return // our own retry/replay — reclaim
+    // a FOREIGN claim: only a COMPLETED landing may be re-landed over
+    // (idempotent overwrite); an incomplete epoch means the holder is
+    // mid-write or died mid-write — indistinguishable, so fail loudly
+    val epochDir = new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId")
+    def completed = hfs.exists(epochDir) && {
+      val entries = hfs.listStatus(epochDir)
+      def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+      entries.exists(_.getPath.getName == "_SUCCESS") ||
+        entries.exists(st => st.isDirectory && visible(st.getPath.getName) &&
+          hfs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+    }
+    if (!completed)
+      throw new IllegalStateException(
+        s"cube store $dir: epoch batch_id=$batchId is claimed by writer " +
+          s"'$holder' and its landing is not complete — a concurrent job " +
+          "is landing into this store (or died mid-write). Refusing to " +
+          "interleave; if the holder is confirmed dead, run " +
+          "CubeLog.releaseClaim and re-land")
+    // completed foreign epoch: a cross-writer replay — take the claim
+    // over so OUR overwrite (and any retry of it) is the owned one
+    hfs.delete(p, false)
+    val out = hfs.create(p, true)
+    try out.write(writer.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Operator repair: drop the claim on `batchId` after confirming its
+    * holder is dead (the fsck's torn-claim finding names this). Returns
+    * true when a claim existed. */
+  def releaseClaim(spark: SparkSession, dir: String, batchId: Long): Boolean = {
+    val (hfs, _) = fs(spark, dir)
+    hfs.delete(claimPath(dir, batchId), false)
+  }
+
+  /** Claims currently on disk with their holders and whether the claimed
+    * epoch committed — the fsck's raw material. */
+  private[sources] def claims(spark: SparkSession,
+      dir: String): Seq[(Long, String, Boolean)] = {
+    val (hfs, p) = fs(spark, dir)
+    val cdir = new org.apache.hadoop.fs.Path(p, "_claims")
+    if (!hfs.exists(cdir)) return Nil
+    hfs.listStatus(cdir).toSeq.flatMap { st =>
+      scala.util.Try(st.getPath.getName.toLong).toOption.map { id =>
+        val epochDir = new org.apache.hadoop.fs.Path(dir, s"batch_id=$id")
+        val committed = hfs.exists(epochDir) && {
+          val entries = hfs.listStatus(epochDir)
+          def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+          entries.exists(_.getPath.getName == "_SUCCESS") ||
+            entries.exists(e => e.isDirectory && visible(e.getPath.getName) &&
+              hfs.exists(new org.apache.hadoop.fs.Path(e.getPath, "_SUCCESS")))
+        }
+        (id, readToken(hfs, st.getPath), committed)
+      }
+    }
+  }
+
   /** Read the store's CURRENT contents — root build files, the committed
     * fold, and live batch partials — as one frame of data columns (no
     * partition column: every group is addressed by explicit path). */
@@ -327,6 +432,15 @@ object CubeLog {
     hfs.listStatus(commitsDir).foreach { st =>
       val stale = scala.util.Try(st.getPath.getName.toLong).toOption
         .exists(_ < v.gen)
+      if (stale) hfs.delete(st.getPath, false)
+    }
+    // writer claims ride their epochs: swept on the same grace schedule
+    // as the batch dirs they guarded (a folded epoch's claim has no
+    // future use — the watermark short-circuits any replay first)
+    val claimsDir = new org.apache.hadoop.fs.Path(p, "_claims")
+    if (hfs.exists(claimsDir)) hfs.listStatus(claimsDir).foreach { st =>
+      val stale = scala.util.Try(st.getPath.getName.toLong).toOption
+        .exists(_ <= v.watermark)
       if (stale) hfs.delete(st.getPath, false)
     }
     newGen

@@ -185,6 +185,7 @@ object HeavyHitterStore {
     * double-counting. */
   def appendBatch(events: DataFrame, dir: String, batchId: Long): Unit = {
     if (CubeLog.isFolded(events.sparkSession, dir, batchId)) return
+    CubeLog.claimEpoch(events.sparkSession, dir, batchId) // single-writer guard
     dayCounts(events)
       .withColumn("kind", lit("part"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")

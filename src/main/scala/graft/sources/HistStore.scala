@@ -79,6 +79,7 @@ object HistStore {
     // double-count — unlike the register-max sketch, the algebra does
     // not forgive it
     if (CubeLog.isFolded(events.sparkSession, dir, batchId)) return
+    CubeLog.claimEpoch(events.sparkSession, dir, batchId) // single-writer guard
     dailyHistograms(events)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
   }

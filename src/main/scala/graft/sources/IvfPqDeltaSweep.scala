@@ -53,7 +53,10 @@ object IvfPqDeltaSweep {
         s"${java.util.UUID.randomUUID()}"
       val cut = (n * (1 - f)).toLong
       IvfPqLog.appendBatch(emb.filter(col("vec_id") < lit(cut)), dir, 0L)
-      IvfPqLog.compact(spark, dir)
+      // ρ is calibrated at the PINNED geometry (the model column above
+      // uses s = 3/8); the auto-cadence sweep below runs the shipped
+      // scale-derived geometry
+      IvfPqLog.compact(spark, dir, Some(IvfPqLog.CoarseK))
       val deltaRows =
         if (f > 0) {
           IvfPqLog.appendBatch(emb.filter(col("vec_id") >= lit(cut)), dir, 1L)

@@ -93,18 +93,20 @@ object IvfPqDriftSweep {
       s"${java.util.UUID.randomUUID()}"
     var corpus = spark.emptyDataFrame
     println(s"base n=$n0, ${cycles + 1} cycles (corpus grows by n0 per cycle, " +
-      "drifted); landings via appendBatchAuto — folds fire at the derived cadence")
-    println("| cycle | corpus n | committed gen | live epochs | recall@5 (maintained) |")
-    println("|---|---|---|---|---|")
+      "drifted); landings via appendBatchAuto — folds fire at the derived " +
+      "cadence and train at the scale-derived coarseKFor(n) geometry")
+    println("| cycle | corpus n | committed gen | coarse k | probe cells | live epochs | recall@5 (maintained) |")
+    println("|---|---|---|---|---|---|---|")
     (0 to cycles).foreach { i =>
       val delta = if (i == 0) base else deltaOf(i)
       corpus = (if (i == 0) delta else corpus.unionByName(delta))
         .localCheckpoint(eager = true)
       IvfPqLog.appendBatchAuto(delta, dir, i.toLong)
       val v = CubeLog.view(spark, dir)
+      val k = IvfPqLog.storedCoarseK(spark, v.foldedDir.get)
       val ann = IvfPqLog.probeTopK(spark, dir, Some(qVecs))
       val r = recallOf(ann, corpus)
-      println(f"| $i | ${corpus.count()} | ${v.gen} | ${v.liveBatches.size} | $r%.3f |")
+      println(f"| $i | ${corpus.count()} | ${v.gen} | $k | ${IvfPqLog.probeCellsFor(k)} | ${v.liveBatches.size} | $r%.3f |")
     }
 
     // frozen-codebook counterfactual: cycle-0 artifacts, final corpus

@@ -60,9 +60,64 @@ object IvfPqLog {
 
   /** Coarse cells the committed generation probes out of
     * ([[Similarity]]'s fixed IVFADC geometry: k = CentroidK = 8 cells,
-    * queries probe their top 3). */
+    * queries probe their top 3). These are the ORACLE-PINNED constants —
+    * the registered queries build at them so DuckDB can replicate the
+    * training; the maintained store's folds derive their geometry from
+    * the corpus instead ([[coarseKFor]]/[[probeCellsFor]]/[[shortlistFor]]). */
   val ProbeCells = 3
   val CoarseK = 8
+
+  /** The standard IVF sizing rule on the compressed index, k ≈ √n coarse
+    * cells (Jégou, Douze & Schmid TPAMI 2011 §V; same rule as
+    * [[VecStore.cellKFor]] on the uncompressed store — per probe the
+    * coarse ranking costs O(k) and the ADC scan O(probed share of n), so
+    * √n equalizes their growth), floored at the shipped [[CoarseK]]. The
+    * fold derives k from the post-fold corpus count, so a store that
+    * doubles per retraining cycle gets √2 more cells per cycle instead of
+    * √2 more vectors per cell — the geometry rule the drift sweep showed
+    * a growing deployment needs in code, not in prose. */
+  def coarseKFor(n: Long): Int =
+    math.max(CoarseK, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** Probe width at coarse count `k`, holding the ≤ 25%-of-cells budget
+    * at scale ([[VecStore.probeCellsFor]]'s rule), floored at the shipped
+    * [[ProbeCells]] — at the pinned k = 8 geometry this is exactly the
+    * oracle's 3 probed cells (3/8 share), so pinned stores probe
+    * identically through the derived path. */
+  def probeCellsFor(k: Int): Int =
+    math.max(ProbeCells, k / 4)
+
+  /** ADC→exact rerank depth at probe width `probeCells`: constant rerank
+    * depth PER PROBED CELL (the shipped [[Similarity.PqShortlist]]/
+    * [[ProbeCells]] ≈ 17 candidates each) — the ADC candidate pool grows
+    * with the cells probed, and the false-positives the asymmetric
+    * distance ranks ahead of true neighbors grow with that pool, so the
+    * rerank window scales with it; floored at the shipped 50. */
+  def shortlistFor(probeCells: Int): Int =
+    math.max(Similarity.PqShortlist,
+      (probeCells * Similarity.PqShortlist + ProbeCells - 1) / ProbeCells)
+
+  /** The coarse count one committed generation was trained at: its `_ck`
+    * sidecar (the `_nb`/`_hh_k` layout-constant discipline — written by
+    * every fold since r15), else counted from its `cells` frame (legacy
+    * generations; one k-row parquet read). */
+  def storedCoarseK(spark: SparkSession, genDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(genDir, "_ck")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(p)) {
+      val in = hfs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    } else spark.read.parquet(s"$genDir/cells").count().toInt
+  }
+
+  private def writeCk(spark: SparkSession, genDir: String, k: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(genDir, "_ck")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(p.getParent)
+    val out = hfs.create(p, true)
+    try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Measured per-candidate cost of the EXACT delta leg relative to the
     * ADC leg (c_exact / c_adc), from graft.sources.IvfPqDeltaSweep on
@@ -100,10 +155,16 @@ object IvfPqLog {
     * arithmetic — IvfPqLogSpec pins both sides of the boundary through
     * the real store): capped regime (ρ ≤ r·s) falls back to the
     * budget-share floor s; otherwise min(derived, s) so the epoch file
-    * count stays bounded even when the derived threshold is loose. */
+    * count stays bounded even when the derived threshold is loose.
+    * `probeShare` (s) defaults to the pinned geometry's 3/8;
+    * [[shouldCompact]] passes the COMMITTED GENERATION's own share —
+    * a scale-derived generation probes a smaller share of more cells,
+    * which tightens f* (the exact delta leg breaks even against a
+    * cheaper folded probe sooner). */
   def deltaTrigger(maxRatio: Double = MaxProbeRatio,
-      costRatio: Double = AdcExactCostRatio): Double = {
-    val s = ProbeCells.toDouble / CoarseK
+      costRatio: Double = AdcExactCostRatio,
+      probeShare: Double = ProbeCells.toDouble / CoarseK): Double = {
+    val s = probeShare
     if (costRatio <= maxRatio * s) s
     else math.min(s * (maxRatio - 1.0) / (costRatio - maxRatio * s), s)
   }
@@ -118,7 +179,11 @@ object IvfPqLog {
       case Some(f) =>
         val base = spark.read.parquet(s"$f/codes").count()
         val delta = spark.read.parquet(v.liveBatches.map(_._2): _*).count()
-        delta.toDouble >= base.toDouble * deltaTrigger(maxRatio, costRatio)
+        // the generation's OWN probe share: a scale-derived fold probes
+        // probeCellsFor(k)/k of its cells, not the pinned 3/8
+        val k = storedCoarseK(spark, f)
+        val share = probeCellsFor(k).toDouble / k
+        delta.toDouble >= base.toDouble * deltaTrigger(maxRatio, costRatio, share)
     }
   }
 
@@ -156,6 +221,26 @@ object IvfPqLog {
     * own date — the [[VecStoreLog.landWireEpochChunked]] twin). */
   def landWireEpochChunked(parsed: DataFrame, dir: String, batchId: Long): Long =
     VecStoreLog.landWireEpochChunked(parsed, dir, batchId)
+
+  /** [[landWireEpochChunked]] through THIS store's auto-cadence landing —
+    * the chunked streaming loop's per-batch hook on the compressed index
+    * (the fold is [[compactChunked]]: retraining, retention axis kept). */
+  def landWireEpochChunkedAuto(parsed: DataFrame, dir: String,
+      batchId: Long): Boolean =
+    appendBatchChunkedAuto(
+      VecStoreLog.readingEmbeddingsCore(parsed, withDate = true), dir, batchId)
+
+  /** [[compactWithStats]] for the chunked layout — (codes rows, coarse k,
+    * wall ms) of one offline CHUNKED retraining fold. */
+  def compactChunkedWithStats(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val t0 = System.nanoTime()
+    compactChunked(spark, dir)
+    val wall = (System.nanoTime() - t0) / 1000000L
+    val f = CubeLog.view(spark, dir).foldedDir.getOrElse(
+      sys.error(s"maintained IVF-PQ store $dir has no generation after compact"))
+    (spark.read.parquet(s"$f/codes").count(),
+      spark.read.parquet(s"$f/cells").count(), wall)
+  }
 
   /** One offline retraining fold with its cost surfaced: (corpus rows in
     * the new generation, coarse k, wall ms) — the attribution numbers for
@@ -195,8 +280,12 @@ object IvfPqLog {
   }
 
   /** Retraining compaction: fold base ∪ delta into a new IVFADC
-    * generation under the CubeLog crash-safe ordering. */
-  def compact(spark: SparkSession, dir: String): Long =
+    * generation under the CubeLog crash-safe ordering. `coarseK` defaults
+    * to the √n rule over the post-fold corpus ([[coarseKFor]]); the
+    * registered queries pin it to the oracle-matched [[CoarseK]] — the
+    * [[VecStoreLog.compact]] convention on the compressed index. */
+  def compact(spark: SparkSession, dir: String,
+      coarseK: Option[Int] = None): Long =
     CubeLog.compactFrom(spark, dir) { (v, out) =>
       val base = v.foldedDir.map(f => spark.read.parquet(s"$f/vectors")
         .select(col("vec_id"), col("label"), col("qv"), col("norm2")))
@@ -206,7 +295,9 @@ object IvfPqLog {
           .select(col("vec_id"), col("label"), col("qv"), col("norm2")))
       val all = (base.toSeq ++ delta).reduce(_ unionByName _)
         .localCheckpoint(eager = true) // the source dirs are swept below
-      val (qe, cents, cbRow, _, codes) = Similarity.ivfPqTrainFramesFrom(all)
+      val k = coarseK.getOrElse(coarseKFor(all.count()))
+      val (qe, cents, cbRow, _, codes) = Similarity.ivfPqTrainFramesFrom(all, k)
+      writeCk(spark, out, k)
       // fail BEFORE the commit marker, never after: an empty codebook
       // (training bug, empty input) would write _SUCCESS-only codes dirs
       // and commit an UNREADABLE generation — crash-before-marker leaves
@@ -235,7 +326,8 @@ object IvfPqLog {
     * (`codes/cell=K/chunk_date=D/`, `vectors/cell=K/chunk_date=D/`) — the
     * ADC probe prunes on cell exactly as before, while expiring a crawl
     * day is bounded directory deletes on both trees. */
-  def compactChunked(spark: SparkSession, dir: String): Long =
+  def compactChunked(spark: SparkSession, dir: String,
+      coarseK: Option[Int] = None): Long =
     CubeLog.compactFrom(spark, dir) { (v, out) =>
       val base = v.foldedDir.map(f => spark.read.parquet(s"$f/vectors")
         .select(col("vec_id"), col("label"), col("qv"), col("norm2"),
@@ -248,8 +340,10 @@ object IvfPqLog {
       val all = (base.toSeq ++ delta).reduce(_ unionByName _)
         .localCheckpoint(eager = true) // the source dirs are swept below
       val dates = all.select(col("vec_id"), col("chunk_date"))
+      val k = coarseK.getOrElse(coarseKFor(all.count()))
       val (qe, cents, cbRow, _, codes) = Similarity.ivfPqTrainFramesFrom(
-        all.select(col("vec_id"), col("label"), col("qv"), col("norm2")))
+        all.select(col("vec_id"), col("label"), col("qv"), col("norm2")), k)
+      writeCk(spark, out, k)
       require(cents.limit(1).count() == 1L && cbRow.limit(1).count() == 1L,
         s"IVF-PQ fold over $dir trained an empty codebook — refusing to " +
           "commit an unreadable generation (is the input empty?)")
@@ -306,11 +400,17 @@ object IvfPqLog {
       s"maintained IVF-PQ store $dir has no committed generation — compact first")
     val f = v.foldedDir.get
     val vecs = s.read.parquet(s"$f/vectors")
+    // the generation's OWN geometry drives the probe: a pinned k = 8 fold
+    // probes the oracle's 3 cells / 50-deep rerank exactly; a
+    // scale-derived fold probes probeCellsFor(k) cells with the
+    // proportionally deeper shortlist
+    val k = storedCoarseK(s, f)
+    val pc = probeCellsFor(k)
     val folded = Similarity.ivfPqProbeFrom(
       s.read.parquet(s"$f/cells_packed"),
       s.read.parquet(s"$f/codebooks_packed"),
       s.read.parquet(s"$f/codes"),
-      vecs, queryVecs)
+      vecs, queryVecs, probeCells = pc, shortlist = shortlistFor(pc))
     v.liveBatches.map(_._2) match {
       case Seq() => folded
       case deltaDirs =>
@@ -444,7 +544,7 @@ object IvfPqLog {
           appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === epoch),
             dir, epoch)
         }
-        compact(s, dir)
+        compact(s, dir, Some(CoarseK)) // oracle-pinned geometry
         // replay of a folded epoch: the watermark guard must no-op —
         // exactly-once across the compaction, asserted on every build
         require(appendBatch(
@@ -479,7 +579,7 @@ object IvfPqLog {
           appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === epoch),
             dir, epoch)
         }
-        compact(s, dir)
+        compact(s, dir, Some(CoarseK)) // oracle-pinned geometry
         dir
       })
     }
@@ -519,7 +619,7 @@ object IvfPqLog {
           appendBatchChunked(emb.filter(pmod(col("vec_id"), lit(3L)) === epoch),
             dir, epoch)
         }
-        compactChunked(s, dir)
+        compactChunked(s, dir, Some(CoarseK)) // oracle-pinned geometry
         dir
       })
     }

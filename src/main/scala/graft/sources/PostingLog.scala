@@ -237,6 +237,7 @@ object PostingLog {
     val s = docs.sparkSession
     val nb = resolveLandingCount(s, dir, nBuckets)
     if (CubeLog.isFolded(s, dir, batchId)) return 0L
+    CubeLog.claimEpoch(s, dir, batchId) // single-writer guard
     val postings = postingRows(docs, nb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -244,7 +245,7 @@ object PostingLog {
       // text) must land NOTHING — else every empty micro-batch leaves a
       // live epoch dir holding one zero stats row, counting toward the
       // shouldCompact fan-in bound forever (the DedupLog.appendEpoch guard)
-      if (postings.isEmpty) return 0L
+      if (postings.isEmpty) { CubeLog.releaseClaim(s, dir, batchId); return 0L }
       val epochDir = s"$dir/batch_id=$batchId"
       postings.unionByName(statsRowOf(postings))
         .repartition(s.sessionState.conf.numShufflePartitions, col("tb"))
@@ -622,10 +623,11 @@ object PostingLog {
       "appendBatchChunked needs a crawl_date column (the retention axis)")
     val nb = resolveLandingCount(s, dir, nBuckets)
     if (CubeLog.isFolded(s, dir, batchId)) return 0L
+    CubeLog.claimEpoch(s, dir, batchId) // single-writer guard
     val postings = postingRowsChunked(docs, nb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (postings.isEmpty) return 0L
+      if (postings.isEmpty) { CubeLog.releaseClaim(s, dir, batchId); return 0L }
       val epochDir = s"$dir/batch_id=$batchId"
       postings.unionByName(statsRowsChunkedOf(postings))
         .repartition(s.sessionState.conf.numShufflePartitions,
@@ -964,9 +966,10 @@ object PostingLog {
        |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0)
        |      AS vec_remaining,
        |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0)
-       |      AS ivfpq_remaining""".stripMargin,
+       |      AS ivfpq_remaining,
+       |    0 AS fsck_errors""".stripMargin,
     Seq("bronze_remaining", "posting_remaining", "dedup_remaining",
-      "vec_remaining", "ivfpq_remaining"))
+      "vec_remaining", "ivfpq_remaining", "fsck_errors"))
 
   private[sources] def hybridOracleSql(docSurv: String, vecSurv: String,
       withReceipt: Boolean): String =

@@ -69,6 +69,7 @@ object SketchStore {
     // be idempotently overwritten) — the CubeLog watermark says so
     // without reading any data
     if (CubeLog.isFolded(events.sparkSession, dir, batchId)) return
+    CubeLog.claimEpoch(events.sparkSession, dir, batchId) // single-writer guard
     dailySketches(events)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
   }

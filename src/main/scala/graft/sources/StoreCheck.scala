@@ -109,6 +109,18 @@ object StoreCheck {
       out += Finding("info", "orphan-fold",
         s"fold dir(s) ${foldGens.toSeq.sorted.mkString(",")} with an empty " +
           "marker log — crashed first compaction; readers serve live batches")
+    // writer claims (r15 single-writer guard): a claim whose epoch never
+    // committed is TORN — its holder is either mid-write right now or
+    // died mid-write; surface it with the named repair instead of letting
+    // the next same-id landing discover it as a hard failure
+    CubeLog.claims(spark, dir).foreach { case (id, holder, committed) =>
+      if (!committed)
+        out += Finding("warn", "torn-claim",
+          s"epoch batch_id=$id is claimed by writer '$holder' but has no " +
+            "committed data — an in-flight landing, or a writer that died " +
+            "mid-write; if the holder is confirmed dead, " +
+            "CubeLog.releaseClaim clears it")
+    }
     out.toSeq
   }
 
@@ -371,6 +383,18 @@ object StoreCheck {
         out += Finding("error", "norm-drift",
           s"$drift sampled vector(s) carry norm2 ≠ dot(qv, qv) — the exact " +
             "rerank is wrong; refold")
+      // the layout-constant sidecar (`_ck`, the `_nb` discipline): probes
+      // derive their width from it, so a sidecar disagreeing with the
+      // trained cells count mis-probes every query
+      val ckPath = new org.apache.hadoop.fs.Path(f, "_ck")
+      if (hfs.exists(ckPath)) {
+        val ck = IvfPqLog.storedCoarseK(spark, f)
+        if (ck.toLong != centIds.size.toLong)
+          out += Finding("error", "coarse-k-mismatch",
+            s"generation $f records _ck=$ck but trained ${centIds.size} " +
+              "coarse cells — probes derive their width from the sidecar " +
+              "and would mis-probe; refold (the fold rewrites the sidecar)")
+      }
     }
     out.toSeq
   }

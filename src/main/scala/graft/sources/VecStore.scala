@@ -172,7 +172,28 @@ object VecStore {
     * probes them arithmetically, proving on-disk ≡ in-memory (the
     * contract [[VecStoreSpec]] asserts file-level; recall@5 ≥ 0.5 at
     * ≤ 25% probed is asserted there too). */
-  lazy val probeQuery: GraftQuery = q("vecstore_probe_topk", {
+  lazy val probeQuery: GraftQuery =
+    q("vecstore_probe_topk", probeOracleSql()) { (s, d) =>
+    // per-invocation unique scratch dir: a fixed per-dataset path races
+    // delete-against-scan when bench reps overlap a test run; the scratch
+    // tree is removed at JVM exit.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_vecstore_idx/" +
+      s"${new java.io.File(d).getName}-${java.util.UUID.randomUUID()}"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.deleteOnExit(path)
+    build(Tables.embeddingsParallel(s, d), dir)
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    probeTopK(s, dir, queries, ProbeCells)
+  }
+
+  /** The cell-probe oracle parameterized by the QUERY-PANEL predicate —
+    * the default is [[probeQuery]]'s % 50 stride; the serving-shape
+    * multi-query registered probe passes its own panel
+    * ([[VecStoreLog.multiQueryProbeQuery]]). */
+  private[sources] def probeOracleSql(
+      queryPred: String = "vec_id % 50 = 0"): String = {
     val iters = Similarity.CentroidIters
     s"""WITH ${Similarity.quantizedSql},
        |${Similarity.lloydCtes(iters, CellK)},
@@ -184,7 +205,7 @@ object VecStore {
        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC, c_id) AS cr
        |  FROM qn, cents),
        |idx AS (SELECT vec_id, label, qv, norm2, c_id AS cell FROM assigned WHERE cr = 1),
-       |qp AS (SELECT * FROM assigned WHERE vec_id % 50 = 0),
+       |qp AS (SELECT * FROM assigned WHERE $queryPred),
        |qtop AS (SELECT vec_id, CAST(c_id AS BIGINT) AS cell FROM qp WHERE cr = 1),
        |probes AS (
        |  SELECT vec_id, qv, norm2, c_id AS probe_cell FROM qp WHERE cr <= $ProbeCells),
@@ -202,19 +223,6 @@ object VecStore {
        |SELECT r.query_id, r.vec_id, r.label, t.cell, r.n_cands, r.cosine, r.rank
        |FROM ranked r JOIN qtop t ON t.vec_id = r.query_id
        |WHERE r.rank <= 5""".stripMargin
-  }) { (s, d) =>
-    // per-invocation unique scratch dir: a fixed per-dataset path races
-    // delete-against-scan when bench reps overlap a test run; the scratch
-    // tree is removed at JVM exit.
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_vecstore_idx/" +
-      s"${new java.io.File(d).getName}-${java.util.UUID.randomUUID()}"
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.deleteOnExit(path)
-    build(Tables.embeddingsParallel(s, d), dir)
-    val queries = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id"), col("embedding"))
-    probeTopK(s, dir, queries, ProbeCells)
   }
 
   /** The √n SIZING RULE oracle-gated (r9 left it spec-pinned only): the

@@ -107,6 +107,7 @@ object VecStoreLog {
       rowsPerFile: Long = EpochRowsPerFile): Long = {
     requireAxis(embeddings.sparkSession, dir, chunked = false)
     if (CubeLog.isFolded(embeddings.sparkSession, dir, batchId)) return 0L
+    CubeLog.claimEpoch(embeddings.sparkSession, dir, batchId) // single-writer guard
     val slim = embeddings.select(col("vec_id"), col("label"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -119,7 +120,11 @@ object VecStoreLog {
       // whose document-bearing stride is empty) lands NOTHING — the
       // PostingLog/DedupLog guard: empty epoch dirs count toward cadence
       // fan-in forever and an all-empty store would train an empty fold
-      if (n == 0L) return 0L
+      if (n == 0L) { // nothing to land: return the claim (no epoch dir
+        // will ever commit, so a kept claim only reads as torn in fscks)
+        CubeLog.releaseClaim(embeddings.sparkSession, dir, batchId)
+        return 0L
+      }
       val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
       slim.coalesce(files)
         .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
@@ -218,7 +223,7 @@ object VecStoreLog {
   /** [[readingEmbeddings]] with the retention axis: crawl day = the
     * READING's own date (content age, never landing wall-clock), so the
     * chunked landing's partition key is replay-stable. */
-  private def readingEmbeddingsCore(parsed: DataFrame,
+  private[sources] def readingEmbeddingsCore(parsed: DataFrame,
       withDate: Boolean): DataFrame = {
     val base = parsed
       .filter(pmod(col("meter_id"), lit(WireEmbeddingStride)) === 0)
@@ -313,12 +318,17 @@ object VecStoreLog {
       "appendBatchChunked needs a crawl_date column (the retention axis)")
     requireAxis(embeddings.sparkSession, dir, chunked = true)
     if (CubeLog.isFolded(embeddings.sparkSession, dir, batchId)) return 0L
+    CubeLog.claimEpoch(embeddings.sparkSession, dir, batchId) // single-writer guard
     val slim = embeddings.select(col("vec_id"), col("label"), col("embedding"),
       col("crawl_date").cast("date").as("chunk_date"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = slim.count()
-      if (n == 0L) return 0L
+      if (n == 0L) { // nothing to land: return the claim (no epoch dir
+        // will ever commit, so a kept claim only reads as torn in fscks)
+        CubeLog.releaseClaim(embeddings.sparkSession, dir, batchId)
+        return 0L
+      }
       val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
       slim.repartition(files, col("chunk_date"))
         .write.mode("overwrite").partitionBy("chunk_date")
@@ -363,6 +373,29 @@ object VecStoreLog {
   def landWireEpochChunked(parsed: DataFrame, dir: String, batchId: Long): Long =
     appendBatchChunked(readingEmbeddingsCore(parsed, withDate = true),
       dir, batchId)
+
+  /** [[landWireEpochChunked]] through the AUTO-CADENCE landing
+    * ([[appendBatchChunkedAuto]]) — the chunked streaming loop's
+    * per-batch hook: the derived fold trigger rides the landing itself,
+    * so the live delta stays bounded by code under a wire stream exactly
+    * as under the batch drive. Returns true when this landing's fold
+    * fired. */
+  def landWireEpochChunkedAuto(parsed: DataFrame, dir: String,
+      batchId: Long): Boolean =
+    appendBatchChunkedAuto(readingEmbeddingsCore(parsed, withDate = true),
+      dir, batchId)
+
+  /** [[compactWithStats]] for the chunked layout — the offline
+    * maintenance fold the streaming sweep runs BESIDE chunked landings,
+    * with the same (rows, k, wall ms) attribution triple. */
+  def compactChunkedWithStats(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val t0 = System.nanoTime()
+    compactChunked(spark, dir)
+    val wall = (System.nanoTime() - t0) / 1000000L
+    val f = CubeLog.view(spark, dir).foldedDir.getOrElse(
+      sys.error(s"maintained vector store $dir has no generation after compact"))
+    (spark.read.parquet(f).count(), VecStore.centroids(spark, f).count(), wall)
+  }
 
   /** Retention: drop every chunk strictly BEFORE `cutoff` (ISO date) from
     * EVERY root on disk — live epochs (`chunk_date=` at the root), the
@@ -673,6 +706,22 @@ object VecStoreLog {
   lazy val maintainedProbeQuery: GraftQuery =
     q("vecstore_maintained_probe", VecStore.probeQuery.oracle.get) { (s, d) =>
       val queries = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+      probeTopK(s, maintainedDir(s, d), queries, VecStore.ProbeCells)
+    }
+
+  /** Serving-shape ANN on the pure top-k path (r15, the hybridTopKSet
+    * doctrine): the query set is a FRAME — Q queries arrive as DATA (here
+    * the % 23 stride, a panel disjoint from every other registered
+    * probe's) and the MAINTAINED store answers the whole batch in ONE
+    * plan: one broadcast of the codebook-ranked probe set, one
+    * DPP-pruned pass over the probed `cell=` directories regardless of
+    * |queries|. The oracle is the cell-probe truth at the same panel —
+    * hash equality proves the frame-shaped entry answers exactly what
+    * per-query invocations would, without |Q| passes over the index. */
+  lazy val multiQueryProbeQuery: GraftQuery =
+    q("vecstore_probe_multiquery", VecStore.probeOracleSql("vec_id % 23 = 0")) { (s, d) =>
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") % 23 === 0)
         .select(col("vec_id"), col("embedding"))
       probeTopK(s, maintainedDir(s, d), queries, VecStore.ProbeCells)
     }

@@ -225,6 +225,75 @@ object StreamLatencyReport {
         folder.start()
         sideThread = Some(folder)
         q
+      // the CHUNKED twins (r15): the same two maintained-index loops with
+      // the calendar retention axis riding every landing — per batch the
+      // wire's embedding side channel lands cell-ready WITH its reading's
+      // crawl date through the AUTO-CADENCE hook (landWireEpochChunkedAuto:
+      // the derived fold trigger rides the landing, so cadence folds fire
+      // inside the measured loop), plus ONE mid-run CHUNKED retraining
+      // fold in the offline compactor thread beside the landings — the
+      // last surface whose streamed+chunked mode was spec-proven
+      // (VecChunkedRetentionSpec) but never measured at the wire anchor
+      case "ingest+vec-index-chunked" =>
+        val base = Files.createTempDirectory("stream_vec_chunked_").toString
+        phaseLog.clear()
+        val vdir = s"$base/vec"
+        val q = Ingest.parseAndValidate(wire).toDF()
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val t0 = System.nanoTime()
+            graft.sources.VecStoreLog.landWireEpochChunkedAuto(b, vdir, id)
+            phaseLog.add(((System.nanoTime() - t0) / 1000000L, 0L))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .start()
+        val folder = new Thread(() => {
+          Thread.sleep(10000L)
+          scala.util.Try {
+            val (n, k, wall) =
+              graft.sources.VecStoreLog.compactChunkedWithStats(spark, vdir)
+            vecFoldNotes.add(s"ingest+vec-index-chunked @$rate rows/s: mid-run " +
+              s"CHUNKED fold at t+10s trained k=$k over n=$n vectors in " +
+              s"$wall ms beside the live landings (cell OUTER, crawl day INNER)")
+          }.failed.foreach(e =>
+            vecFoldNotes.add(s"ingest+vec-index-chunked @$rate: mid-run fold FAILED — $e"))
+        })
+        folder.setDaemon(true)
+        folder.start()
+        sideThread = Some(folder)
+        q
+      case "ingest+ivfpq-index-chunked" =>
+        val base = Files.createTempDirectory("stream_ivfpq_chunked_").toString
+        phaseLog.clear()
+        val vdir = s"$base/ivfpq"
+        val q = Ingest.parseAndValidate(wire).toDF()
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val t0 = System.nanoTime()
+            graft.sources.IvfPqLog.landWireEpochChunkedAuto(b, vdir, id)
+            phaseLog.add(((System.nanoTime() - t0) / 1000000L, 0L))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .start()
+        val folder = new Thread(() => {
+          Thread.sleep(10000L)
+          scala.util.Try {
+            val (n, k, wall) =
+              graft.sources.IvfPqLog.compactChunkedWithStats(spark, vdir)
+            vecFoldNotes.add(s"ingest+ivfpq-index-chunked @$rate rows/s: mid-run " +
+              s"CHUNKED retraining fold at t+10s (coarse k=$k + sub-codebooks) " +
+              s"over n=$n codes in $wall ms beside the live landings")
+          }.failed.foreach(e =>
+            vecFoldNotes.add(s"ingest+ivfpq-index-chunked @$rate: mid-run fold FAILED — $e"))
+        })
+        folder.setDaemon(true)
+        folder.start()
+        sideThread = Some(folder)
+        q
       // the CONFIGURED default wire through the one dispatch point
       // (Ingest.parseAndValidateWire — r14): builds whichever wire the
       // default resolves to and runs the full ingest chain through the
@@ -253,9 +322,40 @@ object StreamLatencyReport {
       // CALENDAR-CHUNKED layouts through startIndexedIngestChunked, so
       // the row measures what the "retention = directory drop" story
       // costs at landing time (same work + the date axis in every write)
-      case "ingest+corpus" | "ingest+corpus-chunked" =>
+      case "ingest+corpus" | "ingest+corpus-chunked" | "ingest+corpus-maint" =>
         val base = Files.createTempDirectory("stream_corpus_").toString
         val docStream = DocStream.readingDocs(Ingest.parseAndValidate(wire).toDF())
+        // -maint (r15): live MAINTENANCE beside the landings — one
+        // rebucket of the posting store (the one-fold resize at a new
+        // power-of-two count) followed by the CROSS-SURFACE fsck
+        // (StoreCheck.checkCorpus, bronze↔derived both directions), both
+        // in the offline compactor thread at t+10s. The row's proc/input
+        // answers whether the 160 K wire anchor is sustained THROUGH a
+        // store resize and a full integrity audit, the
+        // maintenance-beside-landings discipline the fold notes follow
+        if (pipeline == "ingest+corpus-maint") {
+          val maint = new Thread(() => {
+            Thread.sleep(10000L)
+            scala.util.Try {
+              val t0 = System.nanoTime()
+              graft.sources.PostingLog.rebucket(spark, s"$base/postings", 32L)
+              val rbMs = (System.nanoTime() - t0) / 1000000L
+              val t1 = System.nanoTime()
+              val findings = graft.sources.StoreCheck.checkCorpus(spark,
+                s"$base/bronze", s"$base/postings", s"$base/dedup")
+              val fsckMs = (System.nanoTime() - t1) / 1000000L
+              val errs = findings.count(_.severity == "error")
+              vecFoldNotes.add(s"ingest+corpus-maint @$rate rows/s: mid-run " +
+                s"rebucket(32) of the live posting store took $rbMs ms, " +
+                s"cross-surface fsck $fsckMs ms ($errs errors) — both beside " +
+                "the landings")
+            }.failed.foreach(e =>
+              vecFoldNotes.add(s"ingest+corpus-maint @$rate: mid-run maintenance FAILED — $e"))
+          })
+          maint.setDaemon(true)
+          maint.start()
+          sideThread = Some(maint)
+        }
         if (pipeline == "ingest+corpus-chunked")
           DocStream.startIndexedIngestChunked(docStream, s"$base/bronze",
             s"$base/postings", s"$base/dedup", ckpt,
@@ -416,6 +516,7 @@ object StreamLatencyReport {
         Seq(160000L, 640000L).map(("ingest-avro-parse-only", _)) ++
         Seq(160000L).map(("ingest-default-wire", _)) ++
         Seq(160000L).map(("ingest+corpus", _)) ++
+        Seq(160000L).map(("ingest+corpus-maint", _)) ++
         Seq(40000L, 160000L).map(("ingest+corpus-chunked", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+mart", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+cusum", _)) ++
@@ -427,7 +528,9 @@ object StreamLatencyReport {
         Seq(40000L, 160000L, 640000L).map(("ingest+sketch-cube", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+quartet-cubes", _)) ++
         Seq(40000L, 160000L).map(("ingest+vec-index", _)) ++
-        Seq(40000L, 160000L).map(("ingest+ivfpq-index", _))
+        Seq(40000L, 160000L).map(("ingest+ivfpq-index", _)) ++
+        Seq(160000L).map(("ingest+vec-index-chunked", _)) ++
+        Seq(160000L).map(("ingest+ivfpq-index-chunked", _))
     val runs = only match {
       case Some(names) => runs0.filter(r => names.contains(r._1))
       case None => runs0
@@ -445,7 +548,7 @@ object StreamLatencyReport {
     val results = runs.map { case (p, r) =>
       val res = run(spark, p, r, secs)
       if (p == "ingest+disk-mart" || p.startsWith("ingest+late-refresh") ||
-          p == "ingest+vec-index" || p == "ingest+ivfpq-index") {
+          p.startsWith("ingest+vec-index") || p.startsWith("ingest+ivfpq-index")) {
         import scala.jdk.CollectionConverters._
         // same warm-up discipline as the latency rows: drop the first two
         // batches (state-store open, codegen, first parquet commit)
@@ -499,6 +602,15 @@ object StreamLatencyReport {
     sb.append("(coarse Lloyd + residual sub-codebooks over base ∪ delta) in an\n")
     sb.append("offline compactor thread beside the landings — the exact delta leg\n")
     sb.append("bounded by the code-derived cadence (IvfPqLog.shouldCompact);\n")
+    sb.append("`ingest+vec-index-chunked` / `ingest+ivfpq-index-chunked` (r15) are\n")
+    sb.append("the same two loops with the CALENDAR RETENTION AXIS riding every\n")
+    sb.append("landing: each batch's derived embeddings land with their reading's\n")
+    sb.append("crawl date through the AUTO-CADENCE hook (landWireEpochChunkedAuto —\n")
+    sb.append("the derived fold trigger fires inside the measured loop), plus one\n")
+    sb.append("mid-run CHUNKED retraining fold beside the landings (cell OUTER,\n")
+    sb.append("crawl day INNER — probes prune unchanged, expiring a day stays\n")
+    sb.append("bounded directory deletes; VecChunkedRetentionSpec is the proof of\n")
+    sb.append("equivalence, these rows the measured rate);\n")
     sb.append("`ingest+late-refresh` is `ingest+disk-mart` under CONTINUOUS late\n")
     sb.append("pressure — 5% of meters are a replaying backfill shard re-dated one\n")
     sb.append("day back, so every batch lands below bronze's high-water mark and\n")
@@ -532,6 +644,14 @@ object StreamLatencyReport {
     sb.append("(startIndexedIngestChunked: chunk_date on bronze, postings, and\n")
     sb.append("dedup sigs) — the cost of the retention-by-directory-drop story at\n")
     sb.append("landing time is the delta between the two rows.\n")
+    sb.append("`ingest+corpus-maint` (r15) is `ingest+corpus` with LIVE MAINTENANCE\n")
+    sb.append("beside the landings: at t+10s the offline thread rebuckets the\n")
+    sb.append("posting store to a new power-of-two count (the one-fold resize;\n")
+    sb.append("per-root _nb keeps every probe exact mid-transition) and then runs\n")
+    sb.append("the cross-surface fsck (StoreCheck.checkCorpus, bronze↔derived both\n")
+    sb.append("directions) — the row's proc/input answers whether the wire anchor\n")
+    sb.append("is sustained THROUGH a resize plus a full integrity audit (walls in\n")
+    sb.append("the fold note below).\n")
     sb.append("`behind` is the\n")
     sb.append("Kafka-lag analogue, source latestOffset − batch endOffset, in the\n")
     sb.append("source's offset unit (SECONDS of backlog for the rate source; 0 =\n")

@@ -136,10 +136,14 @@ class CorpusRtbfSpec extends SparkSpec {
     }
     fsckAll()
 
-    // phase 1 — retention: one cutoff ages day 1 out of every surface
+    // phase 1 — retention through the VERIFIED mode (r15): the receipt
+    // itself carries the cross-surface + per-store fsck counts
     val dropped = CorpusRtbf.expireEverywhere(spark, "2026-01-02",
-      bronze, postings, dedup, vec, ivfpq)
-    assert(dropped.values.forall(_ > 0L), s"every surface drops dirs: $dropped")
+      bronze, postings, dedup, vec, ivfpq, verified = true)
+    assert(dropped("fsck_errors") === 0L,
+      s"a verified retention drive must end fsck-clean: $dropped")
+    assert(dropped.filterNot(k => k._1.startsWith("fsck_")).values.forall(_ > 0L),
+      s"every surface drops dirs: $dropped")
     fsckAll()
     assert(spark.read.parquet(s"$bronze/docs")
       .filter($"chunk_date" < lit("2026-01-02").cast("date")).count() === 0L)
@@ -150,8 +154,10 @@ class CorpusRtbfSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     val req = survivors.toSeq.sorted.take(7)
     val receipt = CorpusRtbf.eraseEverywhere(spark, req,
-      bronze, postings, dedup, vec, ivfpq)
+      bronze, postings, dedup, vec, ivfpq, verified = true)
     assert(receipt("bronze_docs") === req.size.toLong)
+    assert(receipt("fsck_errors") === 0L,
+      s"a verified erase must end fsck-clean: $receipt")
     fsckAll()
     assert(spark.read.parquet(s"$bronze/docs")
       .filter($"doc_id".isin(req: _*)).count() === 0L)

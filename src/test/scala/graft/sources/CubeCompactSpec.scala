@@ -21,7 +21,10 @@ class CubeCompactSpec extends SparkSpec {
 
   private def dirNames(dir: String): Set[String] =
     Files.list(Paths.get(dir)).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      // writer claims (r15 single-writer guard) are commit metadata like
+      // _cube_commits; the data/generation dir pins ignore them
+      .filterNot(_ == "_claims").toSet
 
   private def landThree(append: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
     val events = graft.ops.Tables.events(spark, sf0001)

@@ -162,14 +162,15 @@ class IvfPqLogSpec extends SparkSpec {
     val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
       .select(col("vec_id"), col("label"), col("embedding"))
 
-    // the derived trigger is a real fraction at the default geometry:
+    // the derived trigger is a real fraction at the pinned geometry:
     // strictly positive, and never looser than the budget-share floor s
-    val s = IvfPqLog.ProbeCells.toDouble / IvfPqLog.CoarseK
-    val trig = IvfPqLog.deltaTrigger()
-    assert(trig > 0.0 && trig <= s, s"trigger $trig out of (0, $s]")
+    val sPinned = IvfPqLog.ProbeCells.toDouble / IvfPqLog.CoarseK
+    val trigPinned = IvfPqLog.deltaTrigger()
+    assert(trigPinned > 0.0 && trigPinned <= sPinned,
+      s"trigger $trigPinned out of (0, $sPinned]")
     // capped regime: when the exact delta leg is cheap enough that the
     // probe-cost ratio can never exceed r, the budget-share floor holds
-    assert(IvfPqLog.deltaTrigger(maxRatio = 1.3, costRatio = 0.1) === s)
+    assert(IvfPqLog.deltaTrigger(maxRatio = 1.3, costRatio = 0.1) === sPinned)
 
     // a store with no committed generation must fold on any live data —
     // it cannot answer probes until a first generation exists
@@ -180,6 +181,16 @@ class IvfPqLogSpec extends SparkSpec {
 
     val gen = CubeLog.view(spark, dir).foldedDir.get
     val base = spark.read.parquet(s"$gen/codes").count()
+    // the boundary is pinned at the GENERATION'S OWN geometry (r15): the
+    // default fold derives k = coarseKFor(n), so the probed share — and
+    // with it f* — comes from the committed generation, not the shipped
+    // constants; the sidecar must record the derived count exactly
+    val k = IvfPqLog.storedCoarseK(spark, gen)
+    assert(k === IvfPqLog.coarseKFor(base),
+      "the fold must train at the scale-derived coarse count")
+    val sStore = IvfPqLog.probeCellsFor(k).toDouble / k
+    val trig = IvfPqLog.deltaTrigger(probeShare = sStore)
+    assert(trig > 0.0 && trig <= sStore)
     val boundary = math.ceil(base * trig).toLong
     assert(boundary >= 2L, "corpus too small to pin the boundary")
 
@@ -201,5 +212,55 @@ class IvfPqLogSpec extends SparkSpec {
     assert(spark.read.parquet(s"${v.foldedDir.get}/codes").count() === base + boundary)
     // the retrained store still answers
     assert(IvfPqLog.probeTopK(spark, dir).count() > 0L)
+  }
+
+  test("scale-derived fold geometry: the √n/budget/shortlist rules; derived stores probe at their own k; fsck guards the sidecar") {
+    // the sizing rules themselves (the VecStore.cellKFor analogues)
+    assert(IvfPqLog.coarseKFor(0L) === IvfPqLog.CoarseK)
+    assert(IvfPqLog.coarseKFor(64L) === IvfPqLog.CoarseK, "√n floored at the shipped k")
+    assert(IvfPqLog.coarseKFor(10000L) === 100)
+    assert(IvfPqLog.probeCellsFor(IvfPqLog.CoarseK) === IvfPqLog.ProbeCells,
+      "at the pinned k the derived probe width IS the oracle's 3 (share preserved)")
+    assert(IvfPqLog.probeCellsFor(100) === 25, "25%-of-cells budget at scale")
+    assert(IvfPqLog.shortlistFor(IvfPqLog.ProbeCells) === 50,
+      "at the pinned width the derived shortlist IS the oracle's 50")
+    assert(IvfPqLog.shortlistFor(25) === math.ceil(25 * 50.0 / 3).toInt,
+      "constant rerank depth per probed cell")
+
+    // a DEFAULT fold trains at the derived geometry, records it in the
+    // sidecar, and the probe self-configures from the generation — the
+    // store answers with ≥ the planted-duplicate recall the pinned store
+    // guarantees (each query's duplicate shares its cell, probed first)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_geo_").toString + "/idx"
+    val emb = graft.ops.Tables.embeddingsParallel(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val dups = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("label"), col("embedding"))
+    IvfPqLog.appendBatch(emb.unionByName(dups), dir, 0L)
+    IvfPqLog.compact(spark, dir) // derived: k = coarseKFor(n) > CoarseK here
+    val gen = CubeLog.view(spark, dir).foldedDir.get
+    val n = spark.read.parquet(s"$gen/codes").count()
+    val k = IvfPqLog.storedCoarseK(spark, gen)
+    assert(k === IvfPqLog.coarseKFor(n) && k > IvfPqLog.CoarseK,
+      s"sf0.001 corpus ($n rows) must derive k=√n > the shipped floor (got $k)")
+    assert(spark.read.parquet(s"$gen/cells").count() === k.toLong,
+      "the sidecar must record the trained cell count exactly")
+    val planted = IvfPqLog.probeTopK(spark, dir)
+      .filter(col("vec_id") === col("query_id") + 10000L)
+      .filter(col("l2_dist") === 0L)
+    assert(planted.count() > 0L,
+      "a derived-geometry store must retrieve exact duplicates through ADC+rerank")
+    assert(!StoreCheck.checkIvfPqLog(spark, dir).exists(_.severity == "error"))
+
+    // a sidecar disagreeing with the trained cells is a loud fsck error —
+    // the probe derives its width from it
+    val ckPath = new org.apache.hadoop.fs.Path(
+      gen.stripPrefix("file:"), "_ck")
+    val hfs = ckPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(ckPath, true)
+    try out.write("4".getBytes("UTF-8")) finally out.close()
+    val findings = StoreCheck.checkIvfPqLog(spark, dir)
+    assert(findings.exists(f => f.severity == "error" && f.check == "coarse-k-mismatch"),
+      findings.mkString("; "))
   }
 }
