@@ -686,6 +686,25 @@ object PostingLog {
     * re-running rebucket — or any compaction — finishes the unification.
     * Returns the committed generation. */
   def rebucket(spark: SparkSession, dir: String, newNb: Long): Long = {
+    rebucketDeferred(spark, dir, newNb)
+    val roots = dataRoots(spark, dir)
+    val chunked = spark.read.parquet(roots.head).columns.contains("chunk_date")
+    if (chunked) compactChunked(spark, dir, force = true)
+    else compact(spark, dir, force = true)
+  }
+
+  /** The FLIP half of [[rebucket]] alone — the streaming-native resize:
+    * stamp legacy roots, flip the store's landing count, and let the
+    * LANDING LOOP's next cadence fold complete the unification (the
+    * crash-ordering contract already proves a mixed-count store answers
+    * exactly, per-root, and that ANY later compaction finishes the
+    * resize). This is the variant safe to run BESIDE a live auto-cadence
+    * stream: [[CubeLog.compactFrom]]'s marker arbiter makes two
+    * concurrent compactors of one store a loud failure by design, so an
+    * operator resizing a store whose landings fold at cadence defers the
+    * fold to those landings instead of racing them. Returns true when a
+    * unifying fold is still pending (the count actually changed). */
+  def rebucketDeferred(spark: SparkSession, dir: String, newNb: Long): Boolean = {
     require(newNb > 0 && (newNb & (newNb - 1)) == 0,
       s"rebucket($dir, $newNb): bucket count must be a positive power of two " +
         "(keeps future splits local — the bucketsFor sizing rule)")
@@ -694,10 +713,7 @@ object PostingLog {
     require(roots.nonEmpty, s"empty posting store: $dir")
     roots.filter(rootNBuckets(spark, _).isEmpty)
       .foreach(writeNb(spark, _, cur)) // self-describe legacy roots FIRST
-    if (cur != newNb) writeNb(spark, dir, newNb)
-    val chunked = spark.read.parquet(roots.head).columns.contains("chunk_date")
-    if (chunked) compactChunked(spark, dir, force = true)
-    else compact(spark, dir, force = true)
+    if (cur != newNb) { writeNb(spark, dir, newNb); true } else false
   }
 
   /** [[appendBatchAuto]] for the chunked layout — same fan-in cadence

@@ -35,12 +35,24 @@ object DocStream {
   val WireDocStride = 16
 
   /** Token count and vocabulary of the derived wire document. The vocab
-    * is alphabetic and stopword-bearing so the synthetic docs flow through
-    * the REAL curation gate ([[curate]]'s Gopher rules) instead of a
-    * bypass; 12 words keeps P[no stopword in 64 draws] negligible. */
+    * must SATISFY every Gopher rule the curation gate applies, or the
+    * sweep's corpus rows silently measure an empty landing path: 40
+    * alphabetic words of length 3–6 (mean word length ≈ 4.5 ∈ [3, 10]),
+    * two stopwords (uniform draws ⇒ stop_frac ≈ 0.05 ≥ 0.02), and —
+    * the rule the original 12-word vocab FAILED, discovered r15 when the
+    * maint row's rebucket found a store no batch had ever landed into —
+    * enough distinct words that 64 uniform draws give distinct_frac ≈
+    * 0.5 ≥ the 0.3 repetition floor (12 words capped it at 12/64 =
+    * 0.19, so every wire doc was policy-rejected and the corpus rows
+    * streamed zero documents). */
   private val WireDocTokens = 64
-  private val WireDocVocab = Seq("the", "a", "data", "join", "scan", "grid",
-    "meter", "stream", "batch", "window", "merge", "index")
+  private val WireDocVocab = Seq(
+    "the", "a", "data", "join", "scan", "grid", "meter", "stream",
+    "batch", "window", "merge", "index", "probe", "shard", "fold",
+    "epoch", "table", "query", "plan", "cache", "store", "wire",
+    "crawl", "token", "label", "graph", "node", "edge", "range",
+    "delta", "bound", "hash", "cell", "code", "rank", "score",
+    "text", "word", "page", "site")
 
   /** The document side channel of the parsed meter wire, derived
     * DETERMINISTICALLY so the streaming corpus loop can land real epochs

@@ -242,7 +242,13 @@ object StreamLatencyReport {
           .writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
             val t0 = System.nanoTime()
-            graft.sources.VecStoreLog.landWireEpochChunkedAuto(b, vdir, id)
+            // plain chunked landing (train-free), ONE offline chunked
+            // fold beside the stream — the flat twin's protocol. The
+            // AUTO hook is spec-proven but mismatched to this run shape:
+            // with every epoch ≈ the whole base (10 K docs/s for ~30 s)
+            // the derived trigger fires per batch and each batch pays a
+            // full √n retrain — the tiny-corpus regime, not deployment
+            graft.sources.VecStoreLog.landWireEpochChunked(b, vdir, id)
             phaseLog.add(((System.nanoTime() - t0) / 1000000L, 0L))
             ()
           }
@@ -256,7 +262,8 @@ object StreamLatencyReport {
               graft.sources.VecStoreLog.compactChunkedWithStats(spark, vdir)
             vecFoldNotes.add(s"ingest+vec-index-chunked @$rate rows/s: mid-run " +
               s"CHUNKED fold at t+10s trained k=$k over n=$n vectors in " +
-              s"$wall ms beside the live landings (cell OUTER, crawl day INNER)")
+              s"$wall ms beside the live landings (cell OUTER, crawl day " +
+              "INNER — the retention axis in every landing and both fold trees)")
           }.failed.foreach(e =>
             vecFoldNotes.add(s"ingest+vec-index-chunked @$rate: mid-run fold FAILED — $e"))
         })
@@ -272,7 +279,9 @@ object StreamLatencyReport {
           .writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
             val t0 = System.nanoTime()
-            graft.sources.IvfPqLog.landWireEpochChunkedAuto(b, vdir, id)
+            // plain chunked landing + one offline retraining fold (see
+            // the vec twin's note on why the auto hook mismatches here)
+            graft.sources.IvfPqLog.landWireEpochChunked(b, vdir, id)
             phaseLog.add(((System.nanoTime() - t0) / 1000000L, 0L))
             ()
           }
@@ -286,7 +295,8 @@ object StreamLatencyReport {
               graft.sources.IvfPqLog.compactChunkedWithStats(spark, vdir)
             vecFoldNotes.add(s"ingest+ivfpq-index-chunked @$rate rows/s: mid-run " +
               s"CHUNKED retraining fold at t+10s (coarse k=$k + sub-codebooks) " +
-              s"over n=$n codes in $wall ms beside the live landings")
+              s"over n=$n codes in $wall ms beside the live landings — both " +
+              "generation trees carry the retention axis")
           }.failed.foreach(e =>
             vecFoldNotes.add(s"ingest+ivfpq-index-chunked @$rate: mid-run fold FAILED — $e"))
         })
@@ -337,8 +347,25 @@ object StreamLatencyReport {
           val maint = new Thread(() => {
             Thread.sleep(10000L)
             scala.util.Try {
+              // a store mid-stream may not have COMMITTED its first epoch
+              // yet at t+10s (stream start + first batch can take longer)
+              // — retry the flip until a committed root exists
+              val deadline = System.nanoTime() + 30000000000L
               val t0 = System.nanoTime()
-              graft.sources.PostingLog.rebucket(spark, s"$base/postings", 32L)
+              // the STREAMING-NATIVE resize: flip the landing count and
+              // let the loop's own cadence fold unify — a forced fold
+              // here would race the in-loop auto compactor, which the
+              // CubeLog marker arbiter makes a loud failure by design
+              var flipped: Option[Boolean] = None
+              var lastErr: Option[Throwable] = None
+              while (flipped.isEmpty && System.nanoTime() < deadline) {
+                try flipped = Some(graft.sources.PostingLog
+                  .rebucketDeferred(spark, s"$base/postings", 32L))
+                catch { case t: Throwable => lastErr = Some(t) }
+                if (flipped.isEmpty) Thread.sleep(1000L)
+              }
+              val pending = flipped.getOrElse(
+                sys.error(s"posting store never committed a first epoch — last: $lastErr"))
               val rbMs = (System.nanoTime() - t0) / 1000000L
               val t1 = System.nanoTime()
               val findings = graft.sources.StoreCheck.checkCorpus(spark,
@@ -346,9 +373,10 @@ object StreamLatencyReport {
               val fsckMs = (System.nanoTime() - t1) / 1000000L
               val errs = findings.count(_.severity == "error")
               vecFoldNotes.add(s"ingest+corpus-maint @$rate rows/s: mid-run " +
-                s"rebucket(32) of the live posting store took $rbMs ms, " +
-                s"cross-surface fsck $fsckMs ms ($errs errors) — both beside " +
-                "the landings")
+                s"DEFERRED rebucket(32) of the live posting store flipped in " +
+                s"$rbMs ms (unifying fold ${if (pending) "rides the next " +
+                  "cadence fold" else "not needed"}), cross-surface fsck " +
+                s"$fsckMs ms ($errs errors) — both beside the landings")
             }.failed.foreach(e =>
               vecFoldNotes.add(s"ingest+corpus-maint @$rate: mid-run maintenance FAILED — $e"))
           })
@@ -515,8 +543,8 @@ object StreamLatencyReport {
         Seq(160000L, 640000L).map(("ingest-avro", _)) ++
         Seq(160000L, 640000L).map(("ingest-avro-parse-only", _)) ++
         Seq(160000L).map(("ingest-default-wire", _)) ++
-        Seq(160000L).map(("ingest+corpus", _)) ++
-        Seq(160000L).map(("ingest+corpus-maint", _)) ++
+        Seq(40000L, 80000L, 160000L).map(("ingest+corpus", _)) ++
+        Seq(40000L, 160000L).map(("ingest+corpus-maint", _)) ++
         Seq(40000L, 160000L).map(("ingest+corpus-chunked", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+mart", _)) ++
         Seq(40000L, 160000L, 640000L).map(("ingest+cusum", _)) ++
@@ -604,13 +632,18 @@ object StreamLatencyReport {
     sb.append("bounded by the code-derived cadence (IvfPqLog.shouldCompact);\n")
     sb.append("`ingest+vec-index-chunked` / `ingest+ivfpq-index-chunked` (r15) are\n")
     sb.append("the same two loops with the CALENDAR RETENTION AXIS riding every\n")
-    sb.append("landing: each batch's derived embeddings land with their reading's\n")
-    sb.append("crawl date through the AUTO-CADENCE hook (landWireEpochChunkedAuto —\n")
-    sb.append("the derived fold trigger fires inside the measured loop), plus one\n")
-    sb.append("mid-run CHUNKED retraining fold beside the landings (cell OUTER,\n")
-    sb.append("crawl day INNER — probes prune unchanged, expiring a day stays\n")
-    sb.append("bounded directory deletes; VecChunkedRetentionSpec is the proof of\n")
-    sb.append("equivalence, these rows the measured rate);\n")
+    sb.append("landing (landWireEpochChunked: crawl day = the reading's own date,\n")
+    sb.append("cell OUTER / crawl day INNER in the folds — probes prune unchanged,\n")
+    sb.append("expiring a day stays bounded directory deletes), with one mid-run\n")
+    sb.append("CHUNKED retraining fold beside the landings, exactly the flat\n")
+    sb.append("twins' protocol. The AUTO hook (landWireEpochChunkedAuto) is\n")
+    sb.append("spec-proven (VecChunkedRetentionSpec) but mismatched to this run\n")
+    sb.append("shape — with every epoch comparable to the whole base the derived\n")
+    sb.append("trigger fires per batch and each batch pays a full sqrt(n) retrain\n")
+    sb.append("(the tiny-corpus regime, not deployment: at production sizes f*\n")
+    sb.append("fires rarely); and a side-thread fold CONCURRENT with in-loop auto\n")
+    sb.append("folds is a loud failure by design (the CubeLog marker arbiter — the\n")
+    sb.append("first draft of these rows demonstrated it live);\n")
     sb.append("`ingest+late-refresh` is `ingest+disk-mart` under CONTINUOUS late\n")
     sb.append("pressure — 5% of meters are a replaying backfill shard re-dated one\n")
     sb.append("day back, so every batch lands below bronze's high-water mark and\n")
@@ -645,13 +678,15 @@ object StreamLatencyReport {
     sb.append("dedup sigs) — the cost of the retention-by-directory-drop story at\n")
     sb.append("landing time is the delta between the two rows.\n")
     sb.append("`ingest+corpus-maint` (r15) is `ingest+corpus` with LIVE MAINTENANCE\n")
-    sb.append("beside the landings: at t+10s the offline thread rebuckets the\n")
-    sb.append("posting store to a new power-of-two count (the one-fold resize;\n")
-    sb.append("per-root _nb keeps every probe exact mid-transition) and then runs\n")
-    sb.append("the cross-surface fsck (StoreCheck.checkCorpus, bronze↔derived both\n")
-    sb.append("directions) — the row's proc/input answers whether the wire anchor\n")
-    sb.append("is sustained THROUGH a resize plus a full integrity audit (walls in\n")
-    sb.append("the fold note below).\n")
+    sb.append("beside the landings: at t+10s the offline thread runs the DEFERRED\n")
+    sb.append("rebucket (PostingLog.rebucketDeferred — stamp roots, flip the\n")
+    sb.append("landing count, let the loop's own cadence fold unify; per-root _nb\n")
+    sb.append("keeps every probe exact mid-transition, and a forced fold here\n")
+    sb.append("would race the in-loop compactor) and then the cross-surface fsck\n")
+    sb.append("(StoreCheck.checkCorpus, bronze↔derived both directions) — the\n")
+    sb.append("row's proc/input answers whether the wire anchor is sustained\n")
+    sb.append("THROUGH a resize plus a full integrity audit (walls in the fold\n")
+    sb.append("note below).\n")
     sb.append("`behind` is the\n")
     sb.append("Kafka-lag analogue, source latestOffset − batch endOffset, in the\n")
     sb.append("source's offset unit (SECONDS of backlog for the rate source; 0 =\n")
@@ -804,15 +839,37 @@ object StreamLatencyReport {
     sb.append("switch exercised end to end (sustained, proc/input ~0.99-1.01),\n")
     sb.append("replacing the JSON `ingest` row's 0.93 NO as the shipped-config answer\n")
     sb.append("at the anchor; the JSON rows remain as the measured compat cost.\n\n")
-    sb.append("The corpus rows put the r14 chunked streaming drive on the record:\n")
-    sb.append("`ingest+corpus-chunked` sustains the 160 K anchor within the boundary\n")
-    sb.append("band (proc/input ~0.97-1.00, backlog 0) with bronze + posting index +\n")
-    sb.append("dedup state all landing CALENDAR-CHUNKED in the micro-batch, within\n")
-    sb.append("jitter of the flat `ingest+corpus` row — the retention axis costs a\n")
-    sb.append("partition column in each write, not a second pipeline. A corpus\n")
-    sb.append("streamed this way can be aged out by CorpusRtbf.expireEverywhere\n")
-    sb.append("with driver-side directory drops (DocStreamSpec proves stream-built\n")
-    sb.append("chunked ≡ batch-built chunked store answers).\n")
+    sb.append("\n### r15 note: the corpus rows measure REAL landings; live maintenance beside them\n\n")
+    sb.append("Round 15 found that every wire-derived document had been REJECTED by\n")
+    sb.append("the curation gate since the projection was introduced: the original\n")
+    sb.append("12-word synthetic vocabulary capped distinct_frac at 12/64 = 0.19,\n")
+    sb.append("under the Gopher repetition floor of 0.3, so curate emitted zero rows\n")
+    sb.append("and the r14 corpus rows measured parse + dedup-state only — the\n")
+    sb.append("foreachBatch landing bodies never ran. (Found when the maint row's\n")
+    sb.append("mid-run rebucket kept failing on a posting store no batch had ever\n")
+    sb.append("landed into — the maintenance row audited the measurement itself.)\n")
+    sb.append("The vocabulary now satisfies every gate rule (40 words,\n")
+    sb.append("distinct_frac ~0.5, stop_frac ~0.05, ~84% of docs pass), and with\n")
+    sb.append("landings REAL the triple-surface loop (bronze dedup anti-join +\n")
+    sb.append("posting landing + dedup signatures/labels per micro-batch, 1 doc per\n")
+    sb.append("16 wire rows) sustains the 40 K wire row (~2.5 K docs/s, the\n")
+    sb.append("at-capacity band across flat/chunked/maint variants) and does NOT\n")
+    sb.append("keep up at 160 K on local[32] (0.37-0.52) — the honest single-node\n")
+    sb.append("capacity of maintaining three index surfaces inside the landing\n")
+    sb.append("loop. At cluster scale the loop shards by doc hash across executors,\n")
+    sb.append("so the 40 K single-node row is the per-node budget, not the system\n")
+    sb.append("ceiling; the 160 K rows stay as measured overload behavior (backlog\n")
+    sb.append("0 while batches grow — micro-batch saturation). ingest+corpus-maint\n")
+    sb.append("runs the DEFERRED rebucket (10-17 ms flip; the unifying fold rides\n")
+    sb.append("the loop's cadence fold) plus the full cross-surface fsck (~4 s,\n")
+    sb.append("0 errors) beside the landings with the 40 K row YES at 0.97. The\n")
+    sb.append("chunked VECTOR wire rows land the retention axis at the full 160 K\n")
+    sb.append("anchor (meter-stride side channels, not doc-gated): vec 1.00 YES,\n")
+    sb.append("ivfpq 0.93 at-capacity, each with one mid-run CHUNKED retraining\n")
+    sb.append("fold beside the landings. A corpus streamed chunked is aged out by\n")
+    sb.append("CorpusRtbf.expireEverywhere with driver-side directory drops\n")
+    sb.append("(DocStreamSpec proves stream-built chunked ≡ batch-built chunked\n")
+    sb.append("store answers — that equivalence was never affected).\n")
     sb.append("\nThe YES/NO verdict carries a 5% slack (processed >= 0.95x input with\n")
     sb.append("flat backlog); rows whose proc/input sits inside 0.95-1.05 are AT\n")
     sb.append("CAPACITY and flip with run-to-run jitter — read the ratio, not the\n")

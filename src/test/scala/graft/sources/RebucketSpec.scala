@@ -85,6 +85,36 @@ class RebucketSpec extends SparkSpec {
       === withLive._1.filterNot(x => req.contains(x._1)))
   }
 
+  test("rebucketDeferred: the streaming-native resize — flip now, the next fold unifies, answers identical throughout") {
+    val d = docs.localCheckpoint(eager = true)
+    val ref = Files.createTempDirectory("rebucket_def_ref_").toString + "/idx"
+    PostingLog.appendBatch(d, ref, 0L)
+    val expected = answers(ref)
+
+    val dir = Files.createTempDirectory("rebucket_def_").toString + "/idx"
+    PostingLog.appendBatch(d.filter(pmod($"doc_id", lit(2L)) === 0L), dir, 0L)
+    PostingLog.appendBatch(d.filter(pmod($"doc_id", lit(2L)) === 1L), dir, 1L)
+    // flip only: the store's landing count changes, NOTHING folds — the
+    // variant safe to run beside a live auto-cadence stream (a forced
+    // fold would race the in-loop compactor)
+    assert(PostingLog.rebucketDeferred(spark, dir, 64L))
+    assert(PostingLog.storedNBuckets(spark, dir) === Some(64L))
+    assert(!new File(dir).listFiles().exists(_.getName.startsWith("folded_gen=")),
+      "the deferred flip must not fold")
+    // mid-transition: old-count roots answer at their OWN recorded count
+    assert(answers(dir) === expected, "mixed-count store answers exactly")
+    // a new landing buckets at the NEW count; probes still exact
+    PostingLog.appendBatch(
+      d.limit(50).select(($"doc_id" + 1000000L).as("doc_id"), $"text"), dir, 2L)
+    // "any compaction finishes the unification" — the next (cadence) fold
+    PostingLog.compact(spark, dir, force = true)
+    val gen = CubeLog.view(spark, dir).foldedDir.get
+    assert(PostingLog.rootNBuckets(spark, gen) === Some(64L),
+      "the fold unified the store at the flipped count")
+    // flip to the same count is a no-op (nothing pending)
+    assert(!PostingLog.rebucketDeferred(spark, dir, 64L))
+  }
+
   test("bucketsFor sizes the landing count and the chunked layout carries per-root counts too") {
     // the sizing rule composes with the landing parameter: a 'deployment'
     // derives its count and passes it through — pure arithmetic here
