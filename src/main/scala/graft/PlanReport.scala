@@ -223,7 +223,9 @@ object PlanReport {
     "ivfpq_expire_probe" ->
       "Calendar retention on the compressed index (r14): the post-expiry probe is the ordinary ADC path — codes joined ON the cell id under the chunked codes/cell=K/chunk_date=D layout, shortlist, exact rerank against the vectors tree. Expiry dropped (cell, date) composites on BOTH generation trees driver-side; the full-corpus-trained survivor-filtered oracle hashing equal proves expired codes score in no shortlist and expired vectors rerank nowhere.",
     "corpus_expire_everywhere" ->
-      "ONE retention cutoff orchestrated across all five surfaces (r14, the retention twin of corpus_erase_everywhere): the post-expiry plan is the same two-tower hybrid probe (tb-pruned BM25 leg over per-date stats that decremented by construction, cell-pruned ANN leg) with the five RETAINED-row counts as literal receipt columns. The expiry itself was driver-side directory drops on every surface (dedup labels repaired for components that lost expired members); the survivor-corpus oracle re-deriving both towers AND every receipt count proves one cutoff aged the whole corpus out coherently.")
+      "ONE retention cutoff orchestrated across all five surfaces (r14, the retention twin of corpus_erase_everywhere): the post-expiry plan is the same two-tower hybrid probe (tb-pruned BM25 leg over per-date stats that decremented by construction, cell-pruned ANN leg) with the five RETAINED-row counts as literal receipt columns — r15 adds the fsck-clean bit (fsck_errors, also a literal: the VERIFIED drive ran checkCorpus + every per-store fsck before this plan and folded the counts into the receipt). The expiry itself was driver-side directory drops on every surface (dedup labels repaired for components that lost expired members); the survivor-corpus oracle re-deriving both towers AND every receipt count proves one cutoff aged the whole corpus out coherently.",
+    "vecstore_probe_multiquery" ->
+      "Serving-shape ANN on the pure top-k path (r15 — the hybridTopKSet doctrine without the lexical tower): the query set is a FRAME (vec_id % 23 — a panel disjoint from every other probe's), ranked against the broadcast packed codebook in one projection, explode(slice(ranked, …)) fans each query to its probed cells, and ONE cell equi-join against the maintained generation binds to the partition column — dynamic partition pruning lists only the probed cell directories regardless of |queries|. One rank window partitioned by query_id. Adding a query adds broadcast rows and probe keys, never a second pass over the index.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

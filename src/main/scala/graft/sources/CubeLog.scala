@@ -260,10 +260,29 @@ object CubeLog {
     val (hfs, _) = fs(spark, dir)
     val p = claimPath(dir, batchId)
     hfs.mkdirs(p.getParent)
+    // the atomic arbiter: O_EXCL CREATE_NEW on the local filesystem
+    // (Hadoop's RawLocalFileSystem create(f, overwrite=false) is an
+    // exists-check followed by an open — two racing claimants can BOTH
+    // pass the check, which is exactly the window this guard exists to
+    // close; java.nio's CREATE_NEW maps to O_EXCL and loses that window),
+    // HDFS-atomic create(f, false) everywhere else
+    val uri = p.toUri
     val created =
       try {
-        val out = hfs.create(p, false) // no overwrite — the atomic arbiter
-        try { out.write(writer.getBytes("UTF-8")); true } finally out.close()
+        if (uri.getScheme == null || uri.getScheme == "file") {
+          val local = java.nio.file.Paths.get(uri.getPath)
+          try {
+            java.nio.file.Files.write(local, writer.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          val out = hfs.create(p, false)
+          try { out.write(writer.getBytes("UTF-8")); true } finally out.close()
+        }
       } catch { case _: java.io.IOException => false }
     if (created) return
     val holder = readToken(hfs, p)
