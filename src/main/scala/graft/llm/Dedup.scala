@@ -267,9 +267,11 @@ object Dedup {
       lc.join(ptr, col("label") === col("pnode"))
         .select(col("node"), col("plabel").as("label"))
     }
-    var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 12) {
+    var prevCnt = -1L
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    while (!converged && rounds < 12) {
       // hop → jump → hop → jump per scheduled round: the iteration is
       // latency-bound (sequential driver jobs over tiny label frames,
       // not shuffle volume — measured diameter 16 on the sf0.1 embedding
@@ -279,10 +281,20 @@ object Dedup {
       // only decrease and every intermediate label is an in-component
       // node id, so next == labels forces hop(labels) == labels (the
       // one-hop fixpoint, which is the component min).
+      //
+      // Convergence witness (r15): the node set is fixed after round 1
+      // (hop unions neighbors of existing nodes; jump's inner join keeps
+      // every node) and labels are monotone NON-INCREASING per node, so
+      // (count, Σlabel) unchanged across a round ⟺ no label changed —
+      // one tiny map-side-combinable aggregate replaces the former
+      // next⋈labels diff-count join (−2 stages per round, same rounds,
+      // same fixpoint; Σ as decimal(38,0) cannot overflow at any scale).
       val next = jump(hop(jump(hop(labels)))).localCheckpoint(eager = false)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val st = next.agg(count(lit(1)),
+        sum(col("label").cast("decimal(38,0)"))).head()
+      val (c, sm) = (st.getLong(0), st.getDecimal(1))
+      converged = prevCnt == c && prevSum != null && prevSum.compareTo(sm) == 0
+      prevCnt = c; prevSum = sm
       labels = next
       rounds += 1
     }
@@ -383,8 +395,60 @@ object Dedup {
     edges >= StarEdgeCount ||
       (nodes > 0 && 2.0 * edges / nodes >= StarMeanDegree)
 
-  /** Resolve components with the regime picked by [[chooseStar]] from
-    * the measured (|V|, |E|) of this pair graph. */
+  /** Driver-side resolution bound for [[clusterLabelsAuto]] (r15, guide
+    * §2.6 latency): below this edge count the pair graph is collected and
+    * resolved by union-find in microseconds instead of 40-100 sequential
+    * Spark stage barriers of min-label/star rounds — profiled at sf0.1,
+    * component resolution was the dominant cost of four registered
+    * queries (~2 s each) on pair graphs of 1-3 K edges; the stages were
+    * empty-shuffle scheduling, not data. 1 M edges ≈ 16 MB on the driver
+    * — the broadcast-join small-side budget applied to the CC axis; the
+    * label output re-enters the plan as a broadcast-joinable local
+    * relation. Beyond the bound the distributed resolvers take over
+    * unchanged. All three resolvers label every node with its component
+    * MIN, so the regime never changes answers — only the plan
+    * (ResolverChoiceSpec pins all three value-identical). */
+  private[graft] val DriverCcEdges = 1000000L
+
+  /** Collect a provably small pair graph and resolve components with
+    * union-find (path-halving); output = (node, label = component min) —
+    * exactly the fixpoint the distributed resolvers reach. */
+  private[graft] def clusterLabelsDriver(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col("d1").cast("long"), col("d2").cast("long")).collect()
+    require(edges.length <= DriverCcEdges,
+      s"clusterLabelsDriver: |E|=${edges.length} exceeds $DriverCcEdges — route to a distributed resolver")
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; ids.length - 1 })
+    val es = edges.map(r => (id(r.getLong(0)), id(r.getLong(1))))
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Int, Long]
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      if (ids(i) < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = ids(i)
+      i += 1
+    }
+    val rows = (0 until ids.length).map(j => (ids(j), minOf(find(j))))
+    import spark.implicits._
+    spark.createDataset(rows).toDF("node", "label")
+  }
+
+  /** Resolve components with the regime picked from the measured
+    * (|V|, |E|) of this pair graph: driver union-find below
+    * [[DriverCcEdges]], else stars vs min-label by [[chooseStar]]. */
   private[graft] def clusterLabelsAuto(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val e = pairs.toDF("d1", "d2").filter(col("d1") =!= col("d2"))
@@ -393,7 +457,9 @@ object Dedup {
       .unionByName(e.select(col("d2").as("n")))
       .agg(countDistinct(col("n")).as("nodes"), count(lit(1)).as("deg2"))
       .head()
-    if (chooseStar(st.getLong(0), st.getLong(1) / 2)) clusterLabelsStar(e)
+    val (nodes, edges) = (st.getLong(0), st.getLong(1) / 2)
+    if (st.getLong(1) <= DriverCcEdges) clusterLabelsDriver(e)
+    else if (chooseStar(nodes, edges)) clusterLabelsStar(e)
     else clusterLabels(e)
   }
 
@@ -453,17 +519,43 @@ object Dedup {
     }) { (s, d) =>
       val kq = EditK * TextHash.ShingleLen
       val docs = Tables.documentsParallel(s, d)
-      val sh = docs.select(col("doc_id"),
-        explode(TextHash.shingleHashArray(col("text"))).as("h"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val cand = sh.as("x")
-        .join(sh.as("y"),
+      // per-doc sorted distinct shingle-hash sets (the ngram-jaccard
+      // layout): feeds the prefix, the candidate verify, and the sizes
+      val ds = docs.select(col("doc_id"),
+        sort_array(TextHash.shingleHashArray(col("text"))).as("hs"))
+        .withColumn("n", size(col("hs")))
+        .localCheckpoint(eager = false)
+      val hs = ds.select(col("doc_id"), explode(col("hs")).as("h"))
+      val sizes = ds.select(col("doc_id"), col("n"))
+      // Ed-Join prefix filter (Xiao et al. prefix-filtering lemma applied
+      // to the q-gram count bound; r15 — guide §2.3/§3.2): a candidate
+      // pair must share ≥ max(n1,n2) − K·q shingles, so under ANY global
+      // token order their (K·q + 1)-prefixes must intersect (if A's whole
+      // prefix missed B, A would carry K·q+1 shingles outside B). The
+      // candidate join therefore touches only each doc's K·q+1 RAREST
+      // shingles (rarest-first order concentrates selectivity) instead of
+      // all ~2K — the full-shingle self-join + per-pair count was the
+      // query's dominant stage (profiled 18.8 cpu-s, 47 MB shuffle; now
+      // the intersection count runs as the codegen'd sorted-merge walk on
+      // surviving candidates only). Lossless: every count-filter survivor
+      // shares a prefix token, and the count filter itself is unchanged.
+      val freq = hs.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      val prefix = hs
+        .join(freq, "h")
+        .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("f"), col("h"))))
+        .filter(col("r") <= kq + 1)
+        .select(col("doc_id"), col("h"))
+      val cand = prefix.as("x")
+        .join(prefix.as("y"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .agg(count(lit(1)).as("nc"))
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-        .filter(col("nc") >= col("n1") - kq && col("nc") >= col("n2") - kq)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+        .join(ds.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1")), Seq("d1"))
+        .join(ds.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2")), Seq("d2"))
+        .filter(graft.functions.SortedIntersectCount(col("hs1"), col("hs2"))
+          >= greatest(col("n1"), col("n2")) - kq)
         .select(col("d1"), col("d2"))
       // both-short pairs the shingle join cannot see: length-band equi-join
       // (band width K+1 ⇒ |len diff| ≤ K pairs are in adjacent bands; the

@@ -124,20 +124,22 @@ object Similarity {
       // oracle's ORDER BY ccos DESC, c_id)
       val assigned = assignRanked(qe, cents)
         .select(expr("ranked[0].id").as("c_id"), col("qv"))
-      // element-wise sums as 64 codegen'd sum() columns in ONE hash agg
-      // (map-side partials over k=8 groups; the old posexplode →
-      // groupBy(c_id, pos) → collect_list chain was two exchanges plus a
-      // 64×n row explode per iteration, and Lloyd's per-stage overhead —
-      // not the arithmetic — dominated the IVF queries). The truncated
-      // mean per element: same exact long sums, Spark `div` ≡ DuckDB `//`
-      // (both truncate toward zero), so centroids are bit-identical to
-      // the oracle's list(s // n ORDER BY pos).
-      val dimSums = (0 until 64).map(i => sum(col("qv")(i)).as(s"s$i"))
+      // element-wise sums through ONE native array aggregate
+      // ([[graft.functions.VecSumCount]], r15): the 64-separate-sum()
+      // form before it planned 65 aggregate expressions whose buffer
+      // field count broke the aggregate's codegen fast path and paid 64
+      // per-column buffer updates per row; the typed aggregate does one
+      // tight long[]-loop per row and still partial-aggregates map-side
+      // (ObjectHashAggregate). The truncated mean per element: same
+      // exact long sums (addition associative ⇒ partitioning-safe),
+      // Spark `div` ≡ DuckDB `//` (both truncate toward zero), so
+      // centroids are bit-identical to the oracle's
+      // list(s // n ORDER BY pos).
       cents = assigned
         .groupBy(col("c_id"))
-        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .agg(graft.functions.VecSumCount(col("qv")).as("sc"))
         .select(col("c_id"),
-          array((0 until 64).map(i => expr(s"s$i div n")): _*).as("cqv"))
+          expr("transform(slice(sc, 2, 64), s -> s div sc[0])").as("cqv"))
         .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
         // LAZY lineage truncation on the k-row frame, one per round (the
         // star-contraction doctrine, Dedup.scala): without any checkpoint
@@ -445,13 +447,15 @@ object Similarity {
     val cb0 = subs.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cqv"))
       .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
-    val dimSums = (0 until PqSubDim).map(i => sum(col("sv")(i)).as(s"s$i"))
+    // element-wise sums through the native array aggregate (the
+    // [[lloydCentroids]] r15 shape — same exact long sums, same
+    // truncated-mean arithmetic, one buffer instead of PqSubDim+1)
     pqAssign(subs, pqPacked(cb0))
       .select(col("m"), expr("best.id").as("c_id"), col("sv"))
       .groupBy(col("m"), col("c_id"))
-      .agg(count(lit(1)).as("n"), dimSums: _*)
+      .agg(graft.functions.VecSumCount(col("sv")).as("sc"))
       .select(col("m"), col("c_id"),
-        array((0 until PqSubDim).map(i => expr(s"s$i div n")): _*).as("cqv"))
+        expr(s"transform(slice(sc, 2, $PqSubDim), s -> s div sc[0])").as("cqv"))
       .withColumn("cnorm2", FixedPointDot(col("cqv"), col("cqv")))
       .localCheckpoint(eager = false) // feeds encode + query tables
   }
@@ -1057,17 +1061,16 @@ object Similarity {
   /** SemDeDup (Abbas et al. 2023): semantic deduplication end-to-end —
     * embedding near-dup PAIRS (the banded multi-probe LSH, [[lshPairs]])
     * resolved into connected components, one keeper per semantic cluster
-    * (the min vec_id), singletons keep themselves. Components use
-    * [[Dedup.clusterLabels]] min-label propagation: the 0.4-threshold
-    * embedding pair graph chains long (measured diameter 16 at sf0.1), so
-    * propagation pays 16 rounds — but each round is ONE join + one
-    * groupBy on the tiny label frame, and the measured alternative
-    * ([[Dedup.clusterLabelsStar]], ~5 rounds of two sym/distinct/groupBy
-    * passes plus except-based convergence) ran 6.8-8 s vs propagation's
-    * ~4.7 s at sf0.1 — fewer rounds lost to heavier rounds at this pair
-    * volume. At extreme scale/diameter the star path stands ready. This
-    * operator turns a pair list into an actionable keep/drop verdict per
-    * vector; at 100 TB the pair graph is ≪ corpus (only verified ≥τ
+    * (the min vec_id), singletons keep themselves. Components go through
+    * [[Dedup.clusterLabelsAuto]] (r15): the measured sf0.1 pair graph is
+    * ~1-2 K edges, where EVERY distributed resolver is stage-barrier
+    * bound (min-label's diameter-16 hop rounds profiled as ~80 of this
+    * query's 122 sequential jobs at ~45 ms each; stars measured 6.8-8 s)
+    * — the chooser's driver union-find regime resolves it in
+    * microseconds and re-enters the plan as a broadcast. At real pair
+    * volume the chooser routes to the distributed resolvers unchanged.
+    * This operator turns a pair list into an actionable keep/drop verdict
+    * per vector; at 100 TB the pair graph is ≪ corpus (only verified ≥τ
     * pairs), so the iterative frames the rounds shuffle are tiny even
     * when the corpus is not. */
   lazy val semanticKeepQuery: GraftQuery =
@@ -1089,7 +1092,7 @@ object Similarity {
          |  vec_id = cluster_keeper AS keep
          |FROM labeled""".stripMargin) { (s, d) =>
       val pairs = lshPairs(s, d).select(col("v1").as("d1"), col("v2").as("d2"))
-      val labels = Dedup.clusterLabels(pairs)
+      val labels = Dedup.clusterLabelsAuto(pairs)
       val w = Window.partitionBy(col("cluster_keeper"))
       quantized(s, d).select(col("vec_id"))
         .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")

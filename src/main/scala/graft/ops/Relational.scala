@@ -970,8 +970,16 @@ object Relational {
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
         |SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS support
         |FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin) { (s, d) =>
+      // pinned-width repartition on the join key (r15, the
+      // dedup_edit_distance lesson): AQE's size-based coalescing folds
+      // the ~6 MB distinct output to a handful of partitions, which then
+      // serialize the compute-heavy pair-generation join (profiled: the
+      // pair stage ran 1.7 cpu-s on 5 tasks). The explicit repartition
+      // re-states parallelism AND is the join's own key, so both sides
+      // of the self-join reuse it — no extra exchange in the join.
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
       items.as("a")
         .join(items.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&

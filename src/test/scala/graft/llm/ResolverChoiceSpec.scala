@@ -47,9 +47,26 @@ class ResolverChoiceSpec extends SparkSpec {
       val auto = labelSet(Dedup.clusterLabelsAuto(pairs))
       assert(auto === labelSet(Dedup.clusterLabels(pairs)), s"$name vs min-label")
       assert(auto === labelSet(Dedup.clusterLabelsStar(pairs)), s"$name vs stars")
+      assert(auto === labelSet(Dedup.clusterLabelsDriver(pairs)), s"$name vs driver")
       // every node labeled with its component MIN
       val mins = auto.groupBy(_._2).keySet
       assert(auto.forall { case (n, l) => l <= n && mins.contains(l) })
     }
+  }
+
+  test("driver union-find regime (r15): tiny graphs resolve on the driver, bound enforced") {
+    // auto routes everything under DriverCcEdges to the driver resolver;
+    // the resolver itself refuses graphs over the bound (belt against a
+    // future caller skipping the chooser)
+    assert(Dedup.DriverCcEdges === 1000000L)
+    // adversarial shapes for union-find: long chain (path compression),
+    // reversed chain (min arrives last), duplicate + self edges
+    val chain = (0L until 200L).map(i => (i + 1, i)) // reversed: min is the tail
+    val withDups = chain ++ chain ++ Seq((5L, 5L), (300L, 301L), (301L, 300L))
+    val labels = Dedup.clusterLabelsDriver(
+        withDups.toDF("d1", "d2").filter($"d1" =!= $"d2"))
+      .as[(Long, Long)].collect().toSet
+    val expected = (0L to 200L).map(n => (n, 0L)).toSet ++ Set((300L, 300L), (301L, 300L))
+    assert(labels === expected)
   }
 }
