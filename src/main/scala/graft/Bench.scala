@@ -36,6 +36,16 @@ object Bench {
       // keep ObjectHashAggregate (TypedImperativeAggregate sketches) in
       // hash mode instead of per-partition sort fallback at 128 groups
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // always use the sort-based shuffle writer (r15, guide §2.2): below
+      // 200 reduce partitions Spark's bypass writer opens one file PER
+      // (map task × reduce partition) — at local[32]×32 that is ~1024
+      // file creations per exchange, and executor stack samples showed
+      // tasks blocked in FileOutputStream.open, not compute. Production
+      // shuffles (R > 200) take the sort writer anyway — this makes the
+      // local bench exercise the same writer, one indexed file per map
+      // task at any R. Measured: −0.3..−0.6 s on every shuffle-dense
+      // query (sim_ivfpq_topk 2.9→2.4, dedup_ngram_jaccard 1.7→1.2).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -17,6 +17,10 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // sort-based shuffle writer by default (the Bench.scala r15 setting;
+      // production R > 200 shuffles use it anyway) — env knob kept for A/B
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -134,10 +134,13 @@ object CorpusSignals {
          |SELECT doc_id, token, tf, score, rank FROM ranked WHERE rank <= 3""".stripMargin) {
       (s, d) =>
       val docs = Tables.documentsParallel(s, d)
+      // localCheckpoint (r15): tf feeds the df re-agg AND the score join —
+      // un-cached, the tokenize + (doc, token) agg ran twice
       val tf = docs
         .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = false)
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val wDoc = Window.partitionBy(col("doc_id"))
@@ -186,12 +189,15 @@ object CorpusSignals {
          |  CAST(CASE WHEN score // n_tokens >= (SELECT avg_w FROM tot)
          |       THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM scored""".stripMargin) { (s, d) =>
+      // localCheckpoint (r15): docb feeds the bucket re-agg AND the score
+      // join — un-cached, the tokenize + md5-bucket + agg pass ran twice
       val docb = Tables.documentsParallel(s, d)
         .select(col("doc_id"), col("lang"),
           explode(TextAnalysis.words(col("text"))).as("token"))
         .withColumn("b", TextHash.h64(col("token")) % DsirBuckets)
         .groupBy(col("doc_id"), col("lang"), col("b"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false)
       val bw = docb.groupBy(col("b"))
         .agg(sum(col("n")).as("cn"),
           sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tn"))
@@ -234,10 +240,12 @@ object CorpusSignals {
         |  CAST((oov_tokens * 1000) // n_tokens AS BIGINT) AS oov_permille
         |FROM perdoc""".stripMargin) { (s, d) =>
       val docs = Tables.documentsParallel(s, d)
+      // localCheckpoint (r15): tf feeds the vocab re-agg AND the OOV join
       val tf = docs
         .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = false)
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val vocab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
@@ -291,6 +299,11 @@ object CorpusSignals {
         .select(col("doc_id"), col("pr.w1"), col("pr.w2"))
         .groupBy(col("doc_id"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("tf"))
+        // localCheckpoint (r15): dp feeds c2 AND the scoring join — the
+        // profiled plan tokenized + bigram-aggregated the corpus twice
+        // (two identical 4.9 MB exchanges, ~11 cpu-s of a 1.6 s query);
+        // the ~5 MB (doc, w1, w2, tf) frame is cached once instead
+        .localCheckpoint(eager = false)
       val c2 = dp.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
       val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       dp.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))

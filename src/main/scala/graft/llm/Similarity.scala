@@ -100,13 +100,16 @@ object Similarity {
     * the persisted-index probe path loads the packed row straight off
     * parquet and skips the k-row collect/pack job entirely. */
   private[graft] def assignRankedPacked(qe: DataFrame, packed: DataFrame): DataFrame =
+    // ranking through the native [[graft.functions.CosRankCells]] (r15):
+    // the former array_sort(zip_with(zip_with(…))) chain evaluated its
+    // lambdas interpreted per element (~0.5-1 ms/row at k=32-45), which
+    // made ASSIGNMENT, not dot products, the dominant CPU of every Lloyd
+    // round / encode / probe. Same doubles in the same operation order,
+    // same (nc, id) ascending order — bit-identical ranked array.
     qe.crossJoin(broadcast(packed))
       .withColumn("dots", graft.functions.FixedPointDotMulti(col("qv"), col("cqvs")))
-      .withColumn("ranked", expr(
-        """array_sort(zip_with(
-          |  zip_with(dots, cnorms, (dd, cn) ->
-          |    CAST(dd AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))),
-          |  cids, (co, id) -> named_struct('nc', -co, 'id', id)))""".stripMargin))
+      .withColumn("ranked", graft.functions.CosRankCells(
+        col("dots"), col("cnorms"), col("cids"), col("norm2")))
 
   private[graft] def lloydCentroids(qe: DataFrame, k: Int, iters: Int): DataFrame = {
     // seeds = the k SMALLEST vec_ids present (TakeOrderedAndProject — k
@@ -422,12 +425,13 @@ object Similarity {
     * [[FixedPointDotMulti]] pass; argmin of ‖c‖² − 2·x·c (the monotone
     * L2 surrogate) with ties to the smallest c_id, as `best.id`. */
   private def pqAssign(subs: DataFrame, cbRow: DataFrame): DataFrame =
+    // native argmin ([[graft.functions.ArgMinScoreId]], r15) instead of
+    // the interpreted sort-then-take-head HOF chain — same (sc, id)
+    // ascending minimum, exact long arithmetic, bit-identical best cell
     subs.join(broadcast(cbRow), "m")
       .withColumn("dots", graft.functions.FixedPointDotMulti(col("sv"), col("cqvs")))
-      .withColumn("best", expr(
-        """array_sort(zip_with(
-          |  zip_with(cnorms, dots, (cn, dd) -> cn - 2 * dd),
-          |  cids, (sc, id) -> named_struct('sc', sc, 'id', id)))[0]""".stripMargin))
+      .withColumn("best", graft.functions.ArgMinScoreId(
+        col("dots"), col("cnorms"), col("cids")))
 
   /** One Lloyd round per subspace over exploded sub-vectors: seeds are the
     * [[PqK]] smallest vec_ids, update is the exact truncated mean per

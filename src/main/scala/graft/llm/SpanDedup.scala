@@ -55,16 +55,25 @@ object SpanDedup {
     docsRaw.select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
 
   /** Positional `n`-gram hashes: one 16-byte (doc_id, pos, gh) row per
-    * gram — the relation every span operator shuffles. */
+    * gram — the relation every span operator shuffles.
+    *
+    * r15: the hashes come from ONE [[graft.functions.PosGramHashes]] pass
+    * per document (value-identical to the per-position
+    * h64(array_join(slice(…)))), and the compact per-doc hash array is
+    * lazily checkpointed BEFORE the explode — every span operator consumes
+    * posGrams twice (the dup-gram aggregate and the hit join), which
+    * re-ran the whole gram-hash computation per consumer (profiled: the
+    * two gram stages were ~8.6 cpu-s of dedup_span_exact's 2.2 s). */
   private def posGramsOf(docs: org.apache.spark.sql.DataFrame, n: Int) =
-    // size(ws) >= n BEFORE sequence(): Spark's sequence(1, 0) steps
-    // DOWN to [1, 0] (the ANSI out-of-bounds trap), it is not empty
+    // size(ws) >= n matches the former explode bounds (sequence(1, 0)
+    // steps DOWN — the ANSI out-of-bounds trap the filter guards)
     docs
       .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        TextHash.h64(array_join(slice(col("ws"), col("pos"), lit(n)), " ")).as("gh"))
+      .select(col("doc_id"),
+        graft.functions.PosGramHashes(col("ws"), n).as("ghs"))
+      .localCheckpoint(eager = false)
+      .select(col("doc_id"), posexplode(col("ghs")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("gh"))
 
   /** Island merge: maximal contiguous spans (doc_id, span_id, s, e) from
     * hit intervals (doc_id, pos, end_pos) — the classic running-max-end

@@ -137,8 +137,14 @@ object TextAnalysis {
       // string: set-equivalent up to md5-prefix collisions (P ≈ 1e-9
       // corpus-wide, same contract as the whole dedup family), and both
       // shuffles move fixed-width BIGINTs instead of strings
-      val sh = Tables.documentsParallel(s, d)
-        .select(col("doc_id"), explode(shingleHashArray(col("text"))).as("sh"))
+      // localCheckpoint (r15): the shingle frame feeds dfreq AND the join
+      // back — un-cached, the ~10M-md5 shingling pass ran twice; the
+      // compact per-doc hash arrays are cached once and exploded per
+      // consumer (explode is cheap, the digests are not)
+      val ds = Tables.documentsParallel(s, d)
+        .select(col("doc_id"), shingleHashArray(col("text")).as("hsa"))
+        .localCheckpoint(eager = false)
+      val sh = ds.select(col("doc_id"), explode(col("hsa")).as("sh"))
       val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       sh.join(dfreq, "sh")
         .groupBy(col("doc_id"))
