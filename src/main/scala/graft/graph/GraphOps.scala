@@ -67,6 +67,41 @@ object GraphOps {
     s"CAST('0x' || substr(md5(($src) || '-' || ($k)), 1, 15) AS BIGINT) " +
       s"% (SELECT n FROM n)"
 
+  /** Driver-regime bound (r15, guide §1.2-1/§2.6): below this edge count
+    * the derived link graph is collected and every fixed-iteration loop
+    * runs locally in microseconds instead of `Iters × (join + groupBy +
+    * left-join)` sequential stage barriers — ProfileOne showed the graph
+    * family latency-bound (cpu/wall 1.5-3.0 on 32 cores) at ~14 s of
+    * bench wall over KB-sized frames. 1 M edges ≈ 16 MB on the driver,
+    * the broadcast small-side budget applied to the graph axis (the
+    * [[graft.llm.Dedup.DriverCcEdges]] doctrine). Above the bound the
+    * distributed loops below run unchanged; GraphDriverRegimeSpec pins
+    * both regimes value-identical per operator. */
+  private[graft] val DriverGraphEdges = 1000000L
+
+  /** Collect the provably small derived graph: the edge list comes from
+    * the SAME [[edgesOf]] Catalyst expressions as the distributed regime
+    * (no driver-side re-derivation of the md5 arithmetic), and the node
+    * list is recovered as the distinct edge sources (every node emits
+    * exactly [[OutDeg]] out-links). None above [[DriverGraphEdges]]. */
+  private def smallGraphOf(s: org.apache.spark.sql.SparkSession, d: String)
+      : Option[(Array[Long], Array[(Long, Long)])] = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val n = nodes.count()
+    if (n == 0 || n * OutDeg > DriverGraphEdges) None
+    else {
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      val edges = edgesOf(nodes, nRow).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      edges.foreach { case (src, _) => seen.add(src) }
+      val ids = Array.ofDim[Long](seen.size)
+      val it = seen.iterator(); var i = 0
+      while (it.hasNext) { ids(i) = it.next(); i += 1 }
+      Some((ids, edges))
+    }
+  }
+
   /** The derived directed edge list over a nodes frame (see class doc):
     * dst_k = h64(src "-" k) mod N, k = 1..[[OutDeg]]. `nRow` is the
     * broadcast 1-row count aggregate. */
@@ -105,24 +140,13 @@ object GraphOps {
          |$iterCtes
          |SELECT doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM pr$Iters""".stripMargin
     }) { (s, d) =>
-      val nodes = Tables.documents(s, d).select(col("doc_id"))
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-      // edge list: explode k=1..OutDeg, dst arithmetic over the dense id
-      // space; N rides in via the broadcast 1-row aggregate (no collect)
-      val edges = edgesOf(nodes, nRow)
-      val pr0 = nodes.crossJoin(nRow)
-        .select(col("doc_id"), expr(s"$Scale div n").as("pr"))
-      val baseCol = expr(s"15 * ($Scale div n) div 100")
-      val ranks = (1 to Iters).foldLeft(pr0) { (pr, _) =>
-        val insum = edges.join(pr, edges("src") === pr("doc_id"))
-          .groupBy(col("dst").as("doc_id"))
-          .agg(sum(expr(s"pr div $OutDeg")).as("insum"))
-        nodes.join(insum, Seq("doc_id"), "left")
-          .crossJoin(nRow)
-          .select(col("doc_id"),
-            (baseCol + expr(s"$DampPct * coalesce(insum, 0L) div 100")).as("pr"))
+      smallGraphOf(s, d) match {
+        case Some((ids, es)) =>
+          import s.implicits._
+          s.createDataset(GraphDriver.pagerank(ids, es, Scale, OutDeg, Iters, DampPct))
+            .toDF("doc_id", "pr_scaled")
+        case None => pagerankDistributed(s, d)
       }
-      ranks.select(col("doc_id"), col("pr").as("pr_scaled"))
     },
 
     // ---- per-node TRIANGLE counts over the same derived link graph —
@@ -165,36 +189,13 @@ object GraphOps {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
          |FROM corners GROUP BY 1""".stripMargin
     }) { (s, d) =>
-      val nodes = Tables.documents(s, d).select(col("doc_id"))
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-      val edges = edgesOf(nodes, nRow)
-      val und = edges.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct()
-        // feeds deg, ori (via two joins), and the closing-edge join —
-        // truncate the shared lineage once instead of recomputing 4×
-        .localCheckpoint(eager = false)
-      val deg = und.select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-      val ori = und
-        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
-        .select(when(lower, col("u")).otherwise(col("v")).as("a"),
-          when(lower, col("v")).otherwise(col("u")).as("b"))
-      val tri = ori.as("e1")
-        .join(ori.as("e2"),
-          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
-        .join(und.as("e3"),
-          col("e3.u") === col("e1.b") && col("e3.v") === col("e2.b"))
-        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      tri.select(col("x").as("doc_id"))
-        .unionAll(tri.select(col("y").as("doc_id")))
-        .unionAll(tri.select(col("z").as("doc_id")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_triangles"))
+      smallGraphOf(s, d) match {
+        case Some((_, es)) =>
+          import s.implicits._
+          s.createDataset(GraphDriver.triangleCounts(es).toSeq)
+            .toDF("doc_id", "n_triangles")
+        case None => trianglesDistributed(s, d)
+      }
     },
 
     // ---- PERSONALIZED PageRank (random walk with restart) over the same
@@ -231,26 +232,16 @@ object GraphOps {
          |$iterCtes
          |SELECT doc_id, CAST(pr AS BIGINT) AS ppr_scaled FROM pp$Iters""".stripMargin
     }) { (s, d) =>
-      val nodes = Tables.documents(s, d).select(col("doc_id"))
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-      val nsRow = broadcast(
-        nodes.filter(col("doc_id") % 97 === 0).agg(count(lit(1)).as("ns")))
-      val edges = edgesOf(nodes, nRow)
-      val seed = col("doc_id") % 97 === 0
-      val pp0 = nodes.crossJoin(nsRow)
-        .select(col("doc_id"),
-          when(seed, expr(s"$Scale div ns")).otherwise(lit(0L)).as("pr"))
-      val baseCol = when(seed, expr(s"(15 * ($Scale div ns)) div 100")).otherwise(lit(0L))
-      val ranks = (1 to Iters).foldLeft(pp0) { (pr, _) =>
-        val insum = edges.join(pr, edges("src") === pr("doc_id"))
-          .groupBy(col("dst").as("doc_id"))
-          .agg(sum(expr(s"pr div $OutDeg")).as("insum"))
-        nodes.join(insum, Seq("doc_id"), "left")
-          .crossJoin(nsRow)
-          .select(col("doc_id"),
-            (baseCol + expr(s"$DampPct * coalesce(insum, 0L) div 100")).as("pr"))
+      smallGraphOf(s, d) match {
+        // the driver twin divides by the seed count — route the (never
+        // observed) empty-seed-set edge case to the distributed regime,
+        // whose null semantics are the pinned ones
+        case Some((ids, es)) if ids.exists(_ % 97 == 0) =>
+          import s.implicits._
+          s.createDataset(GraphDriver.ppr(ids, es, Scale, OutDeg, Iters, DampPct))
+            .toDF("doc_id", "ppr_scaled")
+        case _ => pprDistributed(s, d)
       }
-      ranks.select(col("doc_id"), col("pr").as("ppr_scaled"))
     },
 
     // ---- HITS hubs & authorities (Kleinberg, JACM 1999) over the same
@@ -301,40 +292,13 @@ object GraphOps {
          |LEFT JOIN an$HitsIters a USING (doc_id)
          |LEFT JOIN hn$HitsIters h USING (doc_id)""".stripMargin
     }) { (s, d) =>
-      val nodes = Tables.documents(s, d).select(col("doc_id"))
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-      val edges = edgesOf(nodes, nRow)
-      val h0 = nodes.select(col("doc_id"), lit(HitsScale).as("h"))
-      // localCheckpoint (lazy) on every frame a round references TWICE
-      // (score + its own max): without it the logical plan doubles per
-      // reference — 2^(2·rounds) analysis blowup, measured 59 s of pure
-      // Catalyst time at sf0.01 — the Spark-side twin of the oracle's
-      // reference-once CTE discipline (a round's frames are n rows, so
-      // the truncation itself is cheap; the clusterLabels doctrine).
-      val (aFin, hFin) = (1 to HitsIters).foldLeft((h0, h0)) { case ((_, h), _) =>
-        val asum = edges.join(h, edges("src") === h("doc_id"))
-          .groupBy(col("dst").as("doc_id")).agg(sum(col("h")).as("asum"))
-        val aAll = nodes.join(asum, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("asum"), lit(0L)).as("a"))
-          .localCheckpoint(eager = false)
-        val aN = aAll
-          .crossJoin(broadcast(aAll.agg(max(col("a")).as("amax"))))
-          .select(col("doc_id"), expr(s"a * $HitsScale div amax").as("a"))
-          .localCheckpoint(eager = false)
-        val hsum = edges.join(aN, edges("dst") === aN("doc_id"))
-          .groupBy(col("src").as("doc_id")).agg(sum(col("a")).as("hsum"))
-        val hN = hsum
-          .crossJoin(broadcast(hsum.agg(max(col("hsum")).as("hmax"))))
-          .select(col("doc_id"), expr(s"hsum * $HitsScale div hmax").as("h"))
-          .localCheckpoint(eager = false)
-        (aN, hN)
+      smallGraphOf(s, d) match {
+        case Some((ids, es)) =>
+          import s.implicits._
+          s.createDataset(GraphDriver.hits(ids, es, HitsScale, HitsIters))
+            .toDF("doc_id", "auth_scaled", "hub_scaled")
+        case None => hitsDistributed(s, d)
       }
-      nodes
-        .join(aFin.withColumnRenamed("a", "auth"), Seq("doc_id"), "left")
-        .join(hFin.withColumnRenamed("h", "hub"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("auth"), lit(0L)).as("auth_scaled"),
-          coalesce(col("hub"), lit(0L)).as("hub_scaled"))
     },
 
     // ---- multi-source BFS hop distance over the derived link graph —
@@ -369,22 +333,13 @@ object GraphOps {
          |SELECT node AS doc_id, CAST(dist AS BIGINT) AS hops
          |FROM d$BfsMaxHops""".stripMargin
     }) { (s, d) =>
-      val nodes = Tables.documents(s, d).select(col("doc_id"))
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-      val edges = edgesOf(nodes, nRow)
-      val d0 = nodes.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("node"), lit(0L).as("dist"))
-      // lazy lineage truncation per round: each round references dist
-      // twice (keep-old + relax), which would double the logical plan per
-      // round without it (the graph_hits lesson)
-      val dFin = (1 to BfsMaxHops).foldLeft(d0) { (dist, _) =>
-        val d = dist.localCheckpoint(eager = false)
-        val relaxed = edges.join(d, edges("src") === d("node"))
-          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-        d.unionByName(relaxed)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      smallGraphOf(s, d) match {
+        case Some((ids, es)) =>
+          import s.implicits._
+          s.createDataset(GraphDriver.bfs(ids, es, BfsMaxHops))
+            .toDF("doc_id", "hops")
+        case None => bfsDistributed(s, d)
       }
-      dFin.select(col("node").as("doc_id"), col("dist").as("hops"))
     },
 
     // ---- k-CORE decomposition (Seidman, Social Networks 1983) over the
@@ -426,32 +381,13 @@ object GraphOps {
          |JOIN a$KCoreRounds m2 ON s.dst = m2.node
          |GROUP BY s.src""".stripMargin
     }) { (s, d) =>
-      val nodes = Tables.documents(s, d).select(col("doc_id"))
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-      val edges = edgesOf(nodes, nRow)
-      val und = edges.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct()
-      // referenced every round (and twice in the final degree count) —
-      // truncate the shared md5-edge lineage once
-      val sym = und.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
-        .localCheckpoint(eager = false)
-      val a0 = nodes.select(col("doc_id").as("node"))
-      val core = (1 to KCoreRounds).foldLeft(a0) { (alive, _) =>
-        // lazy per-round lineage truncation: the alive frame shrinks
-        // monotonically, so the checkpoint is at most node-count rows
-        val a = alive.localCheckpoint(eager = false)
-        sym.join(a, sym("dst") === a("node"))
-          .groupBy(sym("src")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= KCoreK)
-          .select(col("src").as("node"))
-      }.localCheckpoint(eager = false) // read twice below (src + dst side)
-      sym.join(core.select(col("node").as("m1")), sym("src") === col("m1"))
-        .join(core.select(col("node").as("m2")), sym("dst") === col("m2"))
-        .groupBy(sym("src").as("doc_id"))
-        .agg(count(lit(1)).as("core_degree"))
+      smallGraphOf(s, d) match {
+        case Some((ids, es)) =>
+          import s.implicits._
+          s.createDataset(GraphDriver.kcore(ids, es, KCoreK, KCoreRounds))
+            .toDF("doc_id", "core_degree")
+        case None => kcoreDistributed(s, d)
+      }
     },
 
     // ---- LABEL-PROPAGATION community detection (Raghavan et al., Phys.
@@ -475,7 +411,7 @@ object GraphOps {
       s"""WITH $lpaCtes
          |SELECT doc_id, CAST(lab AS BIGINT) AS community FROM lab$LpaRounds""".stripMargin
     ) { (s, d) =>
-      labelPropagation(s, d).select(col("doc_id"), col("lab").as("community"))
+      labelsOf(s, d).select(col("doc_id"), col("lab").as("community"))
     },
 
     // ---- modularity of the LPA partition (Newman & Girvan, Phys. Rev. E
@@ -517,29 +453,14 @@ object GraphOps {
          |    - (SELECT sum_d2 FROM dsum) AS DOUBLE)
          |    / (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS modularity""".stripMargin
     ) { (s, d) =>
-      val labels = labelPropagation(s, d).localCheckpoint(eager = false) // read 3×
-      val und = undirectedOf(s, d).localCheckpoint(eager = false)        // read 3×
-      val mRow = broadcast(und.agg(count(lit(1)).as("m")))
-      val internal = broadcast(und
-        .join(labels.select(col("doc_id").as("u"), col("lab").as("lu")), "u")
-        .join(labels.select(col("doc_id").as("v"), col("lab").as("lv")), "v")
-        .filter(col("lu") === col("lv"))
-        .agg(count(lit(1)).as("e_in")))
-      val deg = und.select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val dsum = broadcast(deg
-        .join(labels.select(col("doc_id").as("node"), col("lab")), "node")
-        .groupBy(col("lab")).agg(sum(col("deg")).as("d2"))
-        .agg(sum(col("d2") * col("d2")).as("sum_d2")))
-      val ncRow = broadcast(
-        labels.agg(countDistinct(col("lab")).as("n_communities")))
-      mRow.crossJoin(internal).crossJoin(dsum).crossJoin(ncRow)
-        .select(col("m").as("m_edges"), col("e_in").as("internal_edges"),
-          col("n_communities"),
-          (lit(4L) * col("m") * col("e_in") - col("sum_d2")).as("q_num"),
-          (lit(4L) * col("m") * col("m")).as("q_den"))
-        .withColumn("modularity", col("q_num").cast("double") / col("q_den"))
+      smallGraphOf(s, d) match {
+        case Some((ids, es)) =>
+          import s.implicits._
+          s.createDataset(Seq(GraphDriver.modularity(ids, es, LpaRounds)))
+            .toDF("m_edges", "internal_edges", "n_communities",
+              "q_num", "q_den", "modularity")
+        case None => modularityDistributed(s, d)
+      }
     },
 
     // ---- per-community sampling cap: keep the top-[[CapPerCommunity]]
@@ -567,7 +488,7 @@ object GraphOps {
          |  quality_score, CAST(rn AS BIGINT) AS rn
          |FROM ranked WHERE rn <= $CapPerCommunity""".stripMargin
     ) { (s, d) =>
-      val labels = labelPropagation(s, d)
+      val labels = labelsOf(s, d)
       val qual = Tables.documents(s, d).select(col("doc_id"),
         graft.llm.TextAnalysis.qualityScore(col("text")).as("quality_score"))
       val byCommunity = org.apache.spark.sql.expressions.Window
@@ -621,24 +542,13 @@ object GraphOps {
          |  CAST(n_common AS BIGINT) AS n_common
          |FROM scored ORDER BY ra_scaled DESC, u, v LIMIT 20""".stripMargin
     ) { (s, d) =>
-      val und = undirectedOf(s, d).localCheckpoint(eager = false)
-      val deg = und.select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val adj = und.select(col("u").as("z"), col("v").as("x"))
-        .unionAll(und.select(col("v").as("z"), col("u").as("x")))
-      val wedges = adj.as("a")
-        .join(adj.as("b"), col("a.z") === col("b.z") && col("a.x") < col("b.x"))
-        .select(col("a.z").as("z"), col("a.x").as("u"), col("b.x").as("v"))
-        .join(deg.filter(col("deg") <= RaHubCap)
-          .select(col("node").as("z"), col("deg")), Seq("z"))
-        .select(col("u"), col("v"), expr("1000000L div deg").as("w"))
-      wedges
-        .join(und, Seq("u", "v"), "left_anti")
-        .groupBy(col("u"), col("v"))
-        .agg(sum(col("w")).as("ra_scaled"), count(lit(1)).as("n_common"))
-        .orderBy(col("ra_scaled").desc, col("u"), col("v"))
-        .limit(20)
+      smallGraphOf(s, d) match {
+        case Some((_, es)) =>
+          import s.implicits._
+          s.createDataset(GraphDriver.linkPrediction(es, RaHubCap))
+            .toDF("u", "v", "ra_scaled", "n_common")
+        case None => linkPredictionDistributed(s, d)
+      }
     },
 
     // ---- LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) in exact
@@ -685,32 +595,13 @@ object GraphOps {
          |FROM deg d LEFT JOIN pertri t ON t.doc_id = d.node
          |WHERE d.deg >= 2""".stripMargin
     ) { (s, d) =>
-      val und = undirectedOf(s, d).localCheckpoint(eager = false)
-      val deg = und.select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-      val ori = und
-        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
-        .select(when(lower, col("u")).otherwise(col("v")).as("a"),
-          when(lower, col("v")).otherwise(col("u")).as("b"))
-      val tri = ori.as("e1")
-        .join(ori.as("e2"),
-          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
-        .join(und.as("e3"),
-          col("e3.u") === col("e1.b") && col("e3.v") === col("e2.b"))
-        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      val perTri = tri.select(col("x").as("doc_id"))
-        .unionAll(tri.select(col("y").as("doc_id")))
-        .unionAll(tri.select(col("z").as("doc_id")))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
-      deg.filter(col("deg") >= 2)
-        .join(perTri, col("doc_id") === col("node"), "left")
-        .select(col("node").as("doc_id"), col("deg"),
-          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-          expr("(2 * coalesce(n_tri, 0L) * 1000000L) div (deg * (deg - 1))")
-            .as("cc_ppm"))
+      smallGraphOf(s, d) match {
+        case Some((_, es)) =>
+          import s.implicits._
+          s.createDataset(GraphDriver.clusteringCoeff(es))
+            .toDF("doc_id", "deg", "n_tri", "cc_ppm")
+        case None => clusteringCoeffDistributed(s, d)
+      }
     }
   )
 
@@ -753,10 +644,262 @@ object GraphOps {
       .distinct()
   }
 
+  /** LPA labels (doc_id, lab) under the regime chooser: local loop below
+    * [[DriverGraphEdges]], the distributed [[labelPropagation]] above. */
+  private def labelsOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    smallGraphOf(s, d) match {
+      case Some((ids, es)) =>
+        import s.implicits._
+        s.createDataset(GraphDriver.lpa(ids, es, LpaRounds)).toDF("doc_id", "lab")
+      case None => labelPropagation(s, d)
+    }
+
+  // ---- distributed regimes (unchanged loops, now behind the
+  // [[smallGraphOf]] chooser; GraphDriverRegimeSpec pins each pair
+  // value-identical against its driver twin) ----
+
+  private[graft] def pagerankDistributed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    // edge list: explode k=1..OutDeg, dst arithmetic over the dense id
+    // space; N rides in via the broadcast 1-row aggregate (no collect)
+    val edges = edgesOf(nodes, nRow)
+    val pr0 = nodes.crossJoin(nRow)
+      .select(col("doc_id"), expr(s"$Scale div n").as("pr"))
+    val baseCol = expr(s"15 * ($Scale div n) div 100")
+    val ranks = (1 to Iters).foldLeft(pr0) { (pr, _) =>
+      val insum = edges.join(pr, edges("src") === pr("doc_id"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(expr(s"pr div $OutDeg")).as("insum"))
+      nodes.join(insum, Seq("doc_id"), "left")
+        .crossJoin(nRow)
+        .select(col("doc_id"),
+          (baseCol + expr(s"$DampPct * coalesce(insum, 0L) div 100")).as("pr"))
+    }
+    ranks.select(col("doc_id"), col("pr").as("pr_scaled"))
+  }
+
+  private[graft] def pprDistributed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val nsRow = broadcast(
+      nodes.filter(col("doc_id") % 97 === 0).agg(count(lit(1)).as("ns")))
+    val edges = edgesOf(nodes, nRow)
+    val seed = col("doc_id") % 97 === 0
+    val pp0 = nodes.crossJoin(nsRow)
+      .select(col("doc_id"),
+        when(seed, expr(s"$Scale div ns")).otherwise(lit(0L)).as("pr"))
+    val baseCol = when(seed, expr(s"(15 * ($Scale div ns)) div 100")).otherwise(lit(0L))
+    val ranks = (1 to Iters).foldLeft(pp0) { (pr, _) =>
+      val insum = edges.join(pr, edges("src") === pr("doc_id"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(expr(s"pr div $OutDeg")).as("insum"))
+      nodes.join(insum, Seq("doc_id"), "left")
+        .crossJoin(nsRow)
+        .select(col("doc_id"),
+          (baseCol + expr(s"$DampPct * coalesce(insum, 0L) div 100")).as("pr"))
+    }
+    ranks.select(col("doc_id"), col("pr").as("ppr_scaled"))
+  }
+
+  private[graft] def hitsDistributed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val edges = edgesOf(nodes, nRow)
+    val h0 = nodes.select(col("doc_id"), lit(HitsScale).as("h"))
+    // localCheckpoint (lazy) on every frame a round references TWICE
+    // (score + its own max): without it the logical plan doubles per
+    // reference — 2^(2·rounds) analysis blowup, measured 59 s of pure
+    // Catalyst time at sf0.01 — the Spark-side twin of the oracle's
+    // reference-once CTE discipline (a round's frames are n rows, so
+    // the truncation itself is cheap; the clusterLabels doctrine).
+    val (aFin, hFin) = (1 to HitsIters).foldLeft((h0, h0)) { case ((_, h), _) =>
+      val asum = edges.join(h, edges("src") === h("doc_id"))
+        .groupBy(col("dst").as("doc_id")).agg(sum(col("h")).as("asum"))
+      val aAll = nodes.join(asum, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("asum"), lit(0L)).as("a"))
+        .localCheckpoint(eager = false)
+      val aN = aAll
+        .crossJoin(broadcast(aAll.agg(max(col("a")).as("amax"))))
+        .select(col("doc_id"), expr(s"a * $HitsScale div amax").as("a"))
+        .localCheckpoint(eager = false)
+      val hsum = edges.join(aN, edges("dst") === aN("doc_id"))
+        .groupBy(col("src").as("doc_id")).agg(sum(col("a")).as("hsum"))
+      val hN = hsum
+        .crossJoin(broadcast(hsum.agg(max(col("hsum")).as("hmax"))))
+        .select(col("doc_id"), expr(s"hsum * $HitsScale div hmax").as("h"))
+        .localCheckpoint(eager = false)
+      (aN, hN)
+    }
+    nodes
+      .join(aFin.withColumnRenamed("a", "auth"), Seq("doc_id"), "left")
+      .join(hFin.withColumnRenamed("h", "hub"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("auth"), lit(0L)).as("auth_scaled"),
+        coalesce(col("hub"), lit(0L)).as("hub_scaled"))
+  }
+
+  private[graft] def bfsDistributed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val edges = edgesOf(nodes, nRow)
+    val d0 = nodes.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("node"), lit(0L).as("dist"))
+    // lazy lineage truncation per round: each round references dist
+    // twice (keep-old + relax), which would double the logical plan per
+    // round without it (the graph_hits lesson)
+    val dFin = (1 to BfsMaxHops).foldLeft(d0) { (dist, _) =>
+      val dd = dist.localCheckpoint(eager = false)
+      val relaxed = edges.join(dd, edges("src") === dd("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dd.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dFin.select(col("node").as("doc_id"), col("dist").as("hops"))
+  }
+
+  private[graft] def kcoreDistributed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val edges = edgesOf(nodes, nRow)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    // referenced every round (and twice in the final degree count) —
+    // truncate the shared md5-edge lineage once
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = false)
+    val a0 = nodes.select(col("doc_id").as("node"))
+    val core = (1 to KCoreRounds).foldLeft(a0) { (alive, _) =>
+      // lazy per-round lineage truncation: the alive frame shrinks
+      // monotonically, so the checkpoint is at most node-count rows
+      val a = alive.localCheckpoint(eager = false)
+      sym.join(a, sym("dst") === a("node"))
+        .groupBy(sym("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select(col("src").as("node"))
+    }.localCheckpoint(eager = false) // read twice below (src + dst side)
+    sym.join(core.select(col("node").as("m1")), sym("src") === col("m1"))
+      .join(core.select(col("node").as("m2")), sym("dst") === col("m2"))
+      .groupBy(sym("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
+  private[graft] def trianglesDistributed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val edges = edgesOf(nodes, nRow)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      // feeds deg, ori (via two joins), and the closing-edge join —
+      // truncate the shared lineage once instead of recomputing 4×
+      .localCheckpoint(eager = false)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val ori = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+        when(lower, col("v")).otherwise(col("u")).as("b"))
+    val tri = ori.as("e1")
+      .join(ori.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .join(und.as("e3"),
+        col("e3.u") === col("e1.b") && col("e3.v") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(col("x").as("doc_id"))
+      .unionAll(tri.select(col("y").as("doc_id")))
+      .unionAll(tri.select(col("z").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private[graft] def modularityDistributed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val labels = labelPropagation(s, d).localCheckpoint(eager = false) // read 3×
+    val und = undirectedOf(s, d).localCheckpoint(eager = false)        // read 3×
+    val mRow = broadcast(und.agg(count(lit(1)).as("m")))
+    val internal = broadcast(und
+      .join(labels.select(col("doc_id").as("u"), col("lab").as("lu")), "u")
+      .join(labels.select(col("doc_id").as("v"), col("lab").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .agg(count(lit(1)).as("e_in")))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dsum = broadcast(deg
+      .join(labels.select(col("doc_id").as("node"), col("lab")), "node")
+      .groupBy(col("lab")).agg(sum(col("deg")).as("d2"))
+      .agg(sum(col("d2") * col("d2")).as("sum_d2")))
+    val ncRow = broadcast(
+      labels.agg(countDistinct(col("lab")).as("n_communities")))
+    mRow.crossJoin(internal).crossJoin(dsum).crossJoin(ncRow)
+      .select(col("m").as("m_edges"), col("e_in").as("internal_edges"),
+        col("n_communities"),
+        (lit(4L) * col("m") * col("e_in") - col("sum_d2")).as("q_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"))
+      .withColumn("modularity", col("q_num").cast("double") / col("q_den"))
+  }
+
+  private[graft] def linkPredictionDistributed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val und = undirectedOf(s, d).localCheckpoint(eager = false)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("u").as("z"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("z"), col("u").as("x")))
+    val wedges = adj.as("a")
+      .join(adj.as("b"), col("a.z") === col("b.z") && col("a.x") < col("b.x"))
+      .select(col("a.z").as("z"), col("a.x").as("u"), col("b.x").as("v"))
+      .join(deg.filter(col("deg") <= RaHubCap)
+        .select(col("node").as("z"), col("deg")), Seq("z"))
+      .select(col("u"), col("v"), expr("1000000L div deg").as("w"))
+    wedges
+      .join(und, Seq("u", "v"), "left_anti")
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("w")).as("ra_scaled"), count(lit(1)).as("n_common"))
+      .orderBy(col("ra_scaled").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  private[graft] def clusteringCoeffDistributed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val und = undirectedOf(s, d).localCheckpoint(eager = false)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val ori = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+        when(lower, col("v")).otherwise(col("u")).as("b"))
+    val tri = ori.as("e1")
+      .join(ori.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .join(und.as("e3"),
+        col("e3.u") === col("e1.b") && col("e3.v") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perTri = tri.select(col("x").as("doc_id"))
+      .unionAll(tri.select(col("y").as("doc_id")))
+      .unionAll(tri.select(col("z").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perTri, col("doc_id") === col("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("(2 * coalesce(n_tri, 0L) * 1000000L) div (deg * (deg - 1))")
+          .as("cc_ppm"))
+  }
+
   /** Deterministic synchronous LPA labels after [[LpaRounds]] rounds:
     * (doc_id, lab). See the graph_label_propagation query doc for the
     * semantics and scale shape. */
-  private def labelPropagation(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def labelPropagation(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val nodes = Tables.documents(s, d).select(col("doc_id"))
     val und = undirectedOf(s, d)
     val adj = und.select(col("u").as("a"), col("v").as("b"))

@@ -402,14 +402,16 @@ object DedupLog {
     val req = broadcast(ids.toDF("doc_id"))
     var removed = 0L
 
-    // capture the pre-erase label state: the affected components and
-    // their surviving members (label repair needs it after sig removal)
+    // capture the pre-erase label state (label repair needs it after sig
+    // removal). `old` is EAGERLY checkpointed, so the affected-component
+    // frames derived from it stay pre-erase even when computed after the
+    // rewrite — they are built lazily below, only when a repair actually
+    // runs (r15: a no-op replay paid two eager checkpoints it never read)
     val old = labelsView(spark, dir).localCheckpoint(eager = true)
-    val affectedLabels = old
-      .join(req.select(col("doc_id").as("node")), Seq("node"), "left_semi")
-      .select(col("label")).distinct().localCheckpoint(eager = true)
-    val members = old.join(affectedLabels, Seq("label"), "left_semi")
-      .localCheckpoint(eager = true)
+    def members = old.join(
+      old.join(req.select(col("doc_id").as("node")), Seq("node"), "left_semi")
+        .select(col("label")).distinct(),
+      Seq("label"), "left_semi")
 
     // ---- signature removal, partition-bounded per source --------------
     // (sp= on flat stores; (chunk_date=, sp=) composites on chunked ones)
@@ -465,7 +467,7 @@ object DedupLog {
       .limit(1).count() > 0L
     if (removed == 0L && !erasedStillLabeled) return 0L // true no-op replay
 
-    repairLabels(spark, dir, req, members)
+    repairLabels(spark, dir, req, members.localCheckpoint(eager = true))
     // the grace generation holds PRE-ERASE signatures and labels — purge
     // it, or the erased docs' dedup state persists until a compaction a
     // quiesced store never runs (and a torn-marker fallback serves it)
@@ -547,17 +549,24 @@ object DedupLog {
       s"dedup store $dir has no retention axis — land through " +
         "appendEpochChunked to expire by crawl date")
     // the expired ids + the pre-expiry label state, captured BEFORE the
-    // drops (the slices are date-pruned reads — bounded by what expires)
+    // drops (the slices are date-pruned reads — bounded by what expires).
+    // r15: when NOTHING expires (the idempotent replay of a cutoff) the
+    // label view and member capture are dead work — skip them; the
+    // date-dir drop sweep below still runs (an all-empty expired slice
+    // must still lose its directories)
     import spark.implicits._
     val expiredIds = roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
       .filter(col("chunk_date") < lit(cutoff).cast("date"))
       .select(col("doc_id")).distinct().localCheckpoint(eager = true)
-    val old = labelsView(spark, dir).localCheckpoint(eager = true)
-    val affectedLabels = old
-      .join(expiredIds.select(col("doc_id").as("node")), Seq("node"), "left_semi")
-      .select(col("label")).distinct()
-    val members = old.join(affectedLabels, Seq("label"), "left_semi")
-      .localCheckpoint(eager = true)
+    val hasExpired = expiredIds.limit(1).count() > 0L
+    val members = if (!hasExpired) None else {
+      val old = labelsView(spark, dir).localCheckpoint(eager = true)
+      val affectedLabels = old
+        .join(expiredIds.select(col("doc_id").as("node")), Seq("node"), "left_semi")
+        .select(col("label")).distinct()
+      Some(old.join(affectedLabels, Seq("label"), "left_semi")
+        .localCheckpoint(eager = true))
+    }
 
     // drop the date slices — on EVERY dir on disk (grace copies included;
     // retention is a storage policy, transient copies expire too)
@@ -585,8 +594,8 @@ object DedupLog {
             st.getPath.getName.startsWith("chunk_date="))
         if (!anyLeft) hfs.delete(sigDir, true)
       }
-    if (expiredIds.limit(1).count() > 0L)
-      repairLabels(spark, dir, broadcast(expiredIds), members)
+    if (hasExpired)
+      repairLabels(spark, dir, broadcast(expiredIds), members.get)
     dropped
   }
 

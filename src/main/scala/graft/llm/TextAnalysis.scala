@@ -211,14 +211,15 @@ object TextAnalysis {
       val ha = transform(
         sequence(lit(1), length(col("text")) - (k - 1)),
         i => h64(substring(col("text"), i, lit(k))))
-      val sel = expr(
-        """transform(sequence(1, size(ha) - 7), j -> struct(
-          |  array_min(slice(ha, j, 8)) AS fp_hash,
-          |  CAST(j - 1 + array_position(slice(ha, j, 8), array_min(slice(ha, j, 8))) AS BIGINT) AS pos))""".stripMargin)
+      // window-min selection through the native one-pass deque kernel
+      // (r15, guide §1.2-2) — value-identical to the former
+      // array_distinct(transform(…array_min(slice(…))…)) chain, which was
+      // O(n·w) interpreted lambdas (48 process-cpu s of a 1.8 s query)
       Tables.documentsParallel(s, d)
         .filter(length(col("text")) >= k + 7)
         .select(col("doc_id"), ha.as("ha"))
-        .select(col("doc_id"), explode(array_distinct(sel)).as("fp"))
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFingerprints(col("ha"), 8)).as("fp"))
         .select(col("doc_id"), col("fp.fp_hash").as("fp_hash"), col("fp.pos").as("pos"))
     },
 

@@ -262,7 +262,11 @@ object MeterPipeline {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_mart_late/${java.util.UUID.randomUUID()}"
       val path = new org.apache.hadoop.fs.Path(dir)
       path.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(path)
+      // one generator pass shared by all four consumers (r15, guide
+      // §5-caching): the stale write, the invalidation scan, the rebuild
+      // staging, and the late slice each re-ran the generator chain
       val full = MeterGen.readings(s, NMeters, NIntervals)
+        .localCheckpoint(eager = false)
       val late = col("meter_id") % 10 === 7 &&
         to_date(col("reading_timestamp")) ===
           date_add(to_date(lit(MeterGen.Epoch)), 1) &&

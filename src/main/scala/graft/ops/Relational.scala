@@ -880,7 +880,9 @@ object Relational {
         |  COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
+      // lineitemParallel (r15): the 4-way distinct Expand ran on the
+      // single-row-group scan task — guide §2.5's repartition-after-read
+      Tables.lineitemParallel(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_orderkey")).as("distinct_orders"),

@@ -555,7 +555,9 @@ object SqlSurface {
         |  CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS price_max,
         |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS price_sum
         |FROM orders""".stripMargin) { (s, d) =>
-      Tables.orders(s, d).agg(
+      // ordersParallel (r15): the 3-way distinct Expand + profile
+      // aggregates ran 1.2 cpu-s on the single-row-group scan task
+      Tables.ordersParallel(s, d).agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
         countDistinct(col("o_custkey")).as("custkey_distinct"),

@@ -45,6 +45,27 @@ import org.apache.spark.sql.functions._
   * feature under erasure law. */
 object CorpusRtbf {
 
+  /** Run independent per-surface drives concurrently (r15, guide §2.6:
+    * Spark actions are only sequential because the driver calls them
+    * sequentially). The surfaces touch DISJOINT directories, only read
+    * session conf, and each drive is internally ordered by its own
+    * thunk, so overlapping them changes wall-clock, never results —
+    * profiled: the orchestrated replay paid 5× sequential small-job
+    * latency for jobs that back-fill each other's stragglers when
+    * submitted together. A failed surface still fails the whole request
+    * loudly (Await propagates the first error, which names its store). */
+  private def inParallel[A](tasks: Seq[(String, () => A)]): Map[String, A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = tasks.map { case (k, t) => scala.concurrent.Future((k, t())) }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
+
   /** Both VECTOR surfaces ride the same request (r13): `vecDir` is the
     * maintained ANN index ([[VecStoreLog]]) and `ivfpqDir` the maintained
     * compressed index ([[IvfPqLog]]) — embeddings and PQ codes of an
@@ -61,12 +82,12 @@ object CorpusRtbf {
       vecDir: String,
       ivfpqDir: String,
       verified: Boolean = false): Map[String, Long] = {
-    val receipt = Map(
-      "bronze_docs" -> DocStore.eraseDocs(spark, bronzeDir, ids),
-      "posting_index" -> PostingLog.eraseDocs(spark, postingDir, ids),
-      "dedup_state" -> graft.llm.DedupLog.eraseDocs(spark, dedupDir, ids),
-      "vec_index" -> VecStoreLog.eraseByIds(spark, vecDir, ids),
-      "ivfpq_index" -> IvfPqLog.eraseByIds(spark, ivfpqDir, ids))
+    val receipt = inParallel(Seq(
+      "bronze_docs" -> (() => DocStore.eraseDocs(spark, bronzeDir, ids)),
+      "posting_index" -> (() => PostingLog.eraseDocs(spark, postingDir, ids)),
+      "dedup_state" -> (() => graft.llm.DedupLog.eraseDocs(spark, dedupDir, ids)),
+      "vec_index" -> (() => VecStoreLog.eraseByIds(spark, vecDir, ids)),
+      "ivfpq_index" -> (() => IvfPqLog.eraseByIds(spark, ivfpqDir, ids))))
     if (!verified) receipt
     else receipt ++ fsckReceipt(spark, bronzeDir, postingDir, dedupDir,
       vecDir, ivfpqDir)
@@ -87,13 +108,16 @@ object CorpusRtbf {
       dedupDir: String,
       vecDir: String,
       ivfpqDir: String): Map[String, Long] = {
-    val findings =
-      StoreCheck.checkCorpus(spark, bronzeDir, postingDir, dedupDir,
-        Some(vecDir), Some(ivfpqDir)) ++
-        StoreCheck.checkPostingLog(spark, postingDir) ++
-        StoreCheck.checkDedupLog(spark, dedupDir) ++
-        StoreCheck.checkVecStoreLog(spark, vecDir) ++
-        StoreCheck.checkIvfPqLog(spark, ivfpqDir)
+    // five independent read-only sweeps, overlapped (guide §2.6); the
+    // receipt's severity COUNTS are order-insensitive
+    val findings = inParallel(Seq(
+      "corpus" -> (() => StoreCheck.checkCorpus(spark, bronzeDir, postingDir,
+        dedupDir, Some(vecDir), Some(ivfpqDir))),
+      "posting" -> (() => StoreCheck.checkPostingLog(spark, postingDir)),
+      "dedup" -> (() => StoreCheck.checkDedupLog(spark, dedupDir)),
+      "vec" -> (() => StoreCheck.checkVecStoreLog(spark, vecDir)),
+      "ivfpq" -> (() => StoreCheck.checkIvfPqLog(spark, ivfpqDir))))
+      .values.flatten.toSeq
     Map(
       "fsck_errors" -> findings.count(_.severity == "error").toLong,
       "fsck_warnings" -> findings.count(_.severity == "warn").toLong)
@@ -122,12 +146,12 @@ object CorpusRtbf {
       vecDir: String,
       ivfpqDir: String,
       verified: Boolean = false): Map[String, Long] = {
-    val receipt = Map(
-      "bronze_docs" -> DocStore.expireBefore(spark, bronzeDir, cutoff),
-      "posting_index" -> PostingLog.expireBefore(spark, postingDir, cutoff),
-      "dedup_state" -> graft.llm.DedupLog.expireBefore(spark, dedupDir, cutoff),
-      "vec_index" -> VecStoreLog.expireBefore(spark, vecDir, cutoff),
-      "ivfpq_index" -> IvfPqLog.expireBefore(spark, ivfpqDir, cutoff))
+    val receipt = inParallel(Seq(
+      "bronze_docs" -> (() => DocStore.expireBefore(spark, bronzeDir, cutoff)),
+      "posting_index" -> (() => PostingLog.expireBefore(spark, postingDir, cutoff)),
+      "dedup_state" -> (() => graft.llm.DedupLog.expireBefore(spark, dedupDir, cutoff)),
+      "vec_index" -> (() => VecStoreLog.expireBefore(spark, vecDir, cutoff)),
+      "ivfpq_index" -> (() => IvfPqLog.expireBefore(spark, ivfpqDir, cutoff))))
     if (!verified) receipt
     else receipt ++ fsckReceipt(spark, bronzeDir, postingDir, dedupDir,
       vecDir, ivfpqDir)
@@ -143,12 +167,12 @@ object CorpusRtbf {
       dedupDir: String,
       vecDir: String,
       ivfpqDir: String): Map[String, Long] =
-    Map(
-      "bronze_docs" -> spark.read.parquet(s"$bronzeDir/docs").count(),
-      "posting_index" -> PostingLog.postingRowCount(spark, postingDir),
-      "dedup_state" -> graft.llm.DedupLog.storedDocRows(spark, dedupDir),
-      "vec_index" -> VecStoreLog.vectors(spark, vecDir).count(),
-      "ivfpq_index" -> IvfPqLog.storedRows(spark, ivfpqDir))
+    inParallel(Seq(
+      "bronze_docs" -> (() => spark.read.parquet(s"$bronzeDir/docs").count()),
+      "posting_index" -> (() => PostingLog.postingRowCount(spark, postingDir)),
+      "dedup_state" -> (() => graft.llm.DedupLog.storedDocRows(spark, dedupDir)),
+      "vec_index" -> (() => VecStoreLog.vectors(spark, vecDir).count()),
+      "ivfpq_index" -> (() => IvfPqLog.storedRows(spark, ivfpqDir))))
 
   // ---------------------------------------------------------------- //
   // Registered query                                                 //
@@ -175,33 +199,49 @@ object CorpusRtbf {
         val docs = Tables.documentsParallel(s, d).select(col("doc_id"), col("text"))
         val emb = Tables.embeddingsParallel(s, d)
           .select(col("vec_id"), col("label"), col("embedding"))
-        // bronze: one landing (in-batch keeper = min doc_id per content,
-        // the oracle's MIN(doc_id) GROUP BY text)
-        DocStore.appendDeduped(s, docs, bronze, 0L)
-        // posting + dedup: the landedStore shape (fold + one live epoch)
-        (0L to 1L).foreach { e =>
-          PostingLog.appendBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === e),
-            posting, e)
-          graft.llm.DedupLog.appendEpoch(
-            docs.filter(pmod(col("doc_id"), lit(3L)) === e), dedup, e)
-        }
-        PostingLog.compact(s, posting)
-        graft.llm.DedupLog.compact(s, dedup)
-        PostingLog.appendBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === 2L),
-          posting, 2L)
-        graft.llm.DedupLog.appendEpoch(
-          docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), dedup, 2L)
-        // both vector stores: all-folded over the full corpus (the
-        // codebooks train PRE-erase — an erase never retrains them, which
-        // is exactly what the oracle's full-corpus Lloyd replicates)
-        (0L to 2L).foreach { e =>
-          VecStoreLog.appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === e),
-            vec, e)
-          IvfPqLog.appendBatch(emb.filter(pmod(col("vec_id"), lit(3L)) === e),
-            ivfpq, e)
-        }
-        VecStoreLog.compact(s, vec, cellK = Some(VecStore.CellK))
-        IvfPqLog.compact(s, ivfpq)
+        // five INDEPENDENT store builds, overlapped (r15, guide §2.6) —
+        // each store's landings/folds stay ordered inside its own thunk;
+        // the stores write disjoint directories. Bronze: one landing
+        // (in-batch keeper = min doc_id per content, the oracle's
+        // MIN(doc_id) GROUP BY text); posting + dedup: the landedStore
+        // shape (fold + one live epoch); both vector stores all-folded
+        // over the full corpus (the codebooks train PRE-erase — an erase
+        // never retrains them, exactly what the oracle's full-corpus
+        // Lloyd replicates).
+        inParallel(Seq(
+          "bronze" -> (() => DocStore.appendDeduped(s, docs, bronze, 0L)),
+          "posting" -> { () =>
+            (0L to 1L).foreach { e =>
+              PostingLog.appendBatch(
+                docs.filter(pmod(col("doc_id"), lit(3L)) === e), posting, e)
+            }
+            PostingLog.compact(s, posting)
+            PostingLog.appendBatch(
+              docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), posting, 2L)
+          },
+          "dedup" -> { () =>
+            (0L to 1L).foreach { e =>
+              graft.llm.DedupLog.appendEpoch(
+                docs.filter(pmod(col("doc_id"), lit(3L)) === e), dedup, e)
+            }
+            graft.llm.DedupLog.compact(s, dedup)
+            graft.llm.DedupLog.appendEpoch(
+              docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), dedup, 2L)
+          },
+          "vec" -> { () =>
+            (0L to 2L).foreach { e =>
+              VecStoreLog.appendBatch(
+                emb.filter(pmod(col("vec_id"), lit(3L)) === e), vec, e)
+            }
+            VecStoreLog.compact(s, vec, cellK = Some(VecStore.CellK))
+          },
+          "ivfpq" -> { () =>
+            (0L to 2L).foreach { e =>
+              IvfPqLog.appendBatch(
+                emb.filter(pmod(col("vec_id"), lit(3L)) === e), ivfpq, e)
+            }
+            IvfPqLog.compact(s, ivfpq)
+          }))
         val maxId = math.max(
           docs.agg(max(col("doc_id")).cast("long")).head().getLong(0),
           emb.agg(max(col("vec_id")).cast("long")).head().getLong(0))
@@ -272,27 +312,40 @@ object CorpusRtbf {
             pmod(col("doc_id"), lit(3L)).cast("int")))
         val emb = VecStoreLog.withCrawlDates(Tables.embeddingsParallel(s, d)
           .select(col("vec_id"), col("label"), col("embedding")))
-        DocStore.appendDedupedChunked(s, docs, bronze, 0L)
-        // posting + dedup: fold + one live epoch, epochs sliced mod 2 so
-        // every crawl day spans both legs
-        PostingLog.appendBatchChunked(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), posting, 0L)
-        graft.llm.DedupLog.appendEpochChunked(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), dedup, 0L)
-        PostingLog.compactChunked(s, posting)
-        graft.llm.DedupLog.compact(s, dedup)
-        PostingLog.appendBatchChunked(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), posting, 1L)
-        graft.llm.DedupLog.appendEpochChunked(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), dedup, 1L)
-        (0L to 2L).foreach { e =>
-          VecStoreLog.appendBatchChunked(
-            emb.filter(pmod(col("vec_id"), lit(3L)) === e), vec, e)
-          IvfPqLog.appendBatchChunked(
-            emb.filter(pmod(col("vec_id"), lit(3L)) === e), ivfpq, e)
-        }
-        VecStoreLog.compactChunked(s, vec, cellK = Some(VecStore.CellK))
-        IvfPqLog.compactChunked(s, ivfpq)
+        // five INDEPENDENT chunked store builds, overlapped (r15, guide
+        // §2.6) — per-store ordering preserved inside each thunk. Posting
+        // + dedup: fold + one live epoch, epochs sliced mod 2 so every
+        // crawl day spans both legs.
+        inParallel(Seq(
+          "bronze" -> (() => DocStore.appendDedupedChunked(s, docs, bronze, 0L)),
+          "posting" -> { () =>
+            PostingLog.appendBatchChunked(
+              docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), posting, 0L)
+            PostingLog.compactChunked(s, posting)
+            PostingLog.appendBatchChunked(
+              docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), posting, 1L)
+          },
+          "dedup" -> { () =>
+            graft.llm.DedupLog.appendEpochChunked(
+              docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), dedup, 0L)
+            graft.llm.DedupLog.compact(s, dedup)
+            graft.llm.DedupLog.appendEpochChunked(
+              docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), dedup, 1L)
+          },
+          "vec" -> { () =>
+            (0L to 2L).foreach { e =>
+              VecStoreLog.appendBatchChunked(
+                emb.filter(pmod(col("vec_id"), lit(3L)) === e), vec, e)
+            }
+            VecStoreLog.compactChunked(s, vec, cellK = Some(VecStore.CellK))
+          },
+          "ivfpq" -> { () =>
+            (0L to 2L).foreach { e =>
+              IvfPqLog.appendBatchChunked(
+                emb.filter(pmod(col("vec_id"), lit(3L)) === e), ivfpq, e)
+            }
+            IvfPqLog.compactChunked(s, ivfpq)
+          }))
         // the VERIFIED drive (r15): the cutoff ends with the cross-surface
         // + per-store fscks; the receipt carries the clean bit the oracle
         // checks as a column

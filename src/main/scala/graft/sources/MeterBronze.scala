@@ -118,16 +118,14 @@ object MeterBronze {
     if (erased == 0L) return 0L
     val kept = slice.join(broadcast(reqDf), Seq("meter_id"), "left_anti")
       .localCheckpoint(eager = true) // sever lineage from files about to be replaced
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try kept
+    // per-WRITER dynamic overwrite (r15): no session-conf mutation — a
+    // concurrent drive's finally-restore could flip this write to STATIC
+    // semantics mid-flight (whole-root delete); the writer option can't
+    kept
       .repartition(col("chunk_date"), col("mbucket"))
-      .write.mode("overwrite").partitionBy("chunk_date", "mbucket").parquet(dir)
-    finally before match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chunk_date", "mbucket").parquet(dir)
     // composite partitions fully emptied by the request write nothing
     // above and would keep stale files — delete them explicitly. Bounded:
     // kept pairs ≤ |dates| × NBuckets; affected pairs = listed dates ×

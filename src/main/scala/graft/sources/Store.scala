@@ -89,14 +89,14 @@ object Store {
       .localCheckpoint()
       .repartition(targetFiles)
       .sortWithinPartitions(col("reading_date"), col("meter_id"), col("reading_timestamp"))
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try chunk.write.mode("overwrite").partitionBy("reading_date").parquet(dir)
-    finally before match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // per-WRITER dynamic overwrite (r15): the previous set/restore of the
+    // session-wide conf raced concurrent store maintenance — an
+    // interleaved restore could flip a sibling drive's in-flight
+    // overwrite to STATIC semantics (whole-root delete). The writer
+    // option needs no mutation and no restore.
+    chunk.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("reading_date").parquet(dir)
   }
 
   /** Incremental mart refresh (the dbt `materialized='incremental'`
@@ -106,7 +106,8 @@ object Store {
     * leaving every other chunk untouched. `partitionOverwriteMode=dynamic`
     * makes `mode(overwrite)` replace just the partitions the write
     * produces — at 100 TB a daily refresh rewrites one day, not the mart.
-    * The conf is set per-write and restored (it is session-wide). */
+    * The mode rides on the WRITER (never the session conf — see
+    * [[refreshMartPartitionsBy]]). */
   def refreshMartPartitions(
       updatedSlice: DataFrame, dir: String, partitionCol: String): Unit =
     refreshMartPartitionsBy(updatedSlice, dir, Seq(partitionCol))
@@ -115,17 +116,17 @@ object Store {
     * calendar-chunked stores' (chunk_date, bucket) trees): dynamic
     * overwrite of exactly the composite partitions present in the slice. */
   def refreshMartPartitionsBy(
-      updatedSlice: DataFrame, dir: String, partitionCols: Seq[String]): Unit = {
-    val spark = updatedSlice.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try updatedSlice
+      updatedSlice: DataFrame, dir: String, partitionCols: Seq[String]): Unit =
+    // per-WRITER dynamic overwrite (r15): setting the session-wide conf
+    // and restoring it raced concurrent per-surface maintenance drives
+    // (CorpusRtbf overlaps them) — a drive whose write planned while a
+    // sibling's finally-restore flipped the conf back to STATIC would
+    // delete the whole table root instead of its own partitions. The
+    // writer-level option is consulted by the insert command directly,
+    // mutates nothing, and needs no restore.
+    updatedSlice
       .repartition(partitionCols.map(col): _*)
-      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
-    finally before match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(dir)
 }
