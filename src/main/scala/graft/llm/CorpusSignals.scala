@@ -71,13 +71,47 @@ object CorpusSignals {
     sb.toString
   }
 
-  /** The final BPE word→tokens frame (w, f, t) after [[BpeRounds]] learned
-    * merges — the Spark twin of [[bpeLearnCtes]]' `t$BpeRounds`. */
-  private def bpeLearnedToks(s: SparkSession, d: String): DataFrame = {
-    val wf = Tables.documentsParallel(s, d)
+  /** Driver-regime bound for the BPE learn loop (r15, guide §1.2-1):
+    * classic BPE folds over the word-FREQUENCY table — vocab-sized, not
+    * corpus-sized — so below this word count the collected (w, f) rows
+    * run the merge rounds locally ([[BpeDriver.learn]]) instead of
+    * `rounds × (pair-agg + limit-1 + fold + eager checkpoint)` sequential
+    * stage barriers. 1 M vocab rows ≈ tens of MB, the broadcast
+    * small-side budget (the Dedup.DriverCcEdges doctrine). */
+  private[llm] val DriverBpeVocab = 1000000L
+
+  /** The shared word-frequency aggregate (the one corpus-wide pass). */
+  private def wfFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documentsParallel(s, d)
       .select(explode(TextAnalysis.words(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** Collected (w, f) when the vocabulary is provably small; None above
+    * the bound (or for an empty corpus — the distributed loop owns the
+    * degenerate shapes). */
+  private def wfCollected(s: SparkSession, d: String): Option[Array[(String, Long)]] = {
+    val wf = wfFrame(s, d).localCheckpoint(eager = false)
+    val n = wf.count()
+    if (n == 0 || n > DriverBpeVocab) None
+    else Some(wf.collect().map(r => (r.getString(0), r.getLong(1))))
+  }
+
+  /** The final BPE word→tokens frame (w, f, t) after [[BpeRounds]] learned
+    * merges — driver regime below [[DriverBpeVocab]], else the
+    * distributed fold loop. */
+  private def bpeLearnedToks(s: SparkSession, d: String): DataFrame =
+    wfCollected(s, d) match {
+      case Some(wf) =>
+        import s.implicits._
+        s.createDataset(BpeDriver.learn(wf, BpeRounds).toks).toDF("w", "f", "t")
+      case None => bpeLearnedToksDistributed(s, d)
+    }
+
+  /** The distributed BPE learn loop (unchanged; BpeDriverRegimeSpec pins
+    * it value-identical to [[BpeDriver.learn]]). */
+  private[llm] def bpeLearnedToksDistributed(s: SparkSession, d: String): DataFrame = {
+    val wf = wfFrame(s, d)
     var toks = wf
       .withColumn("t", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .localCheckpoint()
@@ -101,6 +135,40 @@ object CorpusSignals {
         .localCheckpoint()
     }
     toks
+  }
+
+  /** The distributed per-round BPE learn for `bpe_tokenize` (unchanged
+    * loop; the regime spec pins it value-identical to
+    * [[BpeDriver.learn]]'s merge rows). */
+  private[llm] def bpeTokenizeDistributed(s: SparkSession, d: String): DataFrame = {
+    val wf = wfFrame(s, d)
+    var toks = wf
+      .withColumn("t", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .localCheckpoint()
+    val rounds = (1 to BpeRounds).map { r =>
+      val m = toks.filter(size(col("t")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS pa, t[i] AS pb))")).as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(1)
+        .localCheckpoint()
+      toks = toks
+        .crossJoin(broadcast(m.select(col("pa").as("ma"), col("pb").as("mb"))))
+        .withColumn("t", expr(
+          """split(aggregate(t, CAST(NULL AS STRING), (acc, x) ->
+            |  CASE WHEN acc IS NULL THEN x
+            |       WHEN x = mb AND (acc = ma OR endswith(acc, chr(31) || ma))
+            |       THEN acc || x ELSE acc || chr(31) || x END), chr(31))""".stripMargin))
+        .drop("ma", "mb")
+        .localCheckpoint()
+      val after = toks.agg(sum(col("f") * size(col("t"))).as("corpus_tokens_after"))
+      m.select(lit(r).cast("long").as("round"), col("pa").as("a"),
+          col("pb").as("b"), col("n").as("pair_n"))
+        .crossJoin(broadcast(after))
+    }
+    rounds.reduce(_ union _)
   }
 
   /** Keep threshold for [[DsirScale]]-scaled per-token scores: a document
@@ -587,37 +655,13 @@ object CorpusSignals {
            |FROM m$r""".stripMargin).mkString("\nUNION ALL\n")
       sb.append("\n").append(tail).toString
     }) { (s, d) =>
-      val wf = Tables.documentsParallel(s, d)
-        .select(explode(TextAnalysis.words(col("text"))).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      var toks = wf
-        .withColumn("t", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-        .localCheckpoint()
-      val rounds = (1 to BpeRounds).map { r =>
-        val m = toks.filter(size(col("t")) >= 2)
-          .select(col("f"), explode(expr(
-            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS pa, t[i] AS pb))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(sum(col("f")).as("n"))
-          .orderBy(col("n").desc, col("pa"), col("pb"))
-          .limit(1)
-          .localCheckpoint()
-        toks = toks
-          .crossJoin(broadcast(m.select(col("pa").as("ma"), col("pb").as("mb"))))
-          .withColumn("t", expr(
-            """split(aggregate(t, CAST(NULL AS STRING), (acc, x) ->
-              |  CASE WHEN acc IS NULL THEN x
-              |       WHEN x = mb AND (acc = ma OR endswith(acc, chr(31) || ma))
-              |       THEN acc || x ELSE acc || chr(31) || x END), chr(31))""".stripMargin))
-          .drop("ma", "mb")
-          .localCheckpoint()
-        val after = toks.agg(sum(col("f") * size(col("t"))).as("corpus_tokens_after"))
-        m.select(lit(r).cast("long").as("round"), col("pa").as("a"),
-            col("pb").as("b"), col("n").as("pair_n"))
-          .crossJoin(broadcast(after))
+      wfCollected(s, d) match {
+        case Some(wf) =>
+          import s.implicits._
+          s.createDataset(BpeDriver.learn(wf, BpeRounds).merges)
+            .toDF("round", "a", "b", "pair_n", "corpus_tokens_after")
+        case None => bpeTokenizeDistributed(s, d)
       }
-      rounds.reduce(_ union _)
     },
 
     // ---- per-document COMPRESSION RATE under the learned BPE vocabulary:

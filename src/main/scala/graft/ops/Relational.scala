@@ -525,6 +525,10 @@ object Relational {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("l_partkey").as("partkey"), col("unit_cost_cc"),
           col("s_name"), col("s_acctbal"), col("n_name"))
+        // localCheckpoint (r15): asia feeds the per-part min AND the
+        // winning-row join — un-cached, the offers agg + 3-join chain
+        // ran twice (guide §5-caching)
+        .localCheckpoint(eager = false)
       val minPerPart = asia.groupBy(col("partkey").as("mk"))
         .agg(min(col("unit_cost_cc")).as("min_cost_cc"))
       asia
@@ -612,6 +616,9 @@ object Relational {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY")).as("late"))
+        // localCheckpoint (r15): lo feeds the per-supplier rollup AND the
+        // late-rows leg — un-cached, the lineitem⋈orders join ran twice
+        .localCheckpoint(eager = false)
       // two-level distinct (a2 doctrine): per-(order, supplier) rollup,
       // then the per-order profile — no Expand for multi count-distinct
       val perSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
