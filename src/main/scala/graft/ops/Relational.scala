@@ -887,9 +887,15 @@ object Relational {
         |  COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-      // lineitemParallel (r15): the 4-way distinct Expand ran on the
-      // single-row-group scan task — guide §2.5's repartition-after-read
-      Tables.lineitemParallel(s, d)
+      // repartition-after-read for the single-row-group scan (guide
+      // §2.5), PROJECTED FIRST (guide §2.3): column pruning does not push
+      // below a round-robin exchange, so repartitioning the full-width
+      // table shuffled all 16 columns and sextupled the query's CPU —
+      // the 4-column projection keeps the exchange narrow
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"))
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_orderkey")).as("distinct_orders"),

@@ -555,9 +555,13 @@ object SqlSurface {
         |  CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS price_max,
         |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS price_sum
         |FROM orders""".stripMargin) { (s, d) =>
-      // ordersParallel (r15): the 3-way distinct Expand + profile
-      // aggregates ran 1.2 cpu-s on the single-row-group scan task
-      Tables.ordersParallel(s, d).agg(
+      // repartition-after-read for the single-row-group scan (guide
+      // §2.5), PROJECTED FIRST (guide §2.3) — pruning does not push below
+      // a round-robin exchange, so only the four profiled columns shuffle
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .repartition(s.sparkContext.defaultParallelism).agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
         countDistinct(col("o_custkey")).as("custkey_distinct"),

@@ -58,20 +58,13 @@ object Tables {
   def documentsParallel(s: SparkSession, d: String): DataFrame =
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
-  /** `lineitem`/`orders` spread across all cores (r15, guide §2.5
-    * unsplittable-input rule): the corpus ships each table as ONE parquet
-    * row group, so scan-rooted map work (the 4-way Expand of a
-    * multi-column COUNT DISTINCT, per-column profile sketches) runs on a
-    * single task regardless of core count — ProfileOne showed
-    * `a7_count_distinct`'s expand stage at 1.1 cpu-s on one task and
-    * `profile_table_orders`' at 1.2. The round-robin exchange costs one
-    * pass over ≤14 MB; use ONLY under CPU-heavy map work — on a real
-    * many-file 100 TB table the plain reader already scans wide and this
-    * repartition is unnecessary (the [[documentsParallel]] doctrine). */
-  def lineitemParallel(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).repartition(s.sparkContext.defaultParallelism)
-  def ordersParallel(s: SparkSession, d: String): DataFrame =
-    orders(s, d).repartition(s.sparkContext.defaultParallelism)
+  // (r15) the fact tables also ship as ONE parquet row group, so
+  // scan-rooted CPU-heavy map work runs single-task regardless of core
+  // count; the queries that need width repartition AFTER PROJECTING
+  // their needed columns (guide §2.3/§2.5 — column pruning does not push
+  // below a round-robin exchange, so a whole-table parallel loader would
+  // shuffle every column: a7_count_distinct measured 6× the CPU that way).
+
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** `embeddings` spread across all cores — same doctrine as
